@@ -1,13 +1,234 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query returns a deterministically-ordered DataFrame whose column
+  * names and types match its DuckDB oracle exactly (money aggregates are
+  * decimal-exact then cast to DOUBLE; computed integers are BIGINT on
+  * both sides).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Relational.q1PricingSummary _),
+    "q02_filter_project" -> (Relational.q2FilterProject _),
+    "q03_join_agg" -> (Relational.q3JoinAgg _),
+    "q04_join_multi" -> (Relational.q4JoinMulti _),
+    "q05_semi_join" -> (Relational.q5SemiJoin _),
+    "q06_anti_join" -> (Relational.q6AntiJoin _),
+    "q07_window_topk" -> (Relational.q7WindowTopK _),
+    "q08_window_running" -> (Relational.q8WindowRunning _),
+    "q09_window_lag" -> (Relational.q9WindowLag _),
+    "q10_topk_orders" -> (Relational.q10TopKOrders _),
+    "q11_distinct_agg" -> (Relational.q11DistinctAgg _),
+    "q12_rollup" -> (Relational.q12Rollup _),
+    "q13_setops" -> (Relational.q13SetOps _),
+    "q14_wordcount" -> (Relational.q14WordCount _),
+    "q15_date_agg" -> (Relational.q15DateAgg _),
+    "q16_case_math" -> (Relational.q16CaseMath _),
+    "q17_mr_wordcount" -> (MRQueries.q17MrWordCount _),
+    "q18_mr_first_event" -> (MRQueries.q18MrFirstEvent _),
+    "q19_dedup_exact" -> (Dedup.q19DedupExact _),
+    "q20_dedup_minhash" -> (Dedup.q20DedupMinhash _),
+    "q21_dedup_simhash" -> (Dedup.q21DedupSimhash _),
+    "q22_ngram_jaccard" -> (Dedup.q22NgramJaccard _),
+    "q23_knn_brute" -> (Similarity.q23KnnBrute _),
+    "q24_knn_lsh" -> (Similarity.q24KnnLsh _),
+    "q25_text_quality" -> (TextOps.q25TextQuality _),
+    "q26_token_stats" -> (TextOps.q26TokenStats _),
+    "q27_lang_id" -> (TextOps.q27LangId _),
+    "q28_fingerprint" -> (TextOps.q28Fingerprint _),
+    "q29_multimodal_meta" -> (Multimodal.q29MultimodalMeta _),
+  )
+
+  private val Rev =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))"
+
+  private val TokList = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private val StopList =
+    "list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of', 'and'))"
+
+  private def langScore(words: Seq[String]): String =
+    s"len(list_filter(string_split(lower(text), ' '), x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the non-SQL-expressible ops
+    * (minhash/simhash/ngram/LSH/fingerprint) -> rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(SUM($Rev) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM($Rev * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity >= 45 AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_agg" ->
+      s"""SELECT c_mktsegment, CAST(SUM($Rev) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q04_join_multi" ->
+      s"""SELECT n_name, CAST(SUM($Rev) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_window_topk" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q08_window_running" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS running
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q09_window_lag" ->
+      """SELECT user_id, event_id, value,
+        |  value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q10_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q11_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q12_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag, COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+    "q13_setops" ->
+      """SELECT k FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION
+        |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000) t1
+        |EXCEPT
+        |SELECT k FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT
+        |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000) t2
+        |ORDER BY k""".stripMargin,
+    "q14_wordcount" ->
+      """SELECT word, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS word
+        |  FROM documents) t
+        |WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+    "q15_date_agg" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
+    "q16_case_math" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 25 THEN 'mid' ELSE 'high' END AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_rounded,
+        |  MAX(CAST(floor(l_discount * 100) AS BIGINT)) AS max_disc_pct
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q17_mr_wordcount" ->
+      """SELECT word, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS word
+        |  FROM documents) t
+        |WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+    "q18_mr_first_event" ->
+      """SELECT user_id, FIRST(event_type ORDER BY ts, event_id) AS first_event
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q19_dedup_exact" ->
+      """SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+    "q23_knn_brute" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nrm
+        |  FROM q, range(1, 65) t(i) GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT p.vec_id AS probe_id, e.vec_id AS vec_id, CAST(SUM(p.qv[i] * e.qv[i]) AS BIGINT) AS dot
+        |  FROM q p, q e, range(1, 65) t(i)
+        |  WHERE p.vec_id < 10 AND e.vec_id <> p.vec_id
+        |  GROUP BY p.vec_id, e.vec_id),
+        |scored AS (
+        |  SELECT probe_id, pr.vec_id,
+        |    CAST(dot AS DOUBLE) / sqrt(CAST(np.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)) AS cosine
+        |  FROM pairs pr
+        |  JOIN norms np ON np.vec_id = pr.probe_id
+        |  JOIN norms ne ON ne.vec_id = pr.vec_id)
+        |SELECT probe_id, vec_id, cosine, rnk FROM (
+        |  SELECT probe_id, vec_id, cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM scored) z
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+    "q25_text_quality" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len($TokList)) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(len($StopList)) AS BIGINT) AS sum_stopwords,
+         |  CAST(SUM(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) AS BIGINT) AS sum_punct,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(len($TokList)) AS DOUBLE) / COUNT(*) AS avg_tokens,
+         |  CAST(SUM(len($StopList)) AS DOUBLE) / CAST(SUM(len($TokList)) AS DOUBLE) AS stopword_ratio
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q26_token_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE) / COUNT(*) AS avg_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q27_lang_id" ->
+      s"""SELECT lang, pred_lang, COUNT(*) AS n FROM (
+         |  SELECT lang,
+         |    CASE
+         |      WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'en'
+         |      WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'de'
+         |      WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'es'
+         |      WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'fr'
+         |      WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'zh'
+         |      ELSE 'und' END AS pred_lang
+         |  FROM (
+         |    SELECT lang,
+         |      ${langScore(Seq("the", "and", "of", "to", "in"))} AS s_en,
+         |      ${langScore(Seq("der", "die", "und", "das", "ist"))} AS s_de,
+         |      ${langScore(Seq("el", "los", "que", "por", "una"))} AS s_es,
+         |      ${langScore(Seq("le", "les", "et", "des", "dans"))} AS s_fr,
+         |      ${langScore(Seq("shi", "bu", "wo", "zhe", "ren"))} AS s_zh
+         |    FROM documents) t1) t2
+         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+    "q29_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+        |  CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

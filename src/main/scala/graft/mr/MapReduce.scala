@@ -1,0 +1,292 @@
+package graft.mr
+
+import org.apache.spark.rdd.RDD
+
+import scala.collection.mutable
+import scala.reflect.ClassTag
+
+/** Emitted record ADT.
+  *
+  * The reference (geowurster/mr-python, `tinymr.py:53-56`) distinguishes
+  * 2-tuples `(key, value)` from 3-tuples `(key, sort, value)` by runtime
+  * arity sniffing ("schema-by-arity", tinymr.py:310-311). Scala tuples are
+  * statically sized, so the arity becomes an ADT: [[KV]] carries no sort
+  * element, [[KSV]] does. Malformed arities are a compile error in this
+  * typed API (the reference's `ElementCountError`, tinymr.py:273-275,
+  * survives only in the untyped [[UntypedMapReduce]] adapter).
+  */
+sealed trait Emit[+K, +S, +V] extends Serializable {
+  def key: K
+  def sortOpt: Option[S]
+  def value: V
+}
+
+/** `(key, value)` — reference tinymr.py:53-54. */
+final case class KV[+K, +V](key: K, value: V) extends Emit[K, Nothing, V] {
+  def sortOpt: Option[Nothing] = None
+}
+
+/** `(key, sort, value)` — reference tinymr.py:55-56; presence of the sort
+  * element is the signal that in-partition sorting is wanted.
+  */
+final case class KSV[+K, +S, +V](key: K, sort: S, value: V) extends Emit[K, S, V] {
+  def sortOpt: Option[S] = Some(sort)
+}
+
+/** Raised by the untyped adapter on bad record arity — mirrors the
+  * reference's `ElementCountError` (tinymr.py:273-275, raised at
+  * tinymr.py:305-308, tested at tests/test_exceptions.py:6-35).
+  */
+class ElementCountError(msg: String) extends RuntimeException(msg)
+
+/** Shared machinery for the two reducer shapes.
+  *
+  * Semantics ported from `/root/reference/tinymr.py` (`MapReduce.__call__`,
+  * lines 156-230) re-expressed on Spark's distributed shuffle:
+  *
+  *  - mapper flatMap (tinymr.py:194-199)        -> `RDD.flatMap`
+  *  - shuffle #1 + secondary sort (tinymr.py:278-345) -> `groupByKey` +
+  *    in-group stable sort (Timsort both here and in the reference,
+  *    tinymr.py:339)
+  *  - reduce (tinymr.py:207-215)                -> per-group function
+  *  - shuffle #2 on the reducer's own emitted keys (tinymr.py:217-221)
+  *    -> second `groupByKey`, elided when [[keyPreserving]] (the
+  *    word-count shape: reducer re-emits the key it received)
+  *
+  * Sort-key selection matrix (reference docs.rst:300-307, impl
+  * tinymr.py:310-330): 2-tuple + `withValue` -> sort by value; 3-tuple
+  * alone -> by sort element; 3-tuple + `withValue` -> by (sort, value);
+  * 2-tuple alone -> no sort. `reverse` flags sort descending
+  * (tinymr.py:126-154). Sorts are stable; ties keep arrival order — but
+  * distributed arrival order across input partitions is nondeterministic
+  * (documented divergence from the reference's deterministic single-thread
+  * mode; its own 288-case pool matrix is equally nondeterministic).
+  *
+  * This core intentionally runs on RDDs: mapper/reducer values are opaque
+  * user objects (reference tinymr.py:73-76 — "values are never inspected")
+  * with no Catalyst-visible schema, which is exactly the "genuine
+  * per-partition imperative logic" case. All *analytic* operators live in
+  * the DataFrame layer (`graft.operators`) where Catalyst can optimize.
+  */
+abstract class MapReduceBase[I, K, S, V] extends Serializable {
+
+  /** Per-item transform -> 0..n keyed emissions; `flatMap` semantics
+    * unify the reference's yield-vs-return mapper dispatch
+    * (tinymr.py:186, 198-199).
+    */
+  def mapper(item: I): IterableOnce[Emit[K, S, V]]
+
+  /** reference `sort_map_with_value`, tinymr.py:116-124 */
+  def sortMapWithValue: Boolean = false
+
+  /** reference `sort_map_reverse`, tinymr.py:126-134 */
+  def sortMapReverse: Boolean = false
+
+  /** reference `sort_reduce_with_value`, tinymr.py:136-144 */
+  def sortReduceWithValue: Boolean = false
+
+  /** reference `sort_reduce_reverse`, tinymr.py:146-154 */
+  def sortReduceReverse: Boolean = false
+
+  /** Declares that the reducer only re-emits the key it received, letting
+    * the engine elide shuffle #2 entirely (SURVEY.md §4.2) — the common
+    * word-count shape. The reference always pays its second partition pass
+    * (tinymr.py:217-221); on a cluster that is a full extra shuffle, so
+    * the elision is the single most important scale optimization in this
+    * core.
+    */
+  def keyPreserving: Boolean = false
+
+  /** Reducer-side parallelism; 0 = Spark default. Replaces the reference's
+    * round-robin key-cycling idiom (docs.rst:373-394).
+    */
+  def numPartitions: Int = 0
+
+  /** Required iff sort elements ([[KSV]]) are emitted. */
+  def sortOrdering: Ordering[S] =
+    throw new UnsupportedOperationException(
+      "emitting (key, sort, value) requires overriding sortOrdering")
+
+  /** Required iff `sort*WithValue` is set. */
+  def valueOrdering: Ordering[V] =
+    throw new UnsupportedOperationException(
+      "sort*WithValue requires overriding valueOrdering")
+
+  // ---- internals ----------------------------------------------------
+
+  protected type SV = (Option[S], V)
+
+  /** Stable in-group sort per the S6 matrix; `buf` arrival order is kept
+    * for ties (Timsort, matching reference tinymr.py:336-343).
+    */
+  protected def sortValues(
+      buf: mutable.ArrayBuffer[SV], withValue: Boolean, reverse: Boolean): List[V] = {
+    val hasSort = buf.exists(_._1.isDefined)
+    val ord: Ordering[SV] = (hasSort, withValue) match {
+      case (true, true)   => Ordering.by((p: SV) => (p._1.get, p._2))(Ordering.Tuple2(sortOrdering, valueOrdering))
+      case (true, false)  => Ordering.by((p: SV) => p._1.get)(sortOrdering)
+      case (false, true)  => Ordering.by((p: SV) => p._2)(valueOrdering)
+      case (false, false) => null // 2-tuples with no flags: no sort (docs.rst:300-307)
+    }
+    val sorted =
+      if (ord == null) buf
+      else buf.sorted(if (reverse) ord.reverse else ord)
+    sorted.iterator.map(_._2).toList
+  }
+
+  /** One shuffle + sort pass — reference `_partition_and_sort`
+    * (tinymr.py:278-345) as `groupByKey` + in-group sort.
+    */
+  protected def partitionAndSort(
+      rdd: RDD[(K, SV)], withValue: Boolean, reverse: Boolean)(
+      implicit kt: ClassTag[K], vt: ClassTag[V]): RDD[(K, List[V])] = {
+    implicit val svTag: ClassTag[SV] = ClassTag(classOf[Tuple2[_, _]]).asInstanceOf[ClassTag[SV]]
+    val grouped =
+      if (numPartitions > 0) rdd.groupByKey(numPartitions) else rdd.groupByKey()
+    grouped.mapValues { it =>
+      val buf = mutable.ArrayBuffer.empty[SV]
+      buf ++= it
+      sortValues(buf, withValue, reverse)
+    }
+  }
+
+  /** Local (no-shuffle) grouping for the keyPreserving fast path: after
+    * shuffle #1 every key lives in exactly one partition and the reducer
+    * re-emits only its own key, so regrouping is partition-local.
+    */
+  protected def groupLocally(
+      rdd: RDD[(K, SV)], withValue: Boolean, reverse: Boolean)(
+      implicit kt: ClassTag[K], vt: ClassTag[V]): RDD[(K, List[V])] =
+    rdd.mapPartitions(
+      it => {
+        val m = mutable.LinkedHashMap.empty[K, mutable.ArrayBuffer[SV]]
+        it.foreach { case (k, sv) => m.getOrElseUpdate(k, mutable.ArrayBuffer.empty) += sv }
+        m.iterator.map { case (k, buf) => (k, sortValues(buf, withValue, reverse)) }
+      },
+      preservesPartitioning = true)
+
+  protected def mapPhase(rdd: RDD[I])(
+      implicit kt: ClassTag[K], vt: ClassTag[V]): RDD[(K, List[V])] = {
+    val mapped: RDD[(K, SV)] =
+      rdd.flatMap(i => mapper(i).iterator.map(e => (e.key, (e.sortOpt, e.value))))
+    partitionAndSort(mapped, sortMapWithValue, sortMapReverse)
+  }
+}
+
+/** Yield-mode task: the reducer emits 0..n records (reference generator
+  * reducers, tinymr.py:214-215). Final result groups the reducer's output
+  * by its emitted keys — `dict[key, list[value]]` in the reference
+  * (tinymr.py:217-221) becomes a distributed `RDD[(K, List[V])]`.
+  */
+abstract class MapReduce[I, K, S, V] extends MapReduceBase[I, K, S, V] {
+
+  def reducer(key: K, values: Seq[V]): IterableOnce[Emit[K, S, V]]
+
+  final def run(rdd: RDD[I])(
+      implicit kt: ClassTag[K], vt: ClassTag[V]): RDD[(K, List[V])] = {
+    val reduced: RDD[(K, SV)] = mapPhase(rdd).flatMap { case (k, vs) =>
+      reducer(k, vs).iterator.map(e => (e.key, (e.sortOpt, e.value)))
+    }
+    if (keyPreserving) groupLocally(reduced, sortReduceWithValue, sortReduceReverse)
+    else partitionAndSort(reduced, sortReduceWithValue, sortReduceReverse)
+  }
+
+  /** Small-result driver adapter — the reference's in-memory result dict
+    * (tinymr.py:229-230). 100 TB results must stay distributed; this is
+    * the explicit, documented collect boundary.
+    */
+  final def runToMap(rdd: RDD[I])(
+      implicit kt: ClassTag[K], vt: ClassTag[V]): Map[K, List[V]] =
+    run(rdd).collect().toMap
+}
+
+/** Return-mode task: the reducer returns exactly one record. On key
+  * collision after shuffle #2 only the first value (in post-sort order)
+  * survives — the reference's `{k: next(iter(v))}` collapse
+  * (tinymr.py:222-227, semantic S2).
+  */
+abstract class MapReduce1[I, K, S, V] extends MapReduceBase[I, K, S, V] {
+
+  def reducer(key: K, values: Seq[V]): Emit[K, S, V]
+
+  final def run(rdd: RDD[I])(
+      implicit kt: ClassTag[K], vt: ClassTag[V]): RDD[(K, V)] = {
+    val reduced: RDD[(K, SV)] = mapPhase(rdd).map { case (k, vs) =>
+      val e = reducer(k, vs)
+      (e.key, (e.sortOpt, e.value))
+    }
+    if (keyPreserving)
+      // keys are unique per partition after shuffle #1, so no collision
+      // and no regroup is possible — straight projection.
+      reduced.map { case (k, (_, v)) => (k, v) }
+    else
+      partitionAndSort(reduced, sortReduceWithValue, sortReduceReverse)
+        .mapValues(_.head)
+  }
+
+  final def runToMap(rdd: RDD[I])(
+      implicit kt: ClassTag[K], vt: ClassTag[V]): Map[K, V] =
+    run(rdd).collect().toMap
+}
+
+/** Arity-sniffing adapter for untyped records, kept for behavioral
+  * fidelity with the reference's dynamic API: records are `Product`s
+  * (tuples) of arity 2 or 3; the FIRST record of each partition is
+  * validated and a bad arity raises [[ElementCountError]] exactly like
+  * tinymr.py:302-308 (later malformed records surface as downstream cast
+  * errors, matching the reference's verified behavior — SURVEY.md §1.2).
+  */
+abstract class UntypedMapReduce[I] extends MapReduce[I, Any, Any, Any] {
+
+  def untypedMapper(item: I): IterableOnce[Product]
+  def untypedReducer(key: Any, values: Seq[Any]): IterableOnce[Product]
+
+  private def toEmit(p: Product, phase: String, first: Boolean): Emit[Any, Any, Any] =
+    p.productArity match {
+      case 2 => KV(p.productElement(0), p.productElement(1))
+      case 3 => KSV(p.productElement(0), p.productElement(1), p.productElement(2))
+      case n if first =>
+        throw new ElementCountError(
+          s"$phase emitted a record with $n elements — expected 2 or 3")
+      case _ =>
+        // past the first record the reference no longer validates; fail
+        // the same lenient-then-loud way it does.
+        throw new IllegalArgumentException(
+          s"malformed $phase record of arity ${p.productArity}")
+    }
+
+  final def mapper(item: I): IterableOnce[Emit[Any, Any, Any]] = {
+    val it = untypedMapper(item).iterator
+    new Iterator[Emit[Any, Any, Any]] {
+      private var first = true
+      def hasNext: Boolean = it.hasNext
+      def next(): Emit[Any, Any, Any] = {
+        val e = toEmit(it.next(), "mapper", first); first = false; e
+      }
+    }
+  }
+
+  final def reducer(key: Any, values: Seq[Any]): IterableOnce[Emit[Any, Any, Any]] = {
+    val it = untypedReducer(key, values).iterator
+    new Iterator[Emit[Any, Any, Any]] {
+      private var first = true
+      def hasNext: Boolean = it.hasNext
+      def next(): Emit[Any, Any, Any] = {
+        val e = toEmit(it.next(), "reducer", first); first = false; e
+      }
+    }
+  }
+
+  override def sortOrdering: Ordering[Any] = UntypedMapReduce.comparableOrdering
+  override def valueOrdering: Ordering[Any] = UntypedMapReduce.comparableOrdering
+}
+
+object UntypedMapReduce {
+  /** Natural ordering via Comparable — the analogue of Python's dynamic
+    * `<` on sort elements (reference tinymr.py:339, `list.sort`).
+    */
+  val comparableOrdering: Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+}

@@ -1,0 +1,249 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: exact dedup is a hash-groupBy (one shuffle on the
+  * content hash, never on the content itself); near-dup dedup goes
+  * shingle -> MinHash signature -> LSH band bucketing -> candidate-pair
+  * join -> exact-Jaccard verification, so the cross-doc comparison is
+  * confined to same-bucket candidates instead of O(n^2) pairs. All
+  * constants are deterministic (fixed-seed LCG) for reproducible runs.
+  */
+object Dedup {
+
+  /** Exact dedup survivors: group by content hash (md5 of utf-8 bytes),
+    * keep the smallest doc_id per group. At 100 TB this shuffles only
+    * (16-byte hash, id) pairs.
+    */
+  def q19DedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  // ---- MinHash ------------------------------------------------------
+
+  private val Prime = (1L << 61) - 1
+  val NumHashes = 64
+  val Bands = 16 // 16 bands x 4 rows
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Deterministic (a, b) coefficient pairs from a fixed-seed LCG. */
+  private val coeffs: Array[(Long, Long)] = {
+    var state = 42L
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 3) % Prime match { case x => if (x == 0) 1 else x }
+    }
+    Array.fill(NumHashes)((next(), next()))
+  }
+
+  private def shingleHash(sh: CharSequence): Long = {
+    val h = MurmurHash3.stringHash(sh.toString, 0x9747b28c)
+    (h.toLong & 0xffffffffL) + 1
+  }
+
+  /** Character 5-gram shingle hash set of the normalized text. */
+  private[operators] def shingles(text: String, k: Int = 5): Array[Long] = {
+    val t = text.toLowerCase
+    if (t.length < k) Array(shingleHash(t))
+    else {
+      val set = collection.mutable.SortedSet.empty[Long]
+      var i = 0
+      while (i + k <= t.length) { set += shingleHash(t.subSequence(i, i + k)); i += 1 }
+      set.toArray
+    }
+  }
+
+  private[operators] def minhashSignature(sh: Array[Long]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val x = sh(i)
+      var j = 0
+      while (j < NumHashes) {
+        val (a, b) = coeffs(j)
+        // (a*x + b) mod p with x < 2^32 and a < p: multiplyHigh-free since
+        // a*x can overflow — split multiply mod 2^61-1.
+        val v = addMod(mulMod61(a, x), b)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  private def addMod(a: Long, b: Long): Long = {
+    val r = a + b
+    if (r >= Prime) r - Prime else r
+  }
+
+  private def mulMod61(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    val part = (hi << 3) | (lo >>> 61)
+    val res = (lo & Prime) + part
+    val r2 = (res & Prime) + (res >>> 61)
+    if (r2 >= Prime) r2 - Prime else r2
+  }
+
+  /** Per-band bucket key: hash of the band's signature slice. */
+  private def bandHash(sig: Array[Long], band: Int): Long = {
+    var h = 1125899906842597L
+    var j = band * RowsPerBand
+    val end = j + RowsPerBand
+    while (j < end) { h = h * 31 + sig(j); j += 1 }
+    h
+  }
+
+  /** MinHash+LSH near-duplicate detection. Output: one row per document
+    * with its LSH candidate count and best exact-Jaccard score (0 when no
+    * candidate shares a band). Non-SQL-expressible -> rows-only oracle.
+    */
+  def q20DedupMinhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+    val withSh = docs.map { case (id, text) =>
+      val sh = shingles(text)
+      (id, sh, minhashSignature(sh))
+    }.toDF("doc_id", "sh", "sig").cache()
+
+    val bands = withSh.select(col("doc_id"), col("sig"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, sig) =>
+        (0 until Bands).iterator.map(b => (id, b, bandHash(sig, b)))
+      }.toDF("doc_id", "band", "bh")
+
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+
+    val sh = withSh.select(col("doc_id"), col("sh"))
+    val pairs = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
+
+    val perDoc = pairs.select(col("a").as("doc_id"), col("jaccard"))
+      .union(pairs.select(col("b").as("doc_id"), col("jaccard")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"), max(col("jaccard")).as("best_jaccard"))
+
+    withSh.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- SimHash ------------------------------------------------------
+
+  private[operators] def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.toLowerCase.split("\\s+").foreach { tok =>
+      if (tok.nonEmpty) {
+        val h1 = MurmurHash3.stringHash(tok, 0x1b873593)
+        val h2 = MurmurHash3.stringHash(tok, 0xe6546b64)
+        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** SimHash near-dup: 64-bit signature, 4x16-bit chunk LSH, Hamming<=3
+    * verification via bit_count(xor). Rows-only oracle.
+    */
+  def q21DedupSimhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sigs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, simhash64(text)) }
+      .toDF("doc_id", "simhash").cache()
+
+    val chunks = sigs.as[(Long, Long)]
+      .flatMap { case (id, sig) =>
+        (0 until 4).iterator.map(c => (id, c, (sig >>> (c * 16)) & 0xffffL))
+      }.toDF("doc_id", "chunk", "ck")
+
+    val cand = chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+
+    val near = cand
+      .join(sigs.select(col("doc_id").as("a"), col("simhash").as("sa")), "a")
+      .join(sigs.select(col("doc_id").as("b"), col("simhash").as("sb")), "b")
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+
+    val perDoc = near.select(col("a").as("doc_id"))
+      .union(near.select(col("b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near"))
+
+    sigs.select(col("doc_id"), col("simhash"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Word n-gram Jaccard similarity search: probe docs (doc_id < 10)
+    * against the corpus via an inverted trigram index (explode + join +
+    * count), top-3 matches per probe. The join on `gram` is the inverted
+    * index — at 100 TB this is the standard sparse-similarity shape, with
+    * frequent-gram skew handled upstream by dropping ubiquitous grams.
+    */
+  def q22NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        toks.sliding(3).filter(_.length == 3).map(g => (id, g.mkString(" "))).distinct
+      }.toDF("doc_id", "gram")
+
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+
+    val probes = grams.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("probe_id"), col("gram"))
+    val inter = probes.join(grams, "gram")
+      .filter(col("probe_id") =!= col("doc_id"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(count(lit(1)).as("inter"))
+
+    val scored = inter
+      .join(broadcast(sizes.select(col("doc_id").as("probe_id"), col("n_grams").as("na"))), "probe_id")
+      .join(sizes.select(col("doc_id"), col("n_grams").as("nb")), "doc_id")
+      .select(col("probe_id"), col("doc_id"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("jaccard").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+}

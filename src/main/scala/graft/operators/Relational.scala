@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator layer — the analytics capabilities the reference's
+  * MapReduce idioms exist to express (SURVEY.md §2.2/§2.3), as declarative
+  * DataFrame plans so Catalyst handles pushdown, partial aggregation, join
+  * selection and AQE.
+  *
+  * Determinism note: money columns are summed as DECIMAL (exact, order
+  * independent) and only cast to DOUBLE at the end, so results hash-match
+  * the DuckDB oracle regardless of distributed reduction order. Every
+  * query ends in a total ORDER BY for a deterministic row order.
+  */
+object Relational {
+
+  /** Exact, order-independent revenue term:
+    * extendedprice * (1 - discount) in decimal arithmetic.
+    */
+  private def discPrice: Column =
+    col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1) - col("l_discount")).cast(DecimalType(8, 2))
+
+  /** Q1-style pricing summary: scan + filter + group-agg with partial
+    * aggregation (reference idiom: word count / in-mapper combining,
+    * docs.rst:139-159, 197-283 — Catalyst's HashAggregate partial/final
+    * replaces the hand-rolled combiner).
+    */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(discPrice * (lit(1) + col("l_tax")).cast(DecimalType(8, 2))).cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Filter + projection — must reach the parquet scan as PushedFilters +
+    * pruned ReadSchema (verified in PlanSpec).
+    */
+  def q2FilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 45 && col("l_discount") > 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** 3-way join (broadcast dim) + group-agg: revenue per market segment. */
+  def q3JoinAgg(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(discPrice).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Q5-style 6-way join through the star schema: revenue per nation where
+    * the customer and supplier share a nation. All dims broadcast; only
+    * lineitem⋈orders shuffles.
+    */
+  def q4JoinMulti(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d)
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d)
+    l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c),
+        o("o_custkey") === c("c_custkey") && c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Left-semi join (EXISTS): orders containing a near-max-quantity item. */
+  def q5SemiJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d).filter(col("l_quantity") >= 49).select(col("l_orderkey"))
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no high-value order. */
+  def q6AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 150000)
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Window ranking: top-3 customers per market segment by balance
+    * (reference idiom: top-k via Counter.most_common, docs.rst:57-58 —
+    * generalized to per-group ranking).
+    */
+  def q7WindowTopK(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rn"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** Running (cumulative) sum per user over event time — decimal-exact. */
+  def q8WindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("running",
+        sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("running"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** lag(): per-user delta between consecutive event values. */
+  def q9WindowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("value"), col("delta"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Global top-k: ORDER BY ... LIMIT k (TakeOrderedAndProject — no full
+    * sort at scale).
+    */
+  def q10TopKOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Multi-distinct aggregation (reference idiom: len(set(values)) per key,
+    * docs.rst:396-397).
+    */
+  def q11DistinctAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** ROLLUP hierarchy totals. */
+  def q12Rollup(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rflag"), col("lstatus"))
+
+  /** Set ops: symmetric difference of BUILDING-segment customers and
+    * big-spender customers — UNION/INTERSECT/EXCEPT in one plan.
+    */
+  def q13SetOps(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val b = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey").as("k"))
+    a.union(b).distinct()
+      .except(a.intersect(b))
+      .orderBy(col("k"))
+  }
+
+  /** THE canonical reference program (docs.rst:139-159): word count over
+    * the documents corpus, top-100. `split`+`explode`+`groupBy.count` is
+    * the declarative form of mapper-emit + shuffle + reducer-sum, with
+    * Catalyst's partial aggregation playing the in-mapper combiner.
+    */
+  def q14WordCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(100)
+
+  /** Date-part extraction + group-agg: monthly order volume. */
+  def q15DateAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .orderBy(col("yr"), col("mo"))
+
+  /** CASE/math scalar functions feeding an aggregation. */
+  def q16CaseMath(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("bucket",
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 25, "mid")
+          .otherwise("high"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice")).cast("long")).as("sum_rounded"),
+        max(floor(col("l_discount") * 100).cast("long")).as("max_disc_pct"))
+      .orderBy(col("bucket"))
+}

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 correctness gate: compare each
+Verify parquet dump against its DuckDB oracle (dev tool only — the
+library itself never uses Python)."""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    import glob
+    names = sorted(d.split("/")[-1] for d in glob.glob(f"{out_dir}/q*"))
+    for name in names:
+        spark_df = pd.concat(
+            [pd.read_parquet(p) for p in sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))],
+            ignore_index=True)
+        if name not in oracle:
+            print(f"{name}: NO-ORACLE rows={len(spark_df)}")
+            if len(spark_df) == 0:
+                print(f"  WARNING: zero rows")
+            continue
+        duck_df = con.execute(oracle[name]).fetchdf()
+        s, o = norm(spark_df), norm(duck_df)
+        status = "OK"
+        if list(s.columns) != list(o.columns):
+            status = f"COLUMN MISMATCH spark={list(s.columns)} duck={list(o.columns)}"
+        elif len(s) != len(o):
+            status = f"ROWCOUNT MISMATCH spark={len(s)} duck={len(o)}"
+        else:
+            for c in s.columns:
+                sv, ov = s[c], o[c]
+                if str(sv.dtype) != str(ov.dtype):
+                    status = f"DTYPE {c}: spark={sv.dtype} duck={ov.dtype}"
+                if not sv.equals(ov):
+                    neq = (sv != ov) & ~(sv.isna() & ov.isna())
+                    n = int(neq.sum())
+                    if n:
+                        i = neq.idxmax()
+                        status = (f"VALUE MISMATCH col={c} ndiff={n} "
+                                  f"first@{i}: spark={sv[i]!r} duck={ov[i]!r}")
+                        break
+        print(f"{name}: {status} rows={len(s)}")
+        if status != "OK" and not status.startswith("DTYPE"):
+            failures += 1
+        elif status.startswith("DTYPE"):
+            print(f"  (dtype-only difference — may still hash-mismatch)")
+            failures += 1
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
