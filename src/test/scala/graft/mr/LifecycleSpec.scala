@@ -1,0 +1,121 @@
+package graft.mr
+
+import org.apache.spark.SparkException
+
+/** Lifecycle semantics: second shuffle on reducer-emitted keys (S5),
+  * return-mode first-wins collapse (S2, tinymr.py:222-227), keyPreserving
+  * elision equivalence, and the untyped adapter's ElementCountError
+  * contract (/root/reference/tests/test_exceptions.py).
+  */
+object LifecycleTasks {
+
+  /** Reducer re-keys by value parity — exercises shuffle #2 regrouping
+    * under keys the mapper never emitted.
+    */
+  final class RekeyByParity extends MapReduce[Int, String, Int, Int] {
+    def mapper(item: Int): IterableOnce[Emit[String, Int, Int]] =
+      Iterator.single(KV(if (item < 100) "small" else "big", item))
+    def reducer(key: String, values: Seq[Int]): IterableOnce[Emit[String, Int, Int]] =
+      values.iterator.map(v => KV(if (v % 2 == 0) "even" else "odd", v))
+    override def sortReduceWithValue: Boolean = true
+    override def valueOrdering: Ordering[Int] = Ordering.Int
+  }
+
+  /** Return-mode reducers colliding on one output key: S2 keeps the
+    * first value post-sort.
+    */
+  final class FirstWins(rev: Boolean) extends MapReduce1[Int, String, Int, Int] {
+    def mapper(item: Int): IterableOnce[Emit[String, Int, Int]] =
+      Iterator.single(KV(s"k$item", item))
+    def reducer(key: String, values: Seq[Int]): Emit[String, Int, Int] =
+      KV("collide", values.head)
+    override def sortReduceWithValue: Boolean = true
+    override def sortReduceReverse: Boolean = rev
+    override def valueOrdering: Ordering[Int] = Ordering.Int
+  }
+
+  final class SumTask(kp: Boolean) extends MapReduce1[Int, Int, Int, Long] {
+    override def keyPreserving: Boolean = kp
+    def mapper(item: Int): IterableOnce[Emit[Int, Int, Long]] =
+      Iterator.single(KV(item % 5, item.toLong))
+    def reducer(key: Int, values: Seq[Long]): Emit[Int, Int, Long] =
+      KV(key, values.sum)
+  }
+
+  final class UntypedWordCount extends UntypedMapReduce[String] {
+    def untypedMapper(item: String): IterableOnce[Product] =
+      item.toLowerCase.split("\\s+").iterator.map(w => (w, 1))
+    def untypedReducer(key: Any, values: Seq[Any]): IterableOnce[Product] =
+      Iterator.single((key, values.map(_.asInstanceOf[Int]).sum))
+  }
+
+  final class BadArityMapper(arity: Int) extends UntypedMapReduce[String] {
+    def untypedMapper(item: String): IterableOnce[Product] =
+      Iterator.single(if (arity == 1) Tuple1(item) else (item, 1, 2, 3))
+    def untypedReducer(key: Any, values: Seq[Any]): IterableOnce[Product] =
+      Iterator.single((key, values.size))
+  }
+
+  final class BadArityReducer(arity: Int) extends UntypedMapReduce[String] {
+    def untypedMapper(item: String): IterableOnce[Product] =
+      Iterator.single((item, 1))
+    def untypedReducer(key: Any, values: Seq[Any]): IterableOnce[Product] =
+      Iterator.single(if (arity == 1) Tuple1(key) else (key, 1, 2, 3))
+  }
+}
+
+class LifecycleSpec extends SparkSpec {
+  import LifecycleTasks._
+
+  test("shuffle #2 regroups by reducer-emitted keys (S5)") {
+    val got = new RekeyByParity().runToMap(sc.parallelize(1 to 10 map (_ * 7), 3))
+    assert(got.keySet == Set("even", "odd"))
+    assert(got("even") == Seq(14, 28, 42, 56, 70))
+    assert(got("odd") == Seq(7, 21, 35, 49, 63))
+  }
+
+  test("return-mode key collision keeps first value post-sort (S2) — asc") {
+    val got = new FirstWins(rev = false).runToMap(sc.parallelize(Seq(5, 3, 9), 2))
+    assert(got == Map("collide" -> 3))
+  }
+
+  test("return-mode key collision keeps first value post-sort (S2) — desc") {
+    val got = new FirstWins(rev = true).runToMap(sc.parallelize(Seq(5, 3, 9), 2))
+    assert(got == Map("collide" -> 9))
+  }
+
+  test("keyPreserving elision produces identical results to the full lifecycle") {
+    val data = sc.parallelize(1 to 1000, 8)
+    assert(new SumTask(kp = true).runToMap(data) == new SumTask(kp = false).runToMap(data))
+  }
+
+  test("untyped adapter: well-formed 2-tuples work end-to-end") {
+    val got = new UntypedWordCount().runToMap(sc.parallelize(WordCountTasks.Text, 2))
+    val expect = WordCountTasks.Oracle.map { case (k, v) => (k: Any, List(v.toInt: Any)) }
+    assert(got == expect)
+  }
+
+  for (arity <- Seq(1, 4)) {
+    test(s"untyped adapter: mapper $arity-tuple raises ElementCountError") {
+      val e = intercept[SparkException] {
+        new BadArityMapper(arity).runToMap(sc.parallelize(Seq("x"), 1))
+      }
+      assert(findCause[ElementCountError](e), s"no ElementCountError in: $e")
+    }
+    test(s"untyped adapter: reducer $arity-tuple raises ElementCountError") {
+      val e = intercept[SparkException] {
+        new BadArityReducer(arity).runToMap(sc.parallelize(Seq("x"), 1))
+      }
+      assert(findCause[ElementCountError](e), s"no ElementCountError in: $e")
+    }
+  }
+
+  private def findCause[T <: Throwable](t: Throwable)(implicit ct: scala.reflect.ClassTag[T]): Boolean = {
+    var cur: Throwable = t
+    while (cur != null) {
+      if (ct.runtimeClass.isInstance(cur)) return true
+      cur = cur.getCause
+    }
+    false
+  }
+}
