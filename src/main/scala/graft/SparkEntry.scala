@@ -47,6 +47,11 @@ object SparkEntry {
     "q27_lang_id" -> (TextOps.q27LangId _),
     "q28_fingerprint" -> (TextOps.q28Fingerprint _),
     "q29_multimodal_meta" -> (Multimodal.q29MultimodalMeta _),
+    "q30_cube" -> (Relational.q30Cube _),
+    "q31_grouping_sets" -> (Relational.q31GroupingSets _),
+    "q32_string_funcs" -> (Relational.q32StringFuncs _),
+    "q33_union_all" -> (Relational.q33UnionAll _),
+    "q34_topk_agg" -> (Aggregates.q34TopKAgg _),
   )
 
   private val Rev =
@@ -224,6 +229,33 @@ object SparkEntry {
          |      ${langScore(Seq("shi", "bu", "wo", "zhe", "ren"))} AS s_zh
          |    FROM documents) t1) t2
          |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+    "q30_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag, COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+    "q31_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rflag, COALESCE(l_linestatus, 'ALL') AS lstatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rflag, lstatus""".stripMargin,
+    "q32_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 12) AS name_prefix,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  concat(p_brand, ':', p_type) AS brand_type
+        |FROM part WHERE p_type LIKE '%a%' ORDER BY p_partkey""".stripMargin,
+    "q33_union_all" ->
+      """SELECT src, COUNT(*) AS n FROM (
+        |  SELECT 'o' AS src FROM orders
+        |  UNION ALL
+        |  SELECT 'l' AS src FROM lineitem) t
+        |GROUP BY src ORDER BY src""".stripMargin,
+    "q34_topk_agg" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk
+        |  FROM part) t
+        |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
     "q29_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed top-k aggregator (SURVEY.md §7.3 milestone 6): a bounded
+  * insertion buffer that keeps only the k best (score desc, id asc)
+  * entries per group, merged associatively — the scalable form of the
+  * reference's driver-side `Counter.most_common(k)` idiom
+  * (docs.rst:57-58). Memory per group is O(k) on every executor and the
+  * partial buffers combine map-side, so a group with a billion rows
+  * still costs k entries — unlike collect_list + sort, which
+  * materializes the whole group.
+  *
+  * Encoders are taken implicitly (product-seq ExpressionEncoders from
+  * `spark.implicits`), keeping the buffer columnar-serializable rather
+  * than kryo blobs.
+  */
+class TopKByScore[IN](k: Int, extract: IN => (Long, Double))(
+    implicit enc: Encoder[Seq[(Long, Double)]])
+    extends Aggregator[IN, Seq[(Long, Double)], Seq[(Long, Double)]] {
+
+  private def better(a: (Long, Double), b: (Long, Double)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+  private def insert(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] = {
+    // buf is kept sorted best-first and bounded at k
+    if (buf.size >= k && better(buf.last, x)) buf
+    else {
+      val (before, after) = buf.span(better(_, x))
+      val merged = before ++ (x +: after)
+      if (merged.size > k) merged.take(k) else merged
+    }
+  }
+
+  def zero: Seq[(Long, Double)] = Vector.empty
+
+  def reduce(buf: Seq[(Long, Double)], x: IN): Seq[(Long, Double)] =
+    insert(buf, extract(x))
+
+  def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
+    b.foldLeft(a)(insert)
+
+  def finish(buf: Seq[(Long, Double)]): Seq[(Long, Double)] = buf
+
+  def bufferEncoder: Encoder[Seq[(Long, Double)]] = enc
+  def outputEncoder: Encoder[Seq[(Long, Double)]] = enc
+}

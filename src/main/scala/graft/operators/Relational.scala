@@ -216,6 +216,56 @@ object Relational {
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
       .orderBy(col("yr"), col("mo"))
 
+  /** CUBE: all grouping combinations. */
+  def q30Cube(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rflag"), col("lstatus"))
+
+  /** GROUPING SETS: two independent one-dimension aggregates in one pass. */
+  def q31GroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rflag"), col("lstatus"))
+
+  /** String scalar-function suite: upper/substr/length/concat/LIKE. */
+  def q32StringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_type").like("%a%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 12).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+
+  /** UNION ALL with a source tag (multi-input concatenation — the
+    * reference's multi-file ingestion idiom, docs.rst:358).
+    */
+  def q33UnionAll(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(lit("o").as("src"))
+      .union(Tables.lineitem(s, d).select(lit("l").as("src")))
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("src"))
+
   /** CASE/math scalar functions feeding an aggregation. */
   def q16CaseMath(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkEntry
+import graft.mr.SparkSpec
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression tests: these pin the *scale* properties —
+  * pushdown, pruning, broadcast selection, top-k short-circuit, map-side
+  * partial aggregation — so a refactor that silently de-optimizes a plan
+  * fails CI, not the 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q02: filters are pushed to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"), p)
+    assert(p.contains("GreaterThan(l_discount,0.05)"), p)
+  }
+
+  test("q02: scan schema is pruned to referenced columns only") {
+    val p = plan("q02_filter_project")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_shipdate"), readSchema)
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("q03/q04: dimension joins are broadcast") {
+    assert(plan("q03_join_agg").contains("BroadcastHashJoin"))
+    val p4 = plan("q04_join_multi")
+    assert(p4.contains("BroadcastHashJoin"), p4)
+  }
+
+  test("q10: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    assert(plan("q10_topk_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("q01/q14: aggregation is partial+final (map-side combine)") {
+    assert(plan("q01_pricing_summary").contains("partial_sum"))
+    assert(plan("q14_wordcount").contains("partial_count"))
+  }
+
+  test("q23: probe filter is pushed into the embeddings scan") {
+    assert(plan("q23_knn_brute").contains("LessThan(vec_id,10)"))
+  }
+
+  test("q05/q06: semi/anti joins plan as join operators, not subquery loops") {
+    assert(plan("q05_semi_join").contains("LeftSemi"))
+    assert(plan("q06_anti_join").contains("LeftAnti"))
+  }
+
+  test("q07: per-group top-k prunes with WindowGroupLimit before the full window") {
+    assert(plan("q07_window_topk").contains("WindowGroupLimit"))
+  }
+}

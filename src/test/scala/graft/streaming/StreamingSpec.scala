@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.mr.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  test("windowedCounts aggregates a MemoryStream into tumbling windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = EventStream.windowedCounts(
+      input.toDF().toDF("ts", "event_type"))
+
+    val q = counts.writeStream.format("memory").queryName("wc")
+      .outputMode("update").start()
+    try {
+      input.addData((ts(0, 10), "click"), (ts(0, 40), "click"), (ts(1, 5), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("win_start", "event_type", "n").as[(Timestamp, String, Long)]
+        .collect().toSet
+      assert(rows.contains((ts(0), "click", 2L)))
+      assert(rows.contains((ts(1), "view", 1L)))
+
+      // late-but-within-watermark data updates the earlier window
+      input.addData((ts(0, 55), "click"))
+      q.processAllAvailable()
+      val updated = spark.table("wc")
+        .select("win_start", "event_type", "n").as[(Timestamp, String, Long)]
+        .collect().toSet
+      assert(updated.contains((ts(0), "click", 3L)))
+    } finally q.stop()
+  }
+
+  test("windowedCounts is batch/stream unified: same code on a batch frame") {
+    import spark.implicits._
+    val batch = Seq((ts(0, 10), "click"), (ts(0, 40), "click"), (ts(1, 5), "view"))
+      .toDF("ts", "event_type")
+    val got = EventStream.windowedCounts(batch)
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(got == Set((ts(0), "click", 2L), (ts(1), "view", 1L)))
+  }
+
+  test("dedupStream drops duplicate keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val dedup = EventStream.dedupStream(input.toDF().toDF("ts", "doc_id"), "doc_id")
+
+    val q = dedup.writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L), (ts(0, 30), 1L), (ts(1), 2L))
+      q.processAllAvailable()
+      input.addData((ts(1, 30), 2L), (ts(2), 3L))
+      q.processAllAvailable()
+      val ids = spark.table("dd").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
