@@ -52,6 +52,8 @@ object SparkEntry {
     "q32_string_funcs" -> (Relational.q32StringFuncs _),
     "q33_union_all" -> (Relational.q33UnionAll _),
     "q34_topk_agg" -> (Aggregates.q34TopKAgg _),
+    "q35_asof_join" -> (Temporal.q35AsofJoin _),
+    "q36_sessionize" -> (Temporal.q36Sessionize _),
   )
 
   private val Rev =
@@ -256,6 +258,27 @@ object SparkEntry {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk
         |  FROM part) t
         |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+    "q35_asof_join" ->
+      """SELECT event_id, user_id, ts_us, asof_click_us FROM (
+        |  SELECT event_id, user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    last_value(CASE WHEN event_type = 'click' THEN CAST(epoch_us(ts) AS BIGINT) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_click_us
+        |  FROM events) t
+        |WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+    "q36_sessionize" ->
+      """SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        |FROM (
+        |  SELECT user_id, ts_us,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |      CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |    FROM events) t1) t2
+        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
     "q29_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -49,9 +49,11 @@ object MRQueries {
 
   def q18MrFirstEvent(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // ts arrives as nanos-since-epoch LongType (nanosAsLong session conf).
+    // ts arrives as nanos-since-epoch LongType (nanosAsLong session
+    // conf); truncate to micros so the sort order matches micro-precision
+    // timestamp engines bit-for-bit.
     val rows = Tables.events(s, d)
-      .select(col("user_id"), col("ts").cast("long"), col("event_id"), col("event_type"))
+      .select(col("user_id"), expr("ts div 1000"), col("event_id"), col("event_type"))
       .as[(Long, Long, Long, String)].rdd
     FirstEventByTime.run(rows).toDF("user_id", "first_event")
       .orderBy(col("user_id"))

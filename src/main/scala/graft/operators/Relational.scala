@@ -123,9 +123,12 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("rn"))
   }
 
-  /** Running (cumulative) sum per user over event time — decimal-exact. */
+  /** Running (cumulative) sum per user over event time — decimal-exact.
+    * Event time ordered at microsecond precision (`ts div 1000` of the
+    * nanos long) to match micro-precision timestamp engines exactly.
+    */
   def q8WindowRunning(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(expr("ts div 1000"), col("event_id"))
     Tables.events(s, d)
       .withColumn("running",
         sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double"))
@@ -135,7 +138,7 @@ object Relational {
 
   /** lag(): per-user delta between consecutive event values. */
   def q9WindowLag(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(expr("ts div 1000"), col("event_id"))
     Tables.events(s, d)
       .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
       .select(col("user_id"), col("event_id"), col("value"), col("delta"))

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators: as-of join and sessionization.
+  *
+  * Spark has no built-in as-of join; the scalable shape used here is the
+  * union + sorted carry-forward trick: tag both sides, shuffle ONCE by
+  * key, sort within partitions by (time, side), and carry the most
+  * recent right-side payload forward with an IGNORE NULLS window. That
+  * is one shuffle of each input — no range-exploded cross join — and
+  * at 100 TB it degrades linearly, never quadratically.
+  */
+object AsOfJoin {
+
+  /** For every left row, attach the latest `right` payload whose time is
+    * <= the left row's time (ties: right side sorts first, so an
+    * equal-time right row IS visible to the left row).
+    *
+    * @param payload columns of `right` to carry (exposed as
+    *                `asof_<name>`); both frames must share `key` and
+    *                `time` column names.
+    */
+  def lastBefore(
+      left: DataFrame, right: DataFrame,
+      key: String, time: String, payload: Seq[String]): DataFrame = {
+    val l = left.withColumn("_side", lit(1))
+    val r = right
+      .select((key +: time +: payload).map(col): _*)
+      .withColumn("_carry", struct(payload.map(col): _*))
+      .drop(payload: _*)
+      .withColumn("_side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = unioned.withColumn("_asof", last(col("_carry"), ignoreNulls = true).over(w))
+    val out = carried.filter(col("_side") === 1)
+    payload.foldLeft(out) { (df, p) =>
+      df.withColumn(s"asof_$p", col(s"_asof.$p"))
+    }.drop("_side", "_carry", "_asof")
+  }
+}
+
+object Temporal {
+
+  /** Event time at microsecond precision: ts is nanos-since-epoch
+    * (nanosAsLong), truncated to micros so results are bit-identical
+    * with timestamp engines that carry microsecond precision (DuckDB
+    * truncates TIMESTAMP(NANOS) parquet to micros on read).
+    */
+  private def tsUs: Column = expr("ts div 1000")
+
+  /** As-of join on the event stream: for every error event, the
+    * timestamp of that user's most recent earlier click. Tie order is
+    * (ts_us, event_id) to stay bit-identical with the oracle.
+    */
+  def q35AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(tsUs, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("asof_click_us",
+        last(when(col("event_type") === "click", tsUs), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        tsUs.as("ts_us"), col("asof_click_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Gap-based sessionization (30-minute inactivity) as the standard
+    * two-window plan: lag -> new-session flag -> running sum = session
+    * id -> per-session aggregate. One shuffle by user; both windows
+    * share the same partitioning.
+    */
+  def q36Sessionize(s: SparkSession, d: String): DataFrame = {
+    val GapUs = 30L * 60 * 1000 * 1000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(tsUs, col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(tsUs, 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || tsUs - col("prev_ts") > GapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(tsUs).as("start_us"),
+        max(tsUs).as("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+}

@@ -89,59 +89,19 @@ object TextOps {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
-  /** Document fingerprinting: 61-bit Karp-Rabin rolling hash of the whole
-    * text plus the minimum 16-gram window hash (winnowing-style local
-    * fingerprint for containment detection). Deterministic, seedless.
+  /** Document fingerprinting via the native codegen expressions
+    * (graft.functions.Fingerprints): 61-bit Karp-Rabin whole-document
+    * hash plus the minimum 16-gram window hash (winnowing-style local
+    * fingerprint for containment detection). Deterministic, seedless,
+    * and fully inside whole-stage codegen — no typed-map barrier.
     */
-  private val FpMod = (1L << 61) - 1
-  private val FpBase = 1000003L
-
-  private[operators] def rollingFingerprint(text: String): (Long, Long) = {
-    var full = 0L
-    var minWin = Long.MaxValue
-    var win = 0L
-    var pow = 1L // FpBase^15 mod FpMod, built incrementally
-    val k = 16
-    var i = 0
-    val n = text.length
-    // precompute base^(k-1)
-    var j = 0
-    while (j < k - 1) { pow = mulMod(pow, FpBase); j += 1 }
-    while (i < n) {
-      val c = text.charAt(i).toLong
-      full = (mulMod(full, FpBase) + c) % FpMod
-      win = (mulMod(win, FpBase) + c) % FpMod
-      if (i >= k) {
-        val out = text.charAt(i - k).toLong
-        win = (win - mulMod(mulMod(out, pow), FpBase) % FpMod + FpMod * 2) % FpMod
-      }
-      if (i >= k - 1 && win < minWin) minWin = win
-      i += 1
-    }
-    (full, if (minWin == Long.MaxValue) full else minWin)
-  }
-
-  /** (a*b) mod (2^61-1) without overflow, via 128-bit split multiply. */
-  private def mulMod(a: Long, b: Long): Long = {
-    val hi = Math.multiplyHigh(a, b)
-    val lo = a * b
-    // fold 128-bit product mod 2^61-1: (hi*2^64 + lo) mod (2^61-1)
-    val m = FpMod
-    val part = ((hi << 3) | (lo >>> 61)) // top bits beyond 61
-    val res = (lo & m) + part
-    val r2 = (res & m) + (res >>> 61)
-    if (r2 >= m) r2 - m else r2
-  }
-
   def q28Fingerprint(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+    graft.functions.FingerprintFunctions.register(s)
     Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val (fp, minFp) = rollingFingerprint(text)
-        (id, fp, minFp)
-      }
-      .toDF("doc_id", "fingerprint", "min_window_fp")
+      .select(
+        col("doc_id"),
+        expr("rolling_fingerprint(text)").as("fingerprint"),
+        expr("min_window_fingerprint(text)").as("min_window_fp"))
       .orderBy(col("doc_id"))
   }
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming operators (SURVEY.md §2.3 streaming row): the
   * reference is strictly batch (tinymr.py:29), so these are north-star
@@ -33,6 +34,36 @@ object EventStream {
     */
   def dedupStream(events: DataFrame, key: String, watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key)
+
+  final case class SessionEvent(user_id: Long, ts_ns: Long)
+  final case class SessionSummary(user_id: Long, start_ns: Long, end_ns: Long, n_events: Long)
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the
+    * streaming form of the reference's reducer-over-grouped-values, with
+    * the open session held as explicit keyed state. A session closes
+    * when a later event arrives past the inactivity gap; closed sessions
+    * are emitted, the open one stays in state (O(session length) state
+    * per user, not O(history)).
+    */
+  def sessionize(events: Dataset[SessionEvent], gapNs: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[List[Long]]) =>
+          val all = (state.getOption.getOrElse(Nil) ++ it.map(_.ts_ns)).sorted
+          // split into gap-delimited sessions
+          val sessions = all.foldLeft(List.empty[List[Long]]) {
+            case (Nil, t) => List(List(t))
+            case (cur :: done, t) if t - cur.head <= gapNs => (t :: cur) :: done
+            case (acc, t) => List(t) :: acc
+          }.map(_.reverse).reverse
+          val (closed, open) = (sessions.dropRight(1), sessions.lastOption.getOrElse(Nil))
+          state.update(open)
+          closed.iterator.map(sess =>
+            SessionSummary(user, sess.head, sess.last, sess.length.toLong))
+      }
+  }
 
   /** Per-user running aggregate over an event stream — value sums per
     * user per window, the streaming analogue of the reducer-with-state

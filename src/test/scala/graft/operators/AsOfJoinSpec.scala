@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.mr.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+
+  test("lastBefore attaches the latest right payload at or before each left time") {
+    import spark.implicits._
+    val trades = Seq( // (key, time, trade_id)
+      ("A", 10L, 1L), ("A", 25L, 2L), ("B", 15L, 3L))
+      .toDF("sym", "t", "trade_id")
+    val quotes = Seq( // (key, time, px)
+      ("A", 5L, 100.0), ("A", 10L, 101.0), ("A", 20L, 102.0),
+      ("B", 99L, 500.0))
+      .toDF("sym", "t", "px")
+
+    val got = AsOfJoin.lastBefore(trades, quotes, "sym", "t", Seq("px"))
+      .select($"sym", $"trade_id", $"asof_px").as[(String, Long, Option[Double])]
+      .collect().toSet
+
+    assert(got == Set(
+      ("A", 1L, Some(101.0)), // equal-time quote visible
+      ("A", 2L, Some(102.0)),
+      ("B", 3L, None)))       // no quote at or before t=15
+  }
+
+  test("lastBefore carries multiple payload columns") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, 50L, 7.0, "q1"), (1L, 90L, 9.0, "q2")).toDF("k", "t", "v", "name")
+    val got = AsOfJoin.lastBefore(left, right, "k", "t", Seq("v", "name"))
+      .select($"tag", $"asof_v", $"asof_name").as[(String, Double, String)]
+      .collect().toSeq
+    assert(got == Seq(("x", 9.0, "q2")))
+  }
+}

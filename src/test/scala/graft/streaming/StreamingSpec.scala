@@ -47,6 +47,30 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((ts(0), "click", 2L), (ts(1), "view", 1L)))
   }
 
+  test("sessionize emits closed sessions and keeps the open one in state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val gapNs = 60L * 1000000000 // 60 s
+    val sessions = EventStream.sessionize(
+      input.toDF().toDF("user_id", "ts_ns").as[EventStream.SessionEvent], gapNs)
+
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      def ns(sec: Long): Long = sec * 1000000000
+      input.addData((1L, ns(0)), (1L, ns(10)), (1L, ns(20)))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() == 0) // session still open
+
+      input.addData((1L, ns(600))) // 10 min later: closes first session
+      q.processAllAvailable()
+      val got = spark.table("sess")
+        .as[EventStream.SessionSummary].collect().toSeq
+      assert(got == Seq(EventStream.SessionSummary(1L, ns(0), ns(20), 3L)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
