@@ -54,6 +54,7 @@ object SparkEntry {
     "q34_topk_agg" -> (Aggregates.q34TopKAgg _),
     "q35_asof_join" -> (Temporal.q35AsofJoin _),
     "q36_sessionize" -> (Temporal.q36Sessionize _),
+    "q37_approx_stats" -> (Relational.q37ApproxStats _),
   )
 
   private val Rev =

@@ -269,6 +269,20 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("src"))
 
+  /** Sketch-based approximate aggregates — the 100 TB path where exact
+    * distinct counts/quantiles would shuffle full key sets: HLL++ and
+    * KLL-style quantile sketches are O(1) state per group and
+    * map-combinable. No SQL oracle (approximate by design) -> rows-only.
+    */
+  def q37ApproxStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("median_qty"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
+      .orderBy(col("l_returnflag"))
+
   /** CASE/math scalar functions feeding an aggregation. */
   def q16CaseMath(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
