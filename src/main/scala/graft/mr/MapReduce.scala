@@ -1,6 +1,7 @@
 package graft.mr
 
 import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Dataset, Encoder}
 
 import scala.collection.mutable
 import scala.reflect.ClassTag
@@ -171,6 +172,48 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
       rdd.flatMap(i => mapper(i).iterator.map(e => (e.key, (e.sortOpt, e.value))))
     partitionAndSort(mapped, sortMapWithValue, sortMapReverse)
   }
+
+  // ---- Dataset (Tungsten) execution path ----------------------------
+  //
+  // For K/S/V with Encoders (case classes, primitives, tuples) the same
+  // lifecycle runs as Dataset.flatMap -> groupByKey -> flatMapGroups:
+  // shuffle payloads are Tungsten-encoded rows instead of Java-serialized
+  // objects, so spilling, AQE partition coalescing and shuffle
+  // compression all apply. The RDD path remains for opaque value types
+  // (the reference's values are arbitrary objects, tinymr.py:73-76).
+
+  /** One Dataset shuffle + in-group sort pass (Tungsten analogue of
+    * [[partitionAndSort]]).
+    */
+  protected def dsPartitionAndSort(
+      ds: Dataset[(K, SV)], withValue: Boolean, reverse: Boolean)(
+      implicit ek: Encoder[K], eout: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] = {
+    val in =
+      if (numPartitions > 0) ds.repartition(numPartitions, ds("_1")) else ds
+    in.groupByKey(_._1)
+      .flatMapGroups { (k: K, it: Iterator[(K, SV)]) =>
+        val buf = mutable.ArrayBuffer.empty[SV]
+        it.foreach(p => buf += p._2)
+        Iterator.single((k, sortValues(buf, withValue, reverse): Seq[V]))
+      }
+  }
+
+  /** Partition-local regroup for the keyPreserving elision (Dataset). */
+  protected def dsGroupLocally(
+      ds: Dataset[(K, SV)], withValue: Boolean, reverse: Boolean)(
+      implicit eout: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
+    ds.mapPartitions { it =>
+      val m = mutable.LinkedHashMap.empty[K, mutable.ArrayBuffer[SV]]
+      it.foreach { case (k, sv) => m.getOrElseUpdate(k, mutable.ArrayBuffer.empty) += sv }
+      m.iterator.map { case (k, buf) => (k, sortValues(buf, withValue, reverse): Seq[V]) }
+    }
+
+  protected def dsMapPhase(ds: Dataset[I])(
+      implicit ek: Encoder[K], esv: Encoder[(K, SV)],
+      eout: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
+    dsPartitionAndSort(
+      ds.flatMap(i => mapper(i).iterator.map(e => (e.key, (e.sortOpt, e.value)))),
+      sortMapWithValue, sortMapReverse)
 }
 
 /** Yield-mode task: the reducer emits 0..n records (reference generator
@@ -198,6 +241,20 @@ abstract class MapReduce[I, K, S, V] extends MapReduceBase[I, K, S, V] {
   final def runToMap(rdd: RDD[I])(
       implicit kt: ClassTag[K], vt: ClassTag[V]): Map[K, List[V]] =
     run(rdd).collect().toMap
+
+  /** Tungsten-encoded execution of the same lifecycle (see
+    * [[MapReduceBase]] Dataset path). Requires Encoders for the key and
+    * record tuples — i.e. product/primitive K, S, V.
+    */
+  final def runDataset(ds: Dataset[I])(
+      implicit ek: Encoder[K], esv: Encoder[(K, SV)],
+      eout: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] = {
+    val reduced = dsMapPhase(ds).flatMap { case (k, vs) =>
+      reducer(k, vs).iterator.map(e => (e.key, (e.sortOpt, e.value)))
+    }
+    if (keyPreserving) dsGroupLocally(reduced, sortReduceWithValue, sortReduceReverse)
+    else dsPartitionAndSort(reduced, sortReduceWithValue, sortReduceReverse)
+  }
 }
 
 /** Return-mode task: the reducer returns exactly one record. On key
@@ -227,6 +284,21 @@ abstract class MapReduce1[I, K, S, V] extends MapReduceBase[I, K, S, V] {
   final def runToMap(rdd: RDD[I])(
       implicit kt: ClassTag[K], vt: ClassTag[V]): Map[K, V] =
     run(rdd).collect().toMap
+
+  /** Tungsten-encoded execution; see [[MapReduceBase]] Dataset path. */
+  final def runDataset(ds: Dataset[I])(
+      implicit ek: Encoder[K], esv: Encoder[(K, SV)],
+      eseq: Encoder[(K, Seq[V])], ekv: Encoder[(K, V)]): Dataset[(K, V)] = {
+    val singles = dsMapPhase(ds).map { case (k, vs) =>
+      val e = reducer(k, vs)
+      (e.key, (e.sortOpt, e.value))
+    }
+    if (keyPreserving)
+      singles.map(p => (p._1, p._2._2))
+    else
+      dsPartitionAndSort(singles, sortReduceWithValue, sortReduceReverse)
+        .map(p => (p._1, p._2.head))
+  }
 }
 
 /** Arity-sniffing adapter for untyped records, kept for behavioral

@@ -25,8 +25,8 @@ object MRQueries {
 
   def q17MrWordCount(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val lines = Tables.documents(s, d).select(col("text")).as[String].rdd
-    WordCount.run(lines).toDF("word", "cnt")
+    val lines = Tables.documents(s, d).select(col("text")).as[String]
+    WordCount.runDataset(lines).toDF("word", "cnt")
       .orderBy(col("cnt").desc, col("word"))
       .limit(100)
   }
@@ -54,8 +54,8 @@ object MRQueries {
     // timestamp engines bit-for-bit.
     val rows = Tables.events(s, d)
       .select(col("user_id"), expr("ts div 1000"), col("event_id"), col("event_type"))
-      .as[(Long, Long, Long, String)].rdd
-    FirstEventByTime.run(rows).toDF("user_id", "first_event")
+      .as[(Long, Long, Long, String)]
+    FirstEventByTime.runDataset(rows).toDF("user_id", "first_event")
       .orderBy(col("user_id"))
   }
 }

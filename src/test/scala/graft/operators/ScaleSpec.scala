@@ -17,6 +17,16 @@ class ScaleSpec extends SparkSpec {
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the in-memory catalog forgets tables between JVMs but the files
+    // survive — clear the physical locations too
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("b_orders", "b_lineitem")) {
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
     Tables.orders(spark, d).write
       .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
