@@ -55,6 +55,7 @@ object SparkEntry {
     "q35_asof_join" -> (Temporal.q35AsofJoin _),
     "q36_sessionize" -> (Temporal.q36Sessionize _),
     "q37_approx_stats" -> (Relational.q37ApproxStats _),
+    "q38_range_join" -> (Relational.q38RangeJoin _),
   )
 
   private val Rev =
@@ -280,6 +281,13 @@ object SparkEntry {
         |                   > 1800000000 THEN 1 ELSE 0 END AS new_session
         |    FROM events) t1) t2
         |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q38_range_join" ->
+      """SELECT band, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 25.0), ('high', 25.0, 100.0)) b(band, lo, hi)
+        |  ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
     "q29_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -269,6 +269,26 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("src"))
 
+  /** Range join: facts against a broadcast band dimension on a non-equi
+    * interval condition. With the dim broadcast this is a
+    * BroadcastNestedLoopJoin over k bands — O(n·k) with k tiny, never a
+    * shuffle; for large band tables the equi-join rewrite is bucketizing
+    * the fact value to a band id first.
+    */
+  def q38RangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(("low", 0.0, 10.0), ("mid", 10.0, 25.0), ("high", 25.0, 100.0))
+      .toDF("band", "lo", "hi")
+    Tables.lineitem(s, d)
+      .join(broadcast(bands),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .orderBy(col("band"))
+  }
+
   /** Sketch-based approximate aggregates — the 100 TB path where exact
     * distinct counts/quantiles would shuffle full key sets: HLL++ and
     * KLL-style quantile sketches are O(1) state per group and
