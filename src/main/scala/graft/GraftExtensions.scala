@@ -1,0 +1,31 @@
+package graft
+
+import graft.functions.{MinWindowFingerprint, RollingFingerprint}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: makes the engine's native
+  * expressions available to plain SQL in any session built with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions` — the deployment path on
+  * a shared cluster where users only speak SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("rolling_fingerprint"),
+      info("rolling_fingerprint",
+        "rolling_fingerprint(text) - 61-bit Karp-Rabin whole-document hash"),
+      (es: Seq[Expression]) => RollingFingerprint(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("min_window_fingerprint"),
+      info("min_window_fingerprint",
+        "min_window_fingerprint(text) - minimum 16-gram window hash (winnowing)"),
+      (es: Seq[Expression]) => MinWindowFingerprint(es.head)))
+  }
+}

@@ -15,6 +15,7 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS): read as nanos-since-epoch
       // LongType (same total order; queries never output raw ts).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -34,9 +34,10 @@ class FingerprintSpec extends SparkSpec {
       assert(Fingerprints.minWindow(UTF8String.fromString(s)) == refMinWindow(s), s"text=$s")
   }
 
-  test("expressions evaluate through SQL/codegen and handle nulls") {
+  test("expressions resolve via GraftExtensions (no explicit register) and handle nulls") {
     import spark.implicits._
-    FingerprintFunctions.register(spark)
+    // session is built with spark.sql.extensions=graft.GraftExtensions;
+    // the functions must resolve without FingerprintFunctions.register
     val df = Seq(Some("hello world fingerprint test"), None, Some("x"))
       .toDF("text")
       .select(
