@@ -56,6 +56,10 @@ object SparkEntry {
     "q36_sessionize" -> (Temporal.q36Sessionize _),
     "q37_approx_stats" -> (Relational.q37ApproxStats _),
     "q38_range_join" -> (Relational.q38RangeJoin _),
+    "q39_json" -> (Relational.q39Json _),
+    "q40_array_agg" -> (Relational.q40ArrayAgg _),
+    "q41_pivot" -> (Relational.q41Pivot _),
+    "q42_pipeline" -> (TextOps.q42Pipeline _),
   )
 
   private val Rev =
@@ -288,6 +292,29 @@ object SparkEntry {
         |JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 25.0), ('high', 25.0, 100.0)) b(band, lo, hi)
         |  ON l_quantity >= lo AND l_quantity < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "q39_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q40_array_agg" ->
+      """SELECT user_id, array_to_string(list_sort(array_agg(event_type)), ',') AS events_csv
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q41_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q42_pipeline" ->
+      """WITH surv AS (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents WHERE lang = 'en' GROUP BY md5(text)),
+        |tok AS (
+        |  SELECT d.source, len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS n_tok
+        |  FROM documents d JOIN surv USING (doc_id) WHERE d.lang = 'en')
+        |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+        |FROM tok WHERE n_tok >= 40 GROUP BY source ORDER BY source""".stripMargin,
     "q29_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

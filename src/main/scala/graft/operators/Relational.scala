@@ -289,6 +289,41 @@ object Relational {
       .orderBy(col("band"))
   }
 
+  /** JSON scalar functions: extract a field from the event props blob
+    * and aggregate it — codegen'd get_json_object, no UDF.
+    */
+  def q39Json(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
+  /** Array aggregation: collect_list made deterministic via sort_array,
+    * serialized to CSV for engine-portable comparison.
+    */
+  def q40ArrayAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(array_join(sort_array(collect_list(col("event_type"))), ",").as("events_csv"))
+      .orderBy(col("user_id"))
+
+  /** Pivot: per-user event-type counts as columns (explicit value list —
+    * at scale an implicit pivot would need a distinct-scan first).
+    */
+  def q41Pivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(pivoted) { (df, t) =>
+        df.withColumn(t, coalesce(col(t), lit(0L)))
+      }
+      .orderBy(col("user_id"))
+  }
+
   /** Sketch-based approximate aggregates — the 100 TB path where exact
     * distinct counts/quantiles would shuffle full key sets: HLL++ and
     * KLL-style quantile sketches are O(1) state per group and

@@ -89,6 +89,26 @@ object TextOps {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** Composed training-data pipeline: language filter -> exact dedup
+    * survivors -> token-count quality gate -> per-source stats. Each
+    * stage is the same operator users run standalone (q19/q25) — this
+    * query pins that they compose into one Catalyst plan (single
+    * optimized DAG, not materialized stages).
+    */
+  def q42Pipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("lang") === "en")
+    val survivors = docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    docs.join(survivors, "doc_id")
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok") >= 40)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Document fingerprinting via the native codegen expressions
     * (graft.functions.Fingerprints): 61-bit Karp-Rabin whole-document
     * hash plus the minimum 16-gram window hash (winnowing-style local
