@@ -60,6 +60,8 @@ object SparkEntry {
     "q40_array_agg" -> (Relational.q40ArrayAgg _),
     "q41_pivot" -> (Relational.q41Pivot _),
     "q42_pipeline" -> (TextOps.q42Pipeline _),
+    "q43_knn_ivf" -> (Similarity.q43KnnIvf _),
+    "q44_dedup_embed" -> (Similarity.q44DedupEmbed _),
   )
 
   private val Rev =

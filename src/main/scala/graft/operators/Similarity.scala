@@ -110,4 +110,104 @@ object Similarity {
       .filter(col("rnk") <= 3)
       .orderBy(col("probe_id"), col("rnk"))
   }
+
+  // ---- IVF (inverted-file) ANN --------------------------------------
+
+  /** IVF ANN: k-means coarse quantizer (MLlib, fixed seed) partitions
+    * the corpus into inverted lists; each probe scores only its nprobe=4
+    * nearest cells. At scale the corpus is hash-partitioned by cell id,
+    * so a query touches nprobe partitions instead of the full corpus;
+    * centroids are O(k·dim) driver/broadcast state, like every IVF
+    * implementation. Approximate by construction -> rows-only oracle.
+    */
+  def q43KnnIvf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val emb = Tables.embeddings(s, d)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("cell"), quantized.as("q"))
+      .withColumn("nrm", dot(col("q"), col("q")))
+
+    // probes rank the k=16 centroids driver-side (bounded: nprobe choice
+    // is O(#probes * k), never corpus-sized)
+    val centers = model.clusterCenters.map(_.toArray)
+    val probes = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("q"), col("nrm")).collect()
+    val probeCells = probes.flatMap { r =>
+      val id = r.getLong(0)
+      val q = r.getSeq[Long](1).toArray
+      val dists = centers.zipWithIndex.map { case (c, ci) =>
+        val dist = c.zip(q.map(_.toDouble / 1e6)).map { case (a, b) => (a - b) * (a - b) }.sum
+        (dist, ci)
+      }.sorted.take(4)
+      dists.map { case (_, ci) => (id, ci) }
+    }.toSeq
+    import s.implicits._
+    val probeCellDf = probeCells.toDF("probe_id", "cell")
+    val probeVecs = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("nrm").as("pn"))
+
+    val cand = assigned.join(broadcast(probeCellDf), Seq("cell"))
+      .filter(col("probe_id") =!= col("vec_id"))
+    cand.join(broadcast(probeVecs), Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (dot(col("pq"), col("q")).cast("double") /
+          sqrt(col("pn").cast("double") * col("nrm").cast("double"))).as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Embedding-cosine near-dup detection: hyperplane-LSH candidates,
+    * exact fixed-point cosine verification, per-vector dup stats
+    * (n_candidates over threshold 0.9, best cosine). On this synthetic
+    * corpus no pair exceeds the threshold — the contract is the stats
+    * themselves, verified deterministic. Rows-only oracle.
+    */
+  def q44DedupEmbed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val sigs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        (0 until Tables_).iterator.map(t => (id, t, signature(v, t)))
+      }.toDF("vec_id", "tbl", "sig")
+
+    val q = emb.select(col("vec_id"), quantized.as("q"))
+      .withColumn("nrm", dot(col("q"), col("q")))
+
+    val cand = sigs.as("x").join(sigs.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+
+    val scored = cand
+      .join(q.select(col("vec_id").as("a"), col("q").as("qa"), col("nrm").as("na")), "a")
+      .join(q.select(col("vec_id").as("b"), col("q").as("qb"), col("nrm").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (dot(col("qa"), col("qb")).cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double"))).as("cosine"))
+
+    val perVec = scored.select(col("a").as("vec_id"), col("cosine"))
+      .union(scored.select(col("b").as("vec_id"), col("cosine")))
+      .groupBy(col("vec_id"))
+      .agg(
+        sum(when(col("cosine") >= 0.9, 1L).otherwise(0L)).as("n_dups"),
+        max(col("cosine")).as("best_cosine"))
+
+    q.select(col("vec_id"))
+      .join(perVec, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("best_cosine"), lit(-1.0)).as("best_cosine"))
+      .orderBy(col("vec_id"))
+  }
 }
