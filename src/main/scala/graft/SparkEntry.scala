@@ -62,6 +62,8 @@ object SparkEntry {
     "q42_pipeline" -> (TextOps.q42Pipeline _),
     "q43_knn_ivf" -> (Similarity.q43KnnIvf _),
     "q44_dedup_embed" -> (Similarity.q44DedupEmbed _),
+    "q45_multimodal_frames" -> (Multimodal.q45MultimodalFrames _),
+    "q46_multimodal_features" -> (Multimodal.q46MultimodalFeatures _),
   )
 
   private val Rev =
@@ -317,6 +319,21 @@ object SparkEntry {
         |  FROM documents d JOIN surv USING (doc_id) WHERE d.lang = 'en')
         |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
         |FROM tok WHERE n_tok >= 40 GROUP BY source ORDER BY source""".stripMargin,
+    "q45_multimodal_frames" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(i * 4096 AS BIGINT) AS frame_off,
+        |  CAST(least(4096, n - i * 4096) AS BIGINT) AS frame_len
+        |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents) d,
+        |  range(0, 16) t(i)
+        |WHERE i * 4096 < n
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q46_multimodal_features" ->
+      """WITH d AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents)
+        |SELECT doc_id,
+        |  CAST((n * 7919) % 1000 AS DOUBLE) / 1000.0 AS f0,
+        |  CAST((n * 7926) % 1000 AS DOUBLE) / 1000.0 AS f7,
+        |  (SELECT CAST(SUM(((n * (i + 7919)) % 1000) * ((n * (i + 7919)) % 1000)) AS BIGINT)
+        |   FROM range(0, 8) t(i)) AS norm_q
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q29_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

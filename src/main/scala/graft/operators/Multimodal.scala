@@ -5,40 +5,90 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media ride through the pipeline as opaque
-  * `binary` columns with typed metadata extracted by a batched
-  * per-partition decode stage (the Scala analogue of `mapInPandas`).
+  * `binary` columns with typed metadata extracted by batched
+  * per-partition stages (the Scala analogue of `mapInPandas`).
   *
-  * The decode itself is a STUB — image/audio codecs are not available in
-  * this environment — but everything Spark-side is real: the binary
-  * column, the partition-parallel batch iteration, the typed output
-  * schema, and the deterministic metadata contract the tests pin.
+  * The codecs themselves are STUBS — image/audio libraries are not
+  * available in this environment — but everything Spark-side is real:
+  * the binary column, the partition-parallel batch iteration with
+  * once-per-partition init (context-manager idiom, reference
+  * docs.rst:189-194), the typed output schemas, the flatMap shape of
+  * frame sampling, and the deterministic metadata contracts the oracle
+  * pins. A real deployment swaps only the stub bodies for actual codecs.
   */
 object Multimodal {
 
   final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long)
+  final case class Frame(doc_id: Long, frame_idx: Long, frame_off: Long, frame_len: Long)
+  final case class MediaFeatures(doc_id: Long, f0: Double, f7: Double, norm_q: Long)
 
-  /** STUB decoder: derives fake-but-deterministic dimensions from the blob
-    * length. A real deployment replaces only this function with an actual
-    * codec (e.g. libjpeg via JNI) — the Spark plumbing is unchanged.
+  val FrameStride: Long = 4096L
+
+  /** STUB decoder: derives fake-but-deterministic dimensions from the
+    * blob length.
     */
   private[operators] def decodeStub(id: Long, bytes: Array[Byte]): MediaMeta = {
     val n = bytes.length.toLong
     MediaMeta(id, n, n % 640 + 1, n % 480 + 1)
   }
 
-  /** Binary ingestion + batched decode: text is encoded to a binary
-    * column standing in for real media bytes, then decoded per-partition.
+  /** STUB frame sampler: one frame per [[FrameStride]] bytes — the
+    * flatMap (1 row in, n rows out) batch shape of video decode.
     */
+  private[operators] def frameSampleStub(id: Long, bytes: Array[Byte]): Iterator[Frame] = {
+    val n = bytes.length.toLong
+    val frames = (n + FrameStride - 1) / FrameStride
+    (0L until math.max(frames, 1L)).iterator.map { i =>
+      val off = i * FrameStride
+      Frame(id, i, off, math.min(FrameStride, n - off))
+    }
+  }
+
+  /** STUB feature extractor: deterministic pseudo-embedding from the blob
+    * length (stands in for a vision encoder); norm kept fixed-point for
+    * bit-stable comparison.
+    */
+  private[operators] def featureStub(id: Long, bytes: Array[Byte]): MediaFeatures = {
+    val n = bytes.length.toLong
+    def f(i: Int): Double = ((n * (i + 7919)) % 1000).toDouble / 1000.0
+    val normQ = (0 until 8).map(i => { val q = (n * (i + 7919)) % 1000; q * q }).sum
+    MediaFeatures(id, f(0), f(7), normQ)
+  }
+
+  /** Binary ingestion + batched decode. */
   def q29MultimodalMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // batch-shaped loop: a real codec would init once per partition
-        // here (context-manager idiom, reference docs.rst:189-194).
+        // a real codec would init once per partition here
         it.map { case (id, bytes) => decodeStub(id, bytes) }
       }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame sampling: one input blob fans out to n frame rows (flatMap
+    * batch shape) — partitioning carries over, no shuffle.
+    */
+  def q45MultimodalFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => frameSampleStub(id, bytes) })
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Feature extraction into typed scalar/fixed-point columns. */
+  def q46MultimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => featureStub(id, bytes) })
       .toDF()
       .orderBy(col("doc_id"))
   }
