@@ -65,6 +65,46 @@ object EventStream {
       }
   }
 
+  final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionSummaryMs(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+
+  /** [[sessionize]] with event-time timeout: the open session also
+    * closes when the stream's watermark passes its last event plus the
+    * gap — sessions flush even if their user never sends another event.
+    * The caller sets the watermark on `ts` BEFORE `.as[TimedEvent]`; the
+    * watermarked column must reach this operator (Spark's event-time-
+    * timeout analysis requires it in the input schema).
+    */
+  def sessionizeWithTimeout(
+      events: Dataset[TimedEvent], gapMs: Long): Dataset[SessionSummaryMs] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], SessionSummaryMs](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[TimedEvent], state: GroupState[List[Long]]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            // watermark passed: flush the open session
+            val open = state.getOption.getOrElse(Nil)
+            state.remove()
+            if (open.isEmpty) Iterator.empty
+            else Iterator.single(SessionSummaryMs(user, open.head, open.last, open.length.toLong))
+          } else {
+            val all = (state.getOption.getOrElse(Nil) ++ it.map(_.ts.getTime)).sorted
+            val sessions = all.foldLeft(List.empty[List[Long]]) {
+              case (Nil, t) => List(List(t))
+              case (cur :: done, t) if t - cur.head <= gapMs => (t :: cur) :: done
+              case (acc, t) => List(t) :: acc
+            }.map(_.reverse).reverse
+            val (closed, open) = (sessions.dropRight(1), sessions.lastOption.getOrElse(Nil))
+            state.update(open)
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(open.last + gapMs)
+            closed.iterator.map(sess =>
+              SessionSummaryMs(user, sess.head, sess.last, sess.length.toLong))
+          }
+      }
+  }
+
   /** Per-user running aggregate over an event stream — value sums per
     * user per window, the streaming analogue of the reducer-with-state
     * idiom.

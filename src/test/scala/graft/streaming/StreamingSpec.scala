@@ -71,6 +71,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeWithTimeout flushes the open session when the watermark passes it") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gapMs = 60L * 1000 // 60 s
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[EventStream.TimedEvent]
+    val q = EventStream.sessionizeWithTimeout(events, gapMs)
+      .writeStream.format("memory").queryName("sesst")
+      .outputMode("append").start()
+    try {
+      // user 1: two events within the gap -> open session, no output
+      input.addData((1L, ts(0, 10)), (1L, ts(0, 30)))
+      q.processAllAvailable()
+      assert(spark.table("sesst").count() == 0)
+
+      // user 2 far in the future advances the watermark past user 1's
+      // session end + gap...
+      input.addData((2L, ts(10)))
+      q.processAllAvailable()
+      // ...and the NEXT batch fires user 1's event-time timeout
+      input.addData((2L, ts(11)))
+      q.processAllAvailable()
+      val got = spark.table("sesst").as[EventStream.SessionSummaryMs].collect().toSeq
+      assert(got.contains(
+        EventStream.SessionSummaryMs(1L, ts(0, 10).getTime, ts(0, 30).getTime, 2L)), got.toString)
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
