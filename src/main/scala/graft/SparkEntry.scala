@@ -64,6 +64,8 @@ object SparkEntry {
     "q44_dedup_embed" -> (Similarity.q44DedupEmbed _),
     "q45_multimodal_frames" -> (Multimodal.q45MultimodalFrames _),
     "q46_multimodal_features" -> (Multimodal.q46MultimodalFeatures _),
+    "q47_above_avg" -> (Relational.q47AboveAvg _),
+    "q48_having" -> (Relational.q48Having _),
   )
 
   private val Rev =
@@ -334,6 +336,20 @@ object SparkEntry {
         |  (SELECT CAST(SUM(((n * (i + 7919)) % 1000) * ((n * (i + 7919)) % 1000)) AS BIGINT)
         |   FROM range(0, 8) t(i)) AS norm_q
         |FROM d ORDER BY doc_id""".stripMargin,
+    "q47_above_avg" ->
+      """WITH g AS (
+        |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS g_avg
+        |  FROM orders)
+        |SELECT o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) > (SELECT g_avg FROM g) * 1.2
+        |ORDER BY o_custkey""".stripMargin,
+    "q48_having" ->
+      """SELECT l_partkey, COUNT(*) AS n FROM lineitem
+        |GROUP BY l_partkey HAVING COUNT(*) >= 40 ORDER BY l_partkey""".stripMargin,
     "q29_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

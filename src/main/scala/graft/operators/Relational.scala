@@ -338,6 +338,35 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Correlated-style scalar-subquery filter: customers whose average
+    * order value exceeds 1.2x the global average — per-group aggregate
+    * joined against a broadcast global scalar (the decorrelated plan a
+    * subquery would produce anyway).
+    */
+  def q47AboveAvg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val perCust = o.groupBy(col("o_custkey"))
+      .agg(
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double") / count(lit(1)))
+          .as("avg_price"),
+        count(lit(1)).as("n_orders"))
+    val global = o.agg(
+      (sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double") / count(lit(1)))
+        .as("g_avg"))
+    perCust.crossJoin(broadcast(global))
+      .filter(col("avg_price") > col("g_avg") * 1.2)
+      .select(col("o_custkey"), col("avg_price"), col("n_orders"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** HAVING: post-aggregation predicate. */
+  def q48Having(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 40)
+      .orderBy(col("l_partkey"))
+
   /** CASE/math scalar functions feeding an aggregation. */
   def q16CaseMath(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
