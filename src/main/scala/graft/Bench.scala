@@ -35,8 +35,9 @@ object Bench {
 
     qs.foreach { case (_, fn) => timeOne(fn) } // warmup
     val results = qs.map { case (name, fn) =>
-      val t = math.min(timeOne(fn), timeOne(fn))
-      name -> t
+      // best of the SUCCESSFUL passes; -1 only when every pass failed
+      val times = Seq(timeOne(fn), timeOne(fn)).filter(_ >= 0)
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
 
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }

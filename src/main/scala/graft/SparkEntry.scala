@@ -323,10 +323,10 @@ object SparkEntry {
         |FROM tok WHERE n_tok >= 40 GROUP BY source ORDER BY source""".stripMargin,
     "q45_multimodal_frames" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(i * 4096 AS BIGINT) AS frame_off,
-        |  CAST(least(4096, n - i * 4096) AS BIGINT) AS frame_len
+        |  CAST(greatest(least(4096, n - i * 4096), 0) AS BIGINT) AS frame_len
         |FROM (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents) d,
         |  range(0, 16) t(i)
-        |WHERE i * 4096 < n
+        |WHERE i < greatest(least(CAST((n + 4095) // 4096 AS BIGINT), 16), 1)
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q46_multimodal_features" ->
       """WITH d AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents)

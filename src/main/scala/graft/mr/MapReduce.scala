@@ -123,9 +123,14 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
   protected def sortValues(
       buf: mutable.ArrayBuffer[SV], withValue: Boolean, reverse: Boolean): List[V] = {
     val hasSort = buf.exists(_._1.isDefined)
+    // mixed KV/KSV under one key is malformed (the reference breaks on
+    // mixed arities too, SURVEY §1.2) — fail with a clear error, not a
+    // deep-in-Timsort None.get
+    def sortOf(p: SV): S = p._1.getOrElse(throw new ElementCountError(
+      "mixed (key, value) and (key, sort, value) emissions within one key group"))
     val ord: Ordering[SV] = (hasSort, withValue) match {
-      case (true, true)   => Ordering.by((p: SV) => (p._1.get, p._2))(Ordering.Tuple2(sortOrdering, valueOrdering))
-      case (true, false)  => Ordering.by((p: SV) => p._1.get)(sortOrdering)
+      case (true, true)   => Ordering.by((p: SV) => (sortOf(p), p._2))(Ordering.Tuple2(sortOrdering, valueOrdering))
+      case (true, false)  => Ordering.by((p: SV) => sortOf(p))(sortOrdering)
       case (false, true)  => Ordering.by((p: SV) => p._2)(valueOrdering)
       case (false, false) => null // 2-tuples with no flags: no sort (docs.rst:300-307)
     }
@@ -183,14 +188,16 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
   // (the reference's values are arbitrary objects, tinymr.py:73-76).
 
   /** One Dataset shuffle + in-group sort pass (Tungsten analogue of
-    * [[partitionAndSort]]).
+    * [[partitionAndSort]]). Note: [[numPartitions]] applies to the RDD
+    * path only; here the groupByKey exchange is sized by
+    * `spark.sql.shuffle.partitions` + AQE coalescing (a pre-repartition
+    * would not be reused by groupByKey's lambda key and would just add a
+    * second shuffle).
     */
   protected def dsPartitionAndSort(
       ds: Dataset[(K, SV)], withValue: Boolean, reverse: Boolean)(
       implicit ek: Encoder[K], eout: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] = {
-    val in =
-      if (numPartitions > 0) ds.repartition(numPartitions, ds("_1")) else ds
-    in.groupByKey(_._1)
+    ds.groupByKey(_._1)
       .flatMapGroups { (k: K, it: Iterator[(K, SV)]) =>
         val buf = mutable.ArrayBuffer.empty[SV]
         it.foreach(p => buf += p._2)

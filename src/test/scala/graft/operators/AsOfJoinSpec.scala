@@ -24,6 +24,17 @@ class AsOfJoinSpec extends SparkSpec {
       ("B", 3L, None)))       // no quote at or before t=15
   }
 
+  test("lastBefore with tieBreak is deterministic on duplicate (key, time) right rows") {
+    import spark.implicits._
+    val trades = Seq(("A", 20L, 1L)).toDF("sym", "t", "trade_id")
+    val dupQuotes = Seq(("A", 10L, 100.0), ("A", 10L, 101.0)).toDF("sym", "t", "px")
+    val got = (1 to 5).map { _ =>
+      AsOfJoin.lastBefore(trades, dupQuotes.repartition(4), "sym", "t", Seq("px"), tieBreak = Seq("px"))
+        .select($"asof_px").as[Double].head()
+    }
+    assert(got.toSet == Set(101.0)) // highest px wins the tie, every run
+  }
+
   test("lastBefore carries multiple payload columns") {
     import spark.implicits._
     val left = Seq((1L, 100L, "x")).toDF("k", "t", "tag")

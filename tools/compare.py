@@ -26,8 +26,15 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     import glob
-    names = sorted(d.split("/")[-1] for d in glob.glob(f"{out_dir}/q*"))
+    dumped = {d.split("/")[-1] for d in glob.glob(f"{out_dir}/q*")}
+    # a query that crashed in Verify leaves no dump — that's a failure,
+    # not a skip
+    names = sorted(dumped | set(oracle.keys()))
     for name in names:
+        if name not in dumped:
+            print(f"{name}: MISSING DUMP (query failed in Verify)")
+            failures += 1
+            continue
         spark_df = pd.concat(
             [pd.read_parquet(p) for p in sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))],
             ignore_index=True)
