@@ -101,6 +101,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches a stream against a broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val enriched = input.toDF().toDF("ts", "user_id", "value")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enr")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L, 5.0), (ts(1), 2L, 7.0), (ts(2), 9L, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("enr")
+        .select("user_id", "tier").as[(Long, Option[String])].collect().toSet
+      assert(got == Set((1L, Some("gold")), (2L, Some("silver")), (9L, None)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
