@@ -58,7 +58,7 @@ object Similarity {
     * murmur of the index — seedless and reproducible.
     */
   private[operators] def plane(t: Int, b: Int, i: Int): Double = {
-    val h = MurmurHash3.productHash((t, b, i))
+    val h = MurmurHash3.stringHash(s"$t:$b:$i")
     (h % 1000) / 1000.0
   }
 
