@@ -66,6 +66,8 @@ object SparkEntry {
     "q46_multimodal_features" -> (Multimodal.q46MultimodalFeatures _),
     "q47_above_avg" -> (Relational.q47AboveAvg _),
     "q48_having" -> (Relational.q48Having _),
+    "q49_sample" -> (TextOps.q49Sample _),
+    "q50_split" -> (TextOps.q50Split _),
   )
 
   private val Rev =
@@ -350,6 +352,16 @@ object SparkEntry {
     "q48_having" ->
       """SELECT l_partkey, COUNT(*) AS n FROM lineitem
         |GROUP BY l_partkey HAVING COUNT(*) >= 40 ORDER BY l_partkey""".stripMargin,
+    "q49_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(text), 1, 1) = '0' ORDER BY doc_id""".stripMargin,
+    "q50_split" ->
+      """SELECT lang,
+        |  CASE WHEN substr(md5(text), 1, 1) <= 'b' THEN 'train'
+        |       WHEN substr(md5(text), 1, 1) <= 'd' THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "q29_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -109,6 +109,33 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Deterministic content-hash sampling: the standard reproducible way
+    * to subsample a training corpus — no RNG state, no seed coordination
+    * across executors; membership is a pure function of content, so the
+    * sample is stable under repartitioning, retries, and incremental
+    * reruns.
+    */
+  def q49Sample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(substring(md5(col("text").cast("binary")), 1, 1) === "0")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic train/val/test split by content hash (12/2/2
+    * sixteenths), reported as per-language split sizes — hash-based
+    * splits keep membership stable as the corpus grows and survive
+    * dedup reordering.
+    */
+  def q50Split(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(col("text").cast("binary")), 1, 1)
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(h <= "b", "train").when(h <= "d", "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** Document fingerprinting via the native codegen expressions
     * (graft.functions.Fingerprints): 61-bit Karp-Rabin whole-document
     * hash plus the minimum 16-gram window hash (winnowing-style local
