@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MinWindowFingerprint, RollingFingerprint}
+import graft.functions.{FixedPointDot, MinWindowFingerprint, RollingFingerprint}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("min_window_fingerprint",
         "min_window_fingerprint(text) - minimum 16-gram window hash (winnowing)"),
       (es: Seq[Expression]) => MinWindowFingerprint(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("fixed_dot"),
+      info("fixed_dot",
+        "fixed_dot(a, b) - fused dot product of two BIGINT arrays"),
+      (es: Seq[Expression]) => FixedPointDot(es(0), es(1))))
   }
 }

@@ -89,8 +89,10 @@ case class MinWindowFingerprint(child: Expression) extends UnaryExpression {
 }
 
 object FingerprintFunctions {
-  /** Registers `rolling_fingerprint` and `min_window_fingerprint` for use
-    * via `expr(...)`/SQL in the given session (idempotent).
+  /** Registers the engine's native expressions (`rolling_fingerprint`,
+    * `min_window_fingerprint`, `fixed_dot`) for `expr(...)`/SQL use in
+    * the given session (idempotent; GraftExtensions does the same at
+    * session build time).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -98,5 +100,7 @@ object FingerprintFunctions {
       "rolling_fingerprint", es => RollingFingerprint(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "min_window_fingerprint", es => MinWindowFingerprint(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "fixed_dot", es => FixedPointDot(es(0), es(1)), "built-in")
   }
 }

@@ -25,14 +25,19 @@ object Similarity {
   private def quantized: Column =
     transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long"))
 
+  /** Fused single-pass dot product (graft.functions.FixedPointDot) — no
+    * intermediate product array per candidate pair, unlike
+    * aggregate(zip_with(...)). Queries register the function first.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    call_function("fixed_dot", a, b)
 
   /** Brute-force cosine top-5 for probe vectors (vec_id < 10) — all
     * codegen'd higher-order functions, probes broadcast, single pass over
     * the corpus.
     */
   def q23KnnBrute(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FingerprintFunctions.register(s)
     val q = Tables.embeddings(s, d).select(col("vec_id"), quantized.as("q"))
       .withColumn("nrm", dot(col("q"), col("q")))
     val probes = q.filter(col("vec_id") < 10)
@@ -80,6 +85,7 @@ object Similarity {
     * Recall < 1 by design — rows-only oracle.
     */
   def q24KnnLsh(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FingerprintFunctions.register(s)
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val sigs = emb.select(col("vec_id"), col("embedding"))
@@ -121,6 +127,7 @@ object Similarity {
     * implementation. Approximate by construction -> rows-only oracle.
     */
   def q43KnnIvf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FingerprintFunctions.register(s)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -172,6 +179,7 @@ object Similarity {
     * themselves, verified deterministic. Rows-only oracle.
     */
   def q44DedupEmbed(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FingerprintFunctions.register(s)
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val sigs = emb.select(col("vec_id"), col("embedding"))
