@@ -50,6 +50,15 @@ class SinksSpec extends SparkSpec {
     assert(jsonBack == Set((1L, "a", 1.5), (2L, "b", -3.25)))
   }
 
+  test("orc sink round-trips values (columnar alternative to parquet)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_orc_").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", -3.25)).toDF("id", "name", "v")
+    df.write.mode("overwrite").orc(tmp)
+    val back = spark.read.orc(tmp).as[(Long, String, Double)].collect().toSet
+    assert(back == Set((1L, "a", 1.5), (2L, "b", -3.25)))
+  }
+
   test("text source reads lines (the reference's file-ingestion idiom)") {
     val tmp = Files.createTempDirectory("graft_txt_").toString
     import spark.implicits._
