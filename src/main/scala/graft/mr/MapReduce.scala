@@ -103,6 +103,17 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
     */
   def numPartitions: Int = 0
 
+  /** Optional commutative-associative combiner. When defined (and no
+    * map-phase sort is requested) the map output is pre-combined per key
+    * map-side and merged with `reduceByKey`, so NO per-key value list is
+    * ever materialized — the framework-level form of the reference's
+    * in-mapper-combining idiom (docs.rst:197-283), which it can only
+    * express as user code. The reducer then receives a single
+    * pre-combined value. Requires KV-only emissions (enforced): sort
+    * semantics are meaningless under combining.
+    */
+  def combiner: Option[(V, V) => V] = None
+
   /** Required iff sort elements ([[KSV]]) are emitted. */
   def sortOrdering: Ordering[S] =
     throw new UnsupportedOperationException(
@@ -172,11 +183,23 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
       preservesPartitioning = true)
 
   protected def mapPhase(rdd: RDD[I])(
-      implicit kt: ClassTag[K], vt: ClassTag[V]): RDD[(K, List[V])] = {
-    val mapped: RDD[(K, SV)] =
-      rdd.flatMap(i => mapper(i).iterator.map(e => (e.key, (e.sortOpt, e.value))))
-    partitionAndSort(mapped, sortMapWithValue, sortMapReverse)
-  }
+      implicit kt: ClassTag[K], vt: ClassTag[V]): RDD[(K, List[V])] =
+    combiner match {
+      case Some(op) if !sortMapWithValue =>
+        val mapped = rdd.flatMap(i => mapper(i).iterator.map { e =>
+          if (e.sortOpt.isDefined) throw new ElementCountError(
+            "combiner requires (key, value) emissions — (key, sort, value) has no combine semantics")
+          (e.key, e.value)
+        })
+        val combined =
+          if (numPartitions > 0) mapped.reduceByKey(op, numPartitions)
+          else mapped.reduceByKey(op)
+        combined.mapValues(List(_))
+      case _ =>
+        val mapped: RDD[(K, SV)] =
+          rdd.flatMap(i => mapper(i).iterator.map(e => (e.key, (e.sortOpt, e.value))))
+        partitionAndSort(mapped, sortMapWithValue, sortMapReverse)
+    }
 
   // ---- Dataset (Tungsten) execution path ----------------------------
   //
@@ -218,9 +241,23 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
   protected def dsMapPhase(ds: Dataset[I])(
       implicit ek: Encoder[K], esv: Encoder[(K, SV)],
       eout: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
-    dsPartitionAndSort(
-      ds.flatMap(i => mapper(i).iterator.map(e => (e.key, (e.sortOpt, e.value)))),
-      sortMapWithValue, sortMapReverse)
+    combiner match {
+      case Some(op) if !sortMapWithValue =>
+        ds.flatMap { i =>
+            mapper(i).iterator.map { e =>
+              if (e.sortOpt.isDefined) throw new ElementCountError(
+                "combiner requires (key, value) emissions — (key, sort, value) has no combine semantics")
+              (e.key, (e.sortOpt, e.value))
+            }
+          }
+          .groupByKey(_._1)
+          .reduceGroups((a: (K, SV), b: (K, SV)) => (a._1, (None, op(a._2._2, b._2._2))))
+          .map { case (k, (_, (_, v))) => (k, Seq(v)) }
+      case _ =>
+        dsPartitionAndSort(
+          ds.flatMap(i => mapper(i).iterator.map(e => (e.key, (e.sortOpt, e.value)))),
+          sortMapWithValue, sortMapReverse)
+    }
 }
 
 /** Yield-mode task: the reducer emits 0..n records (reference generator

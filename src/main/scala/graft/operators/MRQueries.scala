@@ -21,6 +21,8 @@ object MRQueries {
     def reducer(key: String, values: Seq[Long]): Emit[String, Int, Long] =
       KV(key, values.sum)
     override def keyPreserving: Boolean = true
+    // counts form a monoid: pre-combine map-side, never build value lists
+    override def combiner: Option[(Long, Long) => Long] = Some(_ + _)
   }
 
   def q17MrWordCount(s: SparkSession, d: String): DataFrame = {
