@@ -9,7 +9,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * as native Catalyst expressions so the hot loop stays inside
   * whole-stage codegen (no Dataset-map deserialization barrier, no UDF
   * boxing): the generated code calls the static JVM helpers below
-  * directly per row.
+  * directly per row. The min-window variant is the local-fingerprint
+  * idea behind winnowing (Schleimer, Wilkerson, Aiken, "Winnowing:
+  * Local Algorithms for Document Fingerprinting", SIGMOD 2003).
   */
 object Fingerprints {
 
