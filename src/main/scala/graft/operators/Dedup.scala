@@ -14,6 +14,14 @@ import scala.util.hashing.MurmurHash3
   * join -> exact-Jaccard verification, so the cross-doc comparison is
   * confined to same-bucket candidates instead of O(n^2) pairs. All
   * constants are deterministic (fixed-seed LCG) for reproducible runs.
+  *
+  * Algorithms are the published classics: MinHash resemblance sketching
+  * (Broder, "On the resemblance and containment of documents", 1997),
+  * SimHash (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", STOC 2002); the filter-and-verify inverted-index join in
+  * [[q22NgramJaccard]] follows the prefix-filter family surveyed in
+  * "Set Similarity Joins on MapReduce: An Experimental Survey"
+  * (VLDB 2018, PAPERS.md).
   */
 object Dedup {
 
