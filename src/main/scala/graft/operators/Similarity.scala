@@ -131,8 +131,11 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
+    // cache the featurized corpus: KMeans is iterative and would
+    // otherwise re-scan parquet + re-run array_to_vector every iteration
     val emb = Tables.embeddings(s, d)
       .withColumn("features", array_to_vector(col("embedding")))
+      .cache()
     val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(emb)

@@ -57,4 +57,8 @@ class PlanSpec extends SparkSpec {
   test("q07: per-group top-k prunes with WindowGroupLimit before the full window") {
     assert(plan("q07_window_topk").contains("WindowGroupLimit"))
   }
+
+  test("q22: inverted-index probe join broadcasts the probe side") {
+    assert(plan("q22_ngram_jaccard").contains("BroadcastHashJoin"))
+  }
 }
