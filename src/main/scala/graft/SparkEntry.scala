@@ -259,7 +259,7 @@ object SparkEntry {
       """SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 12) AS name_prefix,
         |  CAST(length(p_name) AS BIGINT) AS name_len,
         |  concat(p_brand, ':', p_type) AS brand_type
-        |FROM part WHERE p_type LIKE '%a%' ORDER BY p_partkey""".stripMargin,
+        |FROM part WHERE lower(p_type) LIKE '%ar%' ORDER BY p_partkey""".stripMargin,
     "q33_union_all" ->
       """SELECT src, COUNT(*) AS n FROM (
         |  SELECT 'o' AS src FROM orders

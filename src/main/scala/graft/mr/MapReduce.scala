@@ -98,10 +98,40 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
     */
   def keyPreserving: Boolean = false
 
-  /** Reducer-side parallelism; 0 = Spark default. Replaces the reference's
-    * round-robin key-cycling idiom (docs.rst:373-394).
+  /** Shuffle parallelism; 0 = Spark default. Replaces the reference's
+    * round-robin key-cycling idiom (docs.rst:373-394). One knob sizing
+    * both shuffles; override [[mapParallelism]] / [[reduceParallelism]]
+    * to tune the phases independently.
     */
   def numPartitions: Int = 0
+
+  /** Shuffle-#1 (map-output) parallelism — the reference's independent
+    * mapper pool (`map` vs `reduce_map`, tinymr.py:156-173, where the
+    * mapper and reducer executors are tuned separately). Defaults to
+    * [[numPartitions]].
+    */
+  def mapParallelism: Int = numPartitions
+
+  /** Shuffle-#2 (reduce-output) parallelism — the reducer-pool half of
+    * the reference's asymmetry. Defaults to [[numPartitions]].
+    */
+  def reduceParallelism: Int = numPartitions
+
+  /** Called once per partition, before the first mapper/reducer call of
+    * that partition's stream — the distributed form of the reference's
+    * context-manager task idiom (`with WordCount() as wc:`,
+    * docs.rst:189-194): open per-worker resources here (DB handles,
+    * model weights, codecs), not in the constructor, which runs on the
+    * driver and is serialized.
+    */
+  def setup(): Unit = {}
+
+  /** Called once per partition, after the last record of that partition's
+    * stream has been consumed — the `__exit__` half of the context-manager
+    * idiom. Runs in both the map and reduce phases (each phase streams
+    * each partition exactly once).
+    */
+  def teardown(): Unit = {}
 
   /** Optional commutative-associative combiner. When defined (and no
     * map-phase sort is requested) the map output is pre-combined per key
@@ -128,6 +158,25 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
 
   protected type SV = (Option[S], V)
 
+  /** Wraps one partition's stream with the [[setup]]/[[teardown]]
+    * lifecycle: setup before the first element is produced, teardown
+    * exactly once when the stream is exhausted (including the empty
+    * partition, where it fires on the first hasNext probe).
+    */
+  protected def instrumented[A, B](it: Iterator[A])(f: A => Iterator[B]): Iterator[B] = {
+    setup()
+    val flat = it.flatMap(f)
+    new Iterator[B] {
+      private var closed = false
+      def hasNext: Boolean = {
+        val h = flat.hasNext
+        if (!h && !closed) { closed = true; teardown() }
+        h
+      }
+      def next(): B = flat.next()
+    }
+  }
+
   /** Stable in-group sort per the S6 matrix; `buf` arrival order is kept
     * for ties (Timsort, matching reference tinymr.py:336-343).
     */
@@ -152,14 +201,16 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
   }
 
   /** One shuffle + sort pass — reference `_partition_and_sort`
-    * (tinymr.py:278-345) as `groupByKey` + in-group sort.
+    * (tinymr.py:278-345) as `groupByKey` + in-group sort. `partitions`
+    * sizes this shuffle (per-phase: [[mapParallelism]] or
+    * [[reduceParallelism]]); 0 = Spark default.
     */
   protected def partitionAndSort(
-      rdd: RDD[(K, SV)], withValue: Boolean, reverse: Boolean)(
+      rdd: RDD[(K, SV)], withValue: Boolean, reverse: Boolean, partitions: Int)(
       implicit kt: ClassTag[K], vt: ClassTag[V]): RDD[(K, List[V])] = {
     implicit val svTag: ClassTag[SV] = ClassTag(classOf[Tuple2[_, _]]).asInstanceOf[ClassTag[SV]]
     val grouped =
-      if (numPartitions > 0) rdd.groupByKey(numPartitions) else rdd.groupByKey()
+      if (partitions > 0) rdd.groupByKey(partitions) else rdd.groupByKey()
     grouped.mapValues { it =>
       val buf = mutable.ArrayBuffer.empty[SV]
       buf ++= it
@@ -186,19 +237,21 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
       implicit kt: ClassTag[K], vt: ClassTag[V]): RDD[(K, List[V])] =
     combiner match {
       case Some(op) if !sortMapWithValue =>
-        val mapped = rdd.flatMap(i => mapper(i).iterator.map { e =>
-          if (e.sortOpt.isDefined) throw new ElementCountError(
-            "combiner requires (key, value) emissions — (key, sort, value) has no combine semantics")
-          (e.key, e.value)
-        })
+        val mapped = rdd.mapPartitions(part => instrumented(part)(i =>
+          mapper(i).iterator.map { e =>
+            if (e.sortOpt.isDefined) throw new ElementCountError(
+              "combiner requires (key, value) emissions — (key, sort, value) has no combine semantics")
+            (e.key, e.value)
+          }))
         val combined =
-          if (numPartitions > 0) mapped.reduceByKey(op, numPartitions)
+          if (mapParallelism > 0) mapped.reduceByKey(op, mapParallelism)
           else mapped.reduceByKey(op)
         combined.mapValues(List(_))
       case _ =>
         val mapped: RDD[(K, SV)] =
-          rdd.flatMap(i => mapper(i).iterator.map(e => (e.key, (e.sortOpt, e.value))))
-        partitionAndSort(mapped, sortMapWithValue, sortMapReverse)
+          rdd.mapPartitions(part => instrumented(part)(i =>
+            mapper(i).iterator.map(e => (e.key, (e.sortOpt, e.value)))))
+        partitionAndSort(mapped, sortMapWithValue, sortMapReverse, mapParallelism)
     }
 
   // ---- Dataset (Tungsten) execution path ----------------------------
@@ -243,19 +296,20 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
       eout: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
     combiner match {
       case Some(op) if !sortMapWithValue =>
-        ds.flatMap { i =>
-            mapper(i).iterator.map { e =>
+        ds.mapPartitions { part =>
+            instrumented(part)(i => mapper(i).iterator.map { e =>
               if (e.sortOpt.isDefined) throw new ElementCountError(
                 "combiner requires (key, value) emissions — (key, sort, value) has no combine semantics")
               (e.key, (e.sortOpt, e.value))
-            }
+            })
           }
           .groupByKey(_._1)
           .reduceGroups((a: (K, SV), b: (K, SV)) => (a._1, (None, op(a._2._2, b._2._2))))
           .map { case (k, (_, (_, v))) => (k, Seq(v)) }
       case _ =>
         dsPartitionAndSort(
-          ds.flatMap(i => mapper(i).iterator.map(e => (e.key, (e.sortOpt, e.value)))),
+          ds.mapPartitions(part => instrumented(part)(i =>
+            mapper(i).iterator.map(e => (e.key, (e.sortOpt, e.value))))),
           sortMapWithValue, sortMapReverse)
     }
 }
@@ -271,11 +325,12 @@ abstract class MapReduce[I, K, S, V] extends MapReduceBase[I, K, S, V] {
 
   final def run(rdd: RDD[I])(
       implicit kt: ClassTag[K], vt: ClassTag[V]): RDD[(K, List[V])] = {
-    val reduced: RDD[(K, SV)] = mapPhase(rdd).flatMap { case (k, vs) =>
-      reducer(k, vs).iterator.map(e => (e.key, (e.sortOpt, e.value)))
-    }
+    val reduced: RDD[(K, SV)] = mapPhase(rdd).mapPartitions(part =>
+      instrumented(part) { case (k, vs) =>
+        reducer(k, vs).iterator.map(e => (e.key, (e.sortOpt, e.value)))
+      })
     if (keyPreserving) groupLocally(reduced, sortReduceWithValue, sortReduceReverse)
-    else partitionAndSort(reduced, sortReduceWithValue, sortReduceReverse)
+    else partitionAndSort(reduced, sortReduceWithValue, sortReduceReverse, reduceParallelism)
   }
 
   /** Small-result driver adapter — the reference's in-memory result dict
@@ -293,9 +348,10 @@ abstract class MapReduce[I, K, S, V] extends MapReduceBase[I, K, S, V] {
   final def runDataset(ds: Dataset[I])(
       implicit ek: Encoder[K], esv: Encoder[(K, SV)],
       eout: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] = {
-    val reduced = dsMapPhase(ds).flatMap { case (k, vs) =>
-      reducer(k, vs).iterator.map(e => (e.key, (e.sortOpt, e.value)))
-    }
+    val reduced = dsMapPhase(ds).mapPartitions(part =>
+      instrumented(part) { case (k, vs) =>
+        reducer(k, vs).iterator.map(e => (e.key, (e.sortOpt, e.value)))
+      })
     if (keyPreserving) dsGroupLocally(reduced, sortReduceWithValue, sortReduceReverse)
     else dsPartitionAndSort(reduced, sortReduceWithValue, sortReduceReverse)
   }
@@ -312,16 +368,17 @@ abstract class MapReduce1[I, K, S, V] extends MapReduceBase[I, K, S, V] {
 
   final def run(rdd: RDD[I])(
       implicit kt: ClassTag[K], vt: ClassTag[V]): RDD[(K, V)] = {
-    val reduced: RDD[(K, SV)] = mapPhase(rdd).map { case (k, vs) =>
-      val e = reducer(k, vs)
-      (e.key, (e.sortOpt, e.value))
-    }
+    val reduced: RDD[(K, SV)] = mapPhase(rdd).mapPartitions(part =>
+      instrumented(part) { case (k, vs) =>
+        val e = reducer(k, vs)
+        Iterator.single((e.key, (e.sortOpt, e.value)))
+      })
     if (keyPreserving)
       // keys are unique per partition after shuffle #1, so no collision
       // and no regroup is possible — straight projection.
       reduced.map { case (k, (_, v)) => (k, v) }
     else
-      partitionAndSort(reduced, sortReduceWithValue, sortReduceReverse)
+      partitionAndSort(reduced, sortReduceWithValue, sortReduceReverse, reduceParallelism)
         .mapValues(_.head)
   }
 
@@ -333,10 +390,11 @@ abstract class MapReduce1[I, K, S, V] extends MapReduceBase[I, K, S, V] {
   final def runDataset(ds: Dataset[I])(
       implicit ek: Encoder[K], esv: Encoder[(K, SV)],
       eseq: Encoder[(K, Seq[V])], ekv: Encoder[(K, V)]): Dataset[(K, V)] = {
-    val singles = dsMapPhase(ds).map { case (k, vs) =>
-      val e = reducer(k, vs)
-      (e.key, (e.sortOpt, e.value))
-    }
+    val singles = dsMapPhase(ds).mapPartitions(part =>
+      instrumented(part) { case (k, vs) =>
+        val e = reducer(k, vs)
+        Iterator.single((e.key, (e.sortOpt, e.value)))
+      })
     if (keyPreserving)
       singles.map(p => (p._1, p._2._2))
     else
@@ -347,15 +405,24 @@ abstract class MapReduce1[I, K, S, V] extends MapReduceBase[I, K, S, V] {
 
 /** Arity-sniffing adapter for untyped records, kept for behavioral
   * fidelity with the reference's dynamic API: records are `Product`s
-  * (tuples) of arity 2 or 3; the FIRST record of each partition is
-  * validated and a bad arity raises [[ElementCountError]] exactly like
-  * tinymr.py:302-308 (later malformed records surface as downstream cast
-  * errors, matching the reference's verified behavior — SURVEY.md §1.2).
+  * (tuples) of arity 2 or 3; only the FIRST record of each partition's
+  * stream is validated — a bad arity there raises [[ElementCountError]]
+  * exactly like tinymr.py:302-308, which peeks the stream head once per
+  * partition and never re-checks. Later malformed records surface as the
+  * lenient downstream error (the reference's verified lenient-then-loud
+  * behavior — SURVEY.md §1.2).
+  *
+  * The head flags are `@transient`: each Spark task deserializes its own
+  * copy of this object, so they reset per partition stream — the same
+  * scope as the reference's per-partition peek.
   */
 abstract class UntypedMapReduce[I] extends MapReduce[I, Any, Any, Any] {
 
   def untypedMapper(item: I): IterableOnce[Product]
   def untypedReducer(key: Any, values: Seq[Any]): IterableOnce[Product]
+
+  @transient private var mapperValidated = false
+  @transient private var reducerValidated = false
 
   private def toEmit(p: Product, phase: String, first: Boolean): Emit[Any, Any, Any] =
     p.productArity match {
@@ -365,7 +432,7 @@ abstract class UntypedMapReduce[I] extends MapReduce[I, Any, Any, Any] {
         throw new ElementCountError(
           s"$phase emitted a record with $n elements — expected 2 or 3")
       case _ =>
-        // past the first record the reference no longer validates; fail
+        // past the stream head the reference no longer validates; fail
         // the same lenient-then-loud way it does.
         throw new IllegalArgumentException(
           s"malformed $phase record of arity ${p.productArity}")
@@ -374,10 +441,11 @@ abstract class UntypedMapReduce[I] extends MapReduce[I, Any, Any, Any] {
   final def mapper(item: I): IterableOnce[Emit[Any, Any, Any]] = {
     val it = untypedMapper(item).iterator
     new Iterator[Emit[Any, Any, Any]] {
-      private var first = true
       def hasNext: Boolean = it.hasNext
       def next(): Emit[Any, Any, Any] = {
-        val e = toEmit(it.next(), "mapper", first); first = false; e
+        val head = !mapperValidated
+        mapperValidated = true
+        toEmit(it.next(), "mapper", head)
       }
     }
   }
@@ -385,10 +453,11 @@ abstract class UntypedMapReduce[I] extends MapReduce[I, Any, Any, Any] {
   final def reducer(key: Any, values: Seq[Any]): IterableOnce[Emit[Any, Any, Any]] = {
     val it = untypedReducer(key, values).iterator
     new Iterator[Emit[Any, Any, Any]] {
-      private var first = true
       def hasNext: Boolean = it.hasNext
       def next(): Emit[Any, Any, Any] = {
-        val e = toEmit(it.next(), "reducer", first); first = false; e
+        val head = !reducerValidated
+        reducerValidated = true
+        toEmit(it.next(), "reducer", head)
       }
     }
   }

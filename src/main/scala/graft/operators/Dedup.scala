@@ -116,11 +116,9 @@ object Dedup {
         (0 until Bands).iterator.map(b => (id, b, bandHash(sig, b)))
       }.toDF("doc_id", "band", "bh")
 
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+    // hot-bucket-bounded candidate generation (see LshJoin scaladoc):
+    // a band bucket shared by >MaxBucket docs is dropped, not self-joined
+    val cand = LshJoin.boundedBucketPairs(bands, "doc_id", LshJoin.MaxBucket, "band", "bh")
 
     val sh = withSh.select(col("doc_id"), col("sh"))
     val pairs = cand
@@ -180,11 +178,9 @@ object Dedup {
         (0 until 4).iterator.map(c => (id, c, (sig >>> (c * 16)) & 0xffffL))
       }.toDF("doc_id", "chunk", "ck")
 
-    val cand = chunks.as("x").join(chunks.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+    // 65k distinct buckets per chunk guarantee collisions at corpus
+    // scale — bound the per-bucket pair blow-up the same way as MinHash
+    val cand = LshJoin.boundedBucketPairs(chunks, "doc_id", LshJoin.MaxBucket, "chunk", "ck")
 
     val near = cand
       .join(sigs.select(col("doc_id").as("a"), col("simhash").as("sa")), "a")
@@ -202,11 +198,22 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Document-frequency cap for the q22 inverted index: a trigram present
+    * in more than this many documents is dropped from BOTH the index and
+    * the per-doc gram counts (so Jaccard stays consistent over the
+    * filtered vocabulary). A ubiquitous gram contributes ~0 similarity
+    * signal but its posting list is the index's skew hot spot — the
+    * standard stop-pattern filter of the set-similarity literature.
+    */
+  val MaxGramDf = 1000
+
   /** Word n-gram Jaccard similarity search: probe docs (doc_id < 10)
     * against the corpus via an inverted trigram index (explode + join +
     * count), top-3 matches per probe. The join on `gram` is the inverted
     * index — at 100 TB this is the standard sparse-similarity shape, with
-    * frequent-gram skew handled upstream by dropping ubiquitous grams.
+    * frequent-gram skew handled upstream by dropping grams with document
+    * frequency above [[MaxGramDf]] (broadcast anti-join: the ubiquitous-
+    * gram list is tiny by definition).
     */
   def q22NgramJaccard(s: SparkSession, d: String): DataFrame = {
     // Typed flatMap, deliberately: Spark's higher-order array functions
@@ -216,12 +223,21 @@ object Dedup {
     // distinct happens in-memory inside the closure (docs are short),
     // so no global distinct shuffle is needed.
     import s.implicits._
-    val grams = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val allGrams = Tables.documents(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
         toks.sliding(3).filter(_.length == 3).map(g => (id, g.mkString(" "))).distinct
       }.toDF("doc_id", "gram")
+
+    // drop ubiquitous grams (document frequency > MaxGramDf) from the
+    // vocabulary: per-gram rows are distinct per doc, so this count IS
+    // the document frequency; the over-cap list is tiny -> broadcast
+    val hotGrams = allGrams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxGramDf)
+      .select(col("gram"))
+    val grams = allGrams.join(broadcast(hotGrams), Seq("gram"), "left_anti")
 
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
 

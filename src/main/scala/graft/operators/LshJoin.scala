@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded LSH candidate-pair generation shared by the near-dup operators
+  * (MinHash bands, SimHash chunks, hyperplane signatures).
+  *
+  * The naive shape — a self-join of the bucket table on the bucket key —
+  * is O(m²) in the largest bucket: one hot bucket (boilerplate pages,
+  * empty documents, a degenerate signature) can dominate the whole job at
+  * corpus scale. The standard mitigation from the set-similarity-join
+  * literature ("Set Similarity Joins on MapReduce: An Experimental
+  * Survey", VLDB 2018 — filter-and-verify with frequency-based pruning)
+  * is to drop buckets above a size cap before pair generation: a bucket
+  * shared by thousands of documents carries almost no similarity signal
+  * (its members collide on one band out of many), and the pairs it would
+  * emit are re-verified by the exact measure anyway, so recall loss is
+  * confined to pairs whose *only* shared bucket is ubiquitous.
+  *
+  * Plan shape, sized for 100 TB:
+  *   1. bucket histogram — `groupBy(bucket).count()`: map-side partial
+  *      aggregation, output is one row per distinct bucket;
+  *   2. hot-bucket list — `count > cap`: by construction a FEW rows, so
+  *      it broadcasts; the full bucket table is filtered with a broadcast
+  *      left-anti join, never shuffled for the filter;
+  *   3. pair generation — `groupBy(bucket).collect_list(id)`: one shuffle
+  *      on the bucket key; every list is ≤ cap elements (hot buckets are
+  *      already gone), so per-group memory and emitted pairs are bounded
+  *      by cap and cap·(cap−1)/2 respectively.
+  */
+object LshJoin {
+
+  /** Default bucket-size cap. At cap=64 a surviving bucket emits at most
+    * 2016 pairs — bounded work per bucket regardless of corpus size.
+    */
+  val MaxBucket = 64
+
+  /** Distinct candidate pairs (a < b) of ids sharing a bucket, with
+    * buckets larger than `cap` dropped. `bucketCols` together identify a
+    * bucket (e.g. (band, bandHash)); `idCol` must be unique within a
+    * bucket (one emission per id per band/table/chunk).
+    */
+  def boundedBucketPairs(
+      buckets: DataFrame, idCol: String, cap: Int, bucketCols: String*): DataFrame = {
+    val s = buckets.sparkSession
+    import s.implicits._
+    val withB = buckets.select(
+      col(idCol).as("id"), struct(bucketCols.map(col): _*).as("bucket"))
+    val ok = withB.join(broadcast(hotBuckets(buckets, cap, bucketCols: _*)),
+      Seq("bucket"), "left_anti")
+    ok.groupBy(col("bucket")).agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val v = ids.sorted
+        for { i <- v.indices.iterator; j <- (i + 1) until v.length }
+          yield (v(i), v(j))
+      }
+      .toDF("a", "b")
+      .distinct()
+  }
+
+  /** The dropped (oversized) buckets — one row per bucket with its member
+    * count. Exposed so callers/tests can observe how much the cap
+    * discarded (`.count()` it for a drop metric).
+    */
+  def hotBuckets(buckets: DataFrame, cap: Int, bucketCols: String*): DataFrame =
+    buckets
+      .groupBy(struct(bucketCols.map(col): _*).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+}

@@ -247,10 +247,13 @@ object Relational {
         col("sum_qty"), col("n"))
       .orderBy(col("rflag"), col("lstatus"))
 
-  /** String scalar-function suite: upper/substr/length/concat/LIKE. */
+  /** String scalar-function suite: upper/lower/substr/length/concat/LIKE.
+    * The predicate is deliberately selective-but-nonempty on this corpus
+    * (p_type values are single upper-case words: LARGE/STANDARD match).
+    */
   def q32StringFuncs(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
-      .filter(col("p_type").like("%a%"))
+      .filter(lower(col("p_type")).like("%ar%"))
       .select(
         col("p_partkey"),
         upper(col("p_brand")).as("brand_u"),

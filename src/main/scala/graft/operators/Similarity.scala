@@ -194,11 +194,9 @@ object Similarity {
     val q = emb.select(col("vec_id"), quantized.as("q"))
       .withColumn("nrm", dot(col("q"), col("q")))
 
-    val cand = sigs.as("x").join(sigs.as("y"),
-        col("x.tbl") === col("y.tbl") && col("x.sig") === col("y.sig") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-      .distinct()
+    // hot-bucket-bounded candidate generation (LshJoin scaladoc): a
+    // degenerate signature bucket no longer produces an O(m²) self-join
+    val cand = LshJoin.boundedBucketPairs(sigs, "vec_id", LshJoin.MaxBucket, "tbl", "sig")
 
     val scored = cand
       .join(q.select(col("vec_id").as("a"), col("q").as("qa"), col("nrm").as("na")), "a")

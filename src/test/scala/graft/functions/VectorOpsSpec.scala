@@ -22,11 +22,36 @@ class VectorOpsSpec extends SparkSpec {
     assert(df.collect().head.isNullAt(0))
   }
 
-  test("fixed_dot truncates to the shorter array (min-length semantics)") {
+  test("fixed_dot rejects ragged arrays (codegen path)") {
     import spark.implicits._
     val df = Seq((Seq(2L, 3L, 100L), Seq(10L, 10L))).toDF("a", "b")
       .select(expr("fixed_dot(a, b)").as("d"))
-    assert(df.as[Long].head() == 50L)
+    val e = intercept[Exception](df.collect())
+    assert(e.getMessage.contains("dimension mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
+
+  test("fixed_dot rejects ragged arrays (interpreted path)") {
+    val a = Literal.create(ArrayData.toArrayData(Array(2L, 3L, 100L)), ArrayType(LongType))
+    val b = Literal.create(ArrayData.toArrayData(Array(10L, 10L)), ArrayType(LongType))
+    val e = intercept[IllegalArgumentException](FixedPointDot(a, b).eval(null))
+    assert(e.getMessage.contains("dimension mismatch"))
+  }
+
+  test("fixed_dot declares ARRAY<BIGINT> input types: scalar args fail analysis") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("fixed_dot(a, b)")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array"), e.getMessage)
+  }
+
+  test("fixed_dot widens ARRAY<INT> arguments via implicit cast") {
+    import spark.implicits._
+    val df = Seq((Seq(1, 2, 3), Seq(4L, 5L, 6L))).toDF("a", "b")
+      .select(expr("fixed_dot(a, b)").as("d"))
+    assert(df.as[Long].head() == 32L)
   }
 
   test("interpreted eval agrees with the codegen path") {

@@ -62,6 +62,17 @@ object LifecycleTasks {
     def untypedReducer(key: Any, values: Seq[Any]): IterableOnce[Product] =
       Iterator.single(if (arity == 1) Tuple1(key) else (key, 1, 2, 3))
   }
+
+  /** First record well-formed, second malformed: the reference validates
+    * only the partition-stream head (tinymr.py:302-308), so this must
+    * surface as the lenient error, NOT ElementCountError.
+    */
+  final class BadArityAfterHead extends UntypedMapReduce[String] {
+    def untypedMapper(item: String): IterableOnce[Product] =
+      Iterator((item, 1), Tuple1(item))
+    def untypedReducer(key: Any, values: Seq[Any]): IterableOnce[Product] =
+      Iterator.single((key, values.size))
+  }
 }
 
 class LifecycleSpec extends SparkSpec {
@@ -108,6 +119,15 @@ class LifecycleSpec extends SparkSpec {
       }
       assert(findCause[ElementCountError](e), s"no ElementCountError in: $e")
     }
+  }
+
+  test("untyped adapter: bad arity AFTER the stream head raises the lenient error") {
+    val e = intercept[SparkException] {
+      new BadArityAfterHead().runToMap(sc.parallelize(Seq("x"), 1))
+    }
+    assert(!findCause[ElementCountError](e),
+      s"post-head record must not be arity-validated (tinymr.py:302-308): $e")
+    assert(findCause[IllegalArgumentException](e), s"no lenient error in: $e")
   }
 
   private def findCause[T <: Throwable](t: Throwable)(implicit ct: scala.reflect.ClassTag[T]): Boolean = {

@@ -61,6 +61,48 @@ class ScaleSpec extends SparkSpec {
       direct.view.mapValues(_.doubleValue).toMap)
   }
 
+  test("LSH hot buckets are dropped before pair generation") {
+    import spark.implicits._
+    // one hot bucket with 200 members (naively 19,900 pairs) and one
+    // healthy 3-member bucket: only the healthy bucket's pairs survive
+    val hot = (0L until 200L).map(id => (id, 0, 7L))
+    val small = Seq((1000L, 1, 9L), (1001L, 1, 9L), (1002L, 1, 9L))
+    val buckets = (hot ++ small).toDF("doc_id", "band", "bh")
+    val pairs = LshJoin.boundedBucketPairs(buckets, "doc_id", 64, "band", "bh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1000L, 1001L), (1000L, 1002L), (1001L, 1002L)))
+    val dropped = LshJoin.hotBuckets(buckets, 64, "band", "bh").collect()
+    assert(dropped.length == 1 && dropped.head.getLong(1) == 200L)
+  }
+
+  test("bounded pairs equal the naive self-join when no bucket is hot") {
+    import spark.implicits._
+    val buckets = Seq(
+      (1L, 0, 5L), (2L, 0, 5L), (3L, 0, 5L),  // bucket A: 3 pairs
+      (2L, 1, 8L), (4L, 1, 8L),               // bucket B: pair (2,4)
+      (1L, 1, 9L),                            // singleton: no pairs
+      (2L, 2, 5L), (4L, 2, 5L)                // bucket C: (2,4) again -> distinct
+    ).toDF("doc_id", "band", "bh")
+    val bounded = LshJoin.boundedBucketPairs(buckets, "doc_id", 64, "band", "bh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bounded == naive)
+    assert(bounded == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L)))
+  }
+
+  test("hot-bucket filter plans a broadcast anti-join, not a shuffle of the bucket table") {
+    import spark.implicits._
+    val buckets = (0L until 100L).map(id => (id, (id % 10).toInt, id % 5))
+      .toDF("doc_id", "band", "bh")
+    val p = LshJoin.boundedBucketPairs(buckets, "doc_id", 64, "band", "bh")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("LeftAnti") && p.contains("Broadcast"), p)
+  }
+
   test("salted plan aggregates in two keyed phases") {
     val p = Skew.saltedSum(
         Tables.lineitem(spark, d), col("l_returnflag"), col("l_quantity"), "s")

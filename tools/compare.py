@@ -45,29 +45,30 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         duck_df = con.execute(oracle[name]).fetchdf()
         s, o = norm(spark_df), norm(duck_df)
-        status = "OK"
+        # collect every problem independently — a value mismatch must not
+        # mask a dtype mismatch (or vice versa); both are root causes
+        problems = []
         if list(s.columns) != list(o.columns):
-            status = f"COLUMN MISMATCH spark={list(s.columns)} duck={list(o.columns)}"
+            problems.append(
+                f"COLUMN MISMATCH spark={list(s.columns)} duck={list(o.columns)}")
         elif len(s) != len(o):
-            status = f"ROWCOUNT MISMATCH spark={len(s)} duck={len(o)}"
+            problems.append(f"ROWCOUNT MISMATCH spark={len(s)} duck={len(o)}")
         else:
             for c in s.columns:
                 sv, ov = s[c], o[c]
                 if str(sv.dtype) != str(ov.dtype):
-                    status = f"DTYPE {c}: spark={sv.dtype} duck={ov.dtype}"
+                    problems.append(f"DTYPE {c}: spark={sv.dtype} duck={ov.dtype}")
                 if not sv.equals(ov):
                     neq = (sv != ov) & ~(sv.isna() & ov.isna())
                     n = int(neq.sum())
                     if n:
                         i = neq.idxmax()
-                        status = (f"VALUE MISMATCH col={c} ndiff={n} "
-                                  f"first@{i}: spark={sv[i]!r} duck={ov[i]!r}")
-                        break
+                        problems.append(
+                            f"VALUE MISMATCH col={c} ndiff={n} "
+                            f"first@{i}: spark={sv[i]!r} duck={ov[i]!r}")
+        status = "OK" if not problems else "; ".join(problems)
         print(f"{name}: {status} rows={len(s)}")
-        if status != "OK" and not status.startswith("DTYPE"):
-            failures += 1
-        elif status.startswith("DTYPE"):
-            print(f"  (dtype-only difference — may still hash-mismatch)")
+        if problems:
             failures += 1
     print(f"\n{failures} failures")
     return 1 if failures else 0
