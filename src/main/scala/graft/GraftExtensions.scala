@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FixedPointDot, MinWindowFingerprint, RollingFingerprint}
+import graft.functions.{FixedPointDot, FixedPointQuantize, MinWindowFingerprint, RollingFingerprint}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -32,5 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("fixed_dot",
         "fixed_dot(a, b) - fused dot product of two BIGINT arrays"),
       (es: Seq[Expression]) => FixedPointDot(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("fixed_quantize"),
+      info("fixed_quantize",
+        "fixed_quantize(v) - fixed-point round(x*1e6) quantization of a DOUBLE array to BIGINT"),
+      (es: Seq[Expression]) => FixedPointQuantize(es.head)))
   }
 }

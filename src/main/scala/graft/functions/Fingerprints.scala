@@ -104,5 +104,7 @@ object FingerprintFunctions {
       "min_window_fingerprint", es => MinWindowFingerprint(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "fixed_dot", es => FixedPointDot(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "fixed_quantize", es => FixedPointQuantize(es.head), "built-in")
   }
 }

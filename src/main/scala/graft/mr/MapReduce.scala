@@ -101,19 +101,23 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
   /** Shuffle parallelism; 0 = Spark default. Replaces the reference's
     * round-robin key-cycling idiom (docs.rst:373-394). One knob sizing
     * both shuffles; override [[mapParallelism]] / [[reduceParallelism]]
-    * to tune the phases independently.
+    * to tune the phases independently. RDD path only: [[MapReduce.runDataset]]
+    * ignores these knobs — its exchanges are sized by
+    * `spark.sql.shuffle.partitions` plus AQE coalescing (see
+    * [[dsPartitionAndSort]] for why a pre-repartition would not help).
     */
   def numPartitions: Int = 0
 
   /** Shuffle-#1 (map-output) parallelism — the reference's independent
     * mapper pool (`map` vs `reduce_map`, tinymr.py:156-173, where the
     * mapper and reducer executors are tuned separately). Defaults to
-    * [[numPartitions]].
+    * [[numPartitions]]; RDD path only (see there).
     */
   def mapParallelism: Int = numPartitions
 
   /** Shuffle-#2 (reduce-output) parallelism — the reducer-pool half of
-    * the reference's asymmetry. Defaults to [[numPartitions]].
+    * the reference's asymmetry. Defaults to [[numPartitions]]; RDD path
+    * only (see there).
     */
   def reduceParallelism: Int = numPartitions
 
@@ -132,6 +136,14 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
     * each partition exactly once).
     */
   def teardown(): Unit = {}
+
+  /** Engine-internal per-partition stream-state reset, invoked by
+    * [[instrumented]] before [[setup]] at the start of every partition
+    * stream. Spark tasks are single-threaded, so implementations may
+    * reset plain vars without synchronization (the documented
+    * assumption). User code overrides [[setup]], not this.
+    */
+  protected def onPartitionStart(): Unit = {}
 
   /** Optional commutative-associative combiner. When defined (and no
     * map-phase sort is requested) the map output is pre-combined per key
@@ -160,17 +172,27 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
 
   /** Wraps one partition's stream with the [[setup]]/[[teardown]]
     * lifecycle: setup before the first element is produced, teardown
-    * exactly once when the stream is exhausted (including the empty
-    * partition, where it fires on the first hasNext probe).
+    * exactly once — eagerly on stream exhaustion (including the empty
+    * partition, where it fires on the first hasNext probe), and
+    * guaranteed at task completion/failure via
+    * `TaskContext.addTaskCompletionListener` for streams that are never
+    * drained: a downstream `take(n)`/`limit` short-circuit, a mid-stream
+    * exception, a task kill. The `closed` flag keeps the two triggers
+    * idempotent (tasks are single-threaded; the completion listener runs
+    * on the task thread after the body finishes).
     */
   protected def instrumented[A, B](it: Iterator[A])(f: A => Iterator[B]): Iterator[B] = {
+    onPartitionStart()
     setup()
+    var closed = false
+    def close(): Unit = if (!closed) { closed = true; teardown() }
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => close())
     val flat = it.flatMap(f)
     new Iterator[B] {
-      private var closed = false
       def hasNext: Boolean = {
         val h = flat.hasNext
-        if (!h && !closed) { closed = true; teardown() }
+        if (!h) close()
         h
       }
       def next(): B = flat.next()
@@ -341,6 +363,25 @@ abstract class MapReduce[I, K, S, V] extends MapReduceBase[I, K, S, V] {
       implicit kt: ClassTag[K], vt: ClassTag[V]): Map[K, List[V]] =
     run(rdd).collect().toMap
 
+  /** The reference's user-overridable finalizer hook (`output(self,
+    * mapping)`, tinymr.py:93-114, called at tinymr.py:229-230): identity
+    * by default, a `Counter` for top-k in the docs (docs.rst:150-151),
+    * and "can in fact do anything" (docs.rst:282-283) — hence the
+    * dynamic return type, matching the reference's unconstrained
+    * contract. This is a DRIVER-side hook over the collected mapping
+    * (the explicit small-result boundary, like [[runToMap]]);
+    * finalization that must stay distributed belongs as ordinary
+    * transformations on the [[run]] result instead.
+    */
+  def output(mapping: Map[K, List[V]]): Any = mapping
+
+  /** The reference's full `__call__` lifecycle ending: [[runToMap]]
+    * followed by the [[output]] finalizer (tinymr.py:229-230).
+    */
+  final def runOutput(rdd: RDD[I])(
+      implicit kt: ClassTag[K], vt: ClassTag[V]): Any =
+    output(runToMap(rdd))
+
   /** Tungsten-encoded execution of the same lifecycle (see
     * [[MapReduceBase]] Dataset path). Requires Encoders for the key and
     * record tuples — i.e. product/primitive K, S, V.
@@ -386,6 +427,17 @@ abstract class MapReduce1[I, K, S, V] extends MapReduceBase[I, K, S, V] {
       implicit kt: ClassTag[K], vt: ClassTag[V]): Map[K, V] =
     run(rdd).collect().toMap
 
+  /** Return-mode form of the [[MapReduce.output]] finalizer hook
+    * (tinymr.py:93-114; the reference collapses to single values first,
+    * tinymr.py:222-227, so its `output` sees `dict[key, value]`).
+    */
+  def output(mapping: Map[K, V]): Any = mapping
+
+  /** [[runToMap]] + [[output]] — reference tinymr.py:229-230. */
+  final def runOutput(rdd: RDD[I])(
+      implicit kt: ClassTag[K], vt: ClassTag[V]): Any =
+    output(runToMap(rdd))
+
   /** Tungsten-encoded execution; see [[MapReduceBase]] Dataset path. */
   final def runDataset(ds: Dataset[I])(
       implicit ek: Encoder[K], esv: Encoder[(K, SV)],
@@ -412,9 +464,12 @@ abstract class MapReduce1[I, K, S, V] extends MapReduceBase[I, K, S, V] {
   * lenient downstream error (the reference's verified lenient-then-loud
   * behavior — SURVEY.md §1.2).
   *
-  * The head flags are `@transient`: each Spark task deserializes its own
-  * copy of this object, so they reset per partition stream — the same
-  * scope as the reference's per-partition peek.
+  * The head flags are reset explicitly at every partition-stream start
+  * (via [[onPartitionStart]]) — not by relying on each Spark task
+  * deserializing a fresh copy of this object, which would silently stop
+  * holding if the task were ever invoked on a non-serialized instance
+  * (driver-side local runs, a future fast path). Tasks are
+  * single-threaded, so the plain vars need no synchronization.
   */
 abstract class UntypedMapReduce[I] extends MapReduce[I, Any, Any, Any] {
 
@@ -423,6 +478,11 @@ abstract class UntypedMapReduce[I] extends MapReduce[I, Any, Any, Any] {
 
   @transient private var mapperValidated = false
   @transient private var reducerValidated = false
+
+  override protected def onPartitionStart(): Unit = {
+    mapperValidated = false
+    reducerValidated = false
+  }
 
   private def toEmit(p: Product, phase: String, first: Boolean): Emit[Any, Any, Any] =
     p.productArity match {

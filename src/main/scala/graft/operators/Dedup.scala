@@ -117,8 +117,10 @@ object Dedup {
       }.toDF("doc_id", "band", "bh")
 
     // hot-bucket-bounded candidate generation (see LshJoin scaladoc):
-    // a band bucket shared by >MaxBucket docs is dropped, not self-joined
-    val cand = LshJoin.boundedBucketPairs(bands, "doc_id", LshJoin.MaxBucket, "band", "bh")
+    // a band bucket shared by >MaxBucket docs is dropped, not self-joined;
+    // the drop count rides on every output row so recall loss is observable
+    val (cand, lshStats) =
+      LshJoin.boundedBucketPairsWithStats(bands, "doc_id", LshJoin.MaxBucket, "band", "bh")
 
     val sh = withSh.select(col("doc_id"), col("sh"))
     val pairs = cand
@@ -135,9 +137,11 @@ object Dedup {
 
     withSh.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(lshStats.select(col("n_dropped_buckets"))))
       .select(col("doc_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+        col("n_dropped_buckets"))
       .orderBy(col("doc_id"))
   }
 
@@ -180,7 +184,8 @@ object Dedup {
 
     // 65k distinct buckets per chunk guarantee collisions at corpus
     // scale — bound the per-bucket pair blow-up the same way as MinHash
-    val cand = LshJoin.boundedBucketPairs(chunks, "doc_id", LshJoin.MaxBucket, "chunk", "ck")
+    val (cand, lshStats) =
+      LshJoin.boundedBucketPairsWithStats(chunks, "doc_id", LshJoin.MaxBucket, "chunk", "ck")
 
     val near = cand
       .join(sigs.select(col("doc_id").as("a"), col("simhash").as("sa")), "a")
@@ -193,8 +198,10 @@ object Dedup {
 
     sigs.select(col("doc_id"), col("simhash"))
       .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(lshStats.select(col("n_dropped_buckets"))))
       .select(col("doc_id"), col("simhash"),
-        coalesce(col("n_near"), lit(0L)).as("n_near"))
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("n_dropped_buckets"))
       .orderBy(col("doc_id"))
   }
 
@@ -207,53 +214,99 @@ object Dedup {
     */
   val MaxGramDf = 1000
 
+  /** Stable 64-bit trigram hash (two murmur32 seeds combined). The
+    * inverted index never needs the gram text back, so shuffling/caching
+    * 8-byte keys instead of ~20-byte strings cuts the exchanged volume
+    * roughly in half — the standard vocabulary-hashing trick of the
+    * set-similarity literature. Collision expectation at 10^6 distinct
+    * grams is ~n^2/2^64 ≈ 3e-8 (deterministic when it ever happens).
+    */
+  private[operators] def gramHash64(g: String): Long = {
+    val h1 = MurmurHash3.stringHash(g, 0x9747b28c)
+    val h2 = MurmurHash3.stringHash(g, 0x1b873593)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
   /** Word n-gram Jaccard similarity search: probe docs (doc_id < 10)
     * against the corpus via an inverted trigram index (explode + join +
-    * count), top-3 matches per probe. The join on `gram` is the inverted
-    * index — at 100 TB this is the standard sparse-similarity shape, with
-    * frequent-gram skew handled upstream by dropping grams with document
-    * frequency above [[MaxGramDf]] (broadcast anti-join: the ubiquitous-
-    * gram list is tiny by definition).
+    * count), top-3 matches per probe. The join on `gram` (a 64-bit gram
+    * hash, [[gramHash64]]) is the inverted index — at 100 TB this is the
+    * standard sparse-similarity shape, with frequent-gram skew handled
+    * upstream by dropping grams with document frequency above
+    * [[MaxGramDf]] (broadcast anti-join: the ubiquitous-gram list is
+    * tiny by definition).
     */
   def q22NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    // Typed flatMap, deliberately: Spark's higher-order array functions
+    // Typed map, deliberately: Spark's higher-order array functions
     // (transform/filter lambdas) are evaluated INTERPRETED, not
     // whole-stage-codegen'd — an expression-tree sliding-window was
     // measured 13x slower than this JVM closure at sf0.1. Per-doc
     // distinct happens in-memory inside the closure (docs are short),
     // so no global distinct shuffle is needed.
     import s.implicits._
-    val allGrams = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // One compact row per doc (its distinct trigram-hash array),
+    // persisted: every downstream consumer (df histogram, sizes, probe
+    // and index sides) derives from this frame, so the tokenize map —
+    // the query's dominant per-row cost — runs exactly once, and the
+    // cache holds one doc_id + ~|doc| longs per doc instead of a
+    // doc_id-duplicating pair table. MEMORY_AND_DISK: at cluster scale
+    // a spilled block still beats a tokenization pass. Lifetime:
+    // populated by the first consumer, reclaimed by LRU eviction /
+    // clearCache (a lazily returned DataFrame has no scope to
+    // unpersist in).
+    val docGrams = Tables.documents(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .flatMap { case (id, text) =>
+      .map { case (id, text) =>
         val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-        toks.sliding(3).filter(_.length == 3).map(g => (id, g.mkString(" "))).distinct
-      }.toDF("doc_id", "gram")
+        (id, toks.sliding(3).filter(_.length == 3)
+          .map(g => gramHash64(g.mkString(" "))).distinct.toArray)
+      }.toDF("doc_id", "grams")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // drop ubiquitous grams (document frequency > MaxGramDf) from the
-    // vocabulary: per-gram rows are distinct per doc, so this count IS
-    // the document frequency; the over-cap list is tiny -> broadcast
-    val hotGrams = allGrams.groupBy(col("gram"))
+    // drop ubiquitous grams (document frequency > MaxGramDf): per-doc
+    // arrays are distinct, so this count IS the document frequency. The
+    // over-cap list is bounded by total-gram-occurrences / MaxGramDf,
+    // so collecting it to the driver is the same O(tiny) contract as
+    // broadcasting it, one exchange cheaper. Removed from BOTH sides so
+    // Jaccard stays consistent over the filtered vocabulary.
+    val hotSet = docGrams.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxGramDf)
-      .select(col("gram"))
-    val grams = allGrams.join(broadcast(hotGrams), Seq("gram"), "left_anti")
+      .select(col("gram")).as[Long].collect().toSet
 
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    // probe gram sets (doc_id < 10): 10 rows by construction — the same
+    // documented bounded driver collect as the IVF probe ranking
+    // (Similarity.q43KnnIvf).
+    val probeSets: Array[(Long, Array[Long])] = docGrams
+      .filter(col("doc_id") < 10).as[(Long, Array[Long])]
+      .collect()
+      .map { case (pid, g) => (pid, g.filterNot(hotSet)) }
 
-    // inverted-index probe: the probe side (10 docs' grams) is tiny —
-    // broadcast it so the corpus side streams with no shuffle
-    val probes = grams.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("probe_id"), col("gram"))
-    val inter = broadcast(probes).join(grams, "gram")
-      .filter(col("probe_id") =!= col("doc_id"))
-      .groupBy(col("probe_id"), col("doc_id"))
-      .agg(count(lit(1)).as("inter"))
-
-    val scored = inter
-      .join(broadcast(sizes.filter(col("doc_id") < 10)
-        .select(col("doc_id").as("probe_id"), col("n_grams").as("na"))), "probe_id")
-      .join(sizes.select(col("doc_id"), col("n_grams").as("nb")), "doc_id")
+    // Zero-shuffle probe: the probe sets ride the closure and the
+    // corpus streams ONCE, counting per-(probe, doc) gram intersections
+    // inline — where the join-shaped inverted index would shuffle a
+    // (probe_id, doc_id) pair stream into a counting aggregation, this
+    // emits the counted pairs directly. The only shuffle left is the
+    // final tiny top-k window over scored candidates. (The exploded
+    // join/groupBy shape remains the right tool when the probe side is
+    // itself too big to broadcast.)
+    val scored = docGrams.as[(Long, Array[Long])]
+      .flatMap { case (id, gramsRaw) =>
+        val grams = gramsRaw.filterNot(hotSet)
+        val nb = grams.length
+        val docSet = grams.toSet
+        probeSets.iterator
+          .filter(_._1 != id)
+          .map { case (pid, pg) =>
+            var inter = 0
+            var i = 0
+            while (i < pg.length) { if (docSet.contains(pg(i))) inter += 1; i += 1 }
+            (pid, id, inter, pg.length, nb)
+          }
+          .filter(_._3 > 0)
+      }
+      .toDF("probe_id", "doc_id", "inter", "na", "nb")
       .select(col("probe_id"), col("doc_id"),
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))

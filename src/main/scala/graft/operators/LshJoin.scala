@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Bounded LSH candidate-pair generation shared by the near-dup operators
   * (MinHash bands, SimHash chunks, hyperplane signatures).
@@ -39,17 +40,39 @@ object LshJoin {
   /** Distinct candidate pairs (a < b) of ids sharing a bucket, with
     * buckets larger than `cap` dropped. `bucketCols` together identify a
     * bucket (e.g. (band, bandHash)); `idCol` must be unique within a
-    * bucket (one emission per id per band/table/chunk).
+    * bucket (one emission per id per band/table/chunk) and of an
+    * integral type (pairs carry BIGINT ids — anything else fails fast
+    * here rather than as a deep analysis error).
     */
   def boundedBucketPairs(
-      buckets: DataFrame, idCol: String, cap: Int, bucketCols: String*): DataFrame = {
+      buckets: DataFrame, idCol: String, cap: Int, bucketCols: String*): DataFrame =
+    boundedBucketPairsWithStats(buckets, idCol, cap, bucketCols: _*)._1
+
+  /** [[boundedBucketPairs]] plus a one-row stats frame
+    * `(n_dropped_buckets BIGINT, n_dropped_rows BIGINT)` quantifying
+    * what the cap discarded — at 100 TB an operator must be able to
+    * observe the recall loss, not just benefit from the bound. The
+    * bucket histogram is computed once: the (by construction tiny) hot
+    * list is persisted and feeds both the anti-join filter and the
+    * metric aggregation.
+    */
+  def boundedBucketPairsWithStats(
+      buckets: DataFrame, idCol: String, cap: Int, bucketCols: String*): (DataFrame, DataFrame) = {
     val s = buckets.sparkSession
     import s.implicits._
+    buckets.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"boundedBucketPairs: id column '$idCol' must be integral (widened to BIGINT), got $other")
+    }
+    val hot = hotBuckets(buckets, cap, bucketCols: _*).persist()
+    val stats = hot.agg(
+      count(lit(1)).as("n_dropped_buckets"),
+      coalesce(sum(col("n")), lit(0L)).as("n_dropped_rows"))
     val withB = buckets.select(
-      col(idCol).as("id"), struct(bucketCols.map(col): _*).as("bucket"))
-    val ok = withB.join(broadcast(hotBuckets(buckets, cap, bucketCols: _*)),
-      Seq("bucket"), "left_anti")
-    ok.groupBy(col("bucket")).agg(collect_list(col("id")).as("ids"))
+      col(idCol).cast(LongType).as("id"), struct(bucketCols.map(col): _*).as("bucket"))
+    val ok = withB.join(broadcast(hot), Seq("bucket"), "left_anti")
+    val pairs = ok.groupBy(col("bucket")).agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(col("ids")).as[Seq[Long]]
       .flatMap { ids =>
@@ -59,6 +82,7 @@ object LshJoin {
       }
       .toDF("a", "b")
       .distinct()
+    (pairs, stats)
   }
 
   /** The dropped (oversized) buckets — one row per bucket with its member

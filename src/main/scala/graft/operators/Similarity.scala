@@ -21,9 +21,14 @@ import scala.util.hashing.MurmurHash3
   */
 object Similarity {
 
-  /** Fixed-point quantization of the embedding column (exact integers). */
+  /** Fixed-point quantization of the embedding column (exact integers),
+    * via the native codegen expression (graft.functions.FixedPointQuantize)
+    * — the composable `transform(...)` lambda form is evaluated
+    * interpreted and kept every corpus row's quantization out of
+    * whole-stage codegen. Queries register the function first.
+    */
   private def quantized: Column =
-    transform(col("embedding"), x => round(x.cast("double") * 1e6).cast("long"))
+    call_function("fixed_quantize", col("embedding"))
 
   /** Fused single-pass dot product (graft.functions.FixedPointDot) — no
     * intermediate product array per candidate pair, unlike
@@ -131,14 +136,24 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    // cache the featurized corpus: KMeans is iterative and would
-    // otherwise re-scan parquet + re-run array_to_vector every iteration
     val emb = Tables.embeddings(s, d)
       .withColumn("features", array_to_vector(col("embedding")))
+
+    // fit the coarse quantizer on a deterministic content-hash sample
+    // (the q49 sampling idiom: membership is a pure function of the id,
+    // stable under repartitioning and retries). KMeans is iterative, so
+    // only this sample is cached — and only for the duration of the
+    // eager fit — while the full corpus is never cached and streams once
+    // for assignment. At 100 TB the sample keeps both the iterative
+    // scans and the storage pressure O(sample), not O(corpus).
+    val fitSample = emb
+      .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+      .select(col("features"))
       .cache()
     val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(emb)
+      .fit(fitSample)
+    fitSample.unpersist(blocking = false)
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("cell"), quantized.as("q"))
       .withColumn("nrm", dot(col("q"), col("q")))
@@ -195,8 +210,10 @@ object Similarity {
       .withColumn("nrm", dot(col("q"), col("q")))
 
     // hot-bucket-bounded candidate generation (LshJoin scaladoc): a
-    // degenerate signature bucket no longer produces an O(m²) self-join
-    val cand = LshJoin.boundedBucketPairs(sigs, "vec_id", LshJoin.MaxBucket, "tbl", "sig")
+    // degenerate signature bucket no longer produces an O(m²) self-join;
+    // the drop count rides on every output row so recall loss is observable
+    val (cand, lshStats) =
+      LshJoin.boundedBucketPairsWithStats(sigs, "vec_id", LshJoin.MaxBucket, "tbl", "sig")
 
     val scored = cand
       .join(q.select(col("vec_id").as("a"), col("q").as("qa"), col("nrm").as("na")), "a")
@@ -214,9 +231,11 @@ object Similarity {
 
     q.select(col("vec_id"))
       .join(perVec, Seq("vec_id"), "left")
+      .crossJoin(broadcast(lshStats.select(col("n_dropped_buckets"))))
       .select(col("vec_id"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-        coalesce(col("best_cosine"), lit(-1.0)).as("best_cosine"))
+        coalesce(col("best_cosine"), lit(-1.0)).as("best_cosine"),
+        col("n_dropped_buckets"))
       .orderBy(col("vec_id"))
   }
 }

@@ -66,4 +66,52 @@ class VectorOpsSpec extends SparkSpec {
     val a = Literal.create(ArrayData.toArrayData(big), ArrayType(LongType))
     assert(FixedPointDot(a, a).eval(null) == 64L * 5000000L * 5000000L)
   }
+
+  // ---- fixed_quantize ------------------------------------------------
+
+  test("fixed_quantize matches the interpreted transform(round(x*1e6)) form on floats") {
+    import spark.implicits._
+    // the exact expression fixed_quantize replaces in the ANN queries —
+    // values must be bit-identical or q23's hash oracle would drift
+    val vecs = Seq(
+      Array(0.1f, -0.25f, 1.5e-6f, -3.7f, 0.0f, 123.456f, -0.9999999f),
+      Array.tabulate(64)(i => (math.sin(i * 0.37) * (if (i % 2 == 0) 1 else -1)).toFloat)
+    ).toDF("v")
+    val rows = vecs.select(
+        expr("fixed_quantize(v)").as("q"),
+        transform(col("v"), x => round(x.cast("double") * 1e6).cast("long")).as("t"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (q, t) => assert(q == t) }
+  }
+
+  test("fixed_quantize interpreted eval agrees with the codegen/SQL path") {
+    import spark.implicits._
+    val in = Array(0.1, -0.25, 2.0e-6, -3.7)
+    val viaSql = Seq(in.toSeq).toDF("v")
+      .select(expr("fixed_quantize(v)").as("q")).as[Seq[Long]].head()
+    val lit = Literal.create(ArrayData.toArrayData(in), ArrayType(org.apache.spark.sql.types.DoubleType))
+    val viaEval = FixedPointQuantize(lit).eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+    assert(viaSql == viaEval)
+    assert(viaEval == Seq(100000L, -250000L, 2L, -3700000L))
+  }
+
+  test("quantRound is exact half-away-from-zero (Spark round + long-cast semantics)") {
+    assert(VectorKernels.quantRound(2.5) == 3L)
+    assert(VectorKernels.quantRound(-2.5) == -3L)
+    assert(VectorKernels.quantRound(2.4999999999999996) == 2L)
+    assert(VectorKernels.quantRound(0.49999999999999994) == 0L)
+    assert(VectorKernels.quantRound(-0.0) == 0L)
+    assert(VectorKernels.quantRound(1e12 + 0.5) == 1000000000001L)
+  }
+
+  test("fixed_quantize returns null for null input and rejects scalars at analysis") {
+    import spark.implicits._
+    val df = Seq(Option.empty[Seq[Double]]).toDF("v")
+      .select(expr("fixed_quantize(v)").as("q"))
+    assert(df.collect().head.isNullAt(0))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1.0).toDF("v").select(expr("fixed_quantize(v)")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array"), e.getMessage)
+  }
 }

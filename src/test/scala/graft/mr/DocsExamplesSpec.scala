@@ -42,6 +42,21 @@ object DocsExampleTasks {
       KV(word, counts.sum)
   }
 
+  /** docs.rst:140-151 WordCount with the `output()` finalizer overridden
+    * to a Counter-style most-common view — the reference's user hook
+    * that "can in fact do anything" (tinymr.py:93-114, docs.rst:150-151,
+    * docs.rst:282-283).
+    */
+  final class MostCommonWordCount extends MapReduce1[String, String, Int, Int] {
+    override def keyPreserving: Boolean = true
+    def mapper(line: String): IterableOnce[Emit[String, Int, Int]] =
+      line.split("\\s+").iterator.filter(_.nonEmpty).map(w => KV(w, 1))
+    def reducer(word: String, counts: Seq[Int]): Emit[String, Int, Int] =
+      KV(word, counts.sum)
+    override def output(mapping: Map[String, Int]): Any =
+      mapping.toSeq.sortBy { case (w, n) => (-n, w) }.take(3)
+  }
+
   /** docs.rst:389-401 KeyCount: each line's words get keys cycling
     * 0,1,2,3; the reducer counts DISTINCT words per key. Mapper emits
     * strings, reducer emits an int — dynamically typed, so it runs
@@ -91,6 +106,18 @@ class DocsExamplesSpec extends SparkSpec {
     assert(counts("OF") == 16)
     assert(counts("the") == 14)
     assert(top3(counts).map(_._2) == Seq(16, 16, 14))
+  }
+
+  test("tinymr.py:93-114 — overridden output() finalizer yields the Counter-style top-3") {
+    assume(new java.io.File(LicensePath).exists())
+    val lines = sc.parallelize(licenseLines, 3)
+    val got = new MostCommonWordCount().runOutput(lines)
+      .asInstanceOf[Seq[(String, Int)]]
+    assert(got.map(_._2) == Seq(8, 8, 7))
+    assert(got.map(_._1).toSet == Set("OR", "OF", "the"))
+    // un-overridden output() is the identity on the mapping (tinymr.py:113-114)
+    val dflt = new DocWordCount().runOutput(lines).asInstanceOf[Map[String, Int]]
+    assert(dflt("the") == 7)
   }
 
   test("docs.rst:404-407 — key-cycling distinct counts are 0:52 1:48 2:49 3:38") {

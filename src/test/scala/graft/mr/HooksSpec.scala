@@ -46,6 +46,21 @@ object HookTasks {
     }
   }
 
+  /** keyPreserving MapReduce1: the reduce phase's instrumented iterator
+    * runs in the FINAL stage (no shuffle #2), so a downstream take/limit
+    * short-circuits it mid-stream — the case where teardown is only
+    * guaranteed by the TaskContext completion listener.
+    */
+  final class ShortCircuitSum extends MapReduce1[Int, Int, Int, Long] {
+    override def keyPreserving: Boolean = true
+    override def setup(): Unit = setups.incrementAndGet()
+    override def teardown(): Unit = teardowns.incrementAndGet()
+    def mapper(item: Int): IterableOnce[Emit[Int, Int, Long]] =
+      Iterator.single(KV(item % 10, item.toLong))
+    def reducer(key: Int, values: Seq[Long]): Emit[Int, Int, Long] =
+      KV(key, values.sum)
+  }
+
   final class AsymmetricSum(mapPar: Int, redPar: Int) extends MapReduce[Int, Int, Int, Long] {
     override def mapParallelism: Int = mapPar
     override def reduceParallelism: Int = redPar
@@ -84,6 +99,29 @@ class HooksSpec extends SparkSpec {
     // AQE sizes the Dataset shuffles, so exact stream counts aren't
     // pinned — the invariant is: every setup had its teardown, and the
     // hooks actually ran
+    assert(setups.get() > 0)
+    assert(setups.get() == teardowns.get(),
+      s"setups=${setups.get()} teardowns=${teardowns.get()}")
+  }
+
+  test("teardown still fires when a downstream take() short-circuits the stream (RDD path)") {
+    reset()
+    val one = new ShortCircuitSum().run(sc.parallelize(1 to 100, 4)).take(1)
+    assert(one.length == 1)
+    assert(setups.get() > 0)
+    // without the TaskContext completion listener the short-circuited
+    // partition's reduce-phase stream is never drained -> teardown leaks
+    assert(setups.get() == teardowns.get(),
+      s"setups=${setups.get()} teardowns=${teardowns.get()}")
+  }
+
+  test("teardown still fires when a downstream limit short-circuits the stream (Dataset path)") {
+    reset()
+    import spark.implicits._
+    val one = new ShortCircuitSum()
+      .runDataset(spark.range(1, 101).as[Long].map(_.toInt))
+      .head(1)
+    assert(one.length == 1)
     assert(setups.get() > 0)
     assert(setups.get() == teardowns.get(),
       s"setups=${setups.get()} teardowns=${teardowns.get()}")

@@ -58,7 +58,15 @@ class PlanSpec extends SparkSpec {
     assert(plan("q07_window_topk").contains("WindowGroupLimit"))
   }
 
-  test("q22: inverted-index probe join broadcasts the probe side") {
-    assert(plan("q22_ngram_jaccard").contains("BroadcastHashJoin"))
+  test("q22: zero-shuffle probe — no join exchanges, only the tiny top-k window") {
+    // the probe gram sets ride the closure (bounded driver collect), so
+    // the scoring pass over the corpus must plan with NO join and NO
+    // exchange other than the window/order over the small scored frame
+    val p = plan("q22_ngram_jaccard")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    // formatted explain lists each node twice (tree + detail section),
+    // so count only the numbered detail headers
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"q22 plans $exchanges exchanges:\n$p")
   }
 }

@@ -94,6 +94,39 @@ class ScaleSpec extends SparkSpec {
     assert(bounded == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L)))
   }
 
+  test("drop-count stats surface the discarded hot buckets") {
+    import spark.implicits._
+    val hot = (0L until 200L).map(id => (id, 0, 7L))
+    val small = Seq((1000L, 1, 9L), (1001L, 1, 9L))
+    val buckets = (hot ++ small).toDF("doc_id", "band", "bh")
+    val (pairs, stats) =
+      LshJoin.boundedBucketPairsWithStats(buckets, "doc_id", 64, "band", "bh")
+    assert(pairs.count() == 1L) // only the healthy 2-member bucket
+    val r = stats.collect().head
+    assert(r.getLong(0) == 1L, s"n_dropped_buckets=${r.getLong(0)}")
+    assert(r.getLong(1) == 200L, s"n_dropped_rows=${r.getLong(1)}")
+    // healthy-only input: zero drops, stats still one well-typed row
+    val (_, s2) = LshJoin.boundedBucketPairsWithStats(
+      Seq((1L, 0, 5L), (2L, 0, 5L)).toDF("doc_id", "band", "bh"), "doc_id", 64, "band", "bh")
+    val r2 = s2.collect().head
+    assert(r2.getLong(0) == 0L && r2.getLong(1) == 0L)
+  }
+
+  test("the drop-count metric rides on the near-dup query outputs") {
+    val out = Dedup.q20DedupMinhash(spark, d)
+    assert(out.columns.contains("n_dropped_buckets"))
+    val first = out.limit(1).collect().head
+    assert(first.getLong(first.fieldIndex("n_dropped_buckets")) >= 0L)
+  }
+
+  test("non-integral id column fails fast with a clear message") {
+    import spark.implicits._
+    val bad = Seq(("x", 0, 5L)).toDF("doc_id", "band", "bh")
+    val e = intercept[IllegalArgumentException](
+      LshJoin.boundedBucketPairs(bad, "doc_id", 64, "band", "bh"))
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("hot-bucket filter plans a broadcast anti-join, not a shuffle of the bucket table") {
     import spark.implicits._
     val buckets = (0L until 100L).map(id => (id, (id % 10).toInt, id % 5))
