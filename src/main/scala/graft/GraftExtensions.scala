@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FixedPointDot, FixedPointQuantize, MinWindowFingerprint, RollingFingerprint}
+import graft.functions.{BloomMightContain, FixedPointDot, FixedPointQuantize, MinWindowFingerprint, RollingFingerprint}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -37,5 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("fixed_quantize",
         "fixed_quantize(v) - fixed-point round(x*1e6) quantization of a DOUBLE array to BIGINT"),
       (es: Seq[Expression]) => FixedPointQuantize(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain",
+        "bloom_might_contain(key, filter_bytes) - probe a serialized Bloom filter"),
+      (es: Seq[Expression]) => BloomMightContain(es(0), es(1))))
   }
 }

@@ -68,6 +68,11 @@ object SparkEntry {
     "q48_having" -> (Relational.q48Having _),
     "q49_sample" -> (TextOps.q49Sample _),
     "q50_split" -> (TextOps.q50Split _),
+    "q51_quality_repetition" -> (Corpus.q51QualityRepetition _),
+    "q52_term_scores" -> (Corpus.q52TermScores _),
+    "q53_copurchase_clusters" -> (Corpus.q53CopurchaseClusters _),
+    "q54_bloom_join" -> (Relational.q54BloomJoin _),
+    "q55_heavy_hitters" -> (Corpus.q55HeavyHitters _),
   )
 
   private val Rev =
@@ -368,5 +373,59 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
         |  CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q51_quality_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, tok, COUNT(*) AS c FROM t WHERE tok <> '' GROUP BY 1, 2, 3),
+        |st AS (
+        |  SELECT doc_id, source, CAST(SUM(c) AS BIGINT) AS n_tok,
+        |    COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_cnt
+        |  FROM c GROUP BY 1, 2)
+        |SELECT doc_id, source, n_tok, n_distinct, top_cnt,
+        |  CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) AS distinct_ratio,
+        |  CAST(top_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE) AS top_ratio
+        |FROM st
+        |WHERE CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE) < 0.32
+        |   OR CAST(top_cnt AS DOUBLE) / CAST(n_tok AS DOUBLE) > 0.12
+        |ORDER BY doc_id""".stripMargin,
+    "q52_term_scores" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tt AS (SELECT doc_id, source, tok FROM t WHERE tok <> ''),
+        |tf AS (SELECT source, tok, COUNT(*) AS tf FROM tt GROUP BY 1, 2),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tt GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.source, tf.tok, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+        |rnk AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, tok ASC) AS rnk
+        |  FROM scored)
+        |SELECT source, tok, tf, df, score, rnk FROM rnk
+        |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
+    "q53_copurchase_clusters" ->
+      """WITH RECURSIVE hi AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 49),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM hi a JOIN hi b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey <> b.l_partkey),
+        |nodes AS (SELECT DISTINCT l_partkey AS p FROM hi),
+        |reach(p, lbl) AS (
+        |  SELECT p, p FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.p WHERE r.lbl < e.dst),
+        |cl AS (SELECT p, MIN(lbl) AS cluster_id FROM reach GROUP BY p),
+        |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl GROUP BY 1)
+        |SELECT cl.p AS l_partkey, cl.cluster_id, sz.cluster_size
+        |FROM cl JOIN sz USING (cluster_id) ORDER BY l_partkey""".stripMargin,
+    "q54_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -106,5 +106,7 @@ object FingerprintFunctions {
       "fixed_dot", es => FixedPointDot(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "fixed_quantize", es => FixedPointQuantize(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_might_contain", es => BloomMightContain(es(0), es(1)), "built-in")
   }
 }

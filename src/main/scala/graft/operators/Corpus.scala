@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for large-scale training-data pipelines:
+  * repetition-based quality filtering (the Gopher/MassiveText rules,
+  * Rae et al. '21 §A1.1), characteristic-term scoring, duplicate-cluster
+  * assignment (connected components), and sketched heavy hitters.
+  */
+object Corpus {
+
+  /** Minimum distinct-token ratio (below = repetitive doc, flagged). */
+  val MinDistinctRatio = 0.32
+  /** Maximum top-token frequency ratio (above = degenerate doc). */
+  val MaxTopTokenRatio = 0.12
+
+  /** Gopher-style repetition filter: per-document token statistics
+    * (total / distinct / most-frequent-token counts) and the two
+    * repetition ratios, emitting the flagged documents. Per-doc stats
+    * are computed in one typed map closure — a single pass, no
+    * explode-shuffle: the per-doc token histogram fits in memory by the
+    * document-length bound, so the only exchange in the whole query is
+    * the final tiny sort of flagged rows. (The HOF-lambda equivalent is
+    * interpreted, the measured 13x cost class — see q22's scaladoc.)
+    */
+  def q51QualityRepetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, src, text) =>
+        val counts = collection.mutable.HashMap.empty[String, Int]
+        var nTok = 0L
+        text.split(" ").foreach { t =>
+          if (t.nonEmpty) {
+            nTok += 1
+            counts.update(t, counts.getOrElse(t, 0) + 1)
+          }
+        }
+        val top = if (counts.isEmpty) 0L else counts.valuesIterator.max.toLong
+        (id, src, nTok, counts.size.toLong, top)
+      }
+      .toDF("doc_id", "source", "n_tok", "n_distinct", "top_cnt")
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_tok").cast("double"))
+      .withColumn("top_ratio",
+        col("top_cnt").cast("double") / col("n_tok").cast("double"))
+      .filter(col("distinct_ratio") < MinDistinctRatio
+        || col("top_ratio") > MaxTopTokenRatio)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Characteristic terms per source: score = tf * N / df (term
+    * frequency weighted by inverse document frequency — the rational
+    * tf-idf form, kept log-free so every arithmetic step is a single
+    * IEEE-754 operation reproducible bit-for-bit by the SQL oracle),
+    * top-3 terms per source. Shape at scale: one wordcount-style
+    * partial-aggregated tf pass, one distinct-doc df pass over the
+    * same exploded frame, a key join on the term (AQE broadcasts when
+    * the vocabulary is small), and a per-source top-k window.
+    */
+  def q52TermScores(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+
+    // one tokenize+explode pass, pre-aggregated to per-(tok, doc)
+    // counts and persisted: tf and df both derive from this compact
+    // frame instead of re-scanning (and re-tokenizing) the corpus —
+    // the partial-aggregate absorbs the explode fan-out map-side, so
+    // the one wide exchange carries vocabulary x docs, not tokens
+    val perDoc = toks.groupBy(col("tok"), col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val tf = perDoc.groupBy(col("source"), col("tok")).agg(sum(col("c")).as("tf"))
+    val df = perDoc.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+
+    val scored = tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf").cast("double") * col("n_docs").cast("double"))
+          / col("df").cast("double"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("score").desc, col("tok").asc)))
+      .filter(col("rnk") <= 3)
+      .select(col("source"), col("tok"), col("tf"), col("df"), col("score"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  /** Cap on label-propagation rounds — a safety bound, not the expected
+    * count: rounds needed = graph diameter, and dedup/co-occurrence
+    * graphs have short diameters (the sf0.01 graph converges in 3).
+    */
+  val MaxCcIterations = 20
+
+  /** Duplicate/co-occurrence cluster assignment: connected components
+    * over the high-quantity co-purchase graph (parts linked when one
+    * order contains both with l_quantity >= 49), as alternating
+    * min-label propagation — each round every node adopts the smallest
+    * label among itself and its neighbors, reaching fixpoint in
+    * diameter rounds. This is the cluster-assignment half of corpus
+    * dedup ("keep one doc per near-dup cluster"); the edge source here
+    * is relational so the whole operator is exactly oracle-able (DuckDB
+    * recursive CTE) — the same propagation runs unchanged on LSH edge
+    * sets ([[Dedup.minhashPairs]]).
+    *
+    * Scale shape: each round is one shuffle (edge join labels on the
+    * edge key) + one min-aggregation; `localCheckpoint` truncates the
+    * growing lineage so round N's plan does not replay rounds 1..N-1.
+    * Convergence is detected by the monotone sum-of-labels invariant
+    * (labels only decrease, so an unchanged sum IS the fixpoint) — one
+    * cheap action per round, same cost class as the round itself. For
+    * graphs whose diameter is NOT short (long chains), the
+    * round-compressing large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC '14) drops in
+    * per-round; diameter-bound propagation is the right default for
+    * dedup-shaped graphs.
+    */
+  def q53CopurchaseClusters(s: SparkSession, d: String): DataFrame = {
+    val hi = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey"), col("l_partkey"))
+
+    // co-purchase edges, symmetric closure (a <> b keeps both directions
+    // so one join per round propagates labels both ways)
+    val edges = hi.as("x").join(hi.as("y"), "l_orderkey")
+      .filter(col("x.l_partkey") =!= col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      .distinct()
+
+    val nodes = hi.select(col("l_partkey").as("p")).distinct()
+    val labels = connectedComponents(nodes, edges)
+
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("p").as("l_partkey"), col("lbl").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("l_partkey"))
+  }
+
+  /** Min-label propagation to fixpoint (see [[q53CopurchaseClusters]]
+    * scaladoc for the scale analysis). `nodes(p)` and SYMMETRIC
+    * `edges(src, dst)` in; `(p, lbl)` out with `lbl` = the component's
+    * smallest node id.
+    */
+  private[operators] def connectedComponents(
+      nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // the convergence invariant sums node ids — DECIMAL(38,0), not
+    // BIGINT, so it cannot overflow at any realistic id range x corpus
+    // size (10^12 ids of 10^12 still fit 38 digits)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+
+    val e = edges.persist()
+    var labels = nodes.select(col("p"), col("p").as("lbl")).localCheckpoint()
+    var lastSum = labelSum(labels)
+    var converged = lastSum == null // empty node set: already at fixpoint
+    var round = 0
+    while (!converged && round < MaxCcIterations) {
+      val prop = e.join(labels, col("src") === col("p"))
+        .select(col("dst").as("p"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy(col("p")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint() // truncate lineage: round N must not replay 1..N-1
+      val s2 = labelSum(next)
+      converged = s2 == lastSum // labels are monotone non-increasing
+      lastSum = s2
+      labels = next
+      round += 1
+    }
+    e.unpersist(blocking = false)
+    labels
+  }
+
+  /** Count-min sketch relative-error epsilon (est <= exact + eps * N). */
+  val CmsEps = 0.001
+
+  /** Sketched heavy hitters: token frequencies estimated from one
+    * count-min sketch (Cormode & Muthukrishnan '05) built with Spark's
+    * `count_min_sketch` aggregate — fixed O(depth x width) state
+    * regardless of vocabulary size, the structure a 100 TB frequency
+    * pass needs when the exact wordcount's shuffle state (one counter
+    * per distinct token) stops fitting. Pass 1 folds every token into
+    * the sketch (partial-aggregated, merge = cell-wise sum, so the
+    * result is order-independent and deterministic); pass 2 scores the
+    * candidate tokens against the driver-broadcast sketch and keeps the
+    * top 10. Candidates here are the exact distinct tokens (bounded
+    * vocabulary); at true scale the candidate set comes from a
+    * per-partition top-k pre-pass, same probe shape. Approximate by
+    * design -> rows-only oracle; ApproxSpec pins the one-sided
+    * eps-bound error guarantee against exact counts.
+    */
+  def q55HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+
+    val sketchBytes = toks
+      .agg(count_min_sketch(col("tok"), lit(CmsEps), lit(0.99), lit(42)))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val bc = s.sparkContext.broadcast(cms)
+
+    toks.distinct().as[String]
+      .map(t => (t, bc.value.estimateCount(t)))
+      .toDF("tok", "est_count")
+      .orderBy(col("est_count").desc, col("tok"))
+      .limit(10)
+  }
+}

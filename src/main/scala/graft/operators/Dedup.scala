@@ -98,11 +98,15 @@ object Dedup {
     h
   }
 
-  /** MinHash+LSH near-duplicate detection. Output: one row per document
-    * with its LSH candidate count and best exact-Jaccard score (0 when no
-    * candidate shares a band). Non-SQL-expressible -> rows-only oracle.
+  /** Shared MinHash edge-generation core (q20 near-dup report, q53
+    * duplicate clustering): shingle + signature frame (cached — consumed
+    * by banding, verification, and the caller's final join), bounded
+    * LSH candidate pairs verified with exact Jaccard, and the LSH drop
+    * stats. Returns (withSh(doc_id, sh, sig), pairs(a, b, jaccard),
+    * stats(n_dropped_buckets, n_dropped_rows)).
     */
-  def q20DedupMinhash(s: SparkSession, d: String): DataFrame = {
+  private[operators] def minhashPairs(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
     val withSh = docs.map { case (id, text) =>
@@ -129,6 +133,15 @@ object Dedup {
       .select(col("a"), col("b"),
         (size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
+    (withSh, pairs, lshStats)
+  }
+
+  /** MinHash+LSH near-duplicate detection. Output: one row per document
+    * with its LSH candidate count and best exact-Jaccard score (0 when no
+    * candidate shares a band). Non-SQL-expressible -> rows-only oracle.
+    */
+  def q20DedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val (withSh, pairs, lshStats) = minhashPairs(s, d)
 
     val perDoc = pairs.select(col("a").as("doc_id"), col("jaccard"))
       .union(pairs.select(col("b").as("doc_id"), col("jaccard")))

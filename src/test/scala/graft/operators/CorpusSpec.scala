@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.Tables
+import graft.mr.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: repetition quality filter, term scoring,
+  * connected-components clustering, sketched heavy hitters. The
+  * SQL-expressible ones (q51/q52/q53/q54) are hash-checked against
+  * DuckDB by the driver; these specs pin the properties the oracle
+  * can't see — component correctness on a known graph, convergence
+  * round bounds, sketch error bounds, bloom-prune equivalence.
+  */
+class CorpusSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("q51 flags exactly the rows violating a repetition threshold") {
+    val rows = Corpus.q51QualityRepetition(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val distinctRatio = r.getAs[Double]("distinct_ratio")
+      val topRatio = r.getAs[Double]("top_ratio")
+      assert(distinctRatio < Corpus.MinDistinctRatio
+        || topRatio > Corpus.MaxTopTokenRatio, r)
+      // ratios are consistent with the integer stats they derive from
+      assert(distinctRatio ==
+        r.getAs[Long]("n_distinct").toDouble / r.getAs[Long]("n_tok").toDouble)
+    }
+  }
+
+  test("q52 emits exactly 3 ranked terms per source, scores non-increasing") {
+    val rows = Corpus.q52TermScores(spark, d).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (_, rs) =>
+      assert(rs.length == 3)
+      assert(rs.map(_.getAs[Long]("rnk")).toSeq == Seq(1L, 2L, 3L))
+      val scores = rs.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("connectedComponents labels a chain, a triangle and a singleton correctly") {
+    import spark.implicits._
+    // chain 1-2-3-4-5, triangle 10-11-12, singleton 20
+    val undirected = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val edges = (undirected ++ undirected.map(_.swap)).toDF("src", "dst")
+    val nodes = (Seq(20L) ++ undirected.flatMap(e => Seq(e._1, e._2)))
+      .distinct.toDF("p")
+    val got = Corpus.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("connectedComponents handles an empty node set") {
+    import spark.implicits._
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val nodes = Seq.empty[Long].toDF("p")
+    assert(Corpus.connectedComponents(nodes, edges).count() == 0L)
+  }
+
+  test("q53 cluster sizes partition the node set") {
+    val rows = Corpus.q53CopurchaseClusters(spark, d).collect()
+    assert(rows.nonEmpty)
+    // every node carries its component's size; summing one size per
+    // distinct cluster must give back the node count
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    assert(byCluster.map { case (_, rs) => rs.head.getAs[Long]("cluster_size") }.sum
+      == rows.length.toLong)
+    byCluster.foreach { case (cid, rs) =>
+      assert(rs.length.toLong == rs.head.getAs[Long]("cluster_size"))
+      // the representative label is the smallest member id
+      assert(rs.map(_.getAs[Long]("l_partkey")).min == cid)
+    }
+  }
+
+  test("q54 bloom-pruned join result equals the plain exact semi join") {
+    val got = Relational.q54BloomJoin(spark, d).collect()
+    val keys = Tables.orders(spark, d)
+      .filter(col("o_totalprice") > 200000).select(col("o_orderkey"))
+    val l = Tables.lineitem(spark, d)
+    val expected = l.join(keys, l("l_orderkey") === keys("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+      .collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      expected.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("q54 plans the bloom probe as a codegen filter below the semi join") {
+    val p = Relational.q54BloomJoin(spark, d)
+      .queryExecution.executedPlan.toString()
+    // the probe must be a Filter on the fact scan, planned BELOW the
+    // semi join (prunes before the exchange)
+    assert(p.contains("bloommightcontain"), p)
+    val filterIdx = p.indexOf("Filter (bloommightcontain")
+    val joinIdx = p.indexOf("Join")
+    assert(filterIdx >= 0 && joinIdx >= 0 && filterIdx > joinIdx, p)
+  }
+
+  test("q55 estimates respect the one-sided count-min error bound and find the true top-10") {
+    import spark.implicits._
+    val est = Corpus.q55HeavyHitters(spark, d)
+      .as[(String, Long)].collect().toMap
+    val toks = Tables.documents(spark, d)
+      .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    est.foreach { case (tok, e) =>
+      val ex = exact(tok)
+      assert(e >= ex, s"count-min must never underestimate: $tok est=$e exact=$ex")
+      assert(e <= ex + (Corpus.CmsEps * n).ceil.toLong,
+        s"$tok est=$e exact=$ex over eps*N bound")
+    }
+    val exactTop = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(10).map(_._1).toSet
+    assert(est.keySet == exactTop)
+  }
+}
