@@ -105,6 +105,54 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: purchases attributed to a preceding
+    * click by the same user within the attribution window. Watermarks on
+    * BOTH inputs plus the interval condition are what make this run with
+    * bounded state — each side buffers only watermark-horizon rows, and
+    * rows age out of the join buffer as the slower watermark advances
+    * (without the interval bound Spark must buffer a side forever). At
+    * 100 TB/day the state store holds minutes, not history.
+    */
+  def attributionJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      withinMinutes: Int = 10): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", s"$withinMinutes minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases
+      .withWatermark("ts", s"$withinMinutes minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+    p.join(c, expr(
+      s"""c_user = p_user
+         |AND click_ts <= purchase_ts
+         |AND click_ts >= purchase_ts - INTERVAL $withinMinutes MINUTES
+         |""".stripMargin))
+      .select(col("p_user").as("user_id"), col("click_ts"),
+        col("purchase_ts"), col("value"))
+  }
+
+  /** Session-window aggregation with the BUILT-IN `session_window`
+    * (dynamic-gap windows merged by the engine) — the declarative
+    * counterpart of [[sessionize]]'s explicit state: when per-session
+    * counts/sums are all that's needed, the native operator keeps the
+    * whole query inside Catalyst (codegen, state-store merge, watermark
+    * eviction) with no user state function to maintain.
+    */
+  def sessionWindowStats(
+      events: DataFrame,
+      gap: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"))
+
   /** Per-user running aggregate over an event stream — value sums per
     * user per window, the streaming analogue of the reducer-with-state
     * idiom.

@@ -119,6 +119,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin matches purchases to in-window clicks only (stream-stream)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    val joined = EventStream.attributionJoin(
+      clicks.toDF().toDF("ts", "user_id"),
+      purchases.toDF().toDF("ts", "user_id", "value"),
+      withinMinutes = 10)
+
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts(0), 1L), (ts(30), 2L))
+      // user 1 buys 5 min after their click (in window); user 2 buys
+      // 25 min BEFORE their click (never attributable); user 3 never clicked
+      purchases.addData((ts(5), 1L, 9.99), (ts(5), 2L, 1.0), (ts(5), 3L, 2.0))
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .select("user_id", "value").as[(Long, Double)].collect().toSet
+      assert(got == Set((1L, 9.99)))
+    } finally q.stop()
+  }
+
+  test("sessionWindowStats merges events into gap-delimited session windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val sess = EventStream.sessionWindowStats(
+      input.toDF().toDF("ts", "user_id"), gap = "1 minute")
+
+    // session windows only support append: a session emits once the
+    // watermark passes its close — so advance the watermark explicitly
+    val q = sess.writeStream.format("memory").queryName("sw")
+      .outputMode("append").start()
+    try {
+      // two bursts for user 1 separated by > gap, one event for user 2
+      input.addData((ts(0), 1L), (ts(0, 30), 1L), (ts(5), 1L), (ts(0), 2L))
+      q.processAllAvailable()
+      input.addData((ts(20), 9L)) // watermark -> 10:18, closes all above
+      q.processAllAvailable()
+      val got = spark.table("sw")
+        .select("sess_start", "user_id", "n_events")
+        .as[(Timestamp, Long, Long)].collect().toSet
+      assert(got.contains((ts(0), 1L, 2L)), got)   // merged burst
+      assert(got.contains((ts(5), 1L, 1L)), got)   // separate session
+      assert(got.contains((ts(0), 2L, 1L)), got)
+    } finally q.stop()
+  }
+
+  test("sessionWindowStats is batch/stream unified: same code on a batch frame") {
+    import spark.implicits._
+    val batch = Seq((ts(0), 1L), (ts(0, 30), 1L), (ts(5), 1L))
+      .toDF("ts", "user_id")
+    val got = EventStream.sessionWindowStats(batch)
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 1L)))
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
