@@ -58,6 +58,24 @@ class PlanSpec extends SparkSpec {
     assert(plan("q07_window_topk").contains("WindowGroupLimit"))
   }
 
+  test("q51: single-pass repetition stats — one exchange (final sort), pruned scan") {
+    val p = plan("q51_quality_repetition")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"q51 plans $exchanges exchanges:\n$p")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"), readSchema)
+  }
+
+  test("q52: tf and df both reuse the cached per-(tok,doc) pre-aggregate") {
+    val p = plan("q52_term_scores")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("WindowGroupLimit"), p) // top-3 prunes before the full window
+  }
+
+  test("q55: top-10 by sketch estimate plans as TakeOrderedAndProject (no full sort)") {
+    assert(plan("q55_heavy_hitters").contains("TakeOrderedAndProject"))
+  }
+
   test("q22: zero-shuffle probe — no join exchanges, only the tiny top-k window") {
     // the probe gram sets ride the closure (bounded driver collect), so
     // the scoring pass over the corpus must plan with NO join and NO
