@@ -127,12 +127,17 @@ object Corpus {
       .filter(col("l_quantity") >= 49)
       .select(col("l_orderkey"), col("l_partkey"))
 
-    // co-purchase edges, symmetric closure (a <> b keeps both directions
-    // so one join per round propagates labels both ways)
-    val edges = hi.as("x").join(hi.as("y"), "l_orderkey")
-      .filter(col("x.l_partkey") =!= col("y.l_partkey"))
-      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-      .distinct()
+    // co-purchase edges ARE bucket pairs with bucket = order — reuse the
+    // bounded pair generator (one groupBy shuffle, per-bucket pair
+    // fan-out capped) instead of a self-join shuffling the scan twice;
+    // orders hold <=7 items so the cap never bites here, but a
+    // pathological mega-order at scale degrades to a dropped bucket,
+    // not an O(m^2) blow-up. Symmetric closure so one join per round
+    // propagates labels both ways.
+    val pairs = LshJoin.boundedBucketPairs(hi, "l_partkey",
+      LshJoin.MaxBucket, "l_orderkey")
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
 
     val nodes = hi.select(col("l_partkey").as("p")).distinct()
     val labels = connectedComponents(nodes, edges)
@@ -158,7 +163,11 @@ object Corpus {
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
 
     val e = edges.persist()
-    var labels = nodes.select(col("p"), col("p").as("lbl")).localCheckpoint()
+    // LAZY checkpoints: the per-round convergence action is what
+    // materializes them, so each round costs ONE job (propagate +
+    // checkpoint + sum fused), not a checkpoint job plus an action job
+    var labels = nodes.select(col("p"), col("p").as("lbl"))
+      .localCheckpoint(eager = false)
     var lastSum = labelSum(labels)
     var converged = lastSum == null // empty node set: already at fixpoint
     var round = 0
@@ -167,7 +176,7 @@ object Corpus {
         .select(col("dst").as("p"), col("lbl"))
       val next = labels.union(prop)
         .groupBy(col("p")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint() // truncate lineage: round N must not replay 1..N-1
+        .localCheckpoint(eager = false) // truncate lineage: round N must not replay 1..N-1
       val s2 = labelSum(next)
       converged = s2 == lastSum // labels are monotone non-increasing
       lastSum = s2
