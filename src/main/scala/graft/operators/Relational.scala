@@ -384,14 +384,26 @@ object Relational {
     * runtime row-level filtering automates, expressed explicitly so the
     * capacity/FPP trade is under operator control.
     */
+  /** Distributed Bloom build with the empty-input hole patched:
+    * `DataFrameStatFunctions.bloomFilter` NPEs when the frame has zero
+    * rows (the underlying aggregate yields null bytes), but an empty
+    * build side is a legitimate runtime state for a pruned join — it
+    * must produce the all-false filter, not a crash. Capacity comes
+    * from a cheap count over the (already filtered, narrow) build side;
+    * at scale use a fixed capacity budget instead of the extra action.
+    */
+  private[operators] def bloomFilterOf(
+      df: DataFrame, column: String, fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
+    val n = df.count()
+    if (n == 0) org.apache.spark.util.sketch.BloomFilter.create(1, fpp)
+    else df.stat.bloomFilter(column, n, fpp)
+  }
+
   def q54BloomJoin(s: SparkSession, d: String): DataFrame = {
     val keys = Tables.orders(s, d)
       .filter(col("o_totalprice") > 200000)
       .select(col("o_orderkey"))
-    // capacity from a cheap count over the (already filtered, narrow)
-    // build side — the same pass the bloom build itself makes; at scale
-    // use a fixed capacity budget instead of the extra action
-    val bloom = keys.stat.bloomFilter("o_orderkey", keys.count(), 0.01)
+    val bloom = bloomFilterOf(keys, "o_orderkey", 0.01)
     val bloomBytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)

@@ -55,6 +55,51 @@ class CorpusSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("connectedComponents law: matches a union-find oracle on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+
+    def unionFind(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      nodes.map(n => n -> find(n)).toMap
+    }
+
+    val graphGen = for {
+      n <- Gen.choose(2, 25)
+      nEdges <- Gen.choose(0, 30)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1)
+        if a != b
+      } yield (a, b))
+    } yield (n.toLong, edges)
+
+    for (seed <- 1 to 8) {
+      val (n, rawEdges) = graphGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val nodes = 0L until n
+      val sym = (rawEdges ++ rawEdges.map(_.swap)).distinct
+      val got = Corpus.connectedComponents(
+        nodes.toDF("p"), sym.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      val want = unionFind(nodes, rawEdges)
+      assert(got == want, s"seed=$seed n=$n edges=$rawEdges")
+    }
+  }
+
+  test("bloomFilterOf survives an empty build side (raw stat.bloomFilter NPEs)") {
+    // no orders qualify -> the all-false filter, not a crash
+    val empty = Tables.orders(spark, d).filter(col("o_totalprice") > 1e18)
+    val bf = Relational.bloomFilterOf(empty, "o_orderkey", 0.01)
+    assert(Seq(1L, 2L, 3L).forall(k => !bf.mightContainLong(k)))
+  }
+
   test("connectedComponents handles an empty node set") {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
