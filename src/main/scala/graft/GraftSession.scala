@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's recommended session configuration — the
+  * settings every entry point (Verify/Bench/Explain, and a production
+  * submit) should share, with the 100 TB reasoning attached to each
+  * knob instead of scattered per-main. `local[cpus]` here is the test
+  * harness; on a cluster the same `configure` applies to the builder
+  * produced by spark-submit.
+  */
+object GraftSession {
+
+  /** Apply the engine's config to any builder. */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b
+      // sized to the parallelism actually available — the 200 default
+      // over-fragments small/medium stages; at cluster scale set to
+      // 2-3x total executor cores and let AQE coalesce down
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // AQE re-plans at runtime: coalesces post-shuffle partitions,
+      // switches to broadcast when a side turns out small, splits skewed
+      // join partitions — all three matter more, not less, at 100 TB
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // deterministic timestamps for the DuckDB differential oracle
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS): read as nanos-since-epoch
+      // LongType (same total order; queries never output raw ts)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the engine's native functions (fixed_dot, fixed_quantize,
+      // bloom_might_contain, fingerprints) for every session
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+
+  /** Local harness session: `local[cpus]` with shuffle partitions = cpus. */
+  def local(cpus: Int, ui: Boolean = false): SparkSession = {
+    val b = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.ui.enabled", ui.toString)
+    configure(b, cpus).getOrCreate()
+  }
+
+  /** Harness cpu count from the driver contract env var. */
+  def envCpus(default: Int = 4): Int =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS", default.toString).toInt
+}

@@ -400,6 +400,7 @@ object Relational {
   }
 
   def q54BloomJoin(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FingerprintFunctions.register(s) // bloom_might_contain
     val keys = Tables.orders(s, d)
       .filter(col("o_totalprice") > 200000)
       .select(col("o_orderkey"))
