@@ -73,6 +73,7 @@ object SparkEntry {
     "q53_copurchase_clusters" -> (Corpus.q53CopurchaseClusters _),
     "q54_bloom_join" -> (Relational.q54BloomJoin _),
     "q55_heavy_hitters" -> (Corpus.q55HeavyHitters _),
+    "q56_multimodal_resize" -> (Multimodal.q56MultimodalResize _),
   )
 
   private val Rev =
@@ -427,5 +428,19 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q56_multimodal_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS src_w,
+        |    CAST(octet_length(encode(text)) % 480 + 1 AS BIGINT) AS src_h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, src_w, src_h,
+        |    greatest(src_w * 224 // greatest(src_w, src_h), 1) AS dst_w,
+        |    greatest(src_h * 224 // greatest(src_w, src_h), 1) AS dst_h
+        |  FROM m)
+        |SELECT doc_id, src_w, src_h, dst_w, dst_h,
+        |  CAST(dst_w * dst_h * 3 AS BIGINT) AS out_bytes
+        |FROM r ORDER BY doc_id""".stripMargin,
   )
 }

@@ -88,6 +88,60 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  final case class Resized(
+      doc_id: Long, src_w: Long, src_h: Long,
+      dst_w: Long, dst_h: Long, out_bytes: Long)
+
+  /** Target square for the resize stub (the standard vision-encoder
+    * input side).
+    */
+  val ResizeTarget: Long = 224L
+
+  /** STUB resizer: aspect-preserving fit into [[ResizeTarget]]² with
+    * INTEGER-ONLY math (`dim * target / max(w, h)`, floor division) so
+    * the output geometry is bit-exact reproducible by any engine, and a
+    * deterministic fake RGB payload of `dst_w * dst_h * 3` bytes (the
+    * real byte-budget contract a downstream batcher sizes against). A
+    * real deployment swaps the payload fill for an actual scaler; the
+    * geometry, the binary-out column and the batch shape stay.
+    */
+  private[operators] def resizeStub(id: Long, bytes: Array[Byte]): (Resized, Array[Byte]) = {
+    val m = decodeStub(id, bytes)
+    val longSide = math.max(m.width, m.height)
+    val dw = math.max(m.width * ResizeTarget / longSide, 1L)
+    val dh = math.max(m.height * ResizeTarget / longSide, 1L)
+    val out = new Array[Byte]((dw * dh * 3L).toInt)
+    if (bytes.nonEmpty) {
+      var i = 0
+      while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
+    } // empty source: zero-filled payload (a real codec rejects upstream)
+    (Resized(id, m.width, m.height, dw, dh, out.length.toLong), out)
+  }
+
+  /** Batched resize: binary in, binary out, with the typed geometry
+    * columns the pipeline filters/groups on. The produced blob is
+    * materialized per row (its length is the emitted `out_bytes`), then
+    * dropped from the result — the query's contract is the geometry;
+    * a training pipeline would instead write the blob column to the
+    * sink.
+    */
+  def q56MultimodalResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // a real scaler would init once per partition here
+        it.map { case (id, bytes) =>
+          val (meta, out) = resizeStub(id, bytes)
+          assert(out.length.toLong == meta.out_bytes)
+          meta
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** Feature extraction into typed scalar/fixed-point columns. */
   def q46MultimodalFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
