@@ -44,4 +44,37 @@ class AsOfJoinSpec extends SparkSpec {
       .collect().toSeq
     assert(got == Seq(("x", 9.0, "q2")))
   }
+
+  test("lastBefore law: matches a per-row scan oracle on random keyed series") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+
+    val rowGen = for {
+      k <- Gen.choose(0, 3)
+      t <- Gen.choose(0L, 50L)
+      v <- Gen.choose(-999L, 999L)
+    } yield (k, t, v)
+    val dataGen = for {
+      left <- Gen.listOfN(25, rowGen)
+      right <- Gen.listOfN(25, rowGen)
+    } yield (left, right)
+
+    for (seed <- 1 to 6) {
+      val (left, right) = dataGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      // distinct left ids so rows compare positionally-independently
+      val leftIds = left.zipWithIndex.map { case ((k, t, _), i) => (k, t, i.toLong) }
+      val got = AsOfJoin.lastBefore(
+        leftIds.toDF("k", "t", "id"), right.toDF("k", "t", "v"),
+        "k", "t", Seq("v"), tieBreak = Seq("v"))
+        .select($"id", $"asof_v").as[(Long, Option[Long])]
+        .collect().toMap
+      val want = leftIds.map { case (k, t, id) =>
+        val cands = right.filter(r => r._1 == k && r._2 <= t)
+        id -> (if (cands.isEmpty) None
+               else Some(cands.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      assert(got == want, s"seed=$seed left=$leftIds right=$right")
+    }
+  }
 }
