@@ -138,9 +138,15 @@ object Dedup {
     * stats(n_dropped_buckets, n_dropped_rows)).
     */
   private[operators] def minhashPairs(
-      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
+    minhashPairsOf(Tables.documents(s, d))
+
+  /** [[minhashPairs]] over any `(doc_id, text)`-bearing frame. */
+  private[operators] def minhashPairsOf(
+      documents: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val s = documents.sparkSession
     import s.implicits._
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+    val docs = documents.select(col("doc_id"), col("text")).as[(Long, String)]
     val withSh = docs.map { case (id, text) =>
       val sh = shingles(text)
       (id, sh, minhashSignature(sh))
@@ -190,9 +196,41 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Default verification threshold for treating a candidate pair as a
+    * duplicate edge (the LSH banding at 16x4 targets ~J >= 0.5; the
+    * exact-Jaccard verify then keeps only true duplicates).
+    */
+  val DupJaccardThreshold = 0.7
+
+  /** End-to-end near-dup dedup: MinHash edges at `threshold` -> connected
+    * components -> one row per doc with its cluster representative
+    * (smallest doc_id in the component), cluster size, and a keep flag.
+    * "Keep one doc per near-dup cluster" IS this frame filtered to
+    * `keep` — the operator a curation pipeline actually runs, composed
+    * from the bounded LSH candidate generator and the min-label
+    * propagation ([[Corpus.connectedComponents]]). Scale shape is the
+    * sum of its parts: everything bounded, one iterative tail over the
+    * (tiny, dup-only) edge set.
+    */
+  def dupClusters(
+      documents: DataFrame, threshold: Double = DupJaccardThreshold): DataFrame = {
+    val (withSh, pairs, _) = minhashPairsOf(documents)
+    val dupEdges = pairs.filter(col("jaccard") >= threshold)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val sym = dupEdges.union(
+      dupEdges.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = withSh.select(col("doc_id").as("p"))
+    val labels = Corpus.connectedComponents(nodes, sym)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "lbl")
+      .select(col("p").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"), (col("p") === col("lbl")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- SimHash ------------------------------------------------------
 
-  private[operators] def simhash64(text: String): Long = {
+  private[graft] def simhash64(text: String): Long = {
     val counts = new Array[Int](64)
     text.toLowerCase.split("\\s+").foreach { tok =>
       if (tok.nonEmpty) {

@@ -105,6 +105,29 @@ object EventStream {
       }
   }
 
+  final case class Doc(ts: java.sql.Timestamp, doc_id: Long, text: String)
+
+  /** Streaming near-dup dedup: each document is reduced to its 64-bit
+    * SimHash fingerprint ([[graft.operators.Dedup.simhash64]]) and
+    * deduplicated on that fingerprint within the watermark — the
+    * streaming face of the batch q21 operator, as fuzzy-exact dedup:
+    * docs whose shingle profiles collapse to the same fingerprint
+    * (identical and boilerplate-near-identical content) are dropped,
+    * with O(watermark-horizon) keyed state. Hamming-radius matching
+    * (q21's 4x16-bit chunk LSH) needs multi-key candidate joins that
+    * streaming state can't express bounded — at 100 TB/day the honest
+    * streaming layer dedups fingerprint-exact and defers radius dedup
+    * to the batch compaction pass.
+    */
+  def nearDupDedupStream(docs: Dataset[Doc], watermark: String = "10 minutes"): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .map(d => (d.ts, d.doc_id, graft.operators.Dedup.simhash64(d.text)))
+      .toDF("ts", "doc_id", "simhash")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("simhash")
+  }
+
   /** Stream-stream interval join: purchases attributed to a preceding
     * click by the same user within the attribution window. Watermarks on
     * BOTH inputs plus the interval condition are what make this run with

@@ -178,6 +178,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (1L, 1L)))
   }
 
+  test("nearDupDedupStream drops same-fingerprint docs, keeps distinct content") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val text1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val text2 = "distributed engines shuffle partitioned data across many executor nodes"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val dedup = EventStream.nearDupDedupStream(
+      input.toDF().toDF("ts", "doc_id", "text").as[EventStream.Doc])
+
+    val q = dedup.writeStream.format("memory").queryName("ndd")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L, text1), (ts(0, 30), 2L, text1), (ts(1), 3L, text2))
+      q.processAllAvailable()
+      val ids = spark.table("ndd").select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 3L), ids) // doc 2 is a fingerprint-dup of doc 1
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
