@@ -202,29 +202,53 @@ object Dedup {
     */
   val DupJaccardThreshold = 0.7
 
-  /** End-to-end near-dup dedup: MinHash edges at `threshold` -> connected
-    * components -> one row per doc with its cluster representative
-    * (smallest doc_id in the component), cluster size, and a keep flag.
-    * "Keep one doc per near-dup cluster" IS this frame filtered to
-    * `keep` — the operator a curation pipeline actually runs, composed
-    * from the bounded LSH candidate generator and the min-label
-    * propagation ([[Corpus.connectedComponents]]). Scale shape is the
-    * sum of its parts: everything bounded, one iterative tail over the
-    * (tiny, dup-only) edge set.
+  /** End-to-end near-dup dedup: exact-dup collapse -> MinHash edges at
+    * `threshold` over the exact representatives -> connected components
+    * -> one row per doc with its cluster representative (smallest
+    * doc_id in the component), cluster size, and a keep flag. "Keep one
+    * doc per near-dup cluster" IS this frame filtered to `keep`.
+    *
+    * The exact-collapse FIRST stage is load-bearing at scale, not an
+    * optimization: a flood of identical documents (mass-duplicated
+    * boilerplate — the single most common dup pattern in web corpora)
+    * produces identical signatures, lands in ONE LSH bucket, blows the
+    * hot-bucket cap, and would be DROPPED from candidate generation —
+    * i.e. the most duplicated content is exactly what pure LSH fails to
+    * dedup. Collapsing by content hash shuffles only (hash, id) pairs,
+    * shrinks the LSH input to distinct content, and exact-dup members
+    * inherit their representative's cluster by a join.
     */
   def dupClusters(
       documents: DataFrame, threshold: Double = DupJaccardThreshold): DataFrame = {
-    val (withSh, pairs, _) = minhashPairsOf(documents)
+    // doc -> exact representative (min doc_id of identical content).
+    // groupBy + join rather than a window over the hash: the partial
+    // aggregate absorbs an identical-content flood map-side, where a
+    // window would buffer the whole flood partition in memory
+    val hashed = documents
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val docRep = hashed.join(
+      hashed.groupBy(col("h")).agg(min(col("doc_id")).as("rep")), "h")
+      .select(col("doc_id"), col("rep"))
+
+    val reps = documents.join(
+      docRep.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+    val (withSh, pairs, _) = minhashPairsOf(reps)
     val dupEdges = pairs.filter(col("jaccard") >= threshold)
       .select(col("a").as("src"), col("b").as("dst"))
     val sym = dupEdges.union(
       dupEdges.select(col("dst").as("src"), col("src").as("dst")))
     val nodes = withSh.select(col("doc_id").as("p"))
     val labels = Corpus.connectedComponents(nodes, sym)
-    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "lbl")
-      .select(col("p").as("doc_id"), col("lbl").as("cluster_id"),
-        col("cluster_size"), (col("p") === col("lbl")).as("keep"))
+
+    // every doc inherits its exact-rep's component; sizes count DOCS
+    val docLabels = docRep.join(labels, docRep("rep") === labels("p"))
+      .select(col("doc_id"), col("lbl"))
+    val sizes = docLabels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    docLabels.join(sizes, "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"), (col("doc_id") === col("lbl")).as("keep"))
       .orderBy(col("doc_id"))
   }
 

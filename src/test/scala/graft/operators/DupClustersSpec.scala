@@ -49,12 +49,35 @@ class DupClustersSpec extends SparkSpec {
     assert(got.values.count(_._3) == 4)
   }
 
-  test("threshold controls edge admission: at J > 1.0 nothing clusters") {
+  test("an identical-content flood beyond the LSH bucket cap still dedups (exact collapse first)") {
     import spark.implicits._
-    val docs = Seq((0L, base1), (1L, base1)).toDF("doc_id", "text")
-    val all = Dedup.dupClusters(docs, threshold = 1.01).collect()
-    assert(all.forall(_.getAs[Long]("cluster_size") == 1L))
-    val dup = Dedup.dupClusters(docs, threshold = 1.0).collect()
-    assert(dup.forall(_.getAs[Long]("cluster_size") == 2L)) // identical: J = 1
+    // 3x the hot-bucket cap of identical docs: pure LSH would drop
+    // their (single, oversized) bucket and every one would survive
+    // dedup; the exact-collapse stage must catch them all
+    val flood = (0L until (LshJoin.MaxBucket * 3L)).map(i => (i, base1))
+    val docs = (flood :+ (9999L, base2)).toDF("doc_id", "text")
+    val got = Dedup.dupClusters(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"), r.getAs[Boolean]("keep"))))
+      .toMap
+    flood.foreach { case (id, _) =>
+      assert(got(id) == ((0L, LshJoin.MaxBucket * 3L, id == 0L)), s"id=$id -> ${got(id)}")
+    }
+    assert(got(9999L) == ((9999L, 1L, true)))
+    assert(got.values.count(_._3) == 2) // one survivor per distinct content
+  }
+
+  test("threshold controls NEAR-dup edges; exact dups collapse at any threshold") {
+    import spark.implicits._
+    val near = base1.replace("lazy", "sleepy")
+    val docs = Seq((0L, base1), (1L, base1), (2L, near)).toDF("doc_id", "text")
+    // impossible Jaccard: near-dup edges vanish, exact pair still collapses
+    val strict = Dedup.dupClusters(docs, threshold = 1.01).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_size")).toMap
+    assert(strict == Map(0L -> 2L, 1L -> 2L, 2L -> 1L), strict)
+    // permissive: the one-word edit joins the cluster
+    val loose = Dedup.dupClusters(docs, threshold = 0.7).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_size")).toMap
+    assert(loose == Map(0L -> 3L, 1L -> 3L, 2L -> 3L), loose)
   }
 }
