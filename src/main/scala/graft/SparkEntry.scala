@@ -74,6 +74,7 @@ object SparkEntry {
     "q54_bloom_join" -> (Relational.q54BloomJoin _),
     "q55_heavy_hitters" -> (Corpus.q55HeavyHitters _),
     "q56_multimodal_resize" -> (Multimodal.q56MultimodalResize _),
+    "q57_stratified_sample" -> (TextOps.q57StratifiedSample _),
   )
 
   private val Rev =
@@ -428,6 +429,11 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 200000)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q57_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(text), 1, 1) <
+        |  CASE WHEN lang = 'en' THEN '4' WHEN lang = 'de' THEN '8' ELSE '2' END
+        |ORDER BY doc_id""".stripMargin,
     "q56_multimodal_resize" ->
       """WITH m AS (
         |  SELECT doc_id,

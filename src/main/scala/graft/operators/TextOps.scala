@@ -115,6 +115,26 @@ object TextOps {
     * sample is stable under repartitioning, retries, and incremental
     * reruns.
     */
+  /** Deterministic STRATIFIED sampling: per-language keep rates in
+    * sixteenths of the content-hash space (en 4/16, de 8/16, others
+    * 2/16) — the rebalancing step of corpus curation (upsample rare
+    * strata, downsample dominant ones) with the same RNG-free,
+    * repartition/retry-stable membership contract as [[q49Sample]];
+    * changing a stratum's rate only adds/removes the hash prefix range,
+    * so samples are nested across rate changes (a 2/16 sample is a
+    * subset of the 4/16 sample).
+    */
+  def q57StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(col("text").cast("binary")), 1, 1)
+    val keepBelow = when(col("lang") === "en", lit("4"))
+      .when(col("lang") === "de", lit("8"))
+      .otherwise(lit("2"))
+    Tables.documents(s, d)
+      .filter(h < keepBelow)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   def q49Sample(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .filter(substring(md5(col("text").cast("binary")), 1, 1) === "0")
