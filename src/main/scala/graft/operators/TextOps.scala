@@ -69,21 +69,37 @@ object TextOps {
     "zh" -> Seq("shi", "bu", "wo", "zhe", "ren"))
 
   def q27LangId(s: SparkSession, d: String): DataFrame = {
-    val toks = tokens(lower(col("text")))
-    val scored = LangProfiles.foldLeft(Tables.documents(s, d).select(col("lang"), toks.as("toks"))) {
-      case (df, (lang, words)) =>
-        df.withColumn(s"score_$lang",
-          size(filter(col("toks"), x => x.isInCollection(words))).cast("long"))
-    }
-    // argmax via greatest(); ties resolve to the first profile in
-    // declaration order, no score at all -> "und".
-    val scores = LangProfiles.map { case (l, _) => col(s"score_$l") }
-    val best = greatest(scores: _*)
-    val predCol = LangProfiles.foldRight(lit("und"): Column) {
-      case ((lang, _), acc) => when(col(s"score_$lang") === best && best > 0, lit(lang)).otherwise(acc)
-    }
-    scored
-      .withColumn("pred_lang", predCol)
+    import s.implicits._
+    // One typed pass scoring every profile per token — the five
+    // per-profile `filter(toks, _.isInCollection(words))` HOF lambdas
+    // this replaces are evaluated interpreted (the measured-13x cost
+    // class, see q22's scaladoc), and each re-walked the token array.
+    // Argmax with strict > keeps first-declaration tie priority; no
+    // hit at all -> "und" (same contract as before, pinned by the
+    // oracle's confusion matrix).
+    val profiles = LangProfiles.map { case (l, ws) => (l, ws.toSet) }.toArray
+    Tables.documents(s, d).select(col("lang"), col("text")).as[(String, String)]
+      .map { case (lang, text) =>
+        val scores = new Array[Long](profiles.length)
+        text.toLowerCase.split(" ").foreach { t =>
+          if (t.nonEmpty) {
+            var i = 0
+            while (i < profiles.length) {
+              if (profiles(i)._2.contains(t)) scores(i) += 1
+              i += 1
+            }
+          }
+        }
+        var best = 0L
+        var bi = -1
+        var i = 0
+        while (i < scores.length) {
+          if (scores(i) > best) { best = scores(i); bi = i }
+          i += 1
+        }
+        (lang, if (bi < 0) "und" else profiles(bi)._1)
+      }
+      .toDF("lang", "pred_lang")
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred_lang"))
