@@ -149,10 +149,21 @@ object Corpus {
       .orderBy(col("l_partkey"))
   }
 
-  /** Min-label propagation to fixpoint (see [[q53CopurchaseClusters]]
-    * scaladoc for the scale analysis). `nodes(p)` and SYMMETRIC
-    * `edges(src, dst)` in; `(p, lbl)` out with `lbl` = the component's
-    * smallest node id.
+  /** Min-label propagation with pointer doubling (see
+    * [[q53CopurchaseClusters]] scaladoc for the per-round scale
+    * analysis). `nodes(p)` and SYMMETRIC `edges(src, dst)` in;
+    * `(p, lbl)` out with `lbl` = the component's smallest node id.
+    *
+    * Each round does (1) neighbor-min propagation and (2) a label-of-
+    * label shortcut (`lbl <- lbl(lbl)` — every label is itself a node
+    * id, so the mapping is total): the shortcut halves the remaining
+    * label-tree height, making convergence O(log diameter) rounds
+    * instead of O(diameter). A plain neighbor-propagation loop under a
+    * round cap would return silently WRONG labels on any graph whose
+    * diameter exceeds the cap (a 10^6-node chain needs 10^6 plain
+    * rounds); with doubling the cap of [[MaxCcIterations]] covers any
+    * graph up to ~2^20 diameter, and if it is ever still unconverged
+    * the operator throws rather than mislabel.
     */
   private[operators] def connectedComponents(
       nodes: DataFrame, edges: DataFrame): DataFrame = {
@@ -162,21 +173,36 @@ object Corpus {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
 
-    val e = edges.persist()
+    // self-loops folded into the edge set ONCE: each node then receives
+    // its own label through the same join as its neighbors', so the
+    // per-round plan is join + groupBy + doubling join — no loop-carried
+    // union (which Catalyst's union constraint rewriting mishandles when
+    // its children share a checkpointed subtree)
+    val e = edges
+      .union(nodes.select(col("p").as("src"), col("p").as("dst")))
+      .persist()
     // LAZY checkpoints: the per-round convergence action is what
     // materializes them, so each round costs ONE job (propagate +
-    // checkpoint + sum fused), not a checkpoint job plus an action job
+    // shortcut + checkpoint + sum fused), not one job per step
     var labels = nodes.select(col("p"), col("p").as("lbl"))
       .localCheckpoint(eager = false)
     var lastSum = labelSum(labels)
     var converged = lastSum == null // empty node set: already at fixpoint
     var round = 0
     while (!converged && round < MaxCcIterations) {
-      val prop = e.join(labels, col("src") === col("p"))
+      // checkpoint BEFORE the self-join: the doubling join needs the
+      // stepped frame as a leaf, and it truncates lineage so round N
+      // never replays rounds 1..N-1
+      val stepped = e.join(labels, col("src") === col("p"))
         .select(col("dst").as("p"), col("lbl"))
-      val next = labels.union(prop)
         .groupBy(col("p")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(eager = false) // truncate lineage: round N must not replay 1..N-1
+        .localCheckpoint(eager = false)
+      // pointer doubling: replace each label by that label's own label
+      val next = stepped.as("a")
+        .join(stepped.select(col("p").as("lp"), col("lbl").as("llbl")),
+          col("a.lbl") === col("lp"))
+        .select(col("a.p").as("p"), col("llbl").as("lbl"))
+        .localCheckpoint(eager = false)
       val s2 = labelSum(next)
       converged = s2 == lastSum // labels are monotone non-increasing
       lastSum = s2
@@ -184,6 +210,9 @@ object Corpus {
       round += 1
     }
     e.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $MaxCcIterations doubling rounds")
     labels
   }
 

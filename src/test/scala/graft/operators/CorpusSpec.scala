@@ -100,6 +100,20 @@ class CorpusSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).forall(k => !bf.mightContainLong(k)))
   }
 
+  test("connectedComponents converges on a long chain (diameter >> round cap)") {
+    import spark.implicits._
+    // an 80-node path has diameter 79: plain neighbor propagation under
+    // the 20-round cap would return wrong labels — pointer doubling
+    // must close it in O(log d) rounds
+    val n = 80L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    val nodes = (0L until n).toDF("p")
+    val got = Corpus.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == n && got.values.forall(_ == 0L), got)
+  }
+
   test("connectedComponents handles an empty node set") {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
