@@ -94,8 +94,10 @@ object Corpus {
   }
 
   /** Cap on label-propagation rounds — a safety bound, not the expected
-    * count: rounds needed = graph diameter, and dedup/co-occurrence
-    * graphs have short diameters (the sf0.01 graph converges in 3).
+    * count: with pointer doubling rounds needed = O(log diameter), so
+    * 20 covers ~2^20-diameter graphs (the sf0.01 co-purchase graph
+    * converges in 2-3). [[connectedComponents]] throws rather than
+    * return mislabeled components if the cap is ever hit.
     */
   val MaxCcIterations = 20
 
@@ -111,16 +113,15 @@ object Corpus {
     * sets ([[Dedup.minhashPairs]]).
     *
     * Scale shape: each round is one shuffle (edge join labels on the
-    * edge key) + one min-aggregation; `localCheckpoint` truncates the
-    * growing lineage so round N's plan does not replay rounds 1..N-1.
-    * Convergence is detected by the monotone sum-of-labels invariant
-    * (labels only decrease, so an unchanged sum IS the fixpoint) — one
-    * cheap action per round, same cost class as the round itself. For
-    * graphs whose diameter is NOT short (long chains), the
-    * round-compressing large-star/small-star variant (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC '14) drops in
-    * per-round; diameter-bound propagation is the right default for
-    * dedup-shaped graphs.
+    * edge key) + one min-aggregation + the pointer-doubling self-join
+    * (see [[connectedComponents]] — O(log diameter) rounds, in the
+    * round-compression family of Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC '14); `localCheckpoint` truncates
+    * the growing lineage so round N's plan does not replay rounds
+    * 1..N-1. Convergence is detected by the monotone sum-of-labels
+    * invariant (labels only decrease, so an unchanged sum IS the
+    * fixpoint) — one cheap action per round, same cost class as the
+    * round itself.
     */
   def q53CopurchaseClusters(s: SparkSession, d: String): DataFrame = {
     val hi = Tables.lineitem(s, d)
@@ -171,7 +172,7 @@ object Corpus {
     // BIGINT, so it cannot overflow at any realistic id range x corpus
     // size (10^12 ids of 10^12 still fit 38 digits)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
 
     // self-loops folded into the edge set ONCE: each node then receives
     // its own label through the same join as its neighbors', so the
@@ -241,7 +242,7 @@ object Corpus {
 
     val sketchBytes = toks
       .agg(count_min_sketch(col("tok"), lit(CmsEps), lit(0.99), lit(42)))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(sketchBytes))
     val bc = s.sparkContext.broadcast(cms)
