@@ -43,7 +43,14 @@ object Similarity {
     */
   def q23KnnBrute(s: SparkSession, d: String): DataFrame = {
     graft.functions.FingerprintFunctions.register(s)
-    val q = Tables.embeddings(s, d).select(col("vec_id"), quantized.as("q"))
+    knnBruteOf(Tables.embeddings(s, d), 5)
+  }
+
+  /** [[q23KnnBrute]] over any `(vec_id, embedding)` frame (AnnRecallSpec
+    * plants clustered corpora through this).
+    */
+  private[operators] def knnBruteOf(emb: DataFrame, k: Int): DataFrame = {
+    val q = emb.select(col("vec_id"), quantized.as("q"))
       .withColumn("nrm", dot(col("q"), col("q")))
     val probes = q.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("nrm").as("pn"))
@@ -54,7 +61,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= k)
       .orderBy(col("probe_id"), col("rnk"))
   }
 
@@ -85,14 +92,27 @@ object Similarity {
     sig
   }
 
-  /** LSH-bucketed ANN: candidates = same (table, signature) bucket in any
-    * of the 4 tables; exact fixed-point cosine on candidates only; top-3.
-    * Recall < 1 by design — rows-only oracle.
+  /** LSH-bucketed ANN with MULTIPROBE: candidates share a (table,
+    * signature) bucket with the probe's exact signature OR any 1-bit
+    * flip of it, in any of the 4 tables. Multiprobe is the standard
+    * recall lever that costs nothing on the corpus side (Lv et al.,
+    * "Multi-Probe LSH", VLDB '07): the corpus still emits one row per
+    * table, only the (tiny, broadcast) probe side fans out x(bits+1) —
+    * for near-uniform embeddings it takes candidate recall per table
+    * from p^b to P(hamming<=1), measured 0.10 -> ~0.6 recall@3 at
+    * sf0.01. Exact fixed-point cosine on candidates only; top-3.
+    * Recall < 1 by design — rows-only oracle; AnnRecallSpec pins the
+    * floor.
     */
   def q24KnnLsh(s: SparkSession, d: String): DataFrame = {
     graft.functions.FingerprintFunctions.register(s)
+    knnLshOf(Tables.embeddings(s, d), 3)
+  }
+
+  /** [[q24KnnLsh]] over any `(vec_id, embedding)` frame. */
+  private[operators] def knnLshOf(emb: DataFrame, k: Int): DataFrame = {
+    val s = emb.sparkSession
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
     val sigs = emb.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .flatMap { case (id, v) =>
@@ -103,7 +123,11 @@ object Similarity {
       .withColumn("nrm", dot(col("q"), col("q")))
 
     val probeSigs = sigs.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("tbl"), col("sig"))
+      .as[(Long, Int, Int)]
+      .flatMap { case (id, t, sig) =>
+        Iterator.single((id, t, sig)) ++
+          (0 until BitsPerTable).iterator.map(b => (id, t, sig ^ (1 << b)))
+      }.toDF("probe_id", "tbl", "sig")
     val cand = broadcast(probeSigs).join(sigs, Seq("tbl", "sig"))
       .filter(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id")).distinct()
@@ -118,7 +142,7 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .orderBy(col("probe_id"), col("rnk"))
   }
 
