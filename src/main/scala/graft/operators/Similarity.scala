@@ -157,11 +157,16 @@ object Similarity {
     */
   def q43KnnIvf(s: SparkSession, d: String): DataFrame = {
     graft.functions.FingerprintFunctions.register(s)
+    knnIvfOf(Tables.embeddings(s, d), 3)
+  }
+
+  /** [[q43KnnIvf]] over any `(vec_id, embedding)` frame. */
+  private[operators] def knnIvfOf(embRaw: DataFrame, k: Int): DataFrame = {
+    val s = embRaw.sparkSession
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val emb = Tables.embeddings(s, d)
-      .withColumn("features", array_to_vector(col("embedding")))
+    val emb = embRaw.withColumn("features", array_to_vector(col("embedding")))
 
     // fit the coarse quantizer on a deterministic content-hash sample
     // (the q49 sampling idiom: membership is a pure function of the id,
@@ -210,7 +215,7 @@ object Similarity {
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .orderBy(col("probe_id"), col("rnk"))
   }
 

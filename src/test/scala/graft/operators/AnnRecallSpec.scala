@@ -60,4 +60,14 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("IVF recall@3 on clustered data is >= 0.9") {
+    import spark.implicits._
+    val emb = planted.toDF("vec_id", "embedding")
+    val truth = topSets(Similarity.knnBruteOf(emb, 3))
+    val approx = topSets(Similarity.knnIvfOf(emb, 3))
+    val recall = (0L until 10L).map { p =>
+      approx.getOrElse(p, Set.empty[Long]).intersect(truth(p)).size.toDouble / 3.0
+    }.sum / 10.0
+    assert(recall >= 0.9, s"recall=$recall")
+  }
 }
