@@ -106,15 +106,36 @@ case class FixedPointQuantize(child: Expression)
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  /** A null ELEMENT quantizes to a null element (exactly what the
+    * `transform(v, x -> cast(round(x*1e6) as bigint))` form this
+    * expression replaces produces) — reading it as garbage-zero would
+    * silently corrupt the vector. The nullable branch only exists in
+    * the generated code when the input type admits nulls.
+    */
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = elementsNullable)
 
   override protected def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
     val n = x.numElements()
-    val out = new Array[Long](n)
-    var i = 0
-    while (i < n) { out(i) = VectorKernels.quantRound(x.getDouble(i) * 1e6); i += 1 }
-    ArrayData.toArrayData(out)
+    if (elementsNullable) {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i)) out(i) = VectorKernels.quantRound(x.getDouble(i) * 1e6)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) { out(i) = VectorKernels.quantRound(x.getDouble(i) * 1e6); i += 1 }
+      ArrayData.toArrayData(out)
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -122,14 +143,27 @@ case class FixedPointQuantize(child: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val out = ctx.freshName("out")
-      s"""
-         |int $n = $c.numElements();
-         |long[] $out = new long[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = graft.functions.VectorKernels.quantRound($c.getDouble($i) * 1e6);
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
-       """.stripMargin
+      if (elementsNullable)
+        s"""
+           |int $n = $c.numElements();
+           |Object[] $out = new Object[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$c.isNullAt($i)) {
+           |    $out[$i] = java.lang.Long.valueOf(
+           |      graft.functions.VectorKernels.quantRound($c.getDouble($i) * 1e6));
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
+      else
+        s"""
+           |int $n = $c.numElements();
+           |long[] $out = new long[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = graft.functions.VectorKernels.quantRound($c.getDouble($i) * 1e6);
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+         """.stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): FixedPointQuantize =

@@ -43,6 +43,11 @@ object Corpus {
         (id, src, nTok, counts.size.toLong, top)
       }
       .toDF("doc_id", "source", "n_tok", "n_distinct", "top_cnt")
+      // zero-token docs have no defined ratios (0/0 -> NaN, which
+      // Spark's NaN-ordering would pass through the > filter) and no
+      // row at all in the SQL oracle's token-derived CTE — drop them
+      // BEFORE the ratio math so both engines agree
+      .filter(col("n_tok") > 0)
       .withColumn("distinct_ratio",
         col("n_distinct").cast("double") / col("n_tok").cast("double"))
       .withColumn("top_ratio",
@@ -70,7 +75,9 @@ object Corpus {
     // counts and persisted: tf and df both derive from this compact
     // frame instead of re-scanning (and re-tokenizing) the corpus —
     // the partial-aggregate absorbs the explode fan-out map-side, so
-    // the one wide exchange carries vocabulary x docs, not tokens
+    // the one wide exchange carries vocabulary x docs, not tokens.
+    // Lifetime: LRU eviction / clearCache (same contract as q22's
+    // docGrams — a lazily returned frame has no unpersist scope)
     val perDoc = toks.groupBy(col("tok"), col("doc_id"), col("source"))
       .agg(count(lit(1)).as("c"))
       .persist()

@@ -76,7 +76,7 @@ object Dedup {
     * sort/dedup the primitive array in place.
     */
   private[operators] def shingles(text: String, k: Int = 5): Array[Long] = {
-    val t = text.toLowerCase
+    val t = text.toLowerCase(java.util.Locale.ROOT)
     if (t.length < k) Array(shingleHash(t))
     else {
       val n = t.length - k + 1
@@ -256,7 +256,7 @@ object Dedup {
 
   private[graft] def simhash64(text: String): Long = {
     val counts = new Array[Int](64)
-    text.toLowerCase.split("\\s+").foreach { tok =>
+    text.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { tok =>
       if (tok.nonEmpty) {
         val h1 = MurmurHash3.stringHash(tok, 0x1b873593)
         val h2 = MurmurHash3.stringHash(tok, 0xe6546b64)
@@ -364,7 +364,7 @@ object Dedup {
     val docGrams = Tables.documents(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
         (id, toks.sliding(3).filter(_.length == 3)
           .map(g => gramHash64(g.mkString(" "))).distinct.toArray)
       }.toDF("doc_id", "grams")

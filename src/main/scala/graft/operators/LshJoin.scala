@@ -65,6 +65,11 @@ object LshJoin {
       case other => throw new IllegalArgumentException(
         s"boundedBucketPairs: id column '$idCol' must be integral (widened to BIGINT), got $other")
     }
+    // persisted so the histogram subtree runs once for both the
+    // anti-join and the stats agg. Lifetime: tiny by construction
+    // (<= rows/cap buckets); a lazily returned frame has no scope to
+    // unpersist in, so reclamation is LRU eviction / clearCache — the
+    // harness clears per query, long-lived sessions evict
     val hot = hotBuckets(buckets, cap, bucketCols: _*).persist()
     val stats = hot.agg(
       count(lit(1)).as("n_dropped_buckets"),
@@ -76,7 +81,10 @@ object LshJoin {
       .filter(size(col("ids")) >= 2)
       .select(col("ids")).as[Seq[Long]]
       .flatMap { ids =>
-        val v = ids.sorted
+        // distinct guards the documented a < b contract when the caller's
+        // id is not unique within a bucket (e.g. the same part twice in
+        // one order) — without it the generator emits (x, x) self-pairs
+        val v = ids.distinct.sorted
         for { i <- v.indices.iterator; j <- (i + 1) until v.length }
           yield (v(i), v(j))
       }

@@ -16,7 +16,7 @@ object MRQueries {
     */
   private object WordCount extends MapReduce1[String, String, Int, Long] {
     def mapper(line: String): IterableOnce[Emit[String, Int, Long]] =
-      line.toLowerCase.replaceAll("[^a-z0-9]+", " ").split(" ")
+      line.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]+", " ").split(" ")
         .iterator.filter(_.nonEmpty).map(w => KV(w, 1L))
     def reducer(key: String, values: Seq[Long]): Emit[String, Int, Long] =
       KV(key, values.sum)

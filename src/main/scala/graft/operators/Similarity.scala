@@ -133,7 +133,8 @@ object Similarity {
       .select(col("probe_id"), col("vec_id")).distinct()
 
     val scored = cand
-      .join(broadcast(q.select(col("vec_id").as("probe_id"), col("q").as("pq"), col("nrm").as("pn"))), "probe_id")
+      .join(broadcast(q.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("nrm").as("pn"))), "probe_id")
       .join(q, "vec_id")
       .select(col("probe_id"), col("vec_id"),
         (dot(col("pq"), col("q")).cast("double") /
@@ -187,11 +188,20 @@ object Similarity {
       .select(col("vec_id"), col("cell"), quantized.as("q"))
       .withColumn("nrm", dot(col("q"), col("q")))
 
+    // probe rows come from their OWN tiny scan (vec_id < 10 pushed to
+    // the source) so the corpus-sized `assigned` pipeline executes
+    // exactly once, in the candidate join below — collecting probes
+    // from `assigned` would re-run the full scan+transform+quantize per
+    // consumer. The collect is bounded (10 rows) and feeds both the
+    // driver-side centroid ranking and the broadcast probe frame.
+    val probes = model.transform(emb.filter(col("vec_id") < 10))
+      .select(col("vec_id"), quantized.as("q"))
+      .withColumn("nrm", dot(col("q"), col("q")))
+      .collect()
+
     // probes rank the k=16 centroids driver-side (bounded: nprobe choice
     // is O(#probes * k), never corpus-sized)
     val centers = model.clusterCenters.map(_.toArray)
-    val probes = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("q"), col("nrm")).collect()
     val probeCells = probes.flatMap { r =>
       val id = r.getLong(0)
       val q = r.getSeq[Long](1).toArray
@@ -203,8 +213,9 @@ object Similarity {
     }.toSeq
     import s.implicits._
     val probeCellDf = probeCells.toDF("probe_id", "cell")
-    val probeVecs = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("nrm").as("pn"))
+    val probeVecs = probes.map(r =>
+      (r.getLong(0), r.getSeq[Long](1), r.getAs[Long]("nrm")))
+      .toSeq.toDF("probe_id", "pq", "pn")
 
     val cand = assigned.join(broadcast(probeCellDf), Seq("cell"))
       .filter(col("probe_id") =!= col("vec_id"))

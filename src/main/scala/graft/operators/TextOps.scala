@@ -81,7 +81,9 @@ object TextOps {
     Tables.documents(s, d).select(col("lang"), col("text")).as[(String, String)]
       .map { case (lang, text) =>
         val scores = new Array[Long](profiles.length)
-        text.toLowerCase.split(" ").foreach { t =>
+        // Locale.ROOT: String.toLowerCase is locale-sensitive (Turkish
+        // dotless-i would diverge from the oracle's SQL lower())
+        text.toLowerCase(java.util.Locale.ROOT).split(" ").foreach { t =>
           if (t.nonEmpty) {
             var i = 0
             while (i < profiles.length) {

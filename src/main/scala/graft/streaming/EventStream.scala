@@ -128,13 +128,20 @@ object EventStream {
       .dropDuplicatesWithinWatermark("simhash")
   }
 
-  /** Stream-stream interval join: purchases attributed to a preceding
-    * click by the same user within the attribution window. Watermarks on
-    * BOTH inputs plus the interval condition are what make this run with
-    * bounded state — each side buffers only watermark-horizon rows, and
-    * rows age out of the join buffer as the slower watermark advances
-    * (without the interval bound Spark must buffer a side forever). At
-    * 100 TB/day the state store holds minutes, not history.
+  /** Stream-stream interval join: each purchase paired with EVERY
+    * same-user click inside the attribution window — one output row per
+    * qualifying (purchase, click) pair, the join's raw fan-out. A
+    * single-attribution policy (last-click: keep the max `click_ts` per
+    * purchase) is a downstream aggregation the caller applies, because
+    * inside the streaming query a per-purchase argmax needs its own
+    * watermark-bounded aggregation state and not every consumer wants
+    * the same policy (first-click, position-weighted, ...). Watermarks
+    * on BOTH inputs plus the interval condition are what make this run
+    * with bounded state — each side buffers only watermark-horizon
+    * rows, and rows age out of the join buffer as the slower watermark
+    * advances (without the interval bound Spark must buffer a side
+    * forever). At 100 TB/day the state store holds minutes, not
+    * history.
     */
   def attributionJoin(
       clicks: DataFrame,

@@ -104,6 +104,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(VectorKernels.quantRound(1e12 + 0.5) == 1000000000001L)
   }
 
+  test("fixed_quantize propagates null ELEMENTS (matches the transform form, not garbage-zero)") {
+    import spark.implicits._
+    val got = Seq(Seq(Some(1.5), None, Some(-2.5)))
+      .toDF("v")
+      .select(expr("fixed_quantize(v)").as("q"))
+      .collect().head.getSeq[Any](0)
+    assert(got == Seq(1500000L, null, -2500000L), got)
+    // and the oracle form agrees
+    val ref = Seq(Seq(Some(1.5), None, Some(-2.5))).toDF("v")
+      .select(expr("transform(v, x -> cast(round(x * 1e6) as bigint))").as("q"))
+      .collect().head.getSeq[Any](0)
+    assert(got == ref)
+  }
+
   test("fixed_quantize returns null for null input and rejects scalars at analysis") {
     import spark.implicits._
     val df = Seq(Option.empty[Seq[Double]]).toDF("v")

@@ -132,14 +132,18 @@ class StreamingSpec extends SparkSpec {
     val q = joined.writeStream.format("memory").queryName("attr")
       .outputMode("append").start()
     try {
-      clicks.addData((ts(0), 1L), (ts(30), 2L))
-      // user 1 buys 5 min after their click (in window); user 2 buys
-      // 25 min BEFORE their click (never attributable); user 3 never clicked
+      clicks.addData((ts(0), 1L), (ts(2), 1L), (ts(30), 2L))
+      // user 1 buys 5 min after TWO in-window clicks -> the join fans
+      // out one row per (purchase, click) pair (the documented raw
+      // semantics; last-click etc. is a downstream reduction); user 2
+      // buys 25 min BEFORE their click (never attributable); user 3
+      // never clicked
       purchases.addData((ts(5), 1L, 9.99), (ts(5), 2L, 1.0), (ts(5), 3L, 2.0))
       q.processAllAvailable()
       val got = spark.table("attr")
-        .select("user_id", "value").as[(Long, Double)].collect().toSet
-      assert(got == Set((1L, 9.99)))
+        .select("user_id", "click_ts", "value").as[(Long, Timestamp, Double)]
+        .collect().toSet
+      assert(got == Set((1L, ts(0), 9.99), (1L, ts(2), 9.99)))
     } finally q.stop()
   }
 
