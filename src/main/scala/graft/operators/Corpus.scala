@@ -212,6 +212,11 @@ object Corpus {
         .select(col("a.p").as("p"), col("llbl").as("lbl"))
         .localCheckpoint(eager = false)
       val s2 = labelSum(next)
+      // next is materialized now; the previous round's checkpoints
+      // (labels and the intermediate stepped) are dead — release their
+      // blocks instead of pinning 2 frames per round for the session
+      labels.unpersist(blocking = false)
+      stepped.unpersist(blocking = false)
       converged = s2 == lastSum // labels are monotone non-increasing
       lastSum = s2
       labels = next

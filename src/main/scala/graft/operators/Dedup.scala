@@ -335,13 +335,17 @@ object Dedup {
   }
 
   /** Word n-gram Jaccard similarity search: probe docs (doc_id < 10)
-    * against the corpus via an inverted trigram index (explode + join +
-    * count), top-3 matches per probe. The join on `gram` (a 64-bit gram
-    * hash, [[gramHash64]]) is the inverted index — at 100 TB this is the
-    * standard sparse-similarity shape, with frequent-gram skew handled
-    * upstream by dropping grams with document frequency above
-    * [[MaxGramDf]] (broadcast anti-join: the ubiquitous-gram list is
-    * tiny by definition).
+    * against the corpus, top-3 matches per probe, over 64-bit trigram
+    * hashes ([[gramHash64]]). Shape: one persisted compact per-doc
+    * gram-hash-array frame; ubiquitous grams (document frequency >
+    * [[MaxGramDf]] — the frequent-gram skew guard) are removed via a
+    * bounded driver-collected set; the (tiny, bounded) probe gram sets
+    * ride the closure so the corpus streams ONCE computing
+    * intersections inline with ZERO join exchanges (PlanSpec pins it) —
+    * only the small top-k window shuffles. The explode + join + count
+    * inverted-index form remains the right tool when the probe side is
+    * itself too large to broadcast; with 10 probes the zero-shuffle
+    * probe strictly dominates.
     */
   def q22NgramJaccard(s: SparkSession, d: String): DataFrame = {
     // Typed map, deliberately: Spark's higher-order array functions

@@ -38,11 +38,14 @@ object LshJoin {
   val MaxBucket = 64
 
   /** Distinct candidate pairs (a < b) of ids sharing a bucket, with
-    * buckets larger than `cap` dropped. `bucketCols` together identify a
-    * bucket (e.g. (band, bandHash)); `idCol` must be unique within a
-    * bucket (one emission per id per band/table/chunk) and of an
-    * integral type (pairs carry BIGINT ids — anything else fails fast
-    * here rather than as a deep analysis error).
+    * buckets of more than `cap` DISTINCT ids dropped. `bucketCols`
+    * together identify a bucket (e.g. (band, bandHash)); duplicate
+    * (id, bucket) rows are deduplicated up front, so the cap, the drop
+    * stats and the pair fan-out all count distinct members — a bucket
+    * with many duplicate rows of few ids is neither dropped nor
+    * inflated. `idCol` must be of an integral type (pairs carry BIGINT
+    * ids — anything else fails fast here rather than as a deep analysis
+    * error).
     */
   def boundedBucketPairs(
       buckets: DataFrame, idCol: String, cap: Int, bucketCols: String*): DataFrame =
@@ -65,26 +68,32 @@ object LshJoin {
       case other => throw new IllegalArgumentException(
         s"boundedBucketPairs: id column '$idCol' must be integral (widened to BIGINT), got $other")
     }
+    // canonical membership: one row per (id, bucket). The upfront
+    // distinct costs one exchange but makes every downstream count
+    // honest — the same part appearing twice in an order (q53) no
+    // longer double-counts toward the cap, and collect_list below is
+    // bounded by cap DISTINCT members, not raw rows
+    val withB = buckets.select(
+      col(idCol).cast(LongType).as("id"), struct(bucketCols.map(col): _*).as("bucket"))
+      .distinct()
     // persisted so the histogram subtree runs once for both the
     // anti-join and the stats agg. Lifetime: tiny by construction
     // (<= rows/cap buckets); a lazily returned frame has no scope to
     // unpersist in, so reclamation is LRU eviction / clearCache — the
     // harness clears per query, long-lived sessions evict
-    val hot = hotBuckets(buckets, cap, bucketCols: _*).persist()
+    val hot = withB.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+      .persist()
     val stats = hot.agg(
       count(lit(1)).as("n_dropped_buckets"),
       coalesce(sum(col("n")), lit(0L)).as("n_dropped_rows"))
-    val withB = buckets.select(
-      col(idCol).cast(LongType).as("id"), struct(bucketCols.map(col): _*).as("bucket"))
     val ok = withB.join(broadcast(hot), Seq("bucket"), "left_anti")
     val pairs = ok.groupBy(col("bucket")).agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(col("ids")).as[Seq[Long]]
       .flatMap { ids =>
-        // distinct guards the documented a < b contract when the caller's
-        // id is not unique within a bucket (e.g. the same part twice in
-        // one order) — without it the generator emits (x, x) self-pairs
-        val v = ids.distinct.sorted
+        val v = ids.sorted // already distinct per bucket by construction
         for { i <- v.indices.iterator; j <- (i + 1) until v.length }
           yield (v(i), v(j))
       }
@@ -93,9 +102,11 @@ object LshJoin {
     (pairs, stats)
   }
 
-  /** The dropped (oversized) buckets — one row per bucket with its member
-    * count. Exposed so callers/tests can observe how much the cap
-    * discarded (`.count()` it for a drop metric).
+  /** The dropped (oversized) buckets — one row per bucket with its
+    * member-ROW count (callers with duplicate (id, bucket) rows should
+    * pre-distinct if they need distinct-member counts; the bounded
+    * pair generators do). Exposed so callers/tests can observe how much
+    * the cap discarded (`.count()` it for a drop metric).
     */
   def hotBuckets(buckets: DataFrame, cap: Int, bucketCols: String*): DataFrame =
     buckets

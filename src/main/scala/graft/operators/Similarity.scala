@@ -176,14 +176,17 @@ object Similarity {
     // eager fit — while the full corpus is never cached and streams once
     // for assignment. At 100 TB the sample keeps both the iterative
     // scans and the storage pressure O(sample), not O(corpus).
-    val fitSample = emb
+    val sampled = emb
       .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
       .select(col("features"))
       .cache()
+    // tiny corpora can miss the hash range entirely — KMeans.fit throws
+    // on an empty frame, so fall back to the full (still small) corpus
+    val fitSample = if (sampled.isEmpty) emb.select(col("features")) else sampled
     val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(fitSample)
-    fitSample.unpersist(blocking = false)
+    sampled.unpersist(blocking = false)
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("cell"), quantized.as("q"))
       .withColumn("nrm", dot(col("q"), col("q")))
