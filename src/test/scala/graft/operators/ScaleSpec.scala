@@ -94,6 +94,20 @@ class ScaleSpec extends SparkSpec {
     assert(bounded == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L)))
   }
 
+  test("the cap counts DISTINCT ids: duplicate rows neither drop a bucket nor emit self-pairs") {
+    import spark.implicits._
+    // 3 distinct ids emitted 40x each = 120 raw rows > cap 64, but only
+    // 3 distinct members — the bucket must survive (raw-row counting
+    // would silently drop it) and emit exactly its 3 clean pairs
+    val dups = for (rep <- 0 until 40; id <- Seq(1L, 2L, 3L)) yield (id, 0, 5L)
+    val buckets = dups.toDF("doc_id", "band", "bh")
+    val (pairs, stats) =
+      LshJoin.boundedBucketPairsWithStats(buckets, "doc_id", 64, "band", "bh")
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(stats.collect().head.getLong(0) == 0L) // nothing dropped
+  }
+
   test("drop-count stats surface the discarded hot buckets") {
     import spark.implicits._
     val hot = (0L until 200L).map(id => (id, 0, 7L))
