@@ -82,7 +82,10 @@ object Corpus {
       .agg(count(lit(1)).as("c"))
       .persist()
     val tf = perDoc.groupBy(col("source"), col("tok")).agg(sum(col("c")).as("tf"))
-    val df = perDoc.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    // (tok, doc_id) is unique in perDoc by construction (a doc has one
+    // source), so document frequency is a plain count — no distinct
+    // aggregation machinery needed
+    val df = perDoc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
 
     val scored = tf.join(df, "tok")
