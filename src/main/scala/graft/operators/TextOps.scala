@@ -5,9 +5,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
-  * quality scoring, token counting, language ID, fingerprinting. All hot
-  * paths are built-in (codegen'd) expressions — `split`/`filter`/
-  * `regexp_extract_all`/higher-order lambdas — no Scala UDFs.
+  * quality scoring, token counting, language ID, fingerprinting. Hot
+  * paths are either built-in codegen'd expressions (`regexp_extract_all`,
+  * hash/substring sampling) or single-pass typed JVM closures where the
+  * higher-order-function lambda forms would run interpreted (the
+  * measured 13x cost class — see q22's scaladoc). No Scala UDFs.
   */
 object TextOps {
 
@@ -19,16 +21,35 @@ object TextOps {
   /** Per-language corpus quality profile: token/stopword/punctuation
     * statistics, exact integer sums then double ratios.
     */
-  def q25TextQuality(s: SparkSession, d: String): DataFrame =
+  def q25TextQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // one typed pass per doc for all three counts — the split+filter
+    // HOF-lambda forms are evaluated interpreted (the measured 13x cost
+    // class; see q22's scaladoc) and walked the token array twice
+    val stop = Stopwords.toSet
     Tables.documents(s, d)
-      .select(
-        col("lang"),
-        size(tokens(col("text"))).cast("long").as("n_tok"),
-        size(filter(split(col("text"), " "), x => x.isInCollection(Stopwords)))
-          .cast("long").as("n_stop"),
-        (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
-          .cast("long").as("n_punct"),
-        col("n_chars"))
+      .select(col("lang"), col("text"), col("n_chars"))
+      .as[(String, String, Long)]
+      .map { case (lang, text, nChars) =>
+        var nTok = 0L
+        var nStop = 0L
+        text.split(" ").foreach { t =>
+          if (t.nonEmpty) {
+            nTok += 1
+            if (stop(t)) nStop += 1
+          }
+        }
+        var nPunct = 0L
+        var i = 0
+        while (i < text.length) {
+          val c = text.charAt(i)
+          if (c == '.' || c == ',' || c == '!' || c == '?' || c == ';' || c == ':')
+            nPunct += 1
+          i += 1
+        }
+        (lang, nTok, nStop, nPunct, nChars)
+      }
+      .toDF("lang", "n_tok", "n_stop", "n_punct", "n_chars")
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -40,6 +61,7 @@ object TextOps {
         (sum(col("n_stop")).cast("double") / sum(col("n_tok")).cast("double"))
           .as("stopword_ratio"))
       .orderBy(col("lang"))
+  }
 
   /** BPE-ish token counting: alpha runs, digit runs, single symbols —
     * the standard pre-tokenizer shape — via codegen'd regexp_extract_all.
@@ -127,12 +149,6 @@ object TextOps {
       .orderBy(col("source"))
   }
 
-  /** Deterministic content-hash sampling: the standard reproducible way
-    * to subsample a training corpus — no RNG state, no seed coordination
-    * across executors; membership is a pure function of content, so the
-    * sample is stable under repartitioning, retries, and incremental
-    * reruns.
-    */
   /** Deterministic STRATIFIED sampling: per-language keep rates in
     * sixteenths of the content-hash space (en 4/16, de 8/16, others
     * 2/16) — the rebalancing step of corpus curation (upsample rare
@@ -153,6 +169,12 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic content-hash sampling: the standard reproducible way
+    * to subsample a training corpus — no RNG state, no seed coordination
+    * across executors; membership is a pure function of content, so the
+    * sample is stable under repartitioning, retries, and incremental
+    * reruns.
+    */
   def q49Sample(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .filter(substring(md5(col("text").cast("binary")), 1, 1) === "0")
