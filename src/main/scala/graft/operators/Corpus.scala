@@ -160,6 +160,19 @@ object Corpus {
       .orderBy(col("l_partkey"))
   }
 
+  /** Release a localCheckpoint'd frame's RDD blocks. `Dataset.unpersist`
+    * is a no-op for checkpoints (they live at the RDD layer, not in the
+    * CacheManager), and waiting for the ContextCleaner means superseded
+    * label frames pin storage until a GC happens to collect them — so
+    * reach through the LogicalRDD leaf and unpersist the RDD directly.
+    */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Min-label propagation with pointer doubling (see
     * [[q53CopurchaseClusters]] scaladoc for the per-round scale
     * analysis). `nodes(p)` and SYMMETRIC `edges(src, dst)` in;
@@ -217,9 +230,9 @@ object Corpus {
       val s2 = labelSum(next)
       // next is materialized now; the previous round's checkpoints
       // (labels and the intermediate stepped) are dead — release their
-      // blocks instead of pinning 2 frames per round for the session
-      labels.unpersist(blocking = false)
-      stepped.unpersist(blocking = false)
+      // blocks instead of pinning 2 frames per round until GC
+      freeCheckpoint(labels)
+      freeCheckpoint(stepped)
       converged = s2 == lastSum // labels are monotone non-increasing
       lastSum = s2
       labels = next

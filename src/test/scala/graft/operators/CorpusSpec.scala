@@ -114,6 +114,21 @@ class CorpusSpec extends SparkSpec {
     assert(got.size == n && got.values.forall(_ == 0L), got)
   }
 
+  test("connectedComponents releases superseded round checkpoints (no storage creep)") {
+    import spark.implicits._
+    val n = 60L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    val nodes = (0L until n).toDF("p")
+    val before = sc.getPersistentRDDs.size
+    Corpus.connectedComponents(nodes, edges).count()
+    val after = sc.getPersistentRDDs.size
+    // a multi-round run must leave only the FINAL labels checkpoint
+    // behind (the edge persist and every superseded round's stepped/
+    // labels checkpoints are released in the loop)
+    assert(after - before <= 1, s"persistent RDDs grew $before -> $after")
+  }
+
   test("connectedComponents handles an empty node set") {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
