@@ -30,7 +30,8 @@ object Corpus {
     import s.implicits._
     Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
-      .map { case (id, src, text) =>
+      .map { case (id, src, text0) =>
+        val text = if (text0 == null) "" else text0 // crash-free on null docs
         val counts = collection.mutable.HashMap.empty[String, Int]
         var nTok = 0L
         text.split(" ").foreach { t =>
@@ -239,9 +240,11 @@ object Corpus {
       round += 1
     }
     e.unpersist(blocking = false)
-    if (!converged)
+    if (!converged) {
+      freeCheckpoint(labels) // don't pin the last round's blocks on the error path
       throw new IllegalStateException(
         s"connectedComponents: not converged after $MaxCcIterations doubling rounds")
+    }
     labels
   }
 

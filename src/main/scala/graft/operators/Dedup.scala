@@ -135,7 +135,7 @@ object Dedup {
     * by banding, verification, and the caller's final join), bounded
     * LSH candidate pairs verified with exact Jaccard, and the LSH drop
     * stats. Returns (withSh(doc_id, sh, sig), pairs(a, b, jaccard),
-    * stats(n_dropped_buckets, n_dropped_rows)).
+    * stats(n_dropped_buckets, n_dropped_members)).
     */
   private[operators] def minhashPairs(
       s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
@@ -148,7 +148,7 @@ object Dedup {
     import s.implicits._
     val docs = documents.select(col("doc_id"), col("text")).as[(Long, String)]
     val withSh = docs.map { case (id, text) =>
-      val sh = shingles(text)
+      val sh = shingles(if (text == null) "" else text) // crash-free on null docs
       (id, sh, minhashSignature(sh))
     }.toDF("doc_id", "sh", "sig").cache()
 
@@ -254,7 +254,8 @@ object Dedup {
 
   // ---- SimHash ------------------------------------------------------
 
-  private[graft] def simhash64(text: String): Long = {
+  private[graft] def simhash64(text0: String): Long = {
+    val text = if (text0 == null) "" else text0 // crash-free on null docs
     val counts = new Array[Int](64)
     text.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { tok =>
       if (tok.nonEmpty) {
@@ -367,7 +368,8 @@ object Dedup {
     // unpersist in).
     val docGrams = Tables.documents(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
-      .map { case (id, text) =>
+      .map { case (id, text0) =>
+        val text = if (text0 == null) "" else text0 // crash-free on null docs
         val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
         (id, toks.sliding(3).filter(_.length == 3)
           .map(g => gramHash64(g.mkString(" "))).distinct.toArray)

@@ -52,12 +52,13 @@ object LshJoin {
     boundedBucketPairsWithStats(buckets, idCol, cap, bucketCols: _*)._1
 
   /** [[boundedBucketPairs]] plus a one-row stats frame
-    * `(n_dropped_buckets BIGINT, n_dropped_rows BIGINT)` quantifying
-    * what the cap discarded — at 100 TB an operator must be able to
-    * observe the recall loss, not just benefit from the bound. The
-    * bucket histogram is computed once: the (by construction tiny) hot
-    * list is persisted and feeds both the anti-join filter and the
-    * metric aggregation.
+    * `(n_dropped_buckets BIGINT, n_dropped_members BIGINT)` quantifying
+    * what the cap discarded (members = DISTINCT ids of the dropped
+    * buckets, matching the cap's own accounting) — at 100 TB an
+    * operator must be able to observe the recall loss, not just benefit
+    * from the bound. The bucket histogram is computed once: the (by
+    * construction tiny) hot list is persisted and feeds both the
+    * anti-join filter and the metric aggregation.
     */
   def boundedBucketPairsWithStats(
       buckets: DataFrame, idCol: String, cap: Int, bucketCols: String*): (DataFrame, DataFrame) = {
@@ -68,32 +69,35 @@ object LshJoin {
       case other => throw new IllegalArgumentException(
         s"boundedBucketPairs: id column '$idCol' must be integral (widened to BIGINT), got $other")
     }
-    // canonical membership: one row per (id, bucket). The upfront
-    // distinct costs one exchange but makes every downstream count
-    // honest — the same part appearing twice in an order (q53) no
-    // longer double-counts toward the cap, and collect_list below is
-    // bounded by cap DISTINCT members, not raw rows
     val withB = buckets.select(
       col(idCol).cast(LongType).as("id"), struct(bucketCols.map(col): _*).as("bucket"))
-      .distinct()
-    // persisted so the histogram subtree runs once for both the
-    // anti-join and the stats agg. Lifetime: tiny by construction
-    // (<= rows/cap buckets); a lazily returned frame has no scope to
-    // unpersist in, so reclamation is LRU eviction / clearCache — the
-    // harness clears per query, long-lived sessions evict
+    // the cap counts DISTINCT members — inside the histogram aggregate,
+    // NOT via a pre-distinct of the full table, which would wide-shuffle
+    // the largest frame in the pipeline a second time (the anti-join
+    // probe side below re-reads it). Persisted so the histogram subtree
+    // runs once for both the anti-join and the stats agg. Lifetime:
+    // tiny by construction (<= rows/cap buckets); a lazily returned
+    // frame has no scope to unpersist in, so reclamation is LRU
+    // eviction / clearCache — the harness clears per query, long-lived
+    // sessions evict
     val hot = withB.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"))
+      .agg(countDistinct(col("id")).as("n"))
       .filter(col("n") > cap)
       .persist()
     val stats = hot.agg(
       count(lit(1)).as("n_dropped_buckets"),
-      coalesce(sum(col("n")), lit(0L)).as("n_dropped_rows"))
+      coalesce(sum(col("n")), lit(0L)).as("n_dropped_members"))
     val ok = withB.join(broadcast(hot), Seq("bucket"), "left_anti")
     val pairs = ok.groupBy(col("bucket")).agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(col("ids")).as[Seq[Long]]
       .flatMap { ids =>
-        val v = ids.sorted // already distinct per bucket by construction
+        // distinct here handles residual duplicate (id, bucket) rows
+        // (possible only for callers like q53; the LSH callers emit one
+        // row per id per bucket) — bounded: surviving buckets hold
+        // <= cap distinct ids, and duplication factors are small where
+        // they exist at all
+        val v = ids.distinct.sorted
         for { i <- v.indices.iterator; j <- (i + 1) until v.length }
           yield (v(i), v(j))
       }

@@ -167,6 +167,14 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
+    if (embRaw.isEmpty) {
+      // KMeans.fit throws on an empty frame; an empty corpus has an
+      // empty (correctly-typed) answer
+      import s.implicits._
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("probe_id", "vec_id", "cosine", "rnk")
+    }
+
     val emb = embRaw.withColumn("features", array_to_vector(col("embedding")))
 
     // fit the coarse quantizer on a deterministic content-hash sample

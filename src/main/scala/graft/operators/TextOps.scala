@@ -30,7 +30,8 @@ object TextOps {
     Tables.documents(s, d)
       .select(col("lang"), col("text"), col("n_chars"))
       .as[(String, String, Long)]
-      .map { case (lang, text, nChars) =>
+      .map { case (lang, text0, nChars) =>
+        val text = if (text0 == null) "" else text0 // crash-free on null docs
         var nTok = 0L
         var nStop = 0L
         text.split(" ").foreach { t =>
@@ -101,7 +102,8 @@ object TextOps {
     // oracle's confusion matrix).
     val profiles = LangProfiles.map { case (l, ws) => (l, ws.toSet) }.toArray
     Tables.documents(s, d).select(col("lang"), col("text")).as[(String, String)]
-      .map { case (lang, text) =>
+      .map { case (lang, text0) =>
+        val text = if (text0 == null) "" else text0 // crash-free on null docs
         val scores = new Array[Long](profiles.length)
         // Locale.ROOT: String.toLowerCase is locale-sensitive (Turkish
         // dotless-i would diverge from the oracle's SQL lower())

@@ -118,7 +118,7 @@ class ScaleSpec extends SparkSpec {
     assert(pairs.count() == 1L) // only the healthy 2-member bucket
     val r = stats.collect().head
     assert(r.getLong(0) == 1L, s"n_dropped_buckets=${r.getLong(0)}")
-    assert(r.getLong(1) == 200L, s"n_dropped_rows=${r.getLong(1)}")
+    assert(r.getLong(1) == 200L, s"n_dropped_members=${r.getLong(1)}")
     // healthy-only input: zero drops, stats still one well-typed row
     val (_, s2) = LshJoin.boundedBucketPairsWithStats(
       Seq((1L, 0, 5L), (2L, 0, 5L)).toDF("doc_id", "band", "bh"), "doc_id", 64, "band", "bh")
