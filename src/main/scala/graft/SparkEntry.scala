@@ -75,6 +75,11 @@ object SparkEntry {
     "q55_heavy_hitters" -> (Corpus.q55HeavyHitters _),
     "q56_multimodal_resize" -> (Multimodal.q56MultimodalResize _),
     "q57_stratified_sample" -> (TextOps.q57StratifiedSample _),
+    "q58_decontaminate" -> (Curation.q58Decontaminate _),
+    "q59_vocab_coverage" -> (Curation.q59VocabCoverage _),
+    "q60_chunk" -> (Curation.q60Chunk _),
+    "q61_source_quota" -> (Curation.q61SourceQuota _),
+    "q62_pack_sequences" -> (Curation.q62PackSequences _),
   )
 
   private val Rev =
@@ -434,6 +439,77 @@ object SparkEntry {
         |WHERE substr(md5(text), 1, 1) <
         |  CASE WHEN lang = 'en' THEN '4' WHEN lang = 'de' THEN '8' ELSE '2' END
         |ORDER BY doc_id""".stripMargin,
+    "q58_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g4 AS (
+        |  SELECT doc_id, source,
+        |    unnest([array_to_string(toks[i:i+3], ' ') for i in range(1, greatest(len(toks) - 2, 1))]) AS g
+        |  FROM tok),
+        |bg AS (SELECT DISTINCT g FROM g4 WHERE doc_id % 97 = 0),
+        |contam AS (
+        |  SELECT DISTINCT doc_id FROM g4
+        |  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bg)),
+        |base AS (SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0)
+        |SELECT base.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN contam.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(SUM(CASE WHEN contam.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        |FROM base LEFT JOIN contam ON base.doc_id = contam.doc_id
+        |GROUP BY base.source ORDER BY base.source""".stripMargin,
+    "q59_vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tt AS (SELECT doc_id, source, tok FROM t WHERE tok <> ''),
+        |v AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, COUNT(*) AS c FROM tt GROUP BY tok
+        |    ORDER BY c DESC, tok ASC LIMIT 20)),
+        |per AS (
+        |  SELECT source, COUNT(*) AS n_tok,
+        |    SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END) AS n_oov
+        |  FROM tt GROUP BY source),
+        |dc AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT dc.source, dc.n_docs,
+        |  CAST(per.n_tok AS BIGINT) AS sum_tokens,
+        |  CAST(per.n_oov AS BIGINT) AS sum_oov,
+        |  CAST(per.n_oov AS DOUBLE) / CAST(per.n_tok AS DOUBLE) AS oov_rate
+        |FROM dc JOIN per ON dc.source = per.source
+        |ORDER BY dc.source""".stripMargin,
+    "q60_chunk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM tok),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    CASE WHEN n <= 32 THEN 1
+        |         ELSE CAST(ceil(CAST(n - 32 AS DOUBLE) / 24) AS BIGINT) + 1 END AS n_chunks
+        |  FROM n),
+        |k AS (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS k FROM c)
+        |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+        |  CAST(k * 24 AS BIGINT) AS chunk_start,
+        |  CAST(least(32, n - k * 24) AS BIGINT) AS chunk_len,
+        |  toks[CAST(k * 24 + 1 AS BIGINT)] AS first_tok
+        |FROM k ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q61_source_quota" ->
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
+    "q62_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t)
+        |SELECT CAST(cum // 256 AS BIGINT) AS seq_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     "q56_multimodal_resize" ->
       """WITH m AS (
         |  SELECT doc_id,

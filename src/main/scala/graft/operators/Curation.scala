@@ -1,0 +1,324 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators, batch 2: the pre-training data-prep steps
+  * a 100 TB pipeline runs after filtering/dedup — benchmark
+  * decontamination, vocabulary coverage, training-window chunking,
+  * per-source quota capping, and sequence packing. Like the rest of the
+  * engine these go beyond the reference's own surface (tinymr is the
+  * MapReduce substrate; these are the query library a user would build
+  * on it) and every one is exactly oracle-able, so all five ship with
+  * hash-checked DuckDB oracles rather than rows-only checks. Each core
+  * operates on an arbitrary documents frame (the qXX entries bind the
+  * test tables), so they compose with any upstream filter/dedup stage.
+  *
+  * Shared scale stance: the small side of every operator here
+  * (benchmark gram set, vocabulary, partition-sum table) is bounded by
+  * construction — eval suites, vocabularies and partition counts do not
+  * grow with corpus size — so each is a driver collect + broadcast by
+  * design, and the corpus side always streams in one pass.
+  */
+object Curation {
+
+  /** Decontamination n-gram order. Real pipelines use 8-13 token grams
+    * (GPT-3's 13-gram dedup, Brown et al. '20 App. C; C4 analysis,
+    * Dodge et al. EMNLP '21); the synthetic corpus draws from a ~31-word
+    * vocabulary so 4 grams is the order at which overlap is
+    * discriminative rather than ubiquitous (3-grams flag 35% of the
+    * corpus, 5-grams flag ~0) — same knob, corpus-appropriate setting.
+    */
+  val DecontamN = 4
+
+  /** Benchmark membership: doc_id % 97 == 0 stands in for the held-out
+    * eval suite (deterministic, ~1% of the corpus at any SF).
+    */
+  val BenchmarkMod = 97
+
+  private def tokenize(text0: String): Array[String] = {
+    val text = if (text0 == null) "" else text0 // crash-free on null docs
+    text.split(" ").filter(_.nonEmpty)
+  }
+
+  /** Complete n-gram strings of `toks` (no partial tail windows). */
+  private def grams(toks: Array[String], n: Int): Iterator[String] =
+    (0 to toks.length - n).iterator.map { i =>
+      val sb = new StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      sb.toString
+    }
+
+  /** Benchmark n-gram decontamination: flag every corpus document that
+    * shares at least one `n`-token gram with the benchmark split,
+    * reported as per-source contamination counts — the
+    * train/test-overlap scrub every serious pre-training corpus runs.
+    * `docs` needs (doc_id, source, text); benchmark membership is
+    * `doc_id % benchmarkMod == 0`.
+    *
+    * Scale shape: the benchmark side is an eval suite — thousands of
+    * documents regardless of corpus size — so its distinct gram set is
+    * collected and broadcast (the ONLY collect; bounded by benchmark
+    * size, not corpus size), and the 100 TB corpus side then streams
+    * once through a single typed pass probing the in-memory set: no
+    * join, no shuffle except the final ~20-row per-source aggregate.
+    * The gram probe keys are exact strings (no hashing), so a flag here
+    * is a true overlap, never a hash-collision false positive.
+    */
+  def decontaminateStats(
+      docs: DataFrame, n: Int = DecontamN,
+      benchmarkMod: Int = BenchmarkMod): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val benchGrams = docs
+      .filter(col("doc_id") % benchmarkMod === 0)
+      .select(col("text")).as[String]
+      .flatMap(t => grams(tokenize(t), n))
+      .distinct()
+      .collect()
+      .toSet
+    val bc = s.sparkContext.broadcast(benchGrams)
+
+    docs
+      .filter(col("doc_id") % benchmarkMod =!= 0)
+      .select(col("source"), col("text")).as[(String, String)]
+      .map { case (src, text) =>
+        val contaminated = grams(tokenize(text), n).exists(bc.value.contains)
+        (src, if (contaminated) 1L else 0L)
+      }
+      .toDF("source", "contam")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("contam")).as("n_contaminated"),
+        sum(lit(1L) - col("contam")).as("n_clean"))
+      .orderBy(col("source"))
+  }
+
+  def q58Decontaminate(s: SparkSession, d: String): DataFrame =
+    decontaminateStats(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text")))
+
+  /** Vocabulary size for [[q59VocabCoverage]] — deliberately below the
+    * corpus's 31 distinct tokens so out-of-vocabulary mass is non-zero.
+    */
+  val VocabSize = 20
+
+  /** Vocabulary coverage: build the top-`vocabSize` token vocabulary
+    * (count-desc, token-asc tiebreak — deterministic), then report each
+    * source's out-of-vocabulary token rate — the tokenizer-prep step
+    * that decides whether a planned vocabulary actually covers the
+    * corpus, run before committing to an expensive BPE train.
+    *
+    * Two passes by necessity (the vocabulary must exist before coverage
+    * can be measured): pass 1 is a partial-aggregated wordcount whose
+    * shuffle carries one row per distinct token, then a driver top-k of
+    * vocabulary size (bounded by construction — vocabularies are 10^4-5
+    * entries at any corpus scale); pass 2 streams the corpus once
+    * against the broadcast vocabulary set.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = VocabSize): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val vocab = docs
+      .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select(col("tok")).as[String]
+      .collect()
+      .toSet
+    val bc = s.sparkContext.broadcast(vocab)
+
+    docs.select(col("source"), col("text")).as[(String, String)]
+      .map { case (src, text) =>
+        var nTok = 0L
+        var nOov = 0L
+        tokenize(text).foreach { t =>
+          nTok += 1
+          if (!bc.value.contains(t)) nOov += 1
+        }
+        (src, nTok, nOov)
+      }
+      .toDF("source", "n_tok", "n_oov")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        sum(col("n_oov")).as("sum_oov"),
+        (sum(col("n_oov")).cast("double") / sum(col("n_tok")).cast("double"))
+          .as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
+  def q59VocabCoverage(s: SparkSession, d: String): DataFrame =
+    vocabCoverage(Tables.documents(s, d).select(col("source"), col("text")))
+
+  /** Training-window size (tokens) for [[q60Chunk]]. */
+  val ChunkSize = 32
+  /** Chunk stride — [[ChunkSize]] minus an 8-token overlap. */
+  val ChunkStride = 24
+
+  /** Sliding-window chunking: split each document's token sequence into
+    * `size`-token windows advancing by `stride` (overlapped so no span
+    * is ever cut without context) — the step that turns variable-length
+    * documents into fixed-budget training examples. Chunk count is the
+    * standard sliding-window formula: 1 window if the doc fits, else
+    * ceil((n - size) / stride) + 1, so the final window is the only
+    * short one (and every doc emits at least one chunk, even empty).
+    *
+    * One typed flatMap pass, no shuffle except the output sort: the
+    * fan-out is bounded by n_tok/stride per document, and each emitted
+    * row carries offsets + the window's first token rather than
+    * materializing the window text (the downstream writer slices
+    * payloads; the plan stays narrow).
+    */
+  def chunk(docs: DataFrame, size: Int = ChunkSize,
+      stride: Int = ChunkStride): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = tokenize(text)
+        val n = toks.length.toLong
+        val nChunks =
+          if (n <= size) 1L
+          else math.ceil((n - size).toDouble / stride).toLong + 1L
+        (0L until nChunks).iterator.map { k =>
+          val start = k * stride
+          val len = math.min(size.toLong, n - start)
+          val first = if (start < n) toks(start.toInt) else null
+          (id, k, start, len, first)
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "chunk_start", "chunk_len", "first_tok")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  def q60Chunk(s: SparkSession, d: String): DataFrame =
+    chunk(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** Per-source document cap for [[q61SourceQuota]]. */
+  val QuotaPerSource = 15
+
+  /** Per-source quota capping: keep at most `cap` documents per source,
+    * chosen by content-hash order (md5 then doc_id — the same RNG-free
+    * determinism contract as [[TextOps.q49Sample]]: membership survives
+    * repartitioning, retries, and corpus growth reordering) — the
+    * data-mixing step that stops one dominant crawl from swamping the
+    * blend.
+    *
+    * Scale shape: one hash-partitioned window per source. Sources are
+    * the natural partition key for a mixing step and a single source's
+    * rows must meet in one place to be ranked; a pathologically hot
+    * source degrades to one big partition, and the standard two-phase
+    * refinement (per-partition top-cap pre-prune, then rank the
+    * survivors) composes on top without changing the contract.
+    */
+  def sourceQuota(docs: DataFrame, cap: Int = QuotaPerSource): DataFrame = {
+    val rk = row_number().over(Window.partitionBy(col("source"))
+      .orderBy(md5(col("text").cast("binary")), col("doc_id")))
+    docs
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("rk", rk.cast("long"))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q61SourceQuota(s: SparkSession, d: String): DataFrame =
+    sourceQuota(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text")))
+
+  /** Token budget per packed training sequence in [[q62PackSequences]]. */
+  val PackBudget = 256
+
+  /** Sequence packing: concatenate documents in doc_id order and split
+    * the token stream into `budget`-token training sequences (the
+    * concat-and-chunk packing of GPT-style pre-training, Brown et al.
+    * '20 §2.2 / T5, Raffel et al. '20 §2.3 — a document belongs to the
+    * sequence its first token lands in), reported per sequence. A
+    * document longer than the budget spans sequences, so seq_ids can
+    * legitimately skip (the skipped budget-windows hold only that
+    * document's overflow tokens, no document STARTS there).
+    *
+    * The core is a GLOBAL running token offset — the textbook case
+    * where the lazy implementation (a single-partition window over the
+    * whole corpus) dies at scale. Implemented instead as the
+    * distributed two-phase prefix sum: range-partition by doc_id and
+    * sort within partitions, pass 1 reduces each partition to one local
+    * token sum (the collect is bounded by the PARTITION COUNT, not the
+    * corpus), the driver scans those into per-partition start offsets,
+    * and pass 2 streams every partition once adding its offset to a
+    * local running total. Two corpus passes total (the repartitioned
+    * frame is persisted between them; lifetime contract as in
+    * [[Corpus.q52TermScores]]), zero wide shuffles beyond the range
+    * partitioning itself.
+    */
+  def packSequences(docs: DataFrame, budget: Int = PackBudget): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // persisted BEFORE the range exchange: the exchange's range-bound
+    // sampling job plus the two passes below would otherwise each
+    // re-tokenize the corpus; cached, tokenization runs once and the
+    // cached frame is two longs per document — negligible storage.
+    // Lifetime contract as in [[Corpus.q52TermScores]].
+    val perDoc = docs
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, tokenize(text).length.toLong) }
+      .toDF("doc_id", "n_tok")
+      .persist()
+
+    // rangepartition + in-partition sort = globally ordered by doc_id
+    // with the partition index encoding range order
+    val ordered = perDoc
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, Long)]
+      .persist()
+
+    val partSums = ordered
+      .mapPartitions { it =>
+        var sum = 0L
+        it.foreach { case (_, t) => sum += t }
+        Iterator.single((TaskContext.getPartitionId(), sum))
+      }
+      .collect()
+      .sortBy(_._1)
+    // exclusive prefix over the per-partition sums -> each partition's
+    // global token offset
+    val offsets = new Array[Long]((partSums.map(_._1).maxOption.getOrElse(-1)) + 1)
+    var acc = 0L
+    partSums.foreach { case (pid, sum) =>
+      offsets(pid) = acc
+      acc += sum
+    }
+    val bc = s.sparkContext.broadcast(offsets)
+
+    ordered
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var run = if (pid < bc.value.length) bc.value(pid) else 0L
+        it.map { case (id, t) =>
+          val before = run
+          run += t
+          (id, t, before / budget)
+        }
+      }
+      .toDF("doc_id", "n_tok", "seq_id")
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("seq_id"))
+  }
+
+  def q62PackSequences(s: SparkSession, d: String): DataFrame =
+    packSequences(Tables.documents(s, d).select(col("doc_id"), col("text")))
+}
