@@ -80,6 +80,7 @@ object SparkEntry {
     "q60_chunk" -> (Curation.q60Chunk _),
     "q61_source_quota" -> (Curation.q61SourceQuota _),
     "q62_pack_sequences" -> (Curation.q62PackSequences _),
+    "q63_pii_redact" -> (Pii.q63PiiRedact _),
   )
 
   private val Rev =

@@ -53,38 +53,53 @@ object Curation {
       sb.toString
     }
 
+  /** Hard ceiling on the collected benchmark gram set. A real eval
+    * suite is thousands of documents — a few million distinct grams at
+    * most — so hitting this means the caller passed something
+    * corpus-sized as `benchmark`, and the driver collect that would
+    * follow is exactly the unbounded-at-100-TB failure this operator is
+    * designed to avoid. Failing fast beats OOMing the driver.
+    */
+  val MaxBenchmarkGrams = 5000000
+
   /** Benchmark n-gram decontamination: flag every corpus document that
-    * shares at least one `n`-token gram with the benchmark split,
+    * shares at least one `n`-token gram with the `benchmark` frame,
     * reported as per-source contamination counts — the
     * train/test-overlap scrub every serious pre-training corpus runs.
-    * `docs` needs (doc_id, source, text); benchmark membership is
-    * `doc_id % benchmarkMod == 0`.
+    * `corpus` needs (source, text); `benchmark` needs (text) and is the
+    * held-out eval suite as its OWN (small) frame.
     *
     * Scale shape: the benchmark side is an eval suite — thousands of
     * documents regardless of corpus size — so its distinct gram set is
     * collected and broadcast (the ONLY collect; bounded by benchmark
-    * size, not corpus size), and the 100 TB corpus side then streams
-    * once through a single typed pass probing the in-memory set: no
-    * join, no shuffle except the final ~20-row per-source aggregate.
-    * The gram probe keys are exact strings (no hashing), so a flag here
-    * is a true overlap, never a hash-collision false positive.
+    * size, not corpus size, and guarded by `maxBenchmarkGrams` so a
+    * corpus-sized frame passed by mistake fails fast instead of
+    * OOMing the driver), and the 100 TB corpus side then streams once
+    * through a single typed pass probing the in-memory set: no join,
+    * no shuffle except the final ~20-row per-source aggregate. The
+    * gram probe keys are exact strings (no hashing), so a flag here is
+    * a true overlap, never a hash-collision false positive.
     */
   def decontaminateStats(
-      docs: DataFrame, n: Int = DecontamN,
-      benchmarkMod: Int = BenchmarkMod): DataFrame = {
-    val s = docs.sparkSession
+      corpus: DataFrame, benchmark: DataFrame, n: Int = DecontamN,
+      maxBenchmarkGrams: Int = MaxBenchmarkGrams): DataFrame = {
+    val s = corpus.sparkSession
     import s.implicits._
-    val benchGrams = docs
-      .filter(col("doc_id") % benchmarkMod === 0)
+    // limit() bounds the driver transfer BEFORE collect: an over-sized
+    // benchmark ships at most maxBenchmarkGrams+1 grams, then throws.
+    val benchGrams = benchmark
       .select(col("text")).as[String]
       .flatMap(t => grams(tokenize(t), n))
       .distinct()
+      .limit(maxBenchmarkGrams + 1)
       .collect()
-      .toSet
-    val bc = s.sparkContext.broadcast(benchGrams)
+    require(benchGrams.length <= maxBenchmarkGrams,
+      s"benchmark n-gram set exceeds $maxBenchmarkGrams distinct grams - " +
+        "this frame is corpus-sized, not an eval suite; pass the held-out " +
+        "benchmark split only (or raise maxBenchmarkGrams deliberately)")
+    val bc = s.sparkContext.broadcast(benchGrams.toSet)
 
-    docs
-      .filter(col("doc_id") % benchmarkMod =!= 0)
+    corpus
       .select(col("source"), col("text")).as[(String, String)]
       .map { case (src, text) =>
         val contaminated = grams(tokenize(text), n).exists(bc.value.contains)
@@ -99,9 +114,17 @@ object Curation {
       .orderBy(col("source"))
   }
 
-  def q58Decontaminate(s: SparkSession, d: String): DataFrame =
-    decontaminateStats(Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("text")))
+  /** Driver binding: `doc_id % BenchmarkMod == 0` carves the stand-in
+    * eval split out of the test corpus; the mod lives HERE, not in the
+    * operator — [[decontaminateStats]] takes the benchmark as a frame.
+    */
+  def q58Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    decontaminateStats(
+      docs.filter(col("doc_id") % BenchmarkMod =!= 0),
+      docs.filter(col("doc_id") % BenchmarkMod === 0))
+  }
 
   /** Vocabulary size for [[q59VocabCoverage]] — deliberately below the
     * corpus's 31 distinct tokens so out-of-vocabulary mass is non-zero.
@@ -212,14 +235,56 @@ object Curation {
     * data-mixing step that stops one dominant crawl from swamping the
     * blend.
     *
-    * Scale shape: one hash-partitioned window per source. Sources are
-    * the natural partition key for a mixing step and a single source's
-    * rows must meet in one place to be ranked; a pathologically hot
-    * source degrades to one big partition, and the standard two-phase
-    * refinement (per-partition top-cap pre-prune, then rank the
-    * survivors) composes on top without changing the contract.
+    * Scale shape: two-phase top-k. A naive per-source window would pull
+    * a dominant source's ENTIRE row set into one task to rank; instead
+    * phase 1 keeps a bounded heap of the `cap` best (md5, doc_id) keys
+    * per source WITHIN each scan partition (no shuffle, memory bounded
+    * by sources x cap per partition), so the per-source rank in phase 2
+    * sees at most cap x scan-partitions rows per source — independent
+    * of corpus size. Phase 1 can only discard rows phase 2 would also
+    * discard (a row outside a partition-local top-cap is outside the
+    * global top-cap a fortiori), so the result is identical to the
+    * naive window (pinned by CurationSpec's equivalence test).
     */
   def sourceQuota(docs: DataFrame, cap: Int = QuotaPerSource): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val keyOrd = Ordering.Tuple2[String, Long]
+    val pruned = docs
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("h"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        // per-source max-heap of the cap smallest (h, doc_id) keys seen
+        // in this partition; the heap root is the current worst keeper
+        val heaps =
+          scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.PriorityQueue[(String, Long)]]
+        it.foreach { case (id, src, h) =>
+          val pq = heaps.getOrElseUpdate(src,
+            scala.collection.mutable.PriorityQueue.empty[(String, Long)](keyOrd))
+          if (pq.size < cap) pq.enqueue((h, id))
+          else if (keyOrd.lt((h, id), pq.head)) { pq.dequeue(); pq.enqueue((h, id)) }
+        }
+        heaps.iterator.flatMap { case (src, pq) =>
+          pq.iterator.map { case (h, id) => (id, src, h) }
+        }
+      }
+      .toDF("doc_id", "source", "h")
+
+    val rk = row_number().over(Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id")))
+    pruned
+      .withColumn("rk", rk.cast("long"))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The naive single-window formulation of [[sourceQuota]] — the
+    * reference semantics the two-phase version must match exactly;
+    * kept (test-only) as the equivalence oracle.
+    */
+  private[operators] def sourceQuotaNaive(docs: DataFrame, cap: Int): DataFrame = {
     val rk = row_number().over(Window.partitionBy(col("source"))
       .orderBy(md5(col("text").cast("binary")), col("doc_id")))
     docs
@@ -289,6 +354,11 @@ object Curation {
       }
       .collect()
       .sortBy(_._1)
+    // the collect above materialized `ordered`'s cache, which fully
+    // consumed perDoc — release it rather than pinning a second copy
+    // of the corpus-derived frame (a cache-evicted `ordered` partition
+    // recomputes from docs; correctness unaffected)
+    perDoc.unpersist(blocking = false)
     // exclusive prefix over the per-partition sums -> each partition's
     // global token offset
     val offsets = new Array[Long]((partSums.map(_._1).maxOption.getOrElse(-1)) + 1)

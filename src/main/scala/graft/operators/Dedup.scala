@@ -188,11 +188,11 @@ object Dedup {
 
     withSh.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
-      .crossJoin(broadcast(lshStats.select(col("n_dropped_buckets"))))
+      .crossJoin(broadcast(lshStats))
       .select(col("doc_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
-        col("n_dropped_buckets"))
+        col("n_dropped_buckets"), col("n_dropped_members"))
       .orderBy(col("doc_id"))
   }
 
@@ -306,10 +306,10 @@ object Dedup {
 
     sigs.select(col("doc_id"), col("simhash"))
       .join(perDoc, Seq("doc_id"), "left")
-      .crossJoin(broadcast(lshStats.select(col("n_dropped_buckets"))))
+      .crossJoin(broadcast(lshStats))
       .select(col("doc_id"), col("simhash"),
         coalesce(col("n_near"), lit(0L)).as("n_near"),
-        col("n_dropped_buckets"))
+        col("n_dropped_buckets"), col("n_dropped_members"))
       .orderBy(col("doc_id"))
   }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** PII detection and redaction for training-corpus scrubbing: emails,
@@ -26,16 +27,41 @@ object Pii {
   /** Four dot-separated 1-3 digit octets, not embedded in longer runs. */
   val Ipv4Re = "(?<![0-9.])(?:[0-9]{1,3}\\.){3}[0-9]{1,3}(?![0-9.])"
 
+  /** A match may not start mid-way through a separated digit run: if the
+    * immediately preceding text is `digit-` / `digit.` we are inside a
+    * larger dash/dot-joined sequence (e.g. the "08-12" tail of an ISO
+    * date) and must not redact its suffix.
+    */
+  private val NotMidRun = "(?<![0-9])(?<![0-9][-.])"
+
+  /** Full-date shapes are not phones even though they fit the block
+    * structure: yyyy-mm-dd / yyyy.mm.dd and dd-mm-yyyy / mm.dd.yyyy.
+    * (Slash-separated dates never matched — `/` is not a phone
+    * separator.) A 4-2-2 digit phone written with dashes is
+    * indistinguishable from a date and is deliberately left alone.
+    */
+  private val DateGuard =
+    "(?!(?:[0-9]{4}[-.][0-9]{1,2}[-.][0-9]{1,2}|[0-9]{1,2}[-.][0-9]{1,2}[-.][0-9]{4})(?![0-9]))"
+
+  /** At least 7 digits reachable through phone punctuation from the
+    * match start — the minimum length of a real subscriber number.
+    * Keeps short ranges ("pages 10-12") and id fragments out.
+    */
+  private val MinSevenDigits = "(?=\\+?(?:[-. ()]{0,2}[0-9]){7})"
+
   /** Phone-shaped, two alternatives: separated digit blocks (optional
     * +country and an area-code paren group, then 2-4-digit blocks with
     * REQUIRED single space/dash/dot separators — requiring the
     * separator is what keeps long contiguous ID/serial runs out), or a
     * bare contiguous 7-11 digit run (the lookarounds reject runs longer
-    * than 11, rather than redacting an 11-digit prefix of them).
+    * than 11, rather than redacting an 11-digit prefix of them). Both
+    * are guarded by [[NotMidRun]]; the separated form additionally by
+    * [[DateGuard]] and [[MinSevenDigits]].
     */
   val PhoneRe =
-    "(?<![0-9])(?:\\+?[0-9]{1,3}[-. ]?)?(?:\\([0-9]{2,4}\\)[-. ]?)?[0-9]{2,4}(?:[-. ][0-9]{2,4}){1,3}(?![0-9])" +
-      "|(?<![0-9])\\+?[0-9]{7,11}(?![0-9])"
+    NotMidRun + DateGuard + MinSevenDigits +
+      "(?:\\+?[0-9]{1,3}[-. ]?)?(?:\\([0-9]{2,4}\\)[-. ]?)?[0-9]{2,4}(?:[-. ][0-9]{2,4}){1,3}(?![0-9])" +
+      "|" + NotMidRun + "\\+?[0-9]{7,11}(?![0-9])"
 
   val EmailToken = "<EMAIL>"
   val IpToken = "<IP>"
@@ -63,5 +89,44 @@ object Pii {
       size(regexp_extract_all(c, lit(EmailRe), lit(0))).cast("long"),
       size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))).cast("long"),
       size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))).cast("long"))
+  }
+
+  /** Per-source PII audit over `documents`: doc counts, per-class match
+    * sums, and total characters removed by redaction. The driver corpus
+    * deliberately contains no PII, so each document gets one email, one
+    * IPv4, and one phone planted DETERMINISTICALLY from its doc_id
+    * (plus an ISO date that must NOT be counted as a phone) — the
+    * counts are non-vacuous and every column is reproducible run to
+    * run. The regex chain needs lookbehind, which DuckDB's RE2 cannot
+    * express, so this is a rows-only driver check; the exact redaction
+    * semantics are pinned by PiiSpec fixtures.
+    *
+    * Scale shape: one codegen'd pass over the corpus (regexp chain in
+    * whole-stage codegen, no UDFs) into a ~20-row per-source aggregate.
+    */
+  def q63PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("t", concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com"),
+        lit(" or +1-555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" via 10."), (col("doc_id") % 250).cast("string"),
+        lit(".0."), (col("doc_id") % 199 + 1).cast("string"),
+        lit(" on 2026-08-12")))
+    val (e, i, p) = counts(col("t"))
+    planted
+      .select(col("source"), e.as("ne"), i.as("ni"), p.as("np"),
+        (length(col("t")) - length(redact(col("t")))).cast("long").as("delta"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ne")).as("n_emails"),
+        sum(col("ni")).as("n_ips"),
+        sum(col("np")).as("n_phones"),
+        sum(col("delta")).as("chars_removed"))
+      .orderBy(col("source"))
   }
 }

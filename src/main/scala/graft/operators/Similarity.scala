@@ -282,11 +282,11 @@ object Similarity {
 
     q.select(col("vec_id"))
       .join(perVec, Seq("vec_id"), "left")
-      .crossJoin(broadcast(lshStats.select(col("n_dropped_buckets"))))
+      .crossJoin(broadcast(lshStats))
       .select(col("vec_id"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"),
         coalesce(col("best_cosine"), lit(-1.0)).as("best_cosine"),
-        col("n_dropped_buckets"))
+        col("n_dropped_buckets"), col("n_dropped_members"))
       .orderBy(col("vec_id"))
   }
 }

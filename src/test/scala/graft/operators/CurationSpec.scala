@@ -21,26 +21,40 @@ class CurationSpec extends SparkSpec {
   }
 
   test("decontaminateStats flags planted 4-gram overlap and nothing else") {
-    // doc 0 is benchmark (0 % 97 == 0); doc 1 repeats one of its
-    // 4-grams verbatim mid-document; doc 2 shares only a 3-gram run;
-    // doc 3 is too short to carry any 4-gram
-    val docs = docsDF(Seq(
-      (0L, "bench", "alpha beta gamma delta epsilon"),
+    // the benchmark is its OWN frame (the operator API — the doc_id-mod
+    // split lives only in the q58 driver binding); doc 1 repeats one of
+    // its 4-grams verbatim mid-document; doc 2 shares only a 3-gram
+    // run; doc 3 is too short to carry any 4-gram
+    val bench = docsDF(Seq(
+      (0L, "bench", "alpha beta gamma delta epsilon")))
+    val corpus = docsDF(Seq(
       (1L, "s1", "noise one beta gamma delta epsilon noise two"),
       (2L, "s1", "zzz beta gamma delta qqq rrr sss ttt"),
       (3L, "s2", "beta gamma delta")))
-    val got = decollect(Curation.decontaminateStats(docs))
+    val got = decollect(Curation.decontaminateStats(corpus, bench))
     assert(got == Map(
       "s1" -> (2L, 1L, 1L),
       "s2" -> (1L, 0L, 1L)))
   }
 
   test("decontaminateStats: empty benchmark split contaminates nothing") {
-    val docs = docsDF(Seq(
+    val corpus = docsDF(Seq(
       (1L, "s1", "alpha beta gamma delta epsilon"),
       (2L, "s1", "alpha beta gamma delta epsilon")))
-    val got = decollect(Curation.decontaminateStats(docs))
+    val bench = docsDF(Seq.empty[(Long, String, String)])
+    val got = decollect(Curation.decontaminateStats(corpus, bench))
     assert(got == Map("s1" -> (2L, 0L, 2L)))
+  }
+
+  test("decontaminateStats fails fast on a corpus-sized benchmark frame") {
+    // 10 distinct 4-grams against a ceiling of 3: the guard must trip
+    // BEFORE an unbounded driver collect, with an actionable message
+    val corpus = docsDF(Seq((1L, "s1", "alpha beta gamma delta")))
+    val bigBench = docsDF(
+      (0L until 10L).map(i => (i, "bench", s"a$i b$i c$i d$i")))
+    val e = intercept[IllegalArgumentException](
+      Curation.decontaminateStats(corpus, bigBench, maxBenchmarkGrams = 3))
+    assert(e.getMessage.contains("corpus-sized"))
   }
 
   private def decollect(df: DataFrame): Map[String, (Long, Long, Long)] =
@@ -126,6 +140,20 @@ class CurationSpec extends SparkSpec {
     val kept2 = Curation.sourceQuota(docs.repartition(13), cap = 5)
       .as[(Long, String, Long)].collect()
     assert(kept.sortBy(_._1).toSeq == kept2.sortBy(_._1).toSeq)
+  }
+
+  test("sourceQuota two-phase pre-prune is row-identical to the naive window") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    for (parts <- Seq(1, 13)) {
+      val input = docs.repartition(parts)
+      val fast = Curation.sourceQuota(input, cap = 5)
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      val naive = Curation.sourceQuotaNaive(input, cap = 5)
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      assert(fast == naive, s"parts=$parts")
+    }
   }
 
   test("packSequences matches a sequential fold oracle and is partition-invariant") {

@@ -38,6 +38,23 @@ class PiiSpec extends SparkSpec {
       == "id 123456789012345678 unchanged")
   }
 
+  test("dates, ranges, and version strings survive the phone rule") {
+    // ISO date, neither whole nor as a "08-12" suffix match
+    assert(redactOne("shipped on 2026-08-12 intact") == "shipped on 2026-08-12 intact")
+    // EU dotted and dashed day-first dates
+    assert(redactOne("due 12.03.2026 sharp") == "due 12.03.2026 sharp")
+    assert(redactOne("due 3-12-2026 sharp") == "due 3-12-2026 sharp")
+    // US slash date (slash was never a phone separator)
+    assert(redactOne("on 08/12/2026 ok") == "on 08/12/2026 ok")
+    // short numeric ranges are not 7-digit subscriber numbers
+    assert(redactOne("see pages 10-12 and 110-245") == "see pages 10-12 and 110-245")
+    // version string
+    assert(redactOne("bump to 1.2.3 now") == "bump to 1.2.3 now")
+    // real phones adjacent to a date still redact
+    assert(redactOne("on 2026-08-12 call 555-867-5309")
+      == "on 2026-08-12 call <PHONE>")
+  }
+
   test("clean text is unchanged and counts are zero") {
     val s = "the quick brown fox jumps over the lazy dog"
     assert(redactOne(s) == s)
@@ -45,6 +62,22 @@ class PiiSpec extends SparkSpec {
     val (e, i, p) = Pii.counts(col("t"))
     val r = Seq(s).toDF("t").select(e.as("e"), i.as("i"), p.as("p")).head()
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((0L, 0L, 0L)))
+  }
+
+  test("q63 plants exactly one of each PII class per document") {
+    // the corpus itself is PII-free, so per-source sums must equal the
+    // doc count exactly — this is what makes the rows-only driver check
+    // non-vacuous (and it fails if the corpus ever gains PII-shaped
+    // text or the planted date starts matching the phone rule)
+    val rows = Pii.q63PiiRedact(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("n_emails") == n, r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_ips") == n, r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_phones") == n, r.getAs[String]("source"))
+      assert(r.getAs[Long]("chars_removed") > 0L)
+    }
   }
 
   test("counts match planted occurrences per class") {

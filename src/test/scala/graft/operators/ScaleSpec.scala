@@ -126,11 +126,16 @@ class ScaleSpec extends SparkSpec {
     assert(r2.getLong(0) == 0L && r2.getLong(1) == 0L)
   }
 
-  test("the drop-count metric rides on the near-dup query outputs") {
-    val out = Dedup.q20DedupMinhash(spark, d)
-    assert(out.columns.contains("n_dropped_buckets"))
-    val first = out.limit(1).collect().head
-    assert(first.getLong(first.fieldIndex("n_dropped_buckets")) >= 0L)
+  test("the drop-count metrics ride on the near-dup query outputs") {
+    for (out <- Seq(Dedup.q20DedupMinhash(spark, d),
+        Dedup.q21DedupSimhash(spark, d),
+        Similarity.q44DedupEmbed(spark, d))) {
+      assert(out.columns.contains("n_dropped_buckets"))
+      assert(out.columns.contains("n_dropped_members"))
+      val first = out.limit(1).collect().head
+      assert(first.getLong(first.fieldIndex("n_dropped_buckets")) >= 0L)
+      assert(first.getLong(first.fieldIndex("n_dropped_members")) >= 0L)
+    }
   }
 
   test("non-integral id column fails fast with a clear message") {
