@@ -2,6 +2,7 @@ package graft.mr
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.functions.col
 
 import scala.collection.mutable
 import scala.reflect.ClassTag
@@ -101,23 +102,25 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
   /** Shuffle parallelism; 0 = Spark default. Replaces the reference's
     * round-robin key-cycling idiom (docs.rst:373-394). One knob sizing
     * both shuffles; override [[mapParallelism]] / [[reduceParallelism]]
-    * to tune the phases independently. RDD path only: [[MapReduce.runDataset]]
-    * ignores these knobs — its exchanges are sized by
-    * `spark.sql.shuffle.partitions` plus AQE coalescing (see
-    * [[dsPartitionAndSort]] for why a pre-repartition would not help).
+    * to tune the phases independently. Honored on BOTH paths: the RDD
+    * path sizes its HashPartitioners directly; the Dataset path swaps
+    * `groupByKey`'s conf-sized exchange for an explicit
+    * `repartition(n, key)` + in-partition sort + adjacent-group fold
+    * (see [[dsPartitionAndSort]]). Left at 0 the Dataset exchanges stay
+    * `spark.sql.shuffle.partitions` + AQE-coalesced — the right default
+    * at scale; set the knobs only to pin a phase's width deliberately.
     */
   def numPartitions: Int = 0
 
   /** Shuffle-#1 (map-output) parallelism — the reference's independent
     * mapper pool (`map` vs `reduce_map`, tinymr.py:156-173, where the
     * mapper and reducer executors are tuned separately). Defaults to
-    * [[numPartitions]]; RDD path only (see there).
+    * [[numPartitions]].
     */
   def mapParallelism: Int = numPartitions
 
   /** Shuffle-#2 (reduce-output) parallelism — the reducer-pool half of
-    * the reference's asymmetry. Defaults to [[numPartitions]]; RDD path
-    * only (see there).
+    * the reference's asymmetry. Defaults to [[numPartitions]].
     */
   def reduceParallelism: Int = numPartitions
 
@@ -285,22 +288,63 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
   // compression all apply. The RDD path remains for opaque value types
   // (the reference's values are arbitrary objects, tinymr.py:73-76).
 
+  /** Sized keyed shuffle for the Dataset path: an explicit
+    * `repartition(parallelism, _1)` + in-partition sort on the encoded
+    * key makes equal keys contiguous, and a streaming adjacent-group
+    * fold then applies `f` per key group — one exchange of exactly the
+    * requested width, holding one group (not one partition) in memory
+    * at a time. A plain pre-`repartition` before `groupByKey` would NOT
+    * do this: the lambda key defeats exchange reuse and the groupByKey
+    * would just shuffle again.
+    *
+    * Key-equality caveat (same as the RDD path's HashPartitioner):
+    * grouping relies on the key's Tungsten encoding being
+    * value-deterministic, true for the product/primitive/String keys
+    * the Encoder context bound admits (a Double key distinguishing
+    * -0.0/0.0 is the lone pathological corner, on both paths).
+    */
+  private def dsSizedGroups[O](ds: Dataset[(K, SV)], parallelism: Int)(
+      f: (K, mutable.ArrayBuffer[SV]) => O)(implicit eo: Encoder[O]): Dataset[O] =
+    ds.repartition(parallelism, col("_1"))
+      .sortWithinPartitions(col("_1"))
+      .mapPartitions { it =>
+        new Iterator[O] {
+          private var pending: Option[(K, SV)] =
+            if (it.hasNext) Some(it.next()) else None
+          def hasNext: Boolean = pending.isDefined
+          def next(): O = {
+            val (k, first) = pending.get
+            val buf = mutable.ArrayBuffer(first)
+            pending = None
+            while (pending.isEmpty && it.hasNext) {
+              val p = it.next()
+              if (p._1 == k) buf += p._2 else pending = Some(p)
+            }
+            f(k, buf)
+          }
+        }
+      }
+
   /** One Dataset shuffle + in-group sort pass (Tungsten analogue of
-    * [[partitionAndSort]]). Note: [[numPartitions]] applies to the RDD
-    * path only; here the groupByKey exchange is sized by
-    * `spark.sql.shuffle.partitions` + AQE coalescing (a pre-repartition
-    * would not be reused by groupByKey's lambda key and would just add a
-    * second shuffle).
+    * [[partitionAndSort]]). `parallelism` = 0 leaves the groupByKey
+    * exchange to `spark.sql.shuffle.partitions` + AQE coalescing;
+    * > 0 pins the exchange width via [[dsSizedGroups]].
     */
   protected def dsPartitionAndSort(
-      ds: Dataset[(K, SV)], withValue: Boolean, reverse: Boolean)(
+      ds: Dataset[(K, SV)], withValue: Boolean, reverse: Boolean,
+      parallelism: Int = 0)(
       implicit ek: Encoder[K], eout: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] = {
-    ds.groupByKey(_._1)
-      .flatMapGroups { (k: K, it: Iterator[(K, SV)]) =>
-        val buf = mutable.ArrayBuffer.empty[SV]
-        it.foreach(p => buf += p._2)
-        Iterator.single((k, sortValues(buf, withValue, reverse): Seq[V]))
+    if (parallelism > 0)
+      dsSizedGroups(ds, parallelism) { (k, buf) =>
+        (k, sortValues(buf, withValue, reverse): Seq[V])
       }
+    else
+      ds.groupByKey(_._1)
+        .flatMapGroups { (k: K, it: Iterator[(K, SV)]) =>
+          val buf = mutable.ArrayBuffer.empty[SV]
+          it.foreach(p => buf += p._2)
+          Iterator.single((k, sortValues(buf, withValue, reverse): Seq[V]))
+        }
   }
 
   /** Partition-local regroup for the keyPreserving elision (Dataset). */
@@ -318,21 +362,38 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
       eout: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
     combiner match {
       case Some(op) if !sortMapWithValue =>
-        ds.mapPartitions { part =>
-            instrumented(part)(i => mapper(i).iterator.map { e =>
-              if (e.sortOpt.isDefined) throw new ElementCountError(
-                "combiner requires (key, value) emissions — (key, sort, value) has no combine semantics")
-              (e.key, (e.sortOpt, e.value))
-            })
+        val mapped = ds.mapPartitions { part =>
+          instrumented(part)(i => mapper(i).iterator.map { e =>
+            if (e.sortOpt.isDefined) throw new ElementCountError(
+              "combiner requires (key, value) emissions — (key, sort, value) has no combine semantics")
+            (e.key, (e.sortOpt, e.value))
+          })
+        }
+        if (mapParallelism > 0)
+          // sized variant keeps the map-side combine reduceGroups would
+          // have provided: fold each scan partition locally first, so
+          // the pinned-width exchange carries one row per (partition,
+          // key), then finish the fold per key group
+          dsSizedGroups(
+            mapped.mapPartitions { it =>
+              val m = mutable.LinkedHashMap.empty[K, V]
+              it.foreach { case (k, (_, v)) =>
+                m.update(k, m.get(k).fold(v)(op(_, v)))
+              }
+              m.iterator.map { case (k, v) => (k, (None: Option[S], v)) }
+            }, mapParallelism) { (k, buf) =>
+            (k, Seq(buf.view.map(_._2).reduce(op)): Seq[V])
           }
-          .groupByKey(_._1)
-          .reduceGroups((a: (K, SV), b: (K, SV)) => (a._1, (None, op(a._2._2, b._2._2))))
-          .map { case (k, (_, (_, v))) => (k, Seq(v)) }
+        else
+          mapped
+            .groupByKey(_._1)
+            .reduceGroups((a: (K, SV), b: (K, SV)) => (a._1, (None, op(a._2._2, b._2._2))))
+            .map { case (k, (_, (_, v))) => (k, Seq(v)) }
       case _ =>
         dsPartitionAndSort(
           ds.mapPartitions(part => instrumented(part)(i =>
             mapper(i).iterator.map(e => (e.key, (e.sortOpt, e.value))))),
-          sortMapWithValue, sortMapReverse)
+          sortMapWithValue, sortMapReverse, mapParallelism)
     }
 }
 
@@ -394,7 +455,8 @@ abstract class MapReduce[I, K, S, V] extends MapReduceBase[I, K, S, V] {
         reducer(k, vs).iterator.map(e => (e.key, (e.sortOpt, e.value)))
       })
     if (keyPreserving) dsGroupLocally(reduced, sortReduceWithValue, sortReduceReverse)
-    else dsPartitionAndSort(reduced, sortReduceWithValue, sortReduceReverse)
+    else dsPartitionAndSort(reduced, sortReduceWithValue, sortReduceReverse,
+      reduceParallelism)
   }
 }
 
@@ -450,7 +512,8 @@ abstract class MapReduce1[I, K, S, V] extends MapReduceBase[I, K, S, V] {
     if (keyPreserving)
       singles.map(p => (p._1, p._2._2))
     else
-      dsPartitionAndSort(singles, sortReduceWithValue, sortReduceReverse)
+      dsPartitionAndSort(singles, sortReduceWithValue, sortReduceReverse,
+        reduceParallelism)
         .map(p => (p._1, p._2.head))
   }
 }
