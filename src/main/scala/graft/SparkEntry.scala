@@ -81,6 +81,10 @@ object SparkEntry {
     "q61_source_quota" -> (Curation.q61SourceQuota _),
     "q62_pack_sequences" -> (Curation.q62PackSequences _),
     "q63_pii_redact" -> (Pii.q63PiiRedact _),
+    "q64_span_dedup" -> (Curation.q64SpanDedup _),
+    "q65_unigram_quality" -> (Curation.q65UnigramQuality _),
+    "q66_pair_counts" -> (Curation.q66PairCounts _),
+    "q67_temperature_resample" -> (Curation.q67TemperatureResample _),
   )
 
   private val Rev =
@@ -525,5 +529,58 @@ object SparkEntry {
         |SELECT doc_id, src_w, src_h, dst_w, dst_h,
         |  CAST(dst_w * dst_h * 3 AS BIGINT) AS out_bytes
         |FROM r ORDER BY doc_id""".stripMargin,
+    "q64_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, md5(unnest(list_transform(
+        |    generate_series(1, greatest(len(t) - 15, 0)),
+        |    i -> array_to_string(t[i:i+15], ' ')))) AS gh
+        |  FROM toks),
+        |pg AS (SELECT gh, doc_id, COUNT(*) AS k FROM g GROUP BY 1, 2),
+        |tot AS (SELECT gh, SUM(k) AS c FROM pg GROUP BY 1),
+        |per AS (
+        |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN c > 1 THEN k ELSE 0 END) AS BIGINT) AS n_dup_grams
+        |  FROM pg JOIN tot USING (gh) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(per.n_grams, 0) AS n_grams,
+        |  COALESCE(per.n_dup_grams, 0) AS n_dup_grams,
+        |  CASE WHEN COALESCE(per.n_grams, 0) = 0 THEN 0.0
+        |    ELSE CAST(per.n_dup_grams AS DOUBLE) / CAST(per.n_grams AS DOUBLE)
+        |  END AS dup_ratio
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "q65_unigram_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY 1),
+        |v AS (SELECT tok, CAST(c AS BIGINT) AS c FROM c ORDER BY c DESC, tok ASC LIMIT 25),
+        |per AS (
+        |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+        |    CAST(SUM(COALESCE(v.c, 0)) AS BIGINT) AS sum_freq
+        |  FROM t LEFT JOIN v USING (tok) GROUP BY 1)
+        |SELECT doc_id, n_tok, sum_freq,
+        |  CAST(sum_freq AS DOUBLE) / CAST(n_tok AS DOUBLE) AS avg_freq
+        |FROM per ORDER BY doc_id""".stripMargin,
+    "q66_pair_counts" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1])) AS pair
+        |  FROM toks)
+        |SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+    "q67_temperature_resample" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |g AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+        |k AS (
+        |  SELECT lang, CAST(FLOOR(SQRT(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)) * 65536) AS BIGINT) AS k
+        |  FROM g CROSS JOIN n)
+        |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) FILTER (k.k >= 65536
+        |    OR substr(md5(d.text), 1, 4) < lpad(lower(hex(k.k)), 4, '0')) AS BIGINT) AS n_kept,
+        |  CAST(MAX(k.k) AS DOUBLE) / 65536 AS keep_rate
+        |FROM documents d JOIN k USING (lang) GROUP BY 1 ORDER BY d.lang""".stripMargin,
   )
 }

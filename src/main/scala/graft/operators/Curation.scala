@@ -391,4 +391,194 @@ object Curation {
 
   def q62PackSequences(s: SparkSession, d: String): DataFrame =
     packSequences(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** Span length (tokens) for [[q64SpanDedup]]. Real pipelines use ~50
+    * tokens (Lee et al. ACL '22, "Deduplicating Training Data Makes
+    * Language Models Better", ExactSubstr); the synthetic corpus's docs
+    * run 10-99 tokens, so 16 keeps the statistic discriminative while
+    * still exercising the shorter-than-span edge (docs under 16 tokens
+    * carry zero spans).
+    */
+  val SpanGram = 16
+
+  /** Exact duplicated-span statistics — the gram-hash approximation of
+    * suffix-array substring dedup (Lee et al. ACL '22): every `n`-token
+    * window is keyed by its md5, a window whose hash occurs more than
+    * once corpus-wide (across documents OR repeated within one) is a
+    * duplicated span, and each document reports how much of it is
+    * covered by duplicated windows — the signal used to cut verbatim
+    * boilerplate/licensing spans out of training corpora.
+    *
+    * Scale shape: the md5 is computed BEFORE the exchange, so shuffles
+    * carry 32-hex-char keys, never gram text (at 128 bits a collision
+    * is negligible even at 10^12 grams, where a 64-bit key would
+    * already be colliding constantly — the hash width is the scale
+    * decision). Three keyed exchanges, each on pre-aggregated rows:
+    * per-(gram,doc) counts, per-gram totals, per-doc rollup. No
+    * collects, no windows; AQE sizes all three.
+    */
+  def spanDedupStats(docs: DataFrame, n: Int = SpanGram): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val g = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) => grams(tokenize(t), n).map(gr => (id, gr)) }
+      .toDF("doc_id", "g")
+      .select(col("doc_id"), md5(col("g").cast("binary")).as("gh"))
+    val perDocGram = g.groupBy(col("gh"), col("doc_id"))
+      .agg(count(lit(1)).as("k"))
+    val totals = perDocGram.groupBy(col("gh")).agg(sum(col("k")).as("c"))
+    val per = perDocGram.join(totals, "gh")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("k")).as("n_grams"),
+        sum(when(col("c") > 1, col("k")).otherwise(0L)).as("n_dup_grams"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("n_dup_grams").cast("double") /
+            col("n_grams").cast("double")).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q64SpanDedup(s: SparkSession, d: String): DataFrame =
+    spanDedupStats(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** Frequency-table size for [[q65UnigramQuality]] — like [[VocabSize]],
+    * deliberately below the corpus's distinct-token count so the
+    * out-of-table contribution (frequency 0) is exercised.
+    */
+  val FreqTableSize = 25
+
+  /** Unigram-frequency quality score: each document scores the corpus
+    * frequency of its tokens (out-of-table tokens score 0), reported as
+    * a total and a per-token average — the ln-free integer skeleton of
+    * unigram-LM perplexity filtering (the CCNet/GPT-3 style "does this
+    * look like the reference distribution" quality gate): common-token
+    * documents score high, rare/garbage-token documents score low.
+    * Integer sums + ONE trailing division keep it decimal-exact against
+    * the DuckDB oracle (float accumulation order would not hash-match).
+    *
+    * Same two-pass shape as [[vocabCoverage]]: the frequency table is a
+    * partial-aggregated wordcount top-k (bounded by table size, not
+    * corpus), then the corpus streams once against the broadcast table.
+    * Zero-token documents are excluded (they have no token average; the
+    * oracle's unnest does the same).
+    */
+  def unigramQuality(docs: DataFrame, tableSize: Int = FreqTableSize): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val freqs = docs
+      .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(tableSize)
+      .as[(String, Long)]
+      .collect()
+      .toMap
+    val bc = s.sparkContext.broadcast(freqs)
+
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        var n = 0L
+        var sf = 0L
+        tokenize(t).foreach { tok =>
+          n += 1
+          sf += bc.value.getOrElse(tok, 0L)
+        }
+        (id, n, sf)
+      }
+      .toDF("doc_id", "n_tok", "sum_freq")
+      .filter(col("n_tok") > 0L)
+      .select(col("doc_id"), col("n_tok"), col("sum_freq"),
+        (col("sum_freq").cast("double") / col("n_tok").cast("double"))
+          .as("avg_freq"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q65UnigramQuality(s: SparkSession, d: String): DataFrame =
+    unigramQuality(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** Result size for [[q66PairCounts]]. */
+  val TopPairs = 20
+
+  /** Adjacent-token-pair counts, top `k` — the argmax statistic of one
+    * BPE merge step (Sennrich et al. ACL '16 §3.2) lifted to corpus
+    * scale: the pair table is what a distributed BPE trainer computes
+    * per iteration, and its top entry is the merge it would perform.
+    * One typed flatMap (pairs never materialize per document — the
+    * fan-out streams), a partial-aggregated count whose shuffle carries
+    * one row per DISTINCT pair (bounded by vocab², not corpus), then a
+    * total-ordered top-k (count desc, pair asc — deterministic at the
+    * cut).
+    */
+  def pairCounts(docs: DataFrame, k: Int = TopPairs): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("text")).as[String]
+      .flatMap { t =>
+        val toks = tokenize(t)
+        (0 until toks.length - 1).iterator.map(i => toks(i) + " " + toks(i + 1))
+      }
+      .toDF("pair")
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  def q66PairCounts(s: SparkSession, d: String): DataFrame =
+    pairCounts(Tables.documents(s, d).select(col("text")))
+
+  /** Hash-space denominator for [[temperatureResample]]'s keep decision:
+    * the first 4 hex chars of md5(text) are a uniform draw in
+    * [0, 65536).
+    */
+  val ResampleHashSpace = 65536
+
+  /** Temperature-flattened source mixing: keep each document of group g
+    * with probability (n_g / n)^alpha at alpha = 0.5 — the
+    * mixture-reweighting step that stops a dominant domain from
+    * swamping the blend while still over-representing it (the
+    * sqrt-flattening of multilingual/domain sampling, Conneau & Lample
+    * '19 §3.1; GPT-3's weighted mixtures, Brown et al. '20 §2.2).
+    * Membership is RNG-free (md5 hex prefix vs a per-group threshold —
+    * the q49/q61 determinism contract: stable under repartitioning,
+    * retries, and growth), and alpha = 0.5 is deliberate: sqrt and the
+    * power-of-two scale factor are IEEE-exact in both engines, so the
+    * per-group integer threshold — and therefore every keep decision —
+    * is bit-identical to the DuckDB oracle (an arbitrary pow(x, alpha)
+    * would not be).
+    *
+    * Scale shape: one tiny per-group dim (groups = languages/domains —
+    * tens of rows) broadcast into a single corpus pass, then a
+    * group-count aggregate. No windows, no driver collect.
+    */
+  def temperatureResample(docs: DataFrame, groupCol: String = "lang"): DataFrame = {
+    val total = docs.agg(count(lit(1)).as("n"))
+    val grp = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n_grp"))
+      .crossJoin(broadcast(total))
+      .withColumn("k",
+        floor(sqrt(col("n_grp").cast("double") / col("n").cast("double"))
+          * ResampleHashSpace).cast("long"))
+      .withColumn("thr", lpad(lower(hex(col("k"))), 4, "0"))
+      .select(col(groupCol), col("k"), col("thr"))
+
+    docs.select(col(groupCol), col("text"))
+      .join(broadcast(grp), groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        // k == hashSpace (a group that IS the whole corpus) keeps all:
+        // its 5-hex-digit threshold would otherwise be lpad-truncated
+        sum(when(col("k") >= ResampleHashSpace or
+          substring(md5(col("text").cast("binary")), 1, 4) < col("thr"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        (max(col("k")).cast("double") / ResampleHashSpace).as("keep_rate"))
+      .orderBy(col(groupCol))
+  }
+
+  def q67TemperatureResample(s: SparkSession, d: String): DataFrame =
+    temperatureResample(Tables.documents(s, d).select(col("lang"), col("text")))
 }

@@ -194,6 +194,75 @@ class CurationSpec extends SparkSpec {
       "fixture should produce a seq_id gap")
   }
 
+  test("spanDedupStats counts shared and self-repeated spans, zero for short docs") {
+    val span = (0 until 16).map(i => s"s$i").mkString(" ")
+    val docs = docsDF(Seq(
+      // docs 1 and 2 share one verbatim 16-token span (1 dup gram each)
+      (1L, "a", s"one two three $span"),
+      (2L, "a", s"$span other tail words here"),
+      // doc 3 repeats ITS OWN span twice -> both occurrences are dups
+      (3L, "a", s"$span $span"),
+      // doc 4 is shorter than the span -> zero grams
+      (4L, "a", "tiny doc under sixteen tokens")))
+    val got = Curation.spanDedupStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: 19 tokens -> 4 grams; exactly 1 (the span) is shared
+    assert(got(1L)._1 == 4L && got(1L)._2 == 1L, got(1L).toString)
+    // doc 2: 20 tokens -> 5 grams, 1 shared
+    assert(got(2L)._1 == 5L && got(2L)._2 == 1L, got(2L).toString)
+    // doc 3: 32 tokens -> 17 grams; gram 0 and gram 16 are identical
+    // (the span) AND shared with docs 1/2 -> at least those 2 are dups
+    assert(got(3L)._1 == 17L && got(3L)._2 >= 2L, got(3L).toString)
+    assert(got(4L) == ((0L, 0L)))
+  }
+
+  test("unigramQuality scores by corpus frequency with OOV scoring zero") {
+    // counts: a=4, b=2, c=1; tableSize 2 keeps {a, b}; c scores 0
+    val docs = docsDF(Seq(
+      (1L, "s", "a a b c"),
+      (2L, "s", "a a b")))
+    val got = Curation.unigramQuality(docs, tableSize = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 4L + 4L + 2L + 0L, 10.0 / 4.0)))
+    assert(got(2L) == ((3L, 4L + 4L + 2L, 10.0 / 3.0)))
+  }
+
+  test("unigramQuality excludes zero-token documents") {
+    val docs = docsDF(Seq((1L, "s", "a b"), (2L, "s", "")))
+    val got = Curation.unigramQuality(docs, tableSize = 5).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("pairCounts ranks adjacent pairs count-desc with pair-asc tie-break") {
+    import spark.implicits._
+    val docs = docsDF(Seq(
+      (1L, "s", "x y x y x"), // "x y" x2, "y x" x2
+      (2L, "s", "z w")))      // "z w" x1
+    val got = Curation.pairCounts(docs, k = 3).as[(String, Long)].collect().toSeq
+    assert(got == Seq(("x y", 2L), ("y x", 2L), ("z w", 1L)))
+  }
+
+  test("temperatureResample: a whole-corpus group keeps everything; skew flattens") {
+    import spark.implicits._
+    // single group: share 1.0 -> k = 65536 -> keep-all branch
+    val one = docsDF((0L until 40L).map(i => (i, "s", s"doc number $i")))
+      .withColumnRenamed("source", "lang")
+    val r1 = Curation.temperatureResample(one).collect().head
+    assert(r1.getAs[Long]("n_docs") == 40L && r1.getAs[Long]("n_kept") == 40L)
+    assert(r1.getAs[Double]("keep_rate") == 1.0)
+    // skewed groups: keep_rate is sqrt(share), so the minority group's
+    // rate is HIGHER than its share (flattening) and the majority's lower
+    val skew = docsDF(
+      (0L until 90L).map(i => (i, "big", s"maj doc $i")) ++
+        (100L until 110L).map(i => (i, "small", s"min doc $i")))
+      .withColumnRenamed("source", "lang")
+    val rows = Curation.temperatureResample(skew).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("keep_rate")).toMap
+    assert(math.abs(rows("big") - math.sqrt(0.9)) < 1e-4)
+    assert(math.abs(rows("small") - math.sqrt(0.1)) < 1e-4)
+    assert(rows("small") > 0.1 && rows("big") < 0.95)
+  }
+
   test("packSequences conserves tokens and docs") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, d)
