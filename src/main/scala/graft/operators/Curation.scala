@@ -413,9 +413,14 @@ object Curation {
     * carry 32-hex-char keys, never gram text (at 128 bits a collision
     * is negligible even at 10^12 grams, where a 64-bit key would
     * already be colliding constantly — the hash width is the scale
-    * decision). Three keyed exchanges, each on pre-aggregated rows:
-    * per-(gram,doc) counts, per-gram totals, per-doc rollup. No
-    * collects, no windows; AQE sizes all three.
+    * decision). The gram stream crosses the wire ONCE: an explicit
+    * `repartition(gh)` is the single gram-scale exchange, and because
+    * HashPartitioning(gh) satisfies every downstream clustering —
+    * the (gh, doc_id) count, the per-gram total, and the join of the
+    * two — Spark plans both aggregations and the join exchange-free on
+    * top of one ReusedExchange (the flatMap also runs once instead of
+    * once per branch). Only the final per-doc rollup shuffles again,
+    * on already-aggregated rows. No collects, no windows.
     */
   def spanDedupStats(docs: DataFrame, n: Int = SpanGram): DataFrame = {
     val s = docs.sparkSession
@@ -424,6 +429,7 @@ object Curation {
       .flatMap { case (id, t) => grams(tokenize(t), n).map(gr => (id, gr)) }
       .toDF("doc_id", "g")
       .select(col("doc_id"), md5(col("g").cast("binary")).as("gh"))
+      .repartition(col("gh"))
     val perDocGram = g.groupBy(col("gh"), col("doc_id"))
       .agg(count(lit(1)).as("k"))
     val totals = perDocGram.groupBy(col("gh")).agg(sum(col("k")).as("c"))

@@ -216,6 +216,16 @@ class CurationSpec extends SparkSpec {
     assert(got(4L) == ((0L, 0L)))
   }
 
+  test("spanDedupStats shuffles the gram stream once (AQE reuses the gh exchange)") {
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    val out = Curation.spanDedupStats(docs)
+    out.collect()
+    // both aggregation branches and the join hang off ONE
+    // hashpartitioning(gh) exchange in the final adaptive plan
+    assert(out.queryExecution.executedPlan.toString.contains("ReusedExchange"))
+  }
+
   test("unigramQuality scores by corpus frequency with OOV scoring zero") {
     // counts: a=4, b=2, c=1; tableSize 2 keeps {a, b}; c scores 0
     val docs = docsDF(Seq(
