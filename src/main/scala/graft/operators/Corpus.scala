@@ -203,8 +203,14 @@ object Corpus {
     // per-round plan is join + groupBy + doubling join — no loop-carried
     // union (which Catalyst's union constraint rewriting mishandles when
     // its children share a checkpointed subtree)
+    // partitioned by the join key BEFORE caching: the cached frame's
+    // HashPartitioning(src) satisfies every round's join requirement,
+    // so the edge set — the largest frame in the loop — crosses the
+    // wire once at persist time instead of once per round (only the
+    // small label frame shuffles each round)
     val e = edges
       .union(nodes.select(col("p").as("src"), col("p").as("dst")))
+      .repartition(col("src"))
       .persist()
     // LAZY checkpoints: the per-round convergence action is what
     // materializes them, so each round costs ONE job (propagate +
