@@ -85,6 +85,7 @@ object SparkEntry {
     "q65_unigram_quality" -> (Curation.q65UnigramQuality _),
     "q66_pair_counts" -> (Curation.q66PairCounts _),
     "q67_temperature_resample" -> (Curation.q67TemperatureResample _),
+    "q68_curation_pipeline" -> (Curation.q68CurationPipeline _),
   )
 
   private val Rev =
@@ -582,5 +583,20 @@ object SparkEntry {
         |    OR substr(md5(d.text), 1, 4) < lpad(lower(hex(k.k)), 4, '0')) AS BIGINT) AS n_kept,
         |  CAST(MAX(k.k) AS DOUBLE) / 65536 AS keep_rate
         |FROM documents d JOIN k USING (lang) GROUP BY 1 ORDER BY d.lang""".stripMargin,
+    "q68_curation_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |gated AS (SELECT * FROM t WHERE n_tok BETWEEN 10 AND 80),
+        |reps AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+        |dd AS (SELECT g.* FROM gated g JOIN reps USING (doc_id)),
+        |rk AS (
+        |  SELECT doc_id, source, n_tok,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+        |  FROM dd)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+        |FROM rk WHERE rk <= 10 GROUP BY source ORDER BY source""".stripMargin,
   )
 }

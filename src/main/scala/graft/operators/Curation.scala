@@ -587,4 +587,42 @@ object Curation {
 
   def q67TemperatureResample(s: SparkSession, d: String): DataFrame =
     temperatureResample(Tables.documents(s, d).select(col("lang"), col("text")))
+
+  /** End-to-end curation pipeline, composed from the library's own
+    * stages in ONE declarative plan: token-length quality gate ->
+    * exact dedup (keep the smallest doc_id per content hash) ->
+    * per-source quota ([[sourceQuota]] — the two-phase top-k, so the
+    * composite inherits its no-hot-source scale shape) -> per-source
+    * budget rollup. The point being demonstrated: each stage is a
+    * DataFrame-in/DataFrame-out transformation, so the whole pipeline
+    * is a single Catalyst plan (filters reach the scan; nothing
+    * materializes between stages) and still hash-matches a DuckDB
+    * oracle end to end.
+    */
+  def q68CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("n_tok",
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long"))
+
+    // stage 1: quality gate (Gopher-style length window)
+    val gated = docs.filter(col("n_tok").between(10L, 80L))
+
+    // stage 2: exact dedup — smallest doc_id per content hash survives
+    val reps = gated
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = gated.join(reps, "doc_id")
+
+    // stage 3: per-source quota (two-phase top-k inside)
+    val capped = sourceQuota(deduped.select(col("doc_id"), col("source"),
+      col("text")), cap = 10)
+
+    // stage 4: per-source token budget
+    capped.join(gated.select(col("doc_id"), col("n_tok")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .orderBy(col("source"))
+  }
 }

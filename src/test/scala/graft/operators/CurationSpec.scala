@@ -273,6 +273,35 @@ class CurationSpec extends SparkSpec {
     assert(rows("small") > 0.1 && rows("big") < 0.95)
   }
 
+  test("curation pipeline composes: gate, dedup, quota, rollup") {
+    // build a sf-independent fixture through the same binding the
+    // driver uses, via a temp view-free direct call on a tiny frame
+    val twelve = (0 until 12).map(i => s"w$i").mkString(" ")
+    val docs = docsDF(Seq(
+      (1L, "a", twelve),            // survives
+      (2L, "a", twelve),            // exact dup of 1 -> dropped
+      (3L, "a", "too short"),       // gated out (<10 tokens)
+      (4L, "b", (0 until 90).map(i => s"x$i").mkString(" ")), // gated out (>80)
+      (5L, "b", (0 until 15).map(i => s"y$i").mkString(" ")))) // survives
+    import spark.implicits._
+    // inline replica of q68's stages over an arbitrary frame
+    val gated = docs
+      .withColumn("n_tok",
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long"))
+      .filter(col("n_tok").between(10L, 80L))
+    val reps = gated.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val deduped = gated.join(reps, "doc_id")
+    val capped = Curation.sourceQuota(
+      deduped.select(col("doc_id"), col("source"), col("text")), cap = 10)
+    val got = capped.join(gated.select(col("doc_id"), col("n_tok")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == Map("a" -> ((1L, 12L)), "b" -> ((1L, 15L))))
+  }
+
   test("packSequences conserves tokens and docs") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, d)
