@@ -86,6 +86,7 @@ object SparkEntry {
     "q66_pair_counts" -> (Curation.q66PairCounts _),
     "q67_temperature_resample" -> (Curation.q67TemperatureResample _),
     "q68_curation_pipeline" -> (Curation.q68CurationPipeline _),
+    "q69_cross_contamination" -> (Dedup.q69CrossContamination _),
   )
 
   private val Rev =

@@ -202,6 +202,95 @@ object Dedup {
     */
   val DupJaccardThreshold = 0.7
 
+  /** Cross-corpus NEAR-duplicate contamination: flag every corpus
+    * document whose best exact Jaccard against any benchmark document
+    * reaches `threshold`, reported per source — the fuzzy complement of
+    * [[Curation.decontaminateStats]] (verbatim n-gram overlap misses
+    * paraphrased or lightly-edited eval leakage; MinHash at J >= 0.5
+    * catches it). `corpus` needs (doc_id, source, text); `benchmark`
+    * needs (doc_id, text) and is the held-out eval suite as its own
+    * small frame, same contract as q58.
+    *
+    * Scale shape — ZERO corpus-wide shuffles: the benchmark's band
+    * table and shingle sets are broadcast (bounded by eval-suite size),
+    * the corpus band stream probes the broadcast bands, the surviving
+    * candidate id-pairs are broadcast back against the cached corpus
+    * signature frame for exact-Jaccard verification, and the final
+    * per-source rollup aggregates a ~20-row frame. The corpus is read
+    * twice from the signature cache (band probe + verify/rollup); the
+    * cache lifetime contract is as in q20's signature frame.
+    */
+  def crossCorpusNearDups(
+      corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double = DupJaccardThreshold): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val bsig = benchmark.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) =>
+        val sh = shingles(if (t == null) "" else t)
+        (id, sh, minhashSignature(sh))
+      }.toDF("bench_id", "bsh", "bsig")
+    val bbands = bsig.select(col("bench_id"), col("bsig"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, sig) =>
+        (0 until Bands).iterator.map(b => (id, b, bandHash(sig, b)))
+      }.toDF("bench_id", "band", "bh")
+
+    val csig = corpus.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, src, t) =>
+        val sh = shingles(if (t == null) "" else t)
+        (id, src, sh, minhashSignature(sh))
+      }.toDF("doc_id", "source", "sh", "sig").cache()
+    val cbands = csig.select(col("doc_id"), col("sig"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, sig) =>
+        (0 until Bands).iterator.map(b => (id, b, bandHash(sig, b)))
+      }.toDF("doc_id", "band", "bh")
+
+    // candidate pairs: corpus bands probe the broadcast benchmark bands;
+    // distinct() dedups multi-band collisions of the same pair and is
+    // bounded by actual collisions, not the corpus
+    val cand = cbands.join(broadcast(bbands), Seq("band", "bh"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+
+    // exact-Jaccard verify: both joins broadcast, the corpus streams
+    val verified = csig.select(col("doc_id"), col("sh"))
+      .join(broadcast(cand), "doc_id")
+      .join(broadcast(bsig.select(col("bench_id"), col("bsh"))), "bench_id")
+      .select(col("doc_id"),
+        (size(array_intersect(col("sh"), col("bsh"))).cast("double") /
+          size(array_union(col("sh"), col("bsh"))).cast("double")).as("j"))
+      .groupBy(col("doc_id")).agg(max(col("j")).as("best_j"))
+
+    csig.select(col("doc_id"), col("source"))
+      .join(broadcast(verified), Seq("doc_id"), "left")
+      .select(col("source"),
+        when(col("best_j") >= threshold, 1L).otherwise(0L).as("contam"),
+        coalesce(col("best_j"), lit(0.0)).as("bj"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("contam")).as("n_contaminated"),
+        sum(lit(1L) - col("contam")).as("n_clean"),
+        max(col("bj")).as("max_jaccard"))
+      .orderBy(col("source"))
+  }
+
+  /** Driver binding for [[crossCorpusNearDups]]: the q58 stand-in eval
+    * split (`doc_id % 97 == 0`) as the benchmark frame. Rows-only
+    * (MinHash is not SQL-expressible); the semantics are pinned by
+    * `CrossCorpusSpec` planted fixtures.
+    */
+  def q69CrossContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    crossCorpusNearDups(
+      docs.filter(col("doc_id") % Curation.BenchmarkMod =!= 0),
+      docs.filter(col("doc_id") % Curation.BenchmarkMod === 0),
+      threshold = 0.5)
+  }
+
   /** End-to-end near-dup dedup: exact-dup collapse -> MinHash edges at
     * `threshold` over the exact representatives -> connected components
     * -> one row per doc with its cluster representative (smallest
