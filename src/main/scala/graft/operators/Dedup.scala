@@ -202,6 +202,13 @@ object Dedup {
     */
   val DupJaccardThreshold = 0.7
 
+  /** Candidate-count ceiling for broadcasting the q69 verify frames;
+    * above it the verify joins fall back to shuffle hash joins (correct
+    * either way — the broadcast is a latency optimization, not a
+    * semantic requirement).
+    */
+  val MaxBroadcastCand = 4000000L
+
   /** Cross-corpus NEAR-duplicate contamination: flag every corpus
     * document whose best exact Jaccard against any benchmark document
     * reaches `threshold`, reported per source — the fuzzy complement of
@@ -209,62 +216,122 @@ object Dedup {
     * paraphrased or lightly-edited eval leakage; MinHash at J >= 0.5
     * catches it). `corpus` needs (doc_id, source, text); `benchmark`
     * needs (doc_id, text) and is the held-out eval suite as its own
-    * small frame, same contract as q58.
+    * small frame, same contract as q58. Output carries the LSH drop
+    * stats (`n_dropped_buckets`, `n_dropped_members`) so recall loss
+    * from the fan-out cap is observable, mirroring q20/q21.
     *
-    * Scale shape — ZERO corpus-wide shuffles: the benchmark's band
-    * table and shingle sets are broadcast (bounded by eval-suite size),
-    * the corpus band stream probes the broadcast bands, the surviving
-    * candidate id-pairs are broadcast back against the cached corpus
-    * signature frame for exact-Jaccard verification, and the final
-    * per-source rollup aggregates a ~20-row frame. The corpus is read
-    * twice from the signature cache (band probe + verify/rollup); the
-    * cache lifetime contract is as in q20's signature frame.
+    * Scale shape — flood-proof by construction:
+    *   1. EXACT-COLLAPSE first: the corpus is collapsed to distinct
+    *      content (md5 groupBy, shuffling only (hash, id) pairs) before
+    *      any signature work. A mass-duplicated boilerplate doc — the
+    *      single most common contamination pattern — therefore probes
+    *      the benchmark bands as ONE representative, not N colliding
+    *      copies; every exact copy inherits its representative's verdict
+    *      through the (doc -> rep) mapping at rollup time.
+    *   2. CAPPED FAN-OUT: distinct representatives can still pile into
+    *      one benchmark band bucket (shared boilerplate variants). Per
+    *      (band, bh) bucket the distinct-representative collision count
+    *      is capped at `bucketCap` — over-cap buckets are dropped with
+    *      their bucket/member counts surfaced on every output row, the
+    *      same observability contract as [[LshJoin]]. The surviving
+    *      candidate set is hard-bounded: <= bucketCap x Bands x |bench|
+    *      rows, i.e. bounded by BENCHMARK size, never by the corpus.
+    *   3. GUARDED BROADCAST: the candidate frame is counted (it is
+    *      persisted and consumed twice anyway); at or under
+    *      `maxBroadcastCand` rows the verify joins broadcast it, above
+    *      they fall back to shuffle hash joins — the job degrades to a
+    *      bounded shuffle instead of a driver/executor broadcast OOM.
+    * The only corpus-wide operations are the collapse groupBy on 16-byte
+    * hashes and the representative signature map; bands that miss the
+    * benchmark's (band, bh) set are filtered against a broadcast before
+    * any aggregation.
+    *
+    * Cache lifetime: the result (one row per source) is materialized
+    * eagerly and persisted, and every intermediate (representative
+    * signatures, hot-bucket list, candidates, benchmark signatures) is
+    * unpersisted before returning — no storage-memory residue outlives
+    * the call.
     */
   def crossCorpusNearDups(
       corpus: DataFrame, benchmark: DataFrame,
-      threshold: Double = DupJaccardThreshold): DataFrame = {
+      threshold: Double = DupJaccardThreshold,
+      bucketCap: Int = LshJoin.MaxBucket,
+      maxBroadcastCand: Long = MaxBroadcastCand): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
+    require(bucketCap > 0, s"bucketCap must be positive, got $bucketCap")
+
     val bsig = benchmark.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, t) =>
         val sh = shingles(if (t == null) "" else t)
         (id, sh, minhashSignature(sh))
-      }.toDF("bench_id", "bsh", "bsig")
+      }.toDF("bench_id", "bsh", "bsig").cache()
     val bbands = bsig.select(col("bench_id"), col("bsig"))
       .as[(Long, Array[Long])]
       .flatMap { case (id, sig) =>
         (0 until Bands).iterator.map(b => (id, b, bandHash(sig, b)))
       }.toDF("bench_id", "band", "bh")
 
-    val csig = corpus.select(col("doc_id"), col("source"), col("text"))
-      .as[(Long, String, String)]
-      .map { case (id, src, t) =>
+    // 1. exact-collapse: doc -> representative (min doc_id of identical
+    // content); only representatives get shingled/signed
+    val hashed = corpus.select(col("doc_id"), col("source"),
+      md5(col("text").cast("binary")).as("h"))
+    val docRep = hashed.join(
+      hashed.groupBy(col("h")).agg(min(col("doc_id")).as("rep")), "h")
+      .select(col("doc_id"), col("source"), col("rep"))
+    val reps = corpus.select(col("doc_id"), col("text")).join(
+      docRep.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+    val rsig = reps.as[(Long, String)]
+      .map { case (id, t) =>
         val sh = shingles(if (t == null) "" else t)
-        (id, src, sh, minhashSignature(sh))
-      }.toDF("doc_id", "source", "sh", "sig").cache()
-    val cbands = csig.select(col("doc_id"), col("sig"))
+        (id, sh, minhashSignature(sh))
+      }.toDF("rep", "sh", "sig").cache()
+    val rbands = rsig.select(col("rep"), col("sig"))
       .as[(Long, Array[Long])]
       .flatMap { case (id, sig) =>
         (0 until Bands).iterator.map(b => (id, b, bandHash(sig, b)))
-      }.toDF("doc_id", "band", "bh")
+      }.toDF("rep", "band", "bh")
 
-    // candidate pairs: corpus bands probe the broadcast benchmark bands;
-    // distinct() dedups multi-band collisions of the same pair and is
-    // bounded by actual collisions, not the corpus
-    val cand = cbands.join(broadcast(bbands), Seq("band", "bh"))
-      .select(col("doc_id"), col("bench_id")).distinct()
+    // 2. capped fan-out: representatives landing in benchmark buckets,
+    // with over-cap (band, bh) buckets dropped and counted. The probe
+    // filter against the broadcast distinct benchmark keys runs BEFORE
+    // the histogram groupBy, so only actual collisions are shuffled.
+    val bKeys = bbands.select(col("band"), col("bh")).distinct()
+    val probe = rbands.join(broadcast(bKeys), Seq("band", "bh"))
+    val hot = probe.groupBy(col("band"), col("bh"))
+      .agg(countDistinct(col("rep")).as("n"))
+      .filter(col("n") > bucketCap)
+      .persist()
+    val stats = hot.agg(
+      count(lit(1)).as("n_dropped_buckets"),
+      coalesce(sum(col("n")), lit(0L)).as("n_dropped_members"))
+    val cand = probe
+      .join(broadcast(hot.select(col("band"), col("bh"))), Seq("band", "bh"), "left_anti")
+      .join(broadcast(bbands), Seq("band", "bh"))
+      .select(col("rep"), col("bench_id")).distinct()
+      .persist()
 
-    // exact-Jaccard verify: both joins broadcast, the corpus streams
-    val verified = csig.select(col("doc_id"), col("sh"))
-      .join(broadcast(cand), "doc_id")
+    // 3. guarded broadcast: cand is bounded (<= bucketCap x Bands x
+    // |bench| by the cap) and consumed twice, so the count() action is
+    // amortized by the persist; above the ceiling the verify joins run
+    // as shuffle hash joins instead of broadcasting
+    val candSmall = cand.count() <= maxBroadcastCand
+    def sized(df: DataFrame): DataFrame = if (candSmall) broadcast(df) else df
+
+    // exact-Jaccard verify over representatives only
+    val verified = rsig.select(col("rep"), col("sh"))
+      .join(sized(cand), "rep")
       .join(broadcast(bsig.select(col("bench_id"), col("bsh"))), "bench_id")
-      .select(col("doc_id"),
+      .select(col("rep"),
         (size(array_intersect(col("sh"), col("bsh"))).cast("double") /
           size(array_union(col("sh"), col("bsh"))).cast("double")).as("j"))
-      .groupBy(col("doc_id")).agg(max(col("j")).as("best_j"))
+      .groupBy(col("rep")).agg(max(col("j")).as("best_j"))
 
-    csig.select(col("doc_id"), col("source"))
-      .join(broadcast(verified), Seq("doc_id"), "left")
+    // rollup: every doc inherits its representative's verdict
+    val out = docRep
+      .join(sized(verified), Seq("rep"), "left")
       .select(col("source"),
         when(col("best_j") >= threshold, 1L).otherwise(0L).as("contam"),
         coalesce(col("best_j"), lit(0.0)).as("bj"))
@@ -274,7 +341,15 @@ object Dedup {
         sum(col("contam")).as("n_contaminated"),
         sum(lit(1L) - col("contam")).as("n_clean"),
         max(col("bj")).as("max_jaccard"))
+      .crossJoin(broadcast(stats))
       .orderBy(col("source"))
+      .persist()
+    out.count() // materialize the ~per-source-row result eagerly ...
+    rsig.unpersist() // ... so every intermediate can be released now
+    hot.unpersist()
+    cand.unpersist()
+    bsig.unpersist()
+    out
   }
 
   /** Driver binding for [[crossCorpusNearDups]]: the q58 stand-in eval
