@@ -16,6 +16,18 @@ import org.apache.spark.sql.SparkSession
   * pressure across all 50 queries. clearCache() before every timed run
   * makes each pass pay for its own cache population inside the timed
   * region and start from identical storage state.
+  *
+  * Observability (both additive — the driver's headline fields are
+  * unchanged):
+  *   - `passes` carries EVERY per-query measurement as
+  *     [warmup, t1, t2, t3]: a contended machine shows up as one
+  *     outlier pass next to two normal ones instead of masquerading as
+  *     a regression of the reported min.
+  *   - `cache_bytes` is the query's storage-memory high-water mark
+  *     (max over passes of the bytes its internal persists left
+  *     cached): clearCache() hides which queries DEPEND on their
+  *     persists, and at the 100 TB analogue this is the number that
+  *     decides executor storage-fraction sizing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,24 +37,34 @@ object Bench {
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
 
-    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (seconds, bytes left in the storage pool by the query's persists);
+    // -1 sec marks a failed pass
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
       spark.catalog.clearCache() // identical (empty) storage state per run
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return (-1.0, 0L) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val cached = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+      (sec, cached)
     }
 
-    qs.foreach { case (_, fn) => timeOne(fn) } // warmup
-    val results = qs.map { case (name, fn) =>
-      // best of the SUCCESSFUL passes; -1 only when every pass failed
-      val times = Seq(timeOne(fn), timeOne(fn), timeOne(fn)).filter(_ >= 0)
-      name -> (if (times.isEmpty) -1.0 else times.min)
+    val measured = qs.map { case (name, fn) =>
+      val all = Seq(timeOne(fn), timeOne(fn), timeOne(fn), timeOne(fn))
+      val ok = all.map(_._1).drop(1).filter(_ >= 0) // pass 0 is warmup
+      (name, all, if (ok.isEmpty) -1.0 else ok.min)
     }
 
-    val qjson = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    def fmtMap(rows: Seq[(String, String)]): String =
+      rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qjson = fmtMap(measured.map { case (n, _, best) => n -> best.toString })
+    val passes = fmtMap(measured.map { case (n, all, _) =>
+      n -> all.map(_._1).mkString("[", ",", "]")
+    })
+    val cacheBytes = fmtMap(measured.map { case (n, all, _) =>
+      n -> all.map(_._2).max.toString
+    })
+    val total = measured.map(_._3).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"passes":$passes,"cache_bytes":$cacheBytes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
