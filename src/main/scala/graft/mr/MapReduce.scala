@@ -302,6 +302,10 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
     * value-deterministic, true for the product/primitive/String keys
     * the Encoder context bound admits (a Double key distinguishing
     * -0.0/0.0 is the lone pathological corner, on both paths).
+    * Adjacent-row equality uses [[keyEq]], not JVM `==`: array-typed
+    * keys need element equality (reference `==` would split every
+    * group into singletons) and NaN keys need compare-equality
+    * (NaN != NaN) to match the groupByKey path's encoded-key grouping.
     */
   private def dsSizedGroups[O](ds: Dataset[(K, SV)], parallelism: Int)(
       f: (K, mutable.ArrayBuffer[SV]) => O)(implicit eo: Encoder[O]): Dataset[O] =
@@ -318,12 +322,30 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
             pending = None
             while (pending.isEmpty && it.hasNext) {
               val p = it.next()
-              if (p._1 == k) buf += p._2 else pending = Some(p)
+              if (keyEq(p._1, k)) buf += p._2 else pending = Some(p)
             }
             f(k, buf)
           }
         }
       }
+
+  /** Value equality matching the Tungsten encoded-key grouping that the
+    * groupByKey path performs: arrays compare element-wise (JVM `==` on
+    * arrays is reference equality) and floating NaN compares equal to
+    * itself (Spark's NormalizeFloatingNumbers canonicalizes NaN before
+    * hashing/sorting, so NaN rows arrive adjacent and must group).
+    * -0.0 vs 0.0 remains the one documented divergence on both paths.
+    */
+  private def keyEq(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Array[_], y: Array[_]) =>
+      x.length == y.length && x.indices.forall(i => keyEq(x(i), y(i)))
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y) == 0
+    case (x: Float, y: Float) => java.lang.Float.compare(x, y) == 0
+    case (x: Product, y: Product) => // case-class keys: recurse into fields
+      x.productArity == y.productArity &&
+        (0 until x.productArity).forall(i => keyEq(x.productElement(i), y.productElement(i)))
+    case _ => a == b
+  }
 
   /** One Dataset shuffle + in-group sort pass (Tungsten analogue of
     * [[partitionAndSort]]). `parallelism` = 0 leaves the groupByKey

@@ -62,6 +62,14 @@ object Curation {
     */
   val MaxBenchmarkGrams = 5000000
 
+  /** Byte ceiling for the same collect: a count cap alone is not a
+    * memory bound — at the GPT-3 setting (n = 13) individual grams run
+    * ~100 bytes, so a gram set comfortably under [[MaxBenchmarkGrams]]
+    * could still be hundreds of MB on the driver. Both gates are
+    * checked DISTRIBUTED, before any bytes ship to the driver.
+    */
+  val MaxBenchmarkGramBytes: Long = 256L << 20
+
   /** Benchmark n-gram decontamination: flag every corpus document that
     * shares at least one `n`-token gram with the `benchmark` frame,
     * reported as per-source contamination counts — the
@@ -82,21 +90,34 @@ object Curation {
     */
   def decontaminateStats(
       corpus: DataFrame, benchmark: DataFrame, n: Int = DecontamN,
-      maxBenchmarkGrams: Int = MaxBenchmarkGrams): DataFrame = {
+      maxBenchmarkGrams: Int = MaxBenchmarkGrams,
+      maxBenchmarkGramBytes: Long = MaxBenchmarkGramBytes): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
-    // limit() bounds the driver transfer BEFORE collect: an over-sized
-    // benchmark ships at most maxBenchmarkGrams+1 grams, then throws.
-    val benchGrams = benchmark
+    // limit() bounds the candidate set BEFORE any driver transfer; the
+    // gram frame is persisted so the guard aggregate and the collect
+    // share one tokenization pass (benchmark-bounded by contract).
+    val bgFrame = benchmark
       .select(col("text")).as[String]
       .flatMap(t => grams(tokenize(t), n))
       .distinct()
       .limit(maxBenchmarkGrams + 1)
-      .collect()
-    require(benchGrams.length <= maxBenchmarkGrams,
+      .persist()
+    // both gates run DISTRIBUTED: an over-sized benchmark fails fast
+    // here and its gram bytes never ship to the driver
+    val (nGrams, gramBytes) = bgFrame
+      .select(count(lit(1)), coalesce(sum(octet_length(col("value"))), lit(0L)))
+      .as[(Long, Long)].head()
+    require(nGrams <= maxBenchmarkGrams,
       s"benchmark n-gram set exceeds $maxBenchmarkGrams distinct grams - " +
         "this frame is corpus-sized, not an eval suite; pass the held-out " +
         "benchmark split only (or raise maxBenchmarkGrams deliberately)")
+    require(gramBytes <= maxBenchmarkGramBytes,
+      s"benchmark n-gram set is $gramBytes bytes (> $maxBenchmarkGramBytes) - " +
+        "collecting it would exhaust driver memory; pass the held-out " +
+        "benchmark split only (or raise maxBenchmarkGramBytes deliberately)")
+    val benchGrams = bgFrame.collect()
+    bgFrame.unpersist()
     val bc = s.sparkContext.broadcast(benchGrams.toSet)
 
     corpus
@@ -262,8 +283,11 @@ object Curation {
         it.foreach { case (id, src, h) =>
           val pq = heaps.getOrElseUpdate(src,
             scala.collection.mutable.PriorityQueue.empty[(String, Long)](keyOrd))
+          // pq.nonEmpty (not just size < cap) keeps cap <= 0 total — the
+          // naive window keeps nothing for a non-positive cap, so the
+          // two formulations stay equivalent over the whole domain
           if (pq.size < cap) pq.enqueue((h, id))
-          else if (keyOrd.lt((h, id), pq.head)) { pq.dequeue(); pq.enqueue((h, id)) }
+          else if (pq.nonEmpty && keyOrd.lt((h, id), pq.head)) { pq.dequeue(); pq.enqueue((h, id)) }
         }
         heaps.iterator.flatMap { case (src, pq) =>
           pq.iterator.map { case (h, id) => (id, src, h) }

@@ -37,8 +37,13 @@ object Pii {
   /** Full-date shapes are not phones even though they fit the block
     * structure: yyyy-mm-dd / yyyy.mm.dd and dd-mm-yyyy / mm.dd.yyyy.
     * (Slash-separated dates never matched — `/` is not a phone
-    * separator.) A 4-2-2 digit phone written with dashes is
-    * indistinguishable from a date and is deliberately left alone.
+    * separator.) Two deliberate collisions are left alone: a 4-2-2
+    * digit phone written with dashes, and a phone whose blocks spell a
+    * d-m-yyyy shape (e.g. "12-34-5678" under some national formats) —
+    * both are indistinguishable from dates without semantic context,
+    * and a date guard that validated month/day plausibility would
+    * still pass most of them (12/34 are in or near plausible ranges).
+    * The redactor errs toward under-redaction here by design.
     */
   private val DateGuard =
     "(?!(?:[0-9]{4}[-.][0-9]{1,2}[-.][0-9]{1,2}|[0-9]{1,2}[-.][0-9]{1,2}[-.][0-9]{4})(?![0-9]))"

@@ -49,6 +49,51 @@ class DatasetPathSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("sized Dataset path groups NaN keys like the groupByKey path") {
+    import spark.implicits._
+    // NaN != NaN under primitive ==, so adjacent-grouping must use
+    // compare-equality or every NaN group silently splits
+    def task(par: Int) = new MapReduce1[Double, Double, Int, Long] {
+      def mapper(item: Double): IterableOnce[Emit[Double, Int, Long]] =
+        Iterator.single(KV(item, 1L))
+      def reducer(key: Double, values: Seq[Long]): Emit[Double, Int, Long] =
+        KV(key, values.sum)
+      override def mapParallelism: Int = par
+    }
+    val input = spark.createDataset(
+      Seq(Double.NaN, 1.5, Double.NaN, 1.5, Double.NaN)).repartition(3)
+    // compare on canonical bit patterns: Scala == on boxed NaN keys is
+    // false (numeric equality), so a Map[Double, _] can't assert itself
+    def collect(par: Int): Map[Long, Long] =
+      task(par).runDataset(input).collect()
+        .map { case (k, v) => java.lang.Double.doubleToLongBits(k) -> v }.toMap
+    val sized = collect(3)
+    assert(sized == collect(0))
+    assert(sized(java.lang.Double.doubleToLongBits(Double.NaN)) == 3L)
+    assert(sized(java.lang.Double.doubleToLongBits(1.5)) == 2L)
+  }
+
+  test("sized Dataset path groups array-typed keys like the groupByKey path") {
+    import spark.implicits._
+    // JVM == on arrays is reference equality: without element-wise
+    // comparison the sized path splits every array-key group into
+    // singletons even though the sort placed them adjacent
+    def task(par: Int) = new MapReduce1[Int, Array[Int], Int, Long] {
+      def mapper(item: Int): IterableOnce[Emit[Array[Int], Int, Long]] =
+        Iterator.single(KV(Array(item % 2, item % 3), 1L))
+      def reducer(key: Array[Int], values: Seq[Long]): Emit[Array[Int], Int, Long] =
+        KV(key, values.sum)
+      override def mapParallelism: Int = par
+    }
+    val input = spark.createDataset(1 to 60).repartition(4)
+    def collect(par: Int): Map[List[Int], Long] =
+      task(par).runDataset(input).collect()
+        .map { case (k, v) => k.toList -> v }.toMap
+    val sized = collect(3)
+    assert(sized == collect(0))
+    assert(sized.values.sum == 60L && sized.size == 6)
+  }
+
   test("Dataset combiner path honors mapParallelism and stays result-identical") {
     import spark.implicits._
     import WordCountTasks.{Oracle, Text}

@@ -57,6 +57,20 @@ class CurationSpec extends SparkSpec {
     assert(e.getMessage.contains("corpus-sized"))
   }
 
+  test("decontaminateStats fails fast on few-but-huge benchmark grams (byte gate)") {
+    // two grams but each token is ~1 KB: the count gate passes, the
+    // byte gate must trip before the driver collect
+    val corpus = docsDF(Seq((1L, "s1", "alpha beta gamma delta")))
+    val fat = (0 until 5).map(i => ("tok" + i) * 250).mkString(" ")
+    val fatBench = docsDF(Seq((0L, "bench", fat)))
+    val e = intercept[IllegalArgumentException](
+      Curation.decontaminateStats(corpus, fatBench, maxBenchmarkGramBytes = 1024L))
+    assert(e.getMessage.contains("driver memory"))
+    // the same benchmark passes when the ceiling accommodates it
+    assert(Curation.decontaminateStats(
+      corpus, fatBench, maxBenchmarkGramBytes = 1L << 20).count() >= 1L)
+  }
+
   private def decollect(df: DataFrame): Map[String, (Long, Long, Long)] =
     df.collect().map(r => r.getAs[String]("source") ->
       ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_contaminated"),
@@ -153,6 +167,16 @@ class CurationSpec extends SparkSpec {
       val naive = Curation.sourceQuotaNaive(input, cap = 5)
         .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
       assert(fast == naive, s"parts=$parts")
+    }
+  }
+
+  test("sourceQuota cap <= 0 keeps nothing, matching the naive window") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    for (cap <- Seq(0, -1)) {
+      assert(Curation.sourceQuota(docs, cap = cap).count() == 0L, s"cap=$cap")
+      assert(Curation.sourceQuotaNaive(docs, cap = cap).count() == 0L, s"cap=$cap")
     }
   }
 
