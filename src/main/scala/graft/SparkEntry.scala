@@ -87,6 +87,7 @@ object SparkEntry {
     "q67_temperature_resample" -> (Curation.q67TemperatureResample _),
     "q68_curation_pipeline" -> (Curation.q68CurationPipeline _),
     "q69_cross_contamination" -> (Dedup.q69CrossContamination _),
+    "q70_stream_sessionize" -> (graft.streaming.EventStream.q70StreamSessionize _),
   )
 
   private val Rev =
@@ -208,6 +209,35 @@ object SparkEntry {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q19_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+    // rebuilds gramHash64's exact keys — substr(md5(gram),1,16) IS the
+    // Spark-side 64-bit key — so membership, the df-cap, and every
+    // jaccard division agree bit-for-bit with the typed-map pipeline
+    "q22_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(COALESCE(text, '')), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 16) AS k
+        |  FROM tok, unnest(range(1, len(t) - 1)) u(i)),
+        |dg AS (SELECT DISTINCT doc_id, k FROM g),
+        |hot AS (SELECT k FROM dg GROUP BY k HAVING COUNT(*) > 1000),
+        |fg AS (SELECT * FROM dg WHERE k NOT IN (SELECT k FROM hot)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM fg GROUP BY doc_id),
+        |inter AS (
+        |  SELECT p.doc_id AS probe_id, f.doc_id, COUNT(*) AS ix
+        |  FROM fg p JOIN fg f ON p.k = f.k AND f.doc_id <> p.doc_id
+        |  WHERE p.doc_id < 10
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT i.probe_id, i.doc_id,
+        |    CAST(i.ix AS DOUBLE) / CAST(sa.n + sb.n - i.ix AS DOUBLE) AS jaccard
+        |  FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.probe_id
+        |  JOIN sizes sb ON sb.doc_id = i.doc_id)
+        |SELECT probe_id, doc_id, jaccard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY jaccard DESC, doc_id) AS BIGINT) AS rnk
+        |FROM scored QUALIFY rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
     "q23_knn_brute" ->
       """WITH q AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
@@ -599,5 +629,20 @@ object SparkEntry {
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
         |FROM rk WHERE rk <= 10 GROUP BY source ORDER BY source""".stripMargin,
+    // identical to q36's oracle: the streaming sessionizer on a bounded
+    // source must reproduce the batch answer exactly
+    "q70_stream_sessionize" ->
+      """SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        |FROM (
+        |  SELECT user_id, ts_us,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |      CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |    FROM events) t1) t2
+        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
   )
 }

@@ -486,17 +486,33 @@ object Dedup {
     */
   val MaxGramDf = 1000
 
-  /** Stable 64-bit trigram hash (two murmur32 seeds combined). The
-    * inverted index never needs the gram text back, so shuffling/caching
-    * 8-byte keys instead of ~20-byte strings cuts the exchanged volume
-    * roughly in half — the standard vocabulary-hashing trick of the
-    * set-similarity literature. Collision expectation at 10^6 distinct
-    * grams is ~n^2/2^64 ≈ 3e-8 (deterministic when it ever happens).
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Stable 64-bit trigram hash: the first 8 bytes of md5(utf-8(gram)),
+    * big-endian. The inverted index never needs the gram text back, so
+    * shuffling/caching 8-byte keys instead of ~20-byte strings cuts the
+    * exchanged volume roughly in half — the standard vocabulary-hashing
+    * trick of the set-similarity literature. Collision expectation at
+    * 10^6 distinct grams is ~n^2/2^64 ≈ 3e-8 (deterministic when it
+    * ever happens). md5 rather than murmur so the key is ORACLE-
+    * REPRODUCIBLE: these 64 bits ARE `substr(md5(g), 1, 16)`, which
+    * lets the q22 DuckDB oracle rebuild identical keys (identical even
+    * under collision) and hash-match the full output instead of a
+    * rows-only check. ~2x slower than murmur per gram, but the q22 map
+    * is tokenization-dominated, and correctness checkability at the
+    * driver outranks a hash micro-cost.
     */
   private[operators] def gramHash64(g: String): Long = {
-    val h1 = MurmurHash3.stringHash(g, 0x9747b28c)
-    val h2 = MurmurHash3.stringHash(g, 0x1b873593)
-    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+    val md = Md5.get()
+    md.reset()
+    val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
   }
 
   /** Word n-gram Jaccard similarity search: probe docs (doc_id < 10)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -182,6 +182,57 @@ object EventStream {
         col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"))
+
+  /** q70 — the streaming sessionizer under the SAME oracle as the batch
+    * q36: the bounded `events` table is replayed through a file STREAM
+    * source into a `session_window` aggregation, and the result must be
+    * row-identical to the batch window formulation (the driver checks it
+    * against q36's DuckDB SQL). This is the batch-equivalence harness
+    * run — complete output mode so every session (including the final
+    * open one) is emitted when the bounded source drains; a production
+    * unbounded deployment uses the watermarked append-mode shapes above
+    * ([[sessionWindowStats]], [[sessionizeWithTimeout]]), where state
+    * stays watermark-bounded.
+    *
+    * Two precision details make stream == batch exact:
+    *   - event time is truncated to MICROS before windowing (q36's
+    *     `tsUs` contract; ts arrives as nanos-since-epoch LongType);
+    *   - the gap is 30 minutes + 1 microsecond: `session_window` merges
+    *     on STRICT overlap (next < prev_end) while the batch rule keeps
+    *     `diff <= gap` in-session, so at micro resolution the +1us gap
+    *     makes the strict merge reproduce the inclusive batch boundary.
+    * The per-user session ordinal is a batch window over the (tiny,
+    * per-session) sink table, not part of the streaming query.
+    */
+  def q70StreamSessionize(s: SparkSession, d: String): DataFrame = {
+    val schema = graft.Tables.events(s, d).schema
+    // the file-stream source wants a DIRECTORY; the glob filter keeps
+    // the scan to the events table inside the shared SF directory
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val sessions = stream
+      .select(col("user_id"),
+        // integer `div`, not `/`: Long / Int is DOUBLE division in
+        // Spark and at nanos-since-epoch magnitude the mantissa rounds
+        // the microsecond up — q35/q36 use the same `div` truncation
+        timestamp_micros(expr("ts div 1000")).as("tts"))
+      .groupBy(session_window(col("tts"), "30 minutes 1 microsecond"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("tts"))).as("start_us"),
+        max(unix_micros(col("tts"))).as("end_us"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
+    val qname = "q70_stream_sessions"
+    val q = sessions.writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("start_us"))
+    s.table(qname)
+      .withColumn("session_id", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_us"), col("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
 
   /** Per-user running aggregate over an event stream — value sums per
     * user per window, the streaming analogue of the reducer-with-state

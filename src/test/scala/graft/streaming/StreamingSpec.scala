@@ -218,4 +218,14 @@ class StreamingSpec extends SparkSpec {
       assert(ids.toSeq == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("q70: streaming sessionize over the bounded events table equals batch q36") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = EventStream.q70StreamSessionize(spark, d)
+      .collect().map(_.toString).toSeq
+    val batch = graft.operators.Temporal.q36Sessionize(spark, d)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
