@@ -88,6 +88,9 @@ object SparkEntry {
     "q68_curation_pipeline" -> (Curation.q68CurationPipeline _),
     "q69_cross_contamination" -> (Dedup.q69CrossContamination _),
     "q70_stream_sessionize" -> (graft.streaming.EventStream.q70StreamSessionize _),
+    "q71_embed_decontaminate" -> (Similarity.q71EmbedDecontaminate _),
+    "q72_card_audit" -> (Pii.q72CardAudit _),
+    "q73_pagerank" -> (Corpus.q73PageRank _),
   )
 
   private val Rev =
@@ -644,5 +647,85 @@ object SparkEntry {
         |                   > 1800000000 THEN 1 ELSE 0 END AS new_session
         |    FROM events) t1) t2
         |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // fixed-point quantization (round(x*1e6) BIGINT) makes every dot,
+    // norm, and cosine integer-exact and order-independent, so the
+    // embedding decontamination rollup hash-matches bit-for-bit
+    "q71_embed_decontaminate" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nrm
+        |  FROM q, range(1, 65) t(i) GROUP BY vec_id),
+        |c AS (SELECT q.vec_id, label, qv, nrm FROM q JOIN n USING (vec_id) WHERE q.vec_id % 97 <> 0),
+        |b AS (SELECT q.vec_id AS bid, qv AS bqv, nrm AS bn FROM q JOIN n USING (vec_id) WHERE q.vec_id % 97 = 0),
+        |pairs AS (
+        |  SELECT c.vec_id, c.label, CAST(SUM(c.qv[i] * b.bqv[i]) AS BIGINT) AS dot, c.nrm, b.bn
+        |  FROM c, b, range(1, 65) t(i)
+        |  GROUP BY c.vec_id, c.label, b.bid, c.nrm, b.bn),
+        |best AS (
+        |  SELECT vec_id, label,
+        |    MAX(CASE WHEN nrm > 0 AND bn > 0
+        |             THEN CAST(dot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE) * CAST(bn AS DOUBLE))
+        |             ELSE 0.0 END) AS best_cos
+        |  FROM pairs GROUP BY vec_id, label)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CASE WHEN best_cos >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(SUM(CASE WHEN best_cos >= 0.3 THEN 0 ELSE 1 END) AS BIGINT) AS n_clean,
+        |  MAX(best_cos) AS max_cosine
+        |FROM best GROUP BY label ORDER BY label""".stripMargin,
+    // independent SQL reimplementation of the Luhn mod-10 checksum over
+    // the same planted 16-digit PANs (check digit = doc_id % 10, so
+    // validity is data-dependent): the n_valid split only matches if
+    // both engines' checksums agree digit for digit
+    "q72_card_audit" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    '4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 14, '0') || CAST(doc_id % 10 AS VARCHAR) AS c16
+        |  FROM documents),
+        |l AS (
+        |  SELECT source,
+        |    CAST(list_sum(list_transform(range(1, 17), i ->
+        |      CASE WHEN i % 2 = 1
+        |           THEN CASE WHEN 2 * CAST(substr(c16, i, 1) AS INTEGER) > 9
+        |                     THEN 2 * CAST(substr(c16, i, 1) AS INTEGER) - 9
+        |                     ELSE 2 * CAST(substr(c16, i, 1) AS INTEGER) END
+        |           ELSE CAST(substr(c16, i, 1) AS INTEGER) END)) AS BIGINT) AS s
+        |  FROM t)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |  CAST(SUM(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(SUM(CASE WHEN s % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid,
+        |  CAST(COUNT(*) * 13 AS BIGINT) AS chars_removed
+        |FROM l GROUP BY source ORDER BY source""".stripMargin,
+    // integer fixed-point PageRank (ranks in 1e-6 units, damping 85//100,
+    // integral division) unrolled to the same 5 iterations: sums are
+    // order-independent so the BIGINT ranks match bit-for-bit
+    "q73_pagerank" -> {
+      val head =
+        """WITH hi AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 49),
+          |pairs AS (
+          |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |  FROM hi a JOIN hi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+          |deg AS (SELECT src, COUNT(*) AS deg FROM pairs GROUP BY src),
+          |nodes AS (SELECT DISTINCT l_partkey AS p FROM hi),
+          |r0 AS (SELECT p, CAST(1000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+      val iters = (1 to 5).map { i =>
+        s""",
+           |r$i AS (
+           |  SELECT n.p, CAST(150000 + (85 * COALESCE(c.cs, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst, CAST(SUM(r.r // d.deg) AS BIGINT) AS cs
+           |    FROM pairs e JOIN deg d ON e.src = d.src JOIN r${i - 1} r ON r.p = e.src
+           |    GROUP BY e.dst) c ON n.p = c.dst)""".stripMargin
+      }.mkString
+      val tail =
+        """
+          |SELECT n.p AS l_partkey, CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree, r5.r AS rank_fp
+          |FROM nodes n LEFT JOIN deg d ON n.p = d.src JOIN r5 ON r5.p = n.p
+          |ORDER BY l_partkey""".stripMargin
+      head + iters + tail
+    },
   )
 }

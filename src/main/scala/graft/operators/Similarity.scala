@@ -65,6 +65,71 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Default contamination threshold for [[embedDecontaminate]]: on
+    * near-uniform synthetic embeddings the best cross-split cosine tops
+    * out near 0.47 with median 0.16, so 0.3 splits the corpus
+    * non-trivially; real deployments tune this against a held-out
+    * labeled leak set.
+    */
+  val EmbedContamThreshold = 0.3
+
+  /** Embedding-space decontamination: flag every corpus vector whose
+    * best cosine against ANY benchmark vector reaches `threshold`,
+    * rolled up per label — the SEMANTIC third layer of the
+    * decontamination suite (q58 catches verbatim n-gram overlap, q69
+    * catches lexical near-dups via MinHash; an embedding-similar
+    * paraphrase evades both and is caught here). `corpus` needs
+    * (vec_id, label, embedding); `benchmark` needs (embedding) and is
+    * the eval suite's embedded form, small by contract.
+    *
+    * Scale shape — the q23 brute-force pattern: the benchmark side is
+    * quantized and broadcast (bounded by eval-suite size), the corpus
+    * streams ONCE through a broadcast nested-loop scoring
+    * |bench| fixed-point dots per row inside whole-stage codegen, and
+    * only the per-vector best and the ~|labels|-row rollup aggregate.
+    * Zero corpus shuffles beyond the final tiny aggregation.
+    * Fixed-point quantization makes every cosine bit-identical to the
+    * DuckDB oracle regardless of summation order.
+    */
+  def embedDecontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      threshold: Double = EmbedContamThreshold): DataFrame = {
+    val s = corpus.sparkSession
+    graft.functions.FingerprintFunctions.register(s)
+    val c = corpus.select(col("vec_id"), col("label"), quantized.as("q"))
+      .withColumn("nrm", dot(col("q"), col("q")))
+    val b = benchmark.select(quantized.as("bq"))
+      .withColumn("bn", dot(col("bq"), col("bq")))
+    // left join on TRUE: an empty benchmark yields best_cos 0.0 for
+    // every vector (nothing is contaminated) instead of an empty frame
+    val best = c.join(broadcast(b), lit(true), "left")
+      .select(col("vec_id"), col("label"),
+        when(col("nrm") > 0 && col("bn") > 0,
+          dot(col("q"), col("bq")).cast("double") /
+            sqrt(col("nrm").cast("double") * col("bn").cast("double")))
+          .otherwise(lit(0.0)).as("cos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("cos")).as("best_cos"))
+    best.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("best_cos") >= threshold, 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("best_cos") >= threshold, 0L).otherwise(1L)).as("n_clean"),
+        max(col("best_cos")).as("max_cosine"))
+      .orderBy(col("label"))
+  }
+
+  /** Driver binding for [[embedDecontaminate]]: the `vec_id % 97 == 0`
+    * slice of `embeddings` stands in for the benchmark's embedded form,
+    * the q58/q69 split convention carried to the vector table.
+    */
+  def q71EmbedDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    embedDecontaminate(
+      emb.filter(col("vec_id") % 97 =!= 0),
+      emb.filter(col("vec_id") % 97 === 0))
+  }
+
   // ---- LSH (sign random projection) ---------------------------------
 
   val Tables_ = 4 // LSH tables
