@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomMightContain, FixedPointDot, FixedPointQuantize, MinWindowFingerprint, RollingFingerprint}
+import graft.functions.{BloomMightContain, FixedPointDot, FixedPointQuantize, LuhnValid, MinWindowFingerprint, RollingFingerprint}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -42,5 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bloom_might_contain",
         "bloom_might_contain(key, filter_bytes) - probe a serialized Bloom filter"),
       (es: Seq[Expression]) => BloomMightContain(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("luhn_valid"),
+      info("luhn_valid",
+        "luhn_valid(digits) - true iff a 13-19 digit string passes the Luhn mod-10 check"),
+      (es: Seq[Expression]) => LuhnValid(es.head)))
   }
 }

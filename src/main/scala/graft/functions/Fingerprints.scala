@@ -108,5 +108,7 @@ object FingerprintFunctions {
       "fixed_quantize", es => FixedPointQuantize(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "bloom_might_contain", es => BloomMightContain(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "luhn_valid", es => LuhnValid(es.head), "built-in")
   }
 }

@@ -134,4 +134,71 @@ object Pii {
         sum(col("delta")).as("chars_removed"))
       .orderBy(col("source"))
   }
+
+  // ---- payment-card audit (Luhn) ------------------------------------
+
+  /** Card-shaped candidate: 13-19 digits, optionally single space/dash
+    * separated, not embedded in a longer digit run and not starting
+    * mid-way through a separated one (same guard family as [[PhoneRe]]).
+    * Dates and phones are too short to collide (max 11 digits).
+    */
+  val CardRe = "(?<![0-9])(?<![0-9][- ])(?:[0-9][- ]?){12,18}[0-9](?![0-9])"
+
+  /** Per-row (candidate count, Luhn-valid count) for a text column. The
+    * scrub itself redacts every card-SHAPED run ([[CardRe]] — a
+    * conservative scrubber does not leave invalid-checksum numbers in
+    * place); the Luhn-valid count is the audit signal separating true
+    * PANs from random digit runs. The validity check runs through the
+    * native `luhn_valid` expression; the array lambda here is
+    * interpreted, but it iterates the per-document CANDIDATE list
+    * (almost always 0-2 elements), not the text — the per-char work
+    * (regex scan, digit fold) is all codegen.
+    */
+  def cardCounts(c: Column): (Column, Column) = {
+    val cands = regexp_extract_all(c, lit(CardRe), lit(0))
+    val valid = filter(cands, x =>
+      call_function("luhn_valid", translate(x, "- ", "")))
+    (size(cands).cast("long"), size(valid).cast("long"))
+  }
+
+  val CardToken = "<CARD>"
+
+  /** Redact card-shaped runs (after emails/IPs/phones a caller may have
+    * already replaced; CardRe's 13-digit floor keeps it off phones).
+    */
+  def redactCards(c: Column): Column = regexp_replace(c, CardRe, CardToken)
+
+  /** Per-source payment-card audit (q72): each document gets ONE card
+    * candidate planted deterministically from its doc_id — a 16-digit
+    * PAN whose check digit is `doc_id % 10`, i.e. correct for ~1 in 10
+    * documents — so the Luhn verdict is DATA-DEPENDENT and the DuckDB
+    * oracle must reimplement the checksum independently to agree
+    * (unlike a plant-then-count check that is right by construction).
+    * Cards are planted space-grouped (4-4-4-4) to exercise separator
+    * stripping. Scale shape: one codegen pass, ~20-row aggregate.
+    */
+  def q72CardAudit(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FingerprintFunctions.register(s)
+    val full16 = concat(
+      lit("4"), lpad((col("doc_id") % 100000000L).cast("string"), 14, "0"),
+      (col("doc_id") % 10).cast("string"))
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("card", concat(
+        substring(full16, 1, 4), lit(" "), substring(full16, 5, 4), lit(" "),
+        substring(full16, 9, 4), lit(" "), substring(full16, 13, 4)))
+      .withColumn("t", concat(col("text"), lit(" pay to "), col("card")))
+    val (nc, nv) = cardCounts(col("t"))
+    planted
+      .select(col("source"), nc.as("nc"), nv.as("nv"),
+        (length(col("t")) - length(redactCards(col("t")))).cast("long").as("delta"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_candidates"),
+        sum(col("nv")).as("n_valid"),
+        sum(col("nc") - col("nv")).as("n_invalid"),
+        sum(col("delta")).as("chars_removed"))
+      .orderBy(col("source"))
+  }
 }

@@ -88,4 +88,44 @@ class PiiSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 1L, 1L)))
     assert(redactOne(text) == "<EMAIL> and <EMAIL> from <IP> call <PHONE>")
   }
+
+  test("card audit: shaped runs are candidates, only Luhn-valid ones count as valid") {
+    import spark.implicits._
+    graft.functions.FingerprintFunctions.register(spark)
+    val (nc, nv) = Pii.cardCounts(col("t"))
+    def run(text: String): (Long, Long) = {
+      val r = Seq(text).toDF("t").select(nc.as("c"), nv.as("v")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // valid PAN, space-grouped
+    assert(run("pay 4539 1488 0343 6467 now") == ((1L, 1L)))
+    // same digits, bad check digit: candidate but not valid
+    assert(run("pay 4539 1488 0343 6468 now") == ((1L, 0L)))
+    // dash-grouped valid PAN
+    assert(run("4539-1488-0343-6467") == ((1L, 1L)))
+    // phones and dates are too short to be card candidates
+    assert(run("call 555-123-4567 on 2026-08-12") == ((0L, 0L)))
+    // 12-digit run: under the PAN floor
+    assert(run("order 123456789012") == ((0L, 0L)))
+    // card-shaped runs are redacted regardless of checksum
+    val red = Seq("pay 4539 1488 0343 6468 now").toDF("t")
+      .select(Pii.redactCards(col("t"))).head().getString(0)
+    assert(red == "pay <CARD> now")
+  }
+
+  test("q72 plants one card per doc with a data-dependent Luhn split") {
+    val rows = Pii.q72CardAudit(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    var valid = 0L; var docs = 0L
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("n_candidates") == n, r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_valid") + r.getAs[Long]("n_invalid") == n)
+      // every planted card is 19 chars -> "<CARD>" (6): 13 removed each
+      assert(r.getAs[Long]("chars_removed") == 13L * n)
+      valid += r.getAs[Long]("n_valid"); docs += n
+    }
+    // check digit = doc_id % 10: ~1 in 10 documents carries a valid PAN
+    assert(valid > 0L && valid < docs)
+  }
 }
