@@ -254,6 +254,79 @@ object Corpus {
     labels
   }
 
+  /** Fixed PageRank iteration count for q73 — fixed (not convergence-
+    * detected) so the DuckDB oracle can unroll the exact same number of
+    * steps.
+    */
+  val PageRankIterations = 5
+
+  /** Fixed-point PageRank scale: ranks are BIGINTs in units of 1e-6. */
+  val PrScale = 1000000L
+
+  /** Fixed-point PageRank (damping 0.85) over a symmetric edge set —
+    * the graph-centrality quality signal of web-corpus curation
+    * (harmonic/PageRank centrality is a standard quality prior for
+    * crawl sampling; Page et al. '99). All arithmetic is INTEGER
+    * (ranks scaled by [[PrScale]], damping as 85/100 with integral
+    * division), so sums are order-independent and the result is
+    * bit-identical to the DuckDB oracle's unrolled iterations — the
+    * same determinism trick as the fixed-point cosine family.
+    *
+    * Scale shape: the edge set — the big frame — is degree-annotated,
+    * hash-partitioned by its join key ONCE and persisted (the q53 CC
+    * trick: it crosses the wire at persist time, not once per
+    * iteration; only the small rank frame shuffles per round). Each
+    * iteration is one join + one partial-aggregated sum. The final
+    * frame is materialized eagerly so the edge cache can be released
+    * before returning. Lineage depth is `iterations` (fixed, small) —
+    * no checkpointing needed, unlike the data-dependent CC loop.
+    */
+  def pageRank(
+      nodes: DataFrame, edges: DataFrame,
+      iterations: Int = PageRankIterations): DataFrame = {
+    val base = (15L * PrScale) / 100L // (1 - d) * scale
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src")
+      .repartition(col("src"))
+      .persist()
+    var ranks = nodes.select(col("p"), lit(PrScale).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(ranks, col("src") === col("p"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      ranks = nodes.select(col("p"))
+        .join(contrib, col("p") === col("dst"), "left")
+        .select(col("p"),
+          (lit(base) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("r"))
+    }
+    val out = ranks
+      .join(deg.select(col("src").as("p"), col("deg")), Seq("p"), "left")
+      .select(col("p"), coalesce(col("deg"), lit(0L)).as("degree"),
+        col("r").as("rank_fp"))
+      .orderBy(col("p"))
+      .persist()
+    out.count() // materialize so the edge cache can be dropped now
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** Driver binding (q73): PageRank over the q53 co-purchase graph —
+    * same bounded-pair edge generation, same node set — ranking parts
+    * by co-purchase centrality.
+    */
+  def q73PageRank(s: SparkSession, d: String): DataFrame = {
+    val hi = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = LshJoin.boundedBucketPairs(hi, "l_partkey",
+      LshJoin.MaxBucket, "l_orderkey")
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = hi.select(col("l_partkey").as("p")).distinct()
+    pageRank(nodes, edges)
+      .select(col("p").as("l_partkey"), col("degree"), col("rank_fp"))
+  }
+
   /** Count-min sketch relative-error epsilon (est <= exact + eps * N). */
   val CmsEps = 0.001
 
