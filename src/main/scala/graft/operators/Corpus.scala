@@ -289,24 +289,35 @@ object Corpus {
     val e = edges.join(deg, "src")
       .repartition(col("src"))
       .persist()
-    var ranks = nodes.select(col("p"), lit(PrScale).as("r"))
+    // the node frame appears in every iteration's left join AND seeds
+    // the rank frame — persist it so each appearance reads a cached
+    // (typically tiny) frame instead of re-running the caller's
+    // distinct/scan lineage per iteration
+    val n = nodes.select(col("p")).persist()
+    var ranks = n.select(col("p"), lit(PrScale).as("r"))
     for (_ <- 1 to iterations) {
       val contrib = e.join(ranks, col("src") === col("p"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
-      ranks = nodes.select(col("p"))
+      ranks = n
         .join(contrib, col("p") === col("dst"), "left")
         .select(col("p"),
           (lit(base) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("r"))
     }
+    // per-node degree read back from the PERSISTED edge frame (one row
+    // per (src, dst), deg constant per src) — deriving it from `deg`
+    // directly would re-run the caller's whole edge generation
+    val degOut = e.select(col("src").as("p"), col("deg")).groupBy(col("p"))
+      .agg(max(col("deg")).as("deg"))
     val out = ranks
-      .join(deg.select(col("src").as("p"), col("deg")), Seq("p"), "left")
+      .join(degOut, Seq("p"), "left")
       .select(col("p"), coalesce(col("deg"), lit(0L)).as("degree"),
         col("r").as("rank_fp"))
       .orderBy(col("p"))
       .persist()
-    out.count() // materialize so the edge cache can be dropped now
+    out.count() // materialize so the edge/node caches can be dropped now
     e.unpersist(blocking = false)
+    n.unpersist(blocking = false)
     out
   }
 

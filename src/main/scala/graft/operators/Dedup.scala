@@ -273,12 +273,16 @@ object Dedup {
       }.toDF("bench_id", "band", "bh")
 
     // 1. exact-collapse: doc -> representative (min doc_id of identical
-    // content); only representatives get shingled/signed
+    // content); only representatives get shingled/signed. Persisted:
+    // consumed by the representative semi-join (through the rsig cache)
+    // AND by the final rollup — without the cache the rollup job would
+    // re-run the md5 + groupBy + join over the full corpus
     val hashed = corpus.select(col("doc_id"), col("source"),
       md5(col("text").cast("binary")).as("h"))
     val docRep = hashed.join(
       hashed.groupBy(col("h")).agg(min(col("doc_id")).as("rep")), "h")
       .select(col("doc_id"), col("source"), col("rep"))
+      .persist()
     val reps = corpus.select(col("doc_id"), col("text")).join(
       docRep.filter(col("doc_id") === col("rep")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
@@ -349,6 +353,7 @@ object Dedup {
     hot.unpersist()
     cand.unpersist()
     bsig.unpersist()
+    docRep.unpersist()
     out
   }
 
