@@ -91,6 +91,8 @@ object SparkEntry {
     "q71_embed_decontaminate" -> (Similarity.q71EmbedDecontaminate _),
     "q72_card_audit" -> (Pii.q72CardAudit _),
     "q73_pagerank" -> (Corpus.q73PageRank _),
+    "q74_length_profile" -> (TextOps.q74LengthProfile _),
+    "q75_containment" -> (Curation.q75Containment _),
   )
 
   private val Rev =
@@ -727,5 +729,51 @@ object SparkEntry {
           |ORDER BY l_partkey""".stripMargin
       head + iters + tail
     },
+    // quantile_cont's linear interpolation is bit-identical to Spark's
+    // exact percentile aggregate (verified on this data)
+    "q74_length_profile" ->
+      s"""WITH t AS (
+         |  SELECT source, CAST(len($TokList) AS BIGINT) AS n_tok FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  MIN(n_tok) AS min_tok,
+         |  quantile_cont(n_tok, 0.25) AS p25_tok,
+         |  quantile_cont(n_tok, 0.5) AS p50_tok,
+         |  quantile_cont(n_tok, 0.95) AS p95_tok,
+         |  MAX(n_tok) AS max_tok,
+         |  CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tok
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    // same planted quotes, same md5-derived 5-gram keys, same
+    // containment ratio and max — the per-source flag split only
+    // matches if the whole gram pipeline agrees
+    "q75_containment" ->
+      """WITH bench AS (SELECT doc_id AS bid, text AS btext FROM documents WHERE doc_id % 97 = 0),
+        |planted AS (
+        |  SELECT c.doc_id, c.source,
+        |    CASE WHEN c.doc_id % 7 = 0 AND b.bid IS NOT NULL
+        |         THEN c.text || ' ' || substr(b.btext, 1, 50 + CAST(c.doc_id % 5 AS INT) * 100)
+        |         ELSE c.text END AS text
+        |  FROM (SELECT * FROM documents WHERE doc_id % 97 <> 0) c
+        |  LEFT JOIN bench b ON b.bid = 97 * (c.doc_id % 6)),
+        |tok AS (SELECT doc_id, source,
+        |  list_filter(string_split(lower(COALESCE(text, '')), ' '), x -> x <> '') AS t FROM planted),
+        |dg AS (SELECT DISTINCT doc_id,
+        |    substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]), 1, 16) AS k
+        |  FROM tok, unnest(range(1, len(t) - 3)) u(i)),
+        |btok AS (SELECT bid,
+        |  list_filter(string_split(lower(COALESCE(btext, '')), ' '), x -> x <> '') AS t FROM bench),
+        |bg AS (SELECT DISTINCT bid,
+        |    substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]), 1, 16) AS k
+        |  FROM btok, unnest(range(1, len(t) - 3)) u(i)),
+        |bsz AS (SELECT bid, COUNT(*) AS bn FROM bg GROUP BY bid),
+        |ix AS (SELECT c.doc_id, b.bid, COUNT(*) AS n FROM dg c JOIN bg b ON c.k = b.k GROUP BY 1, 2),
+        |cont AS (
+        |  SELECT t.doc_id, t.source, COALESCE(MAX(CAST(i.n AS DOUBLE) / bsz.bn), 0.0) AS bc
+        |  FROM tok t LEFT JOIN ix i ON t.doc_id = i.doc_id LEFT JOIN bsz ON i.bid = bsz.bid
+        |  GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN bc >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(CASE WHEN bc >= 0.3 THEN 0 ELSE 1 END) AS BIGINT) AS n_clean,
+        |  MAX(bc) AS max_containment
+        |FROM cont GROUP BY source ORDER BY source""".stripMargin,
   )
 }

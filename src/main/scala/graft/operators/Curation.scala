@@ -649,4 +649,133 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
       .orderBy(col("source"))
   }
+
+  // ---- containment contamination (q75) ------------------------------
+
+  /** N-gram order for containment: 5-token grams (longer than
+    * [[DecontamN]]'s any-overlap grams — containment divides by the
+    * benchmark doc's gram count, so the order only needs to be long
+    * enough that ratios are meaningful, not rare).
+    */
+  val ContainN = 5
+
+  /** Containment flag threshold: a corpus doc carrying >= 30% of some
+    * benchmark doc's distinct grams embeds a substantial quote of it.
+    */
+  val ContainThreshold = 0.3
+
+  /** CONTAINMENT-ratio contamination: for every corpus document, the
+    * maximum over benchmark documents of
+    * |bench grams ∩ doc grams| / |bench grams|, flagged at `threshold`
+    * and rolled up per source. This is the asymmetric complement of
+    * q69's Jaccard: a long corpus document QUOTING a short benchmark
+    * item keeps near-zero Jaccard (the union is dominated by the
+    * corpus doc) but containment ~1.0 — quote-style eval leakage is
+    * exactly what symmetric measures miss (the containment-vs-
+    * resemblance distinction is Broder '97's own).
+    *
+    * Scale shape: per-benchmark-doc distinct gram-hash sets are
+    * collected under the [[MaxBenchmarkGrams]] guard and broadcast
+    * (grams are 8-byte longs, so the count gate bounds bytes too);
+    * the corpus streams ONCE through a typed pass probing each bench
+    * doc's sorted gram array against the doc's hash set — no joins, no
+    * shuffle except the ~20-row per-source aggregate. Cost per corpus
+    * row is |total bench grams| set probes; with an eval-suite-sized
+    * benchmark that is bounded, and the inverted (gram-join) shape
+    * remains the right tool if the benchmark ever grows corpus-sized.
+    * Gram keys are [[Dedup.gramHash64]] (md5-derived), so the DuckDB
+    * oracle rebuilds identical keys.
+    */
+  /** Sorted distinct md5-derived gram-hash array of a document —
+    * module-level (not a local def) so the typed-map lambdas capture
+    * only the gram order, never the enclosing module instance.
+    */
+  private[operators] def containGramSet(text: String, n: Int): Array[Long] = {
+    val toks = tokenize(
+      if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
+    val arr = grams(toks, n).map(Dedup.gramHash64).toArray
+    java.util.Arrays.sort(arr)
+    if (arr.length < 2) arr
+    else {
+      // in-place dedup of the sorted array
+      var w = 1
+      var i = 1
+      while (i < arr.length) {
+        if (arr(i) != arr(w - 1)) { arr(w) = arr(i); w += 1 }
+        i += 1
+      }
+      if (w == arr.length) arr else java.util.Arrays.copyOf(arr, w)
+    }
+  }
+
+  def containmentStats(
+      corpus: DataFrame, benchmark: DataFrame, n: Int = ContainN,
+      threshold: Double = ContainThreshold,
+      maxBenchmarkGrams: Int = MaxBenchmarkGrams): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val benchSets: Array[Array[Long]] = benchmark
+      .select(col("text")).as[String]
+      .map(t => Curation.containGramSet(t, n))
+      .filter(g => g.length > 0)
+      .collect()
+    require(benchSets.iterator.map(_.length.toLong).sum <= maxBenchmarkGrams,
+      s"benchmark gram total exceeds $maxBenchmarkGrams - this frame is " +
+        "corpus-sized, not an eval suite (or raise maxBenchmarkGrams deliberately)")
+    val bc = s.sparkContext.broadcast(benchSets)
+
+    corpus
+      .select(col("source"), col("text")).as[(String, String)]
+      .map { case (src, text) =>
+        val doc = Curation.containGramSet(text, n)
+        var best = 0.0
+        val bs = bc.value
+        var b = 0
+        while (b < bs.length) {
+          val bg = bs(b)
+          var inter = 0
+          var i = 0
+          while (i < bg.length) {
+            if (java.util.Arrays.binarySearch(doc, bg(i)) >= 0) inter += 1
+            i += 1
+          }
+          val c = inter.toDouble / bg.length.toDouble
+          if (c > best) best = c
+          b += 1
+        }
+        (src, best)
+      }
+      .toDF("source", "best_containment")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("best_containment") >= threshold, 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("best_containment") >= threshold, 0L).otherwise(1L)).as("n_clean"),
+        max(col("best_containment")).as("max_containment"))
+      .orderBy(col("source"))
+  }
+
+  /** Driver binding (q75): the corpus carries PLANTED quotes — every
+    * `doc_id % 7 == 0` document appends a doc_id-dependent-length
+    * prefix (50..450 chars) of a deterministically chosen benchmark
+    * doc — so containment is data-dependent: long quotes of short
+    * bench docs flag, 50-char quotes stay under the threshold, and
+    * the DuckDB oracle must reproduce the same gram pipeline, ratio,
+    * and max to agree.
+    */
+  def q75Containment(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val bench = docs.filter(col("doc_id") % BenchmarkMod === 0)
+      .select(col("doc_id").as("bid"), col("text").as("btext"))
+    val planted = docs.filter(col("doc_id") % BenchmarkMod =!= 0)
+      .join(broadcast(bench),
+        col("bid") === lit(BenchmarkMod) * (col("doc_id") % 6), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0 && col("bid").isNotNull,
+          concat(col("text"), lit(" "),
+            expr("substr(btext, 1, 50 + CAST(doc_id % 5 AS INT) * 100)")))
+          .otherwise(col("text")).as("text"))
+    containmentStats(planted, bench.select(col("btext").as("text")))
+  }
 }

@@ -198,6 +198,35 @@ object TextOps {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** Per-source length profile (q74) — the dataset-cartography pass a
+    * curation pipeline runs before setting gates and quotas: exact
+    * min/p25/p50/p95/max and mean of per-document token counts per
+    * source. `percentile` is Spark's EXACT sort-based aggregate and its
+    * linear interpolation is bit-identical to DuckDB's `quantile_cont`
+    * (verified empirically), so every column hash-matches; integer
+    * token sums make the mean a single exact division.
+    *
+    * Scale shape: exact percentiles buffer one counter per DISTINCT
+    * value per group — fine for token-count-like columns (cardinality
+    * bounded by max doc length), and the honest trade-off versus q37's
+    * approx_percentile sketch for unbounded-cardinality columns; the
+    * two queries are the two ends of that dial. One map-side-combined
+    * aggregation, ~20 output rows.
+    */
+  def q74LengthProfile(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_tok")).as("min_tok"),
+        expr("percentile(n_tok, 0.25)").as("p25_tok"),
+        expr("percentile(n_tok, 0.5)").as("p50_tok"),
+        expr("percentile(n_tok, 0.95)").as("p95_tok"),
+        max(col("n_tok")).as("max_tok"),
+        (sum(col("n_tok")).cast("double") / count(lit(1)).cast("double")).as("mean_tok"))
+      .orderBy(col("source"))
+
   /** Document fingerprinting via the native codegen expressions
     * (graft.functions.Fingerprints): 61-bit Karp-Rabin whole-document
     * hash plus the minimum 16-gram window hash (winnowing-style local

@@ -71,6 +71,61 @@ class CurationSpec extends SparkSpec {
       corpus, fatBench, maxBenchmarkGramBytes = 1L << 20).count() >= 1L)
   }
 
+  test("containmentStats: a quote flags by RATIO where any-overlap would just flag") {
+    // benchmark doc: 12 tokens -> 8 distinct 5-grams
+    val bench = docsDF(Seq(
+      (0L, "bench", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")))
+    val corpus = docsDF(Seq(
+      // quotes the first 9 tokens: 5 of 8 bench grams -> containment 0.625
+      (1L, "s1", "padding words here alpha beta gamma delta epsilon zeta eta theta iota"),
+      // shares only a 4-token run: zero complete 5-grams -> containment 0
+      (2L, "s1", "noise alpha beta gamma delta noise two three four five six"),
+      // unrelated
+      (3L, "s2", "completely different content about query engines and storage")))
+    val got = Curation.containmentStats(corpus, bench, threshold = 0.5)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_flagged"), r.getAs[Double]("max_containment")))).toMap
+    assert(got("s1")._1 == 1L)
+    assert(math.abs(got("s1")._2 - 0.625) < 1e-12)
+    assert(got("s2") == ((0L, 0.0)))
+  }
+
+  test("containmentStats: full verbatim copy scores 1.0; empty benchmark flags nothing") {
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    val bench = docsDF(Seq((0L, "bench", benchText)))
+    val got = Curation.containmentStats(
+      docsDF(Seq((1L, "s1", "prefix words " + benchText + " suffix"))), bench)
+      .collect().head
+    assert(got.getAs[Double]("max_containment") == 1.0)
+    assert(got.getAs[Long]("n_flagged") == 1L)
+    val none = Curation.containmentStats(
+      docsDF(Seq((1L, "s1", benchText))),
+      docsDF(Seq.empty[(Long, String, String)])).collect().head
+    assert(none.getAs[Long]("n_flagged") == 0L)
+    assert(none.getAs[Double]("max_containment") == 0.0)
+  }
+
+  test("containmentStats guard trips on a corpus-sized benchmark") {
+    val corpus = docsDF(Seq((1L, "s1", "a b c d e")))
+    val bigBench = docsDF((0L until 5L).map(i =>
+      (i, "bench", s"t${i}a t${i}b t${i}c t${i}d t${i}e t${i}f")))
+    val e = intercept[IllegalArgumentException](
+      Curation.containmentStats(corpus, bigBench, maxBenchmarkGrams = 3))
+    assert(e.getMessage.contains("corpus-sized"))
+  }
+
+  test("q75 plants data-dependent quotes: flagged and clean both non-empty") {
+    val rows = Curation.q75Containment(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    var flagged = 0L; var docs = 0L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("n_flagged") + r.getAs[Long]("n_clean"))
+      flagged += r.getAs[Long]("n_flagged"); docs += r.getAs[Long]("n_docs")
+    }
+    assert(flagged > 0L && flagged < docs)
+  }
+
   private def decollect(df: DataFrame): Map[String, (Long, Long, Long)] =
     df.collect().map(r => r.getAs[String]("source") ->
       ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_contaminated"),
