@@ -93,6 +93,8 @@ object SparkEntry {
     "q73_pagerank" -> (Corpus.q73PageRank _),
     "q74_length_profile" -> (TextOps.q74LengthProfile _),
     "q75_containment" -> (Curation.q75Containment _),
+    "q76_stream_windows" -> (graft.streaming.EventStream.q76StreamWindowCounts _),
+    "q77_pmi_scores" -> (Curation.q77PmiScores _),
   )
 
   private val Rev =
@@ -775,5 +777,33 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN bc >= 0.3 THEN 0 ELSE 1 END) AS BIGINT) AS n_clean,
         |  MAX(bc) AS max_containment
         |FROM cont GROUP BY source ORDER BY source""".stripMargin,
+    // tumbling windows are epoch-aligned, so the streaming window
+    // aggregation must equal plain bucket arithmetic on event time
+    "q76_stream_windows" ->
+      """SELECT ts_us - ts_us % 60000000 AS win_start_us, event_type, COUNT(*) AS n
+        |FROM (SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type FROM events) t
+        |GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
+    // same all-double (cxy*N)/(cx*cy) tree -> bit-identical rational
+    // PMI scores; count floor and (score desc, pair asc) cut mirrored
+    "q77_pmi_scores" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |uni AS (SELECT tok, COUNT(*) AS c1 FROM toks GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS total FROM toks),
+        |t2 AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT t[i] AS x, t[i+1] AS y, COUNT(*) AS cxy
+        |  FROM t2, unnest(range(1, len(t))) u(i)
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT p.x || ' ' || p.y AS pair, p.cxy,
+        |  (CAST(p.cxy AS DOUBLE) * CAST(n.total AS DOUBLE)) /
+        |    (CAST(ux.c1 AS DOUBLE) * CAST(uy.c1 AS DOUBLE)) AS pmi_ratio
+        |FROM pairs p, n
+        |JOIN uni ux ON ux.tok = p.x
+        |JOIN uni uy ON uy.tok = p.y
+        |ORDER BY pmi_ratio DESC, pair ASC LIMIT 20""".stripMargin,
   )
 }

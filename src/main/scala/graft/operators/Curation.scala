@@ -561,6 +561,71 @@ object Curation {
   def q66PairCounts(s: SparkSession, d: String): DataFrame =
     pairCounts(Tables.documents(s, d).select(col("text")))
 
+  /** Minimum pair count for a [[pmiScores]] collocation (rare pairs
+    * have unstable PMI; 5 is the classic collocation-stats floor).
+    */
+  val PmiMinCount = 5
+
+  /** Result size for [[q77PmiScores]]. */
+  val TopPmi = 20
+
+  /** Collocation strength of adjacent token pairs: PMI ranked via the
+    * LOG-FREE rational score N * c(x,y) / (c(x) * c(y)) — log is
+    * monotone, so the ranking is identical to true PMI while every
+    * score stays an exact integer ratio (one double division, bit-
+    * identical cross-engine; the q52 determinism trick). This is the
+    * collocation statistic of tokenizer/phrase work (Church & Hanks
+    * '90): frequency alone (q66) ranks "the the"-style pairs of
+    * ubiquitous tokens; PMI ranks pairs that co-occur MORE than their
+    * marginals predict.
+    *
+    * Scale shape: one typed flatMap emits (pair) and the token stream
+    * reuses the same pass shape as q66; both aggregations are
+    * partial-combined with shuffles bounded by distinct pairs/tokens
+    * (vocab-bounded, not corpus-bounded); the unigram marginal table —
+    * vocabulary-sized — is broadcast into the pair join; top-k cut is
+    * deterministic (score desc, pair asc).
+    */
+  def pmiScores(
+      docs: DataFrame, k: Int = TopPmi, minCount: Int = PmiMinCount): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.select(col("text")).as[String]
+      .flatMap(t => tokenize(t).iterator)
+      .toDF("tok")
+      .persist() // two consumers: unigram marginals and the total count
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val total = toks.count() // N — the one scalar action; reads the cache
+    val pairs = docs.select(col("text")).as[String]
+      .flatMap { t =>
+        val ts = tokenize(t)
+        (0 until ts.length - 1).iterator.map(i => (ts(i), ts(i + 1)))
+      }
+      .toDF("x", "y")
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val out = pairs
+      .join(broadcast(uni.select(col("tok").as("x"), col("c1").as("cx"))), "x")
+      .join(broadcast(uni.select(col("tok").as("y"), col("c1").as("cy"))), "y")
+      // all-double arithmetic, NOT BIGINT products: N * cxy overflows
+      // Long at corpus scale (DuckDB would silently widen to HUGEINT,
+      // Spark would wrap), while counts convert to double exactly
+      // below 2^53 and the (cxy*N)/(cx*cy) tree is IEEE-identical in
+      // both engines
+      .select(concat(col("x"), lit(" "), col("y")).as("pair"), col("cxy"),
+        ((col("cxy").cast("double") * lit(total.toDouble)) /
+          (col("cx").cast("double") * col("cy").cast("double"))).as("pmi_ratio"))
+      .orderBy(col("pmi_ratio").desc, col("pair").asc)
+      .limit(k)
+      .persist()
+    out.count() // materialize so the token cache can be dropped now
+    toks.unpersist(blocking = false)
+    out
+  }
+
+  def q77PmiScores(s: SparkSession, d: String): DataFrame =
+    pmiScores(Tables.documents(s, d).select(col("text")))
+
   /** Hash-space denominator for [[temperatureResample]]'s keep decision:
     * the first 4 hex chars of md5(text) are a uniform draw in
     * [0, 65536).

@@ -234,6 +234,33 @@ object EventStream {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** q76 — [[windowedCounts]] (the UNCHANGED batch/stream-unified
+    * operator) replayed over the bounded events table through the file
+    * STREAM source, under the same DuckDB oracle as a batch tumbling
+    * window: tumbling 1-minute windows are epoch-aligned, so the
+    * oracle is plain `ts_us - ts_us % 60e6` bucket arithmetic. Complete
+    * output mode for the bounded-replay harness (every window emitted
+    * when the source drains; watermarked append is the production
+    * mode). With q70 this puts both streaming aggregation shapes —
+    * built-in tumbling window and session window — under driver
+    * hash-match rather than spec-only.
+    */
+  def q76StreamWindowCounts(s: SparkSession, d: String): DataFrame = {
+    val schema = graft.Tables.events(s, d).schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
+    val counts = windowedCounts(stream)
+    val qname = "q76_stream_windows"
+    val q = counts.writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname)
+      .select(unix_micros(col("win_start")).as("win_start_us"),
+        col("event_type"), col("n"))
+      .orderBy(col("win_start_us"), col("event_type"))
+  }
+
   /** Per-user running aggregate over an event stream — value sums per
     * user per window, the streaming analogue of the reducer-with-state
     * idiom.

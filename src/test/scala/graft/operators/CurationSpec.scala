@@ -71,6 +71,27 @@ class CurationSpec extends SparkSpec {
       corpus, fatBench, maxBenchmarkGramBytes = 1L << 20).count() >= 1L)
   }
 
+  test("pmiScores ranks exclusive collocations above frequent-token pairs") {
+    // "zig zag": both tokens appear ONLY in this pair, 5 times ->
+    // ratio = 5N/25 = N/5. "the cat": the/cat each appear 10x but
+    // co-occur 5x -> ratio = 5N/100 = N/20. filler inflates N only.
+    val docs = docsDF(
+      (1L to 5L).map(i => (i, "s", "zig zag")) ++
+        (6L to 10L).map(i => (i, "s", "the cat")) ++
+        (11L to 15L).map(i => (i, "s", "cat the")) ++
+        Seq((16L, "s", (1 to 10).map(j => s"w$j").mkString(" "))))
+      .select(col("text"))
+    val rows = Curation.pmiScores(docs).collect()
+    val byPair = rows.map(r => r.getAs[String]("pair") ->
+      ((r.getAs[Long]("cxy"), r.getAs[Double]("pmi_ratio")))).toMap
+    val n = 5 * 2 + 10 * 2 + 10 // 40 tokens total
+    assert(byPair("zig zag") == ((5L, 5.0 * n / 25.0)))
+    assert(byPair("the cat") == ((5L, 5.0 * n / 100.0)))
+    assert(byPair("zig zag")._2 > byPair("the cat")._2)
+    // sub-floor pairs (the filler's w1 w2 ... singletons) are absent
+    assert(!byPair.contains("w1 w2"))
+  }
+
   test("containmentStats: a quote flags by RATIO where any-overlap would just flag") {
     // benchmark doc: 12 tokens -> 8 distinct 5-grams
     val bench = docsDF(Seq(

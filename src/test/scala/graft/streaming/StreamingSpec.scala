@@ -219,6 +219,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q76: streaming windowed counts over the bounded events table equal batch buckets") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val d = "/root/testdata/sf0.001"
+    val streamed = EventStream.q76StreamWindowCounts(spark, d)
+      .collect().map(_.toString).toSeq
+    val batch = graft.Tables.events(spark, d)
+      .selectExpr("ts div 1000 AS us", "event_type")
+      .selectExpr("us - us % 60000000 AS win_start_us", "event_type")
+      .groupBy(col("win_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("win_start_us"), col("event_type"))
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("q70: streaming sessionize over the bounded events table equals batch q36") {
     val d = "/root/testdata/sf0.001"
     val streamed = EventStream.q70StreamSessionize(spark, d)
