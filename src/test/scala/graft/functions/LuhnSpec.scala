@@ -49,6 +49,27 @@ class LuhnSpec extends SparkSpec {
     assert(verdicts(7)) // ...6467 is the classic valid PAN
   }
 
+  test("property: Luhn detects EVERY single-digit error (the checksum's theorem)") {
+    // for any valid PAN, changing any one digit to any other value
+    // must invalidate it — the design guarantee of the mod-10 scheme
+    val gen = org.scalacheck.Gen.choose(13, 19).flatMap { len =>
+      org.scalacheck.Gen.listOfN(len - 1, org.scalacheck.Gen.choose(0, 9))
+    }
+    val payloads = (1L to 50L).map(i =>
+      gen.pureApply(org.scalacheck.Gen.Parameters.default, org.scalacheck.rng.Seed(i)))
+    payloads.foreach { ds =>
+      val payload = ds.mkString
+      // complete to a valid PAN: exactly one of the ten check digits works
+      val full = (0 to 9).map(c => payload + c)
+        .find(s => Luhn.isValid(UTF8String.fromString(s))).get
+      for (pos <- full.indices; alt <- '0' to '9' if alt != full(pos)) {
+        val mutated = full.updated(pos, alt)
+        assert(!Luhn.isValid(UTF8String.fromString(mutated)),
+          s"single-digit error undetected: $full -> $mutated")
+      }
+    }
+  }
+
   test("luhn_valid resolves via GraftExtensions in SQL and handles nulls") {
     import spark.implicits._
     val rows = Seq(Some("4539148803436467"), Some("4539148803436468"), None)
