@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomMightContain, FixedPointDot, FixedPointQuantize, LuhnValid, MinWindowFingerprint, RollingFingerprint}
+import graft.functions.{BloomMightContain, FixedPointDot, FixedPointQuantize, LuhnValid, MinWindowFingerprint, RollingFingerprint, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -47,5 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("luhn_valid",
         "luhn_valid(digits) - true iff a 13-19 digit string passes the Luhn mod-10 check"),
       (es: Seq[Expression]) => LuhnValid(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - |a intersect b| of two SORTED-DISTINCT BIGINT arrays (undercounts on unsorted input)"),
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
   }
 }

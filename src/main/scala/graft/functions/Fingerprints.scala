@@ -110,5 +110,7 @@ object FingerprintFunctions {
       "bloom_might_contain", es => BloomMightContain(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "luhn_valid", es => LuhnValid(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sorted_intersect_count", es => SortedIntersectCount(es(0), es(1)), "built-in")
   }
 }

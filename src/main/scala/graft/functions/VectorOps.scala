@@ -169,3 +169,74 @@ case class FixedPointQuantize(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): FixedPointQuantize =
     copy(child = newChild)
 }
+
+/** `sorted_intersect_count(a, b)`: |a ∩ b| of two SORTED-DISTINCT
+  * BIGINT arrays as one fused two-pointer walk.
+  *
+  * The composable form — `size(array_intersect(a, b))` — builds a
+  * lookup hash set AND materializes the intersection array per row
+  * pair; in the dedup verify joins that is two allocations per
+  * CANDIDATE PAIR, the highest-volume row stream of the near-dup
+  * operators. With sorted-distinct inputs (the shingle/gram frames
+  * are, by construction — see [[graft.operators.Dedup.shingles]]) the
+  * count needs no allocation at all, and Jaccard follows as
+  * inter / (|a| + |b| - inter) from the same value.
+  *
+  * CONTRACT: inputs must be sorted ascending and duplicate-free —
+  * unsorted input UNDERCOUNTS silently (this is a kernel for the
+  * engine's own canonical-form frames, not a general-purpose
+  * function; the registration doc says so).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}

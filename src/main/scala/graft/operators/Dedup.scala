@@ -141,10 +141,25 @@ object Dedup {
       s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
     minhashPairsOf(Tables.documents(s, d))
 
+  /** Exact Jaccard of two SORTED-DISTINCT long arrays via the fused
+    * [[graft.functions.SortedIntersectCount]] kernel:
+    * inter / (|a| + |b| - inter). The `size(array_intersect) /
+    * size(array_union)` form this replaces allocated a hash set plus
+    * two result arrays per CANDIDATE PAIR — the highest-volume row
+    * stream of the near-dup verify joins. The shingle frames satisfy
+    * the sorted-distinct contract by construction ([[shingles]]).
+    */
+  private def sortedJaccard(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val inter = call_function("sorted_intersect_count", a, b)
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+  }
+
   /** [[minhashPairs]] over any `(doc_id, text)`-bearing frame. */
   private[operators] def minhashPairsOf(
       documents: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val s = documents.sparkSession
+    graft.functions.FingerprintFunctions.register(s)
     import s.implicits._
     val docs = documents.select(col("doc_id"), col("text")).as[(Long, String)]
     val withSh = docs.map { case (id, text) =>
@@ -168,9 +183,7 @@ object Dedup {
     val pairs = cand
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
       .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-      .select(col("a"), col("b"),
-        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
+      .select(col("a"), col("b"), sortedJaccard(col("sha"), col("shb")).as("jaccard"))
     (withSh, pairs, lshStats)
   }
 
@@ -258,6 +271,7 @@ object Dedup {
       bucketCap: Int = LshJoin.MaxBucket,
       maxBroadcastCand: Long = MaxBroadcastCand): DataFrame = {
     val s = corpus.sparkSession
+    graft.functions.FingerprintFunctions.register(s) // sorted_intersect_count
     import s.implicits._
     require(bucketCap > 0, s"bucketCap must be positive, got $bucketCap")
 
@@ -328,9 +342,7 @@ object Dedup {
     val verified = rsig.select(col("rep"), col("sh"))
       .join(sized(cand), "rep")
       .join(broadcast(bsig.select(col("bench_id"), col("bsh"))), "bench_id")
-      .select(col("rep"),
-        (size(array_intersect(col("sh"), col("bsh"))).cast("double") /
-          size(array_union(col("sh"), col("bsh"))).cast("double")).as("j"))
+      .select(col("rep"), sortedJaccard(col("sh"), col("bsh")).as("j"))
       .groupBy(col("rep")).agg(max(col("j")).as("best_j"))
 
     // rollup: every doc inherits its representative's verdict

@@ -118,6 +118,37 @@ class VectorOpsSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("sorted_intersect_count agrees with size(array_intersect) on sorted-distinct arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(200) {
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq.empty[Long], Seq.empty[Long]))
+    val got = rows.toDF("a", "b")
+      .select(
+        expr("sorted_intersect_count(a, b)").as("fused"),
+        expr("CAST(size(array_intersect(a, b)) AS BIGINT)").as("composed"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+  }
+
+  test("sorted_intersect_count null handling and jaccard identity") {
+    import spark.implicits._
+    val r = Seq((Option.empty[Seq[Long]], Some(Seq(1L)))).toDF("a", "b")
+      .select(expr("sorted_intersect_count(a, b)"))
+      .collect().head
+    assert(r.isNullAt(0))
+    // inter/(|a|+|b|-inter) == size(intersect)/size(union) on canonical frames
+    val j = Seq((Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L))).toDF("a", "b")
+      .selectExpr(
+        "CAST(sorted_intersect_count(a, b) AS DOUBLE) / (size(a) + size(b) - sorted_intersect_count(a, b)) AS jf",
+        "CAST(size(array_intersect(a, b)) AS DOUBLE) / size(array_union(a, b)) AS jc")
+      .collect().head
+    assert(j.getDouble(0) == j.getDouble(1))
+  }
+
   test("fixed_quantize returns null for null input and rejects scalars at analysis") {
     import spark.implicits._
     val df = Seq(Option.empty[Seq[Double]]).toDF("v")
