@@ -95,6 +95,8 @@ object SparkEntry {
     "q75_containment" -> (Curation.q75Containment _),
     "q76_stream_windows" -> (graft.streaming.EventStream.q76StreamWindowCounts _),
     "q77_pmi_scores" -> (Curation.q77PmiScores _),
+    "q78_incremental_dedup" -> (Dedup.q78IncrementalDedup _),
+    "q79_cluster_split" -> (Dedup.q79ClusterSplit _),
   )
 
   private val Rev =
@@ -805,5 +807,24 @@ object SparkEntry {
         |JOIN uni ux ON ux.tok = p.x
         |JOIN uni uy ON uy.tok = p.y
         |ORDER BY pmi_ratio DESC, pair ASC LIMIT 20""".stripMargin,
+    // plain hash semi-join over the same planted copies: the engine's
+    // Bloom pruning is an optimization and must be invisible here
+    "q78_incremental_dedup" ->
+      """WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |inc AS (
+        |  SELECT i.doc_id, i.source,
+        |    CASE WHEN i.doc_id % 11 = 0 AND e.text IS NOT NULL THEN e.text
+        |         ELSE i.text END AS text
+        |  FROM (SELECT * FROM documents WHERE doc_id % 2 = 1) i
+        |  LEFT JOIN ex e ON e.doc_id = i.doc_id - 1),
+        |exh AS (SELECT DISTINCT md5(text) AS h FROM ex),
+        |cls AS (
+        |  SELECT source,
+        |    CASE WHEN md5(text) IN (SELECT h FROM exh) THEN 1 ELSE 0 END AS dup
+        |  FROM inc)
+        |SELECT source, COUNT(*) AS n_incoming,
+        |  CAST(SUM(dup) AS BIGINT) AS n_dup,
+        |  CAST(SUM(1 - dup) AS BIGINT) AS n_new
+        |FROM cls GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -383,6 +383,76 @@ object Dedup {
       threshold = 0.5)
   }
 
+  /** Incremental (new-batch-vs-existing-corpus) exact dedup: classify
+    * each incoming document as duplicate-of-existing or new, per
+    * source — the DAILY-INGESTION shape of dedup, where re-scrubbing
+    * the whole corpus per batch is the thing a 100 TB pipeline cannot
+    * afford. `existing` needs (text); `incoming` needs
+    * (doc_id, source, text).
+    *
+    * Scale shape — sideways information passing (the q54 idiom turned
+    * on ingestion): a Bloom filter over the EXISTING corpus's 64-bit
+    * content keys is built distributed (tree-merged partials), shipped
+    * as one plan literal, and probed inside whole-stage codegen by the
+    * incoming scan; only Bloom POSITIVES (true dups + ~fpp false
+    * positives) reach the exact md5 verify join, so the anti-dup
+    * exchange ships ~|dups| rows, not |incoming|. The existing corpus
+    * is read once to build the filter and once more ONLY for the
+    * verify side's (16-byte hash) projection. Bloom negatives are
+    * definitively new — no verification needed, the filter's one-sided
+    * error guarantee.
+    */
+  def incrementalDedup(
+      existing: DataFrame, incoming: DataFrame, fpp: Double = 0.01): DataFrame = {
+    val s = incoming.sparkSession
+    graft.functions.FingerprintFunctions.register(s)
+    val exKeys = existing.select(xxhash64(col("text")).as("k"))
+    val bloom = Relational.bloomFilterOf(exKeys, "k", fpp)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val inc = incoming.select(col("doc_id"), col("source"), col("text"))
+    val candidates = inc
+      .filter(call_function("bloom_might_contain", xxhash64(col("text")), lit(bloomBytes)))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    // exact verify: only bloom positives ship into this join
+    val dupIds = candidates.join(
+      existing.select(md5(col("text").cast("binary")).as("h")),
+      Seq("h"), "left_semi")
+      .select(col("doc_id"))
+    inc.join(dupIds.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+      .select(col("source"), coalesce(col("dup"), lit(0L)).as("dup"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_incoming"),
+        sum(col("dup")).as("n_dup"),
+        sum(lit(1L) - col("dup")).as("n_new"))
+      .orderBy(col("source"))
+  }
+
+  /** Driver binding (q78): even doc_ids are the existing corpus, odd
+    * the incoming batch; every incoming `doc_id % 11 == 0` document is
+    * PLANTED as a verbatim copy of existing doc `doc_id - 1` (the
+    * corpus has no natural exact dups), so the dup/new split is
+    * deterministic, non-vacuous, and the DuckDB oracle reproduces it
+    * with a plain hash semi-join — the Bloom pruning must be invisible
+    * in the answer.
+    */
+  def q78IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .join(broadcast(existing.select(col("doc_id").as("ex_id"), col("text").as("ex_text"))),
+        col("ex_id") === col("doc_id") - 1, "left")
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 11 === 0 && col("ex_text").isNotNull, col("ex_text"))
+          .otherwise(col("text")).as("text"))
+    incrementalDedup(existing.select(col("text")), incoming)
+  }
+
   /** End-to-end near-dup dedup: exact-dup collapse -> MinHash edges at
     * `threshold` over the exact representatives -> connected components
     * -> one row per doc with its cluster representative (smallest
@@ -432,6 +502,48 @@ object Dedup {
         col("cluster_size"), (col("doc_id") === col("lbl")).as("keep"))
       .orderBy(col("doc_id"))
   }
+
+  /** Leakage-free train/val/test split: every near-dup CLUSTER is
+    * assigned atomically to one split — the companion invariant to
+    * decontamination (a near-copy of a training doc sitting in the
+    * held-out split is self-contamination that per-document hash
+    * splits, q50 included, cannot prevent). Assignment hashes the
+    * cluster REPRESENTATIVE's content (not its id): membership is then
+    * stable under corpus growth, reordering, and re-chunking as long
+    * as the representative's text survives — the q49/q50 determinism
+    * contract lifted to cluster granularity. 12/2/2 sixteenths, same
+    * thresholds as q50.
+    *
+    * Scale shape: [[dupClusters]] does the heavy lifting (bounded LSH
+    * + pointer-doubling CC); on top of it this is one join to fetch
+    * representative content hashes (the rep frame is |clusters| rows)
+    * and a codegen'd md5 bucket decision. Non-SQL-expressible (LSH) ->
+    * rows-only driver check; ClusterSplitSpec pins the invariant.
+    */
+  def clusterSafeSplit(
+      documents: DataFrame, threshold: Double = DupJaccardThreshold): DataFrame = {
+    val clusters = dupClusters(documents, threshold)
+    val repHash = documents.select(col("doc_id").as("cluster_id"),
+      substring(md5(col("text").cast("binary")), 1, 1).as("rh"))
+    clusters.join(repHash, Seq("cluster_id"), "left") // reps only match; members share cluster_id
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        when(col("rh") <= "b", "train")
+          .when(col("rh") <= "d", "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver binding (q79): cluster-atomic split of the documents table,
+    * reported per (split) with doc and cluster counts. Rows-only; the
+    * atomicity invariant is pinned by `ClusterSplitSpec`.
+    */
+  def q79ClusterSplit(s: SparkSession, d: String): DataFrame =
+    clusterSafeSplit(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .orderBy(col("split"))
 
   // ---- SimHash ------------------------------------------------------
 
