@@ -97,6 +97,7 @@ object SparkEntry {
     "q77_pmi_scores" -> (Curation.q77PmiScores _),
     "q78_incremental_dedup" -> (Dedup.q78IncrementalDedup _),
     "q79_cluster_split" -> (Dedup.q79ClusterSplit _),
+    "q80_funnel" -> (Temporal.q80Funnel _),
   )
 
   private val Rev =
@@ -826,5 +827,33 @@ object SparkEntry {
         |  CAST(SUM(dup) AS BIGINT) AS n_dup,
         |  CAST(SUM(1 - dup) AS BIGINT) AS n_new
         |FROM cls GROUP BY source ORDER BY source""".stripMargin,
+    // same chained whole-partition window minima: stage timestamps
+    // cascade (click after first view, purchase after first qualifying
+    // click), each within the 24h conversion window, at microsecond
+    // truncation
+    "q80_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |v1 AS (
+        |  SELECT user_id, event_type, us,
+        |    MIN(CASE WHEN event_type = 'view' THEN us END) OVER (PARTITION BY user_id) AS v
+        |  FROM e),
+        |v2 AS (
+        |  SELECT user_id, event_type, us, v,
+        |    MIN(CASE WHEN event_type = 'click' AND us > v AND us <= v + 86400000000 THEN us END) OVER (PARTITION BY user_id) AS c
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT user_id, v, c,
+        |    MIN(CASE WHEN event_type = 'purchase' AND us > c AND us <= c + 86400000000 THEN us END) OVER (PARTITION BY user_id) AS p
+        |  FROM v2),
+        |staged AS (
+        |  SELECT DISTINCT user_id,
+        |    CASE WHEN p IS NOT NULL THEN 3
+        |         WHEN c IS NOT NULL THEN 2
+        |         WHEN v IS NOT NULL THEN 1
+        |         ELSE 0 END AS stage
+        |  FROM v3)
+        |SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_users
+        |FROM staged GROUP BY stage ORDER BY stage""".stripMargin,
   )
 }
