@@ -98,6 +98,7 @@ object SparkEntry {
     "q78_incremental_dedup" -> (Dedup.q78IncrementalDedup _),
     "q79_cluster_split" -> (Dedup.q79ClusterSplit _),
     "q80_funnel" -> (Temporal.q80Funnel _),
+    "q81_hybrid_search" -> (Similarity.q81HybridSearch _),
   )
 
   private val Rev =
@@ -855,5 +856,62 @@ object SparkEntry {
         |  FROM v3)
         |SELECT CAST(stage AS BIGINT) AS stage, COUNT(*) AS n_users
         |FROM staged GROUP BY stage ORDER BY stage""".stripMargin,
+    // the q22 lexical pipeline (top-20 slate) composed with the q23
+    // fixed-point cosine, fused as 0.5*jaccard + 0.5*cosine — every
+    // stage is exact, so the two-stage ranking hash-matches end to end
+    "q81_hybrid_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(COALESCE(text, '')), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 16) AS k
+        |  FROM tok, unnest(range(1, len(t) - 1)) u(i)),
+        |dg AS (SELECT DISTINCT doc_id, k FROM g),
+        |hot AS (SELECT k FROM dg GROUP BY k HAVING COUNT(*) > 1000),
+        |fg AS (SELECT * FROM dg WHERE k NOT IN (SELECT k FROM hot)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM fg GROUP BY doc_id),
+        |inter AS (
+        |  SELECT p.doc_id AS probe_id, f.doc_id, COUNT(*) AS ix
+        |  FROM fg p JOIN fg f ON p.k = f.k AND f.doc_id <> p.doc_id
+        |  WHERE p.doc_id < 10
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT i.probe_id, i.doc_id,
+        |    CAST(i.ix AS DOUBLE) / CAST(sa.n + sb.n - i.ix AS DOUBLE) AS jaccard
+        |  FROM inter i
+        |  JOIN sizes sa ON sa.doc_id = i.probe_id
+        |  JOIN sizes sb ON sb.doc_id = i.doc_id),
+        |lex AS (
+        |  SELECT probe_id, doc_id, jaccard FROM (
+        |    SELECT probe_id, doc_id, jaccard,
+        |      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY jaccard DESC, doc_id) AS lrk
+        |    FROM scored) z
+        |  WHERE lrk <= 20),
+        |q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nrm
+        |  FROM q, range(1, 65) t(i) GROUP BY vec_id),
+        |rr AS (
+        |  SELECT l.probe_id, l.doc_id, l.jaccard,
+        |    CAST(SUM(qp.qv[i] * qc.qv[i]) AS BIGINT) AS dot
+        |  FROM lex l
+        |  JOIN q qp ON qp.vec_id = l.probe_id
+        |  JOIN q qc ON qc.vec_id = l.doc_id, range(1, 65) t(i)
+        |  GROUP BY 1, 2, 3),
+        |fused AS (
+        |  SELECT rr.probe_id, rr.doc_id, rr.jaccard,
+        |    CAST(rr.dot AS DOUBLE) / sqrt(CAST(np.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
+        |  FROM rr
+        |  JOIN norms np ON np.vec_id = rr.probe_id
+        |  JOIN norms nc ON nc.vec_id = rr.doc_id)
+        |SELECT probe_id, doc_id, jaccard, cosine, score, rnk FROM (
+        |  SELECT probe_id, doc_id, jaccard, cosine,
+        |    0.5 * jaccard + 0.5 * cosine AS score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY 0.5 * jaccard + 0.5 * cosine DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM fused) z
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
   )
 }

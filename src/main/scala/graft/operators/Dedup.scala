@@ -422,7 +422,10 @@ object Dedup {
       existing.select(md5(col("text").cast("binary")).as("h")),
       Seq("h"), "left_semi")
       .select(col("doc_id"))
-    inc.join(dupIds.withColumn("dup", lit(1L)), Seq("doc_id"), "left")
+    // dupIds is bounded by |true dups| + fpp x |incoming| — broadcast
+    // it so the rollup streams the incoming frame instead of sort-merge
+    // shuffling it against a frame a fraction of its size
+    inc.join(broadcast(dupIds.withColumn("dup", lit(1L))), Seq("doc_id"), "left")
       .select(col("source"), coalesce(col("dup"), lit(0L)).as("dup"))
       .groupBy(col("source"))
       .agg(
@@ -658,6 +661,20 @@ object Dedup {
     * probe strictly dominates.
     */
   def q22NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("jaccard").desc, col("doc_id"))
+    ngramScoredPairs(s, d).withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** The q22 probe-scoring core without the top-k cut: every
+    * (probe, doc) pair with a non-zero filtered-trigram intersection
+    * and its exact Jaccard. Exposed so composed retrieval (q81 hybrid
+    * search) can re-rank a wider lexical candidate slate.
+    */
+  private[operators] def ngramScoredPairs(s: SparkSession, d: String): DataFrame = {
     // Typed map, deliberately: Spark's higher-order array functions
     // (transform/filter lambdas) are evaluated INTERPRETED, not
     // whole-stage-codegen'd — an expression-tree sliding-window was
@@ -732,12 +749,6 @@ object Dedup {
       .select(col("probe_id"), col("doc_id"),
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
-
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("jaccard").desc, col("doc_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 3)
-      .orderBy(col("probe_id"), col("rnk"))
+    scored
   }
 }

@@ -130,6 +130,57 @@ object Similarity {
       emb.filter(col("vec_id") % 97 === 0))
   }
 
+  /** Lexical candidate slate width for [[q81HybridSearch]]'s re-rank. */
+  val HybridLexK = 20
+
+  /** Hybrid lexical + semantic retrieval (q81): the RAG-shaped
+    * two-stage ranker — a WIDE lexical slate (trigram Jaccard against
+    * the probe docs, q22's zero-shuffle scan) re-ranked by embedding
+    * cosine (documents and embeddings share an id space), final score
+    * `0.5 * jaccard + 0.5 * cosine`, top-5 per probe. Neither signal
+    * alone ranks this way: lexical misses paraphrases, cosine misses
+    * exact-term matches; the fusion is the standard retrieval recipe.
+    *
+    * Scale shape: stage 1 is q22's corpus-streams-once probe scan; the
+    * slate (probes x [[HybridLexK]] rows) is then BROADCAST into the
+    * embeddings table twice (candidate vectors, probe vectors) — the
+    * embedding table is never shuffled, and the re-rank touches only
+    * slate rows. Fixed-point cosine + exact-rational Jaccard make the
+    * fused score bit-identical to the DuckDB oracle.
+    */
+  def q81HybridSearch(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FingerprintFunctions.register(s)
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("jaccard").desc, col("doc_id"))
+    val lex = Dedup.ngramScoredPairs(s, d)
+      .withColumn("lrk", row_number().over(w))
+      .filter(col("lrk") <= HybridLexK)
+      .select(col("probe_id"), col("doc_id"), col("jaccard"))
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantized.as("q"))
+      .withColumn("nrm", dot(col("q"), col("q")))
+    val reranked = q.join(broadcast(lex), q("vec_id") === lex("doc_id"))
+      .select(col("probe_id"), col("doc_id"), col("jaccard"),
+        col("q").as("cq"), col("nrm").as("cn"))
+      .join(broadcast(
+        // probe vectors only (doc_id < 10 is q22's probe contract) —
+        // broadcasting the unfiltered table would ship the whole
+        // embedding corpus
+        q.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("nrm").as("pn"))),
+        "probe_id")
+      .select(col("probe_id"), col("doc_id"), col("jaccard"),
+        (dot(col("pq"), col("cq")).cast("double") /
+          sqrt(col("pn").cast("double") * col("cn").cast("double"))).as("cosine"))
+      .select(col("probe_id"), col("doc_id"), col("jaccard"), col("cosine"),
+        (lit(0.5) * col("jaccard") + lit(0.5) * col("cosine")).as("score"))
+    val rw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    reranked.withColumn("rnk", row_number().over(rw).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   // ---- LSH (sign random projection) ---------------------------------
 
   val Tables_ = 4 // LSH tables
