@@ -99,6 +99,7 @@ object SparkEntry {
     "q79_cluster_split" -> (Dedup.q79ClusterSplit _),
     "q80_funnel" -> (Temporal.q80Funnel _),
     "q81_hybrid_search" -> (Similarity.q81HybridSearch _),
+    "q82_span_coverage" -> (Curation.q82SpanCoverage _),
   )
 
   private val Rev =
@@ -913,5 +914,26 @@ object SparkEntry {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY 0.5 * jaccard + 0.5 * cosine DESC, doc_id) AS BIGINT) AS rnk
         |  FROM fused) z
         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+    // q64's gram stream with positions; coverage = union of [pos, pos+15]
+    // windows over duplicated grams (position base 1 vs 0 cancels out —
+    // only counts cross the oracle)
+    "q82_span_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+15], ' ')) AS gh
+        |  FROM toks, unnest(generate_series(1, greatest(len(t) - 15, 0))) u(i)),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) > 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p
+        |  FROM g JOIN dup USING (gh), unnest(generate_series(pos, pos + 15)) v(p)),
+        |per AS (SELECT doc_id, COUNT(*) AS n_covered FROM cov GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tok,
+        |  CAST(COALESCE(per.n_covered, 0) AS BIGINT) AS n_covered,
+        |  CASE WHEN len(t.t) = 0 THEN 0.0
+        |    ELSE CAST(COALESCE(per.n_covered, 0) AS DOUBLE) / CAST(len(t.t) AS DOUBLE)
+        |  END AS cov_ratio
+        |FROM toks t LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -476,6 +476,89 @@ object Curation {
   def q64SpanDedup(s: SparkSession, d: String): DataFrame =
     spanDedupStats(Tables.documents(s, d).select(col("doc_id"), col("text")))
 
+  /** Duplicated-span TOKEN COVERAGE (q82): the fraction of each
+    * document's tokens inside at least one duplicated [[SpanGram]]-token
+    * window — exactly the text ExactSubstr dedup (Lee et al. ACL '22)
+    * would cut, where [[spanDedupStats]] (q64) counts duplicated
+    * WINDOWS. The two diverge precisely when duplicated windows
+    * overlap: a 17-token verbatim quote is only 2 dup grams (q64's
+    * ratio dilutes it against every window in the doc) but covers 17
+    * tokens — this query's number IS the removal fraction a cutter
+    * would apply.
+    *
+    * Scale shape: the gram stream crosses the wire ONCE — md5 keys
+    * computed pre-shuffle, one explicit `repartition(gh)`, positions
+    * folded into a per-(gh, doc) aggregate whose buffer is bounded by
+    * one document's self-repeats of one gram. That aggregate is then
+    * PERSISTED (the q22/q52 compact-frame pattern) because its two
+    * consumers need different columns: totals reads (gh, k) and the
+    * dup join reads everything, so Catalyst's column pruning would
+    * otherwise specialize the subtree per branch and re-run the
+    * tokenizing flatMap AND the wide exchange twice (exchange reuse
+    * requires identical canonicalized plans; a pruned serializer is
+    * not identical). The cached frame keeps its hashpartitioning(gh),
+    * so the per-gram total and the dup join are both exchange-free on
+    * top of it. Coverage is then merged per document WITHOUT the naive
+    * `explode(sequence(pos, pos+n-1)) + distinct` (an n-fold row
+    * blowup of the duplicated stream plus a second corpus-scale
+    * shuffle): only duplicated (doc_id, pos) pairs cross the wire, and
+    * a sorted interval sweep inside each group measures the union —
+    * per-group state is one document's dup positions, bounded by
+    * document length.
+    */
+  def spanCoverage(docs: DataFrame, n: Int = SpanGram): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val perDocGram = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        grams(tokenize(t), n).zipWithIndex.map { case (gr, i) => (id, i.toLong, gr) }
+      }
+      .toDF("doc_id", "pos", "g")
+      .select(col("doc_id"), col("pos"), md5(col("g").cast("binary")).as("gh"))
+      .repartition(col("gh"))
+      .groupBy(col("gh"), col("doc_id"))
+      .agg(count(lit(1)).as("k"), collect_list(col("pos")).as("ps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = perDocGram.groupBy(col("gh")).agg(sum(col("k")).as("c"))
+    val covered = perDocGram.join(totals, "gh")
+      .filter(col("c") > 1)
+      .select(col("doc_id"), explode(col("ps")).as("pos")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val ps = it.map(_._2).toArray
+        java.util.Arrays.sort(ps)
+        var total = 0L
+        var i = 0
+        while (i < ps.length) {
+          val start = ps(i)
+          var end = start + n
+          i += 1
+          // adjacency (ps(i) == end) merges into one contiguous run —
+          // the union size is identical either way
+          while (i < ps.length && ps(i) <= end) {
+            if (ps(i) + n > end) end = ps(i) + n
+            i += 1
+          }
+          total += end - start
+        }
+        (id, total)
+      }
+      .toDF("doc_id", "n_covered")
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, t) => (id, tokenize(t).length.toLong) }
+      .toDF("doc_id", "n_tok")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        when(col("n_tok") === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_covered"), lit(0L)).cast("double") /
+            col("n_tok").cast("double")).as("cov_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q82SpanCoverage(s: SparkSession, d: String): DataFrame =
+    spanCoverage(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
   /** Frequency-table size for [[q65UnigramQuality]] — like [[VocabSize]],
     * deliberately below the corpus's distinct-token count so the
     * out-of-table contribution (frequency 0) is exercised.

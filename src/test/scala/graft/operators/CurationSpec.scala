@@ -316,6 +316,55 @@ class CurationSpec extends SparkSpec {
     assert(got(4L) == ((0L, 0L)))
   }
 
+  test("spanCoverage merges overlapping dup windows into token coverage") {
+    val span = (0 until 16).map(i => s"s$i").mkString(" ")
+    val wide = (0 until 17).map(i => s"x$i").mkString(" ")
+    val docs = docsDF(Seq(
+      // docs 1/2 share one verbatim 16-token span
+      (1L, "a", s"one two three $span"), // span at pos 3: covers 16 of 19
+      (2L, "a", s"$span other tail words here"), // 16 of 20
+      // doc 3 = span twice: dup grams at pos 0 and 16 cover ALL 32 tokens
+      (3L, "a", s"$span $span"),
+      // doc 4 shorter than the window: zero grams, zero coverage
+      (4L, "a", "tiny doc under sixteen tokens"),
+      // docs 5/6 share a 17-token span: TWO overlapping dup grams that
+      // must merge to 17 covered tokens, not 32 (the q64-vs-q82 case)
+      (5L, "a", wide),
+      (6L, "a", s"pad $wide")))
+    val got = Curation.spanCoverage(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((19L, 16L)), got(1L).toString)
+    assert(got(2L) == ((20L, 16L)), got(2L).toString)
+    assert(got(3L) == ((32L, 32L)), got(3L).toString)
+    assert(got(4L) == ((5L, 0L)), got(4L).toString)
+    assert(got(5L) == ((17L, 17L)), got(5L).toString)
+    assert(got(6L) == ((18L, 17L)), got(6L).toString)
+    // and the ratio column is the exact double division
+    val r5 = Curation.spanCoverage(docs).collect()
+      .find(_.getLong(0) == 6L).get.getDouble(3)
+    assert(r5 == 17.0 / 18.0)
+  }
+
+  test("spanCoverage shuffles the gram stream once (cached gh-partitioned aggregate)") {
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    val out = Curation.spanCoverage(docs)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    // both consumers must hit the persisted per-(gh, doc) aggregate
+    // (a cache MISS on either branch re-runs the tokenizing flatMap
+    // and the wide exchange — the exact regression this pins)
+    val scans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(scans >= 2, s"expected both branches cached, got $scans scans")
+    // ...and there is exactly ONE underlying gram-wide exchange: the
+    // explicit repartition(gh) inside the cached plan. Its print
+    // repeats (final/initial, once per scan) but always with one of at
+    // most two plan_ids; a cache miss would mint a third.
+    val ids = raw"REPARTITION_BY_COL, \[plan_id=(\d+)\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(ids.nonEmpty && ids.size <= 2, s"gh exchange ids: $ids")
+  }
+
   test("spanDedupStats shuffles the gram stream once (AQE reuses the gh exchange)") {
     val docs = graft.Tables.documents(spark, d)
       .select(col("doc_id"), col("text"))
