@@ -100,6 +100,7 @@ object SparkEntry {
     "q80_funnel" -> (Temporal.q80Funnel _),
     "q81_hybrid_search" -> (Similarity.q81HybridSearch _),
     "q82_span_coverage" -> (Curation.q82SpanCoverage _),
+    "q83_stream_attribution" -> (graft.streaming.EventStream.q83StreamAttribution _),
   )
 
   private val Rev =
@@ -935,5 +936,19 @@ object SparkEntry {
         |  END AS cov_ratio
         |FROM toks t LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // the batch formulation of the streaming interval join: purchase x
+    // same-user views <= 10 min back, inclusive bounds on both ends
+    "q83_stream_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_type, value FROM events),
+        |pairs AS (
+        |  SELECT p.user_id, c.us AS click_us, p.value
+        |  FROM e p JOIN e c ON c.user_id = p.user_id
+        |    AND c.event_type = 'view' AND p.event_type = 'purchase'
+        |    AND c.us <= p.us AND c.us >= p.us - 600000000)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value,
+        |  CAST(MIN(click_us) AS BIGINT) AS first_click_us
+        |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -261,6 +261,46 @@ object EventStream {
       .orderBy(col("win_start_us"), col("event_type"))
   }
 
+  /** q83 — [[attributionJoin]] (the stream-stream interval join)
+    * replayed over the bounded events table and checked against the
+    * batch range-join SQL: every purchase joined to each same-user
+    * view in the preceding 10 minutes, rolled up per user. With
+    * q70/q76 this puts the LAST streaming shape — the two-sided
+    * stateful join — under driver hash-match rather than spec-only.
+    *
+    * Replay exactness: the file source delivers the bounded table in
+    * ONE micro-batch, so both join buffers hold the full day when
+    * matching runs and the watermark (which only advances BETWEEN
+    * batches) drops nothing — the append-mode inner join therefore
+    * emits precisely the batch answer. A production unbounded run
+    * feeds the same operator with the same 10-minute state bound;
+    * only the source is different. The per-user rollup happens in
+    * batch over the (already joined, much smaller) sink table, with
+    * the DECIMAL(18,6) value-sum contract shared with q08/q36.
+    */
+  def q83StreamAttribution(s: SparkSession, d: String): DataFrame = {
+    val schema = graft.Tables.events(s, d).schema
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_type"), col("value"))
+    val joined = attributionJoin(
+      src.filter(col("event_type") === "view"),
+      src.filter(col("event_type") === "purchase"))
+    val qname = "q83_stream_attribution"
+    val q = joined.writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("attributed_value"),
+        min(unix_micros(col("click_ts"))).as("first_click_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-user running aggregate over an event stream — value sums per
     * user per window, the streaming analogue of the reducer-with-state
     * idiom.

@@ -235,6 +235,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("q83: stream-stream attribution over the bounded events table equals batch join") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val streamed = EventStream.q83StreamAttribution(spark, d)
+      .collect().map(_.toString).toSeq
+    val e = graft.Tables.events(spark, d)
+      .selectExpr("user_id", "ts div 1000 AS us", "event_type", "value")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("pus"), col("value"))
+    val c = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("c_user"), col("us").as("cus"))
+    val batch = p.join(c, p("user_id") === c("c_user") &&
+        col("cus") <= col("pus") && col("cus") >= col("pus") - 600000000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("attributed_value"),
+        min(col("cus")).as("first_click_us"))
+      .orderBy(col("user_id"))
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("q70: streaming sessionize over the bounded events table equals batch q36") {
     val d = "/root/testdata/sf0.001"
     val streamed = EventStream.q70StreamSessionize(spark, d)
