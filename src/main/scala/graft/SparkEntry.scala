@@ -101,6 +101,7 @@ object SparkEntry {
     "q81_hybrid_search" -> (Similarity.q81HybridSearch _),
     "q82_span_coverage" -> (Curation.q82SpanCoverage _),
     "q83_stream_attribution" -> (graft.streaming.EventStream.q83StreamAttribution _),
+    "q84_fuzzy_join" -> (Linkage.q84FuzzyJoin _),
   )
 
   private val Rev =
@@ -950,5 +951,22 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS attributed_value,
         |  CAST(MIN(click_us) AS BIGINT) AS first_click_us
         |FROM pairs GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // brute-force cross join + levenshtein: the pigeonhole-blocked join
+    // must reproduce it exactly (same planted perturbation both sides)
+    "q84_fuzzy_join" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS probe_id,
+        |    CASE CAST(c_custkey % 3 AS INT)
+        |      WHEN 0 THEN substr(c_name, 1, CAST(9 + c_custkey % 9 AS INT))
+        |                  || substr(c_name, CAST(11 + c_custkey % 9 AS INT))
+        |      WHEN 1 THEN substr(c_name, 1, CAST(9 + c_custkey % 9 AS INT))
+        |                  || 'x' || substr(c_name, CAST(11 + c_custkey % 9 AS INT))
+        |      ELSE c_name END AS probe_name
+        |  FROM customer WHERE c_custkey < 25)
+        |SELECT p.probe_id, m.c_custkey AS match_custkey,
+        |  CAST(levenshtein(p.probe_name, m.c_name) AS BIGINT) AS dist
+        |FROM p CROSS JOIN customer m
+        |WHERE levenshtein(p.probe_name, m.c_name) <= 2
+        |ORDER BY probe_id, match_custkey""".stripMargin,
   )
 }

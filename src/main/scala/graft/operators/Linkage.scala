@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy record linkage: exact edit-distance join via pigeonhole
+  * segment blocking (the PassJoin family — Li, Deng, Wang, Feng,
+  * "PASS-JOIN: a partition-based method for similarity joins",
+  * VLDB 2011).
+  *
+  * The reference's answer to fuzzy matching would be a user mapper
+  * emitting blocking keys plus a reducer doing the pairwise check
+  * (tinymr.py:39-91 gives only the raw map/reduce hooks); here the
+  * blocking scheme itself is the operator, and the verify step is
+  * Spark's codegen `levenshtein`.
+  *
+  * Scale shape: each master string of length L is cut into tau+1
+  * contiguous segments; by pigeonhole, <= tau edits leave at least one
+  * segment untouched, and that segment appears VERBATIM in the probe
+  * string at a position shifted by at most tau (the net indel count
+  * before it). So the probe side emits, for every candidate master
+  * length in [len-tau, len+tau], every segment slot, and every shift in
+  * [-tau, tau], the substring that an untouched segment would occupy —
+  * a constant (2tau+1)^2*(tau+1)-bounded fan-out per probe — and the
+  * candidate set is an EQUI-join on (length, slot, segment) instead of
+  * a cross join. The master table is never shuffled when the probe
+  * batch is broadcast (the common record-linkage shape: small dirty
+  * batch vs huge clean master); candidates are bounded by block
+  * collisions, then verified exactly. Templated corpora whose strings
+  * share long constant prefixes (this test corpus included) make the
+  * early blocks hot — candidates degrade toward probes x same-template
+  * masters, never beyond the brute-force pair count, and the verify
+  * stays a codegen filter on the joined rows.
+  */
+object Linkage {
+
+  /** Segment (start, length) bounds: the i-th of `parts` even cuts of a
+    * string of length `len` (floor arithmetic, same formula both
+    * sides).
+    */
+  private def segBounds(len: Int, parts: Int): IndexedSeq[(Int, Int)] =
+    (0 until parts).map { i =>
+      val a = i * len / parts
+      (a, (i + 1) * len / parts - a)
+    }
+
+  /** All (probe, master) pairs with levenshtein distance <= tau.
+    *
+    * @param probes `(pid: Long, pname: String)` — the small/dirty side;
+    *               broadcast when `probeSideSmall` (master then streams
+    *               map-side, zero master shuffle).
+    * @param master `(mid: Long, mname: String)` — the large/clean side.
+    *
+    * Exactness holds for ALL string lengths: strings shorter than
+    * tau+1 characters (where the pigeonhole argument would leave
+    * zero-length segments) are blocked under a dedicated per-length
+    * bucket and pairwise-verified — a bounded set, since both sides of
+    * such a pair are under tau+1 chars.
+    */
+  def editDistanceJoin(
+      probes: DataFrame, master: DataFrame, tau: Int,
+      probeSideSmall: Boolean = true): DataFrame = {
+    require(tau >= 1, s"tau must be >= 1, got $tau")
+    val s = probes.sparkSession
+    import s.implicits._
+    val parts = tau + 1
+
+    val mseg = master.select(col("mid"), col("mname")).as[(Long, String)]
+      .flatMap { case (id, nm) =>
+        val l = nm.length
+        if (l < parts) Seq((l, -1, "", id, nm))
+        else segBounds(l, parts).zipWithIndex.map {
+          case ((a, len), i) => (l, i, nm.substring(a, a + len), id, nm)
+        }
+      }.toDF("lm", "seg_i", "seg", "mid", "mname")
+
+    val pseg = probes.select(col("pid"), col("pname")).as[(Long, String)]
+      .flatMap { case (id, nm) =>
+        val lp = nm.length
+        // LinkedHashSet: dedup identical (length, slot, substring) keys
+        // deterministically — shifts often collide on repetitive text
+        val keys = scala.collection.mutable.LinkedHashSet.empty[(Int, Int, String)]
+        for (lm <- math.max(0, lp - tau) to (lp + tau)) {
+          if (lm < parts) keys += ((lm, -1, ""))
+          else for {
+            ((a, len), i) <- segBounds(lm, parts).zipWithIndex
+            shift <- -tau to tau
+            pos = a + shift
+            if pos >= 0 && pos + len <= lp
+          } keys += ((lm, i, nm.substring(pos, pos + len)))
+        }
+        keys.toSeq.map { case (lm, i, sub) => (lm, i, sub, id, nm) }
+      }.toDF("lm", "seg_i", "seg", "pid", "pname")
+
+    val p = if (probeSideSmall) broadcast(pseg) else pseg
+    mseg.join(p, Seq("lm", "seg_i", "seg"))
+      .select(col("pid"), col("mid"), col("pname"), col("mname"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("pname"), col("mname")))
+      .filter(col("dist") <= tau)
+  }
+
+  /** Driver binding: link a deterministic "dirty batch" of customer
+    * names (custkey < 25; one char deleted / substituted / verbatim by
+    * custkey mod 3, edit position varying with custkey mod 9) back to
+    * the clean customer master at tau=2. The oracle is the brute-force
+    * cross join + levenshtein — the blocked join must reproduce it
+    * bit-for-bit (same planted-perturbation SQL on the DuckDB side).
+    */
+  def q84FuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val probes = cust.filter(col("c_custkey") < 25)
+      .select(col("c_custkey").as("pid"),
+        expr("""CASE CAST(c_custkey % 3 AS INT)
+          WHEN 0 THEN concat(substring(c_name, 1, cast(9 + c_custkey % 9 as int)),
+                             substring(c_name, cast(11 + c_custkey % 9 as int), 1000))
+          WHEN 1 THEN concat(substring(c_name, 1, cast(9 + c_custkey % 9 as int)), 'x',
+                             substring(c_name, cast(11 + c_custkey % 9 as int), 1000))
+          ELSE c_name END""").as("pname"))
+    val master = cust.select(col("c_custkey").as("mid"), col("c_name").as("mname"))
+    editDistanceJoin(probes, master, tau = 2)
+      .select(col("pid").as("probe_id"), col("mid").as("match_custkey"),
+        col("dist").cast("bigint").as("dist"))
+      .orderBy(col("probe_id"), col("match_custkey"))
+  }
+}
