@@ -102,6 +102,8 @@ object SparkEntry {
     "q82_span_coverage" -> (Curation.q82SpanCoverage _),
     "q83_stream_attribution" -> (graft.streaming.EventStream.q83StreamAttribution _),
     "q84_fuzzy_join" -> (Linkage.q84FuzzyJoin _),
+    "q85_triangles" -> (Corpus.q85Triangles _),
+    "q86_gap_fill" -> (Temporal.q86GapFill _),
   )
 
   private val Rev =
@@ -968,5 +970,42 @@ object SparkEntry {
         |FROM p CROSS JOIN customer m
         |WHERE levenshtein(p.probe_name, m.c_name) <= 2
         |ORDER BY probe_id, match_custkey""".stripMargin,
+    // naive three-way self-join triangle enumeration; the oriented
+    // wedge-join plan must reproduce its per-node counts exactly
+    "q85_triangles" ->
+      """WITH hi AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 49),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM hi a JOIN hi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (
+        |  SELECT a AS p FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+        |SELECT p AS l_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |FROM nodes GROUP BY p ORDER BY l_partkey""".stripMargin,
+    // dense per-user daily grid with IGNORE NULLS carry-forward; the
+    // carried value is copied verbatim so doubles compare bit-exact
+    "q86_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS d, value,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY user_id, epoch_us(ts) // 86400000000
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |perday AS (SELECT user_id, d, value FROM e WHERE rn = 1),
+        |span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM perday GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS d FROM span),
+        |filled AS (
+        |  SELECT g.user_id, g.d,
+        |    LAST_VALUE(p.value IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+        |    CASE WHEN p.value IS NULL THEN 1 ELSE 0 END AS was_gap
+        |  FROM grid g LEFT JOIN perday p ON p.user_id = g.user_id AND p.d = g.d)
+        |SELECT user_id, CAST(d AS BIGINT) AS d, v, CAST(was_gap AS BIGINT) AS was_gap
+        |FROM filled ORDER BY user_id, d""".stripMargin,
   )
 }

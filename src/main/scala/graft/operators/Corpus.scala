@@ -338,6 +338,66 @@ object Corpus {
       .select(col("p").as("l_partkey"), col("degree"), col("rank_fp"))
   }
 
+  /** Per-node triangle counts over an undirected edge set via
+    * degree-ordered orientation — the classic O(m^1.5)-wedge bound
+    * (Schank & Wagner '05 / Suri & Vassilvitskii "Counting triangles
+    * and the curse of the last reducer", WWW 2011). Each undirected
+    * edge is oriented from its lower (degree, id) endpoint to the
+    * higher; every triangle then has exactly ONE node with two
+    * out-edges, so counting (wedge at u) |><| (closing edge v->w) sees
+    * each triangle once. The orientation is the whole scale story: a
+    * hub node of degree D contributes O(D) wedges instead of O(D^2),
+    * because its out-degree under the orientation is bounded by
+    * ~sqrt(2m) — the "curse of the last reducer" is exactly the
+    * un-oriented formulation's hub blow-up.
+    *
+    * @param edges undirected `(a, b)` pairs with a < b, pre-distinct.
+    * @return one row per triangle-participating node: `(p, n_triangles)`.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("a").as("p"))
+      .unionAll(edges.select(col("b").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("deg"))
+    // (deg, id) is a total order: orient src -> dst along it, carrying
+    // dst's order key so wedge endpoints can themselves be ordered
+    val lowFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val de = edges
+      .join(deg.select(col("p").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("p").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(lowFirst, col("a")).otherwise(col("b")).as("src"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(lowFirst, struct(col("db").as("d"), col("b").as("i")))
+          .otherwise(struct(col("da").as("d"), col("a").as("i"))).as("dord"))
+    // wedges centered at the doubly-out node; (v, w) ordered by the
+    // SAME total order the orientation used, so the closing edge is
+    // exactly the oriented v -> w row
+    val wedges = de.as("e1").join(de.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dord") < col("e2.dord"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tri = wedges.join(de.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    tri.select(col("u").as("p"))
+      .unionAll(tri.select(col("v").as("p")))
+      .unionAll(tri.select(col("w").as("p")))
+      .groupBy(col("p")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Driver binding: triangle counts over the q53 co-purchase graph
+    * (parts bought together in a high-quantity order). The DuckDB
+    * oracle is the naive three-way self-join — the oriented plan must
+    * reproduce its counts exactly.
+    */
+  def q85Triangles(s: SparkSession, d: String): DataFrame = {
+    val hi = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = LshJoin.boundedBucketPairs(hi, "l_partkey",
+      LshJoin.MaxBucket, "l_orderkey")
+    triangleCounts(edges)
+      .select(col("p").as("l_partkey"), col("n_triangles"))
+      .orderBy(col("l_partkey"))
+  }
+
   /** Count-min sketch relative-error epsilon (est <= exact + eps * N). */
   val CmsEps = 0.001
 

@@ -159,4 +159,61 @@ object Temporal {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("stage"))
   }
+
+  /** Time-series regularization: resample an irregular per-key event
+    * stream onto a dense daily grid, carrying the last observed value
+    * forward across gap days (LOCF — the standard alignment step before
+    * any windowed model over unevenly sampled telemetry).
+    *
+    * Scale shape: ONE shuffle on the key. The per-day collapse is a
+    * hash aggregate (last event of each (key, day) picked by a
+    * row_number over (ts, id) — deterministic under ties); the grid is
+    * `sequence`+`explode` over each key's own [first, last] day span,
+    * so grid size is bounded by sum-of-spans, never keys x global
+    * range; the carry-forward is an IGNORE NULLS window over the SAME
+    * key partitioning the aggregate produced, so AQE plans the
+    * aggregate, explode, and window into one exchange's lineage. The
+    * carried value is copied verbatim (no arithmetic) — bit-exact
+    * against the oracle. A key idle for years makes its span, not its
+    * event count, the cost — callers resampling sparse decades pick a
+    * coarser unit (the `dayUs` parameter is the unit).
+    *
+    * @param events `(key, us, id, v)` — event time in micros, `id`
+    *               breaking (key, day, us) ties, `v` the carried value.
+    * @return `(key, d, v, was_gap)` — one row per key per day in the
+    *         key's span; `was_gap` = 1 when no event that day.
+    */
+  def gapFillLocf(events: DataFrame, dayUs: Long = 86400000000L): DataFrame = {
+    // integer `div`, not float `/`: float quotients near day boundaries
+    // round into the wrong bucket once us * (1/dayUs) outgrows double
+    // ulp spacing, and DuckDB's `//` is integer division
+    val d = expr(s"us div $dayUs")
+    val perDay = events
+      .withColumn("d", d)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("key"), col("d"))
+          .orderBy(col("us").desc, col("id").desc)))
+      .filter(col("_rn") === 1)
+      .select(col("key"), col("d"), col("v"))
+    val grid = perDay.groupBy(col("key"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("key"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val carry = Window.partitionBy(col("key")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perDay, Seq("key", "d"), "left")
+      .select(col("key"), col("d"),
+        last(col("v"), ignoreNulls = true).over(carry).as("v"),
+        when(col("v").isNull, 1L).otherwise(0L).as("was_gap"))
+  }
+
+  /** Driver binding: daily LOCF-filled value series per user over the
+    * events table. Oracle: the same grid built with `generate_series`
+    * and an IGNORE NULLS window in DuckDB.
+    */
+  def q86GapFill(s: SparkSession, d: String): DataFrame =
+    gapFillLocf(Tables.events(s, d)
+      .select(col("user_id").as("key"), tsUs.as("us"),
+        col("event_id").as("id"), col("value").as("v")))
+      .select(col("key").as("user_id"), col("d"), col("v"), col("was_gap"))
+      .orderBy(col("user_id"), col("d"))
 }
