@@ -104,6 +104,8 @@ object SparkEntry {
     "q84_fuzzy_join" -> (Linkage.q84FuzzyJoin _),
     "q85_triangles" -> (Corpus.q85Triangles _),
     "q86_gap_fill" -> (Temporal.q86GapFill _),
+    "q87_ntile_stratify" -> (Relational.q87NtileStratify _),
+    "q88_all_pairs" -> (Dedup.q88AllPairs _),
   )
 
   private val Rev =
@@ -1007,5 +1009,39 @@ object SparkEntry {
         |  FROM grid g LEFT JOIN perday p ON p.user_id = g.user_id AND p.d = g.d)
         |SELECT user_id, CAST(d AS BIGINT) AS d, v, CAST(was_gap AS BIGINT) AS was_gap
         |FROM filled ORDER BY user_id, d""".stripMargin,
+    // plain single-partition NTILE(8): the two-phase distributed rank
+    // must reproduce it bucket-for-bucket
+    "q87_ntile_stratify" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    NTILE(8) OVER (ORDER BY n_chars, doc_id) AS bucket
+        |  FROM documents)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // brute-force gram-join Jaccard over ALL pairs: the prefix-filtered
+    // self-join must reproduce every qualifying pair exactly (gram
+    // identity is the same md5-64 truncation on both sides)
+    "q88_all_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(COALESCE(text, '')), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 16) AS k
+        |  FROM tok, unnest(range(1, len(t) - 1)) u(i)),
+        |s AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |i AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS ix
+        |  FROM g a JOIN g b ON a.k = b.k AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.a, i.b,
+        |  CAST(i.ix AS DOUBLE) / CAST(sa.n + sb.n - i.ix AS DOUBLE) AS jaccard
+        |FROM i
+        |JOIN s sa ON sa.doc_id = i.a
+        |JOIN s sb ON sb.doc_id = i.b
+        |WHERE CAST(i.ix AS DOUBLE) / CAST(sa.n + sb.n - i.ix AS DOUBLE) >= 0.5
+        |ORDER BY a, b""".stripMargin,
   )
 }

@@ -618,6 +618,88 @@ object Dedup {
     */
   val MaxGramDf = 1000
 
+  /** Exact all-pairs similarity self-join via prefix filtering
+    * (Chaudhuri, Ganti & Kaushik ICDE '06; Bayardo, Ma & Srikant,
+    * "Scaling up all pairs similarity search", WWW '07): every
+    * unordered document pair with trigram-shingle Jaccard >=
+    * `threshold`, EXACTLY — unlike the MinHash/SimHash family (q20/
+    * q21) there is no probabilistic recall loss.
+    *
+    * Why it scales: sort each doc's gram set by GLOBAL rarity
+    * (document frequency asc, gram as tie-break) and keep only the
+    * first n - ceil(t*n) + 1 grams as its "prefix". Completeness is
+    * the pigeonhole on the globally-smallest shared gram: for any pair
+    * at Jaccard >= t, that gram's position in each side's rarity order
+    * is at most (set size - intersection + 1) <= prefix length, so the
+    * pair collides on at least one PREFIX gram. The candidate join
+    * therefore touches only prefix postings — rarest-first ordering
+    * systematically keeps ubiquitous grams OUT of prefixes, which is
+    * what bounds bucket skew without the recall-losing df-cap the LSH
+    * paths use. Verify recomputes exact Jaccard over the full sorted
+    * gram arrays with the fused [[graft.functions.SortedIntersectCount]]
+    * kernel.
+    *
+    * Gram identity is the 64-bit md5 truncation ([[gramHash64]]), same
+    * as the DuckDB oracle's substr(md5, 1, 16) — hashing is bilateral,
+    * so intersection counts agree bit-for-bit on both sides.
+    *
+    * @return `(a, b, jaccard)` with a < b, one row per qualifying pair.
+    */
+  def allPairsJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val s = docs.sparkSession
+    graft.functions.FingerprintFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    // compact per-doc sorted-distinct gram arrays (tokenize once,
+    // persisted; lifetime contract as in [[ngramScoredPairsOf]])
+    val docGrams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text0) =>
+        val text = if (text0 == null) "" else text0
+        val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+        (id, toks.sliding(3).filter(_.length == 3)
+          .map(g => gramHash64(g.mkString(" "))).toArray.distinct.sorted)
+      }.toDF("doc_id", "grams")
+      .filter(size(col("grams")) > 0) // gram-free docs match nothing
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val dfreq = docGrams.select(explode(col("grams")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+
+    // rarity rank per doc; the 1e-9 guard keeps ceil from rounding an
+    // exactly-integral t*n UP a ulp (which would shorten the prefix by
+    // one and silently lose completeness)
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+    val prefix = docGrams
+      .select(col("doc_id"), size(col("grams")).as("n"), explode(col("grams")).as("gram"))
+      .join(dfreq, "gram")
+      .withColumn("r", row_number().over(byRarity))
+      .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+      .select(col("gram"), col("doc_id"))
+
+    val cand = prefix.as("pa").join(prefix.as("pb"),
+        col("pa.gram") === col("pb.gram") && col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
+      .distinct()
+
+    cand
+      .join(docGrams.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
+      .join(docGrams.select(col("doc_id").as("b"), col("grams").as("gb")), "b")
+      .withColumn("inter", call_function("sorted_intersect_count", col("ga"), col("gb")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("ga")) + size(col("gb")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Driver binding: exact similarity self-join over the corpus at
+    * t=0.5. Oracle: brute-force gram-join Jaccard in DuckDB — the
+    * prefix-filtered plan must reproduce every pair exactly.
+    */
+  def q88AllPairs(s: SparkSession, d: String): DataFrame =
+    allPairsJaccard(Tables.documents(s, d), 0.5)
+      .orderBy(col("a"), col("b"))
+
   private val Md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

@@ -421,6 +421,78 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Exact global NTILE without the single-reducer sort: SQL's
+    * `NTILE(k) OVER (ORDER BY ...)` plans as a ONE-partition window —
+    * the "curse of the last reducer" for global ranking, unusable at
+    * 100 TB. This is the distributed-exact alternative: range-exchange
+    * on (score, id), in-partition sort, per-partition row counts
+    * (bounded collect: one long per partition), exclusive prefix sum
+    * broadcast back, and a streaming per-partition pass assigning the
+    * true global rank and the standard NTILE bucket formula. Output is
+    * independent of partition boundaries (any range placement yields
+    * the same global ranks), so it is deterministic and bit-identical
+    * to the single-partition NTILE.
+    *
+    * @param scored `(id: Long, score: Long)`; ties broken by id — the
+    *               (score, id) pair must be unique for a total order.
+    * @return `(id, score, bucket)` with bucket in 1..k, sizes differing
+    *         by at most one, earlier buckets taking the remainder —
+    *         exactly SQL NTILE semantics.
+    */
+  def exactNtile(scored: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val s = scored.sparkSession
+    import s.implicits._
+    val ordered = scored.select(col("score"), col("id")).as[(Long, Long)]
+      .repartitionByRange(col("score"), col("id"))
+      .sortWithinPartitions(col("score"), col("id"))
+      .persist() // lifetime contract as in [[Curation.packSequences]]
+    val partCounts = ordered
+      .mapPartitions { it =>
+        var n = 0L
+        it.foreach(_ => n += 1)
+        Iterator.single((org.apache.spark.TaskContext.getPartitionId(), n))
+      }
+      .collect().sortBy(_._1)
+    val n = partCounts.map(_._2).sum
+    val offsets = new Array[Long](partCounts.map(_._1).maxOption.getOrElse(-1) + 1)
+    var acc = 0L
+    partCounts.foreach { case (pid, c) => offsets(pid) = acc; acc += c }
+    val bc = s.sparkContext.broadcast(offsets)
+    val q = n / k
+    val rem = n % k
+    ordered.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var r = if (pid < bc.value.length) bc.value(pid) else 0L
+      it.map { case (score, id) =>
+        r += 1
+        // SQL NTILE: first (n % k) buckets hold (n/k + 1) rows
+        val bucket =
+          if (q == 0) r // fewer rows than buckets: row r -> bucket r
+          else if (r <= rem * (q + 1)) (r - 1) / (q + 1) + 1
+          else rem + (r - rem * (q + 1) - 1) / q + 1
+        (id, score, bucket)
+      }
+    }.toDF("id", "score", "bucket")
+  }
+
+  /** Driver binding: quality stratification of the document corpus —
+    * 8 exact length octiles (score = n_chars, ties by doc_id), rolled
+    * up to per-bucket stats. Oracle: plain NTILE(8) in DuckDB; the
+    * two-phase plan must reproduce it bucket-for-bucket.
+    */
+  def q87NtileStratify(s: SparkSession, d: String): DataFrame =
+    exactNtile(
+      Tables.documents(s, d)
+        .select(col("doc_id").as("id"), col("n_chars").as("score")), 8)
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("score")).as("min_chars"),
+        max(col("score")).as("max_chars"),
+        sum(col("score")).as("sum_chars"))
+      .orderBy(col("bucket"))
+
   /** CASE/math scalar functions feeding an aggregation. */
   def q16CaseMath(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
