@@ -106,6 +106,8 @@ object SparkEntry {
     "q86_gap_fill" -> (Temporal.q86GapFill _),
     "q87_ntile_stratify" -> (Relational.q87NtileStratify _),
     "q88_all_pairs" -> (Dedup.q88AllPairs _),
+    "q89_sem_dedup" -> (Similarity.q89SemDedup _),
+    "q90_salted_agg" -> (Skew.q90SaltedRevenue _),
   )
 
   private val Rev =
@@ -1043,5 +1045,51 @@ object SparkEntry {
         |JOIN s sb ON sb.doc_id = i.b
         |WHERE CAST(i.ix AS DOUBLE) / CAST(sa.n + sb.n - i.ix AS DOUBLE) >= 0.5
         |ORDER BY a, b""".stripMargin,
+    // same planted near-copies (1 + 2^-10 scale, IEEE-exact), same
+    // sign-bucket blocking, same fixed-point cosine — the bucket key is
+    // part of the query semantics so both sides miss the same
+    // boundary-straddling pairs
+    "q89_sem_dedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.0009765625 AS FLOAT))
+        |  FROM embeddings WHERE vec_id < 15),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM base),
+        |n AS (
+        |  SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nrm
+        |  FROM q, range(1, 65) t(i) GROUP BY vec_id),
+        |bkt AS (
+        |  SELECT vec_id, CAST(SUM(CASE WHEN qv[i] >= 0 THEN (1 << (i - 1)) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM q, range(1, 9) t(i) GROUP BY vec_id),
+        |cand AS (
+        |  SELECT ba.vec_id AS a, bb.vec_id AS b
+        |  FROM bkt ba JOIN bkt bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id),
+        |dots AS (
+        |  SELECT c.a, c.b, CAST(SUM(qa.qv[i] * qb.qv[i]) AS BIGINT) AS dp
+        |  FROM cand c
+        |  JOIN q qa ON qa.vec_id = c.a
+        |  JOIN q qb ON qb.vec_id = c.b, range(1, 65) t(i)
+        |  GROUP BY c.a, c.b),
+        |cos AS (
+        |  SELECT d.a, d.b,
+        |    CAST(d.dp AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+        |  FROM dots d
+        |  JOIN n na ON na.vec_id = d.a
+        |  JOIN n nb ON nb.vec_id = d.b
+        |  WHERE na.nrm > 0 AND nb.nrm > 0)
+        |SELECT b AS dropped_id, a AS kept_id, cosine FROM (
+        |  SELECT a, b, cosine, ROW_NUMBER() OVER (PARTITION BY b ORDER BY a) AS rn
+        |  FROM cos WHERE cosine >= 0.99) z
+        |WHERE rn = 1 ORDER BY dropped_id""".stripMargin,
+    // plain one-phase GROUP BY: the salted two-phase physical rewrite
+    // must be semantically invisible
+    "q90_salted_agg" ->
+      s"""SELECT l_suppkey, CAST(SUM($Rev) AS DOUBLE) AS revenue
+         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
   )
 }

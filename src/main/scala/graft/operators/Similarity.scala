@@ -130,6 +130,86 @@ object Similarity {
       emb.filter(col("vec_id") % 97 === 0))
   }
 
+  /** Sign-bucket width for [[semDedup]]: 2^8 = 256 blocking buckets at
+    * test scale; at 100 TB raise it so per-bucket populations stay
+    * pair-join-able (each added bit halves expected bucket size).
+    */
+  val SemDedupSignBits = 8
+
+  /** Near-duplicate cosine threshold for [[semDedup]] — SemDeDup's
+    * operating regime (Abbas et al., "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication", 2023, keeps the
+    * extreme-similarity tail).
+    */
+  val SemDedupThreshold = 0.99
+
+  /** Semantic (embedding-space) deduplication, SemDeDup-shaped: block
+    * vectors into deterministic sign buckets (the first `signBits`
+    * quantized dimensions' sign pattern — a degenerate-but-exactly-
+    * reproducible SimHash; SemDeDup's k-means plays this role at
+    * quality, sign buckets play it under an exact oracle), then inside
+    * each bucket drop every vector that has a LOWER-id near-duplicate
+    * at fixed-point cosine >= `threshold`, reporting who shadowed it.
+    *
+    * Approximation contract: blocking is the recall bound — a near-dup
+    * pair straddling a sign boundary is missed (same miss on the
+    * oracle side: the bucket key is part of the query semantics, so
+    * results still hash-match). Scale shape: ONE corpus shuffle per
+    * join side on the bucket key, pair fan-out bounded by bucket
+    * populations (tune `signBits`); the cosine is the fused fixed-point
+    * kernel, bit-identical to the oracle's integer arithmetic.
+    *
+    * @return `(dropped_id, kept_id, cosine)` — kept_id is the smallest
+    *         qualifying lower id (row_number over (a) per dropped b).
+    */
+  def semDedup(emb: DataFrame,
+      signBits: Int = SemDedupSignBits,
+      threshold: Double = SemDedupThreshold): DataFrame = {
+    val s = emb.sparkSession
+    graft.functions.FingerprintFunctions.register(s)
+    // try_element_at: vectors shorter than signBits contribute 0-bits
+    // for their missing dimensions (null >= 0 is null -> otherwise)
+    val bucket = (1 to signBits).map { i =>
+      when(try_element_at(col("q"), lit(i)) >= 0L, lit(1L << (i - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val q = emb.select(col("vec_id"), quantized.as("q"))
+      .withColumn("nrm", dot(col("q"), col("q")))
+      .withColumn("bucket", bucket)
+    val a = q.select(col("bucket"), col("vec_id").as("a"),
+      col("q").as("qa"), col("nrm").as("na"))
+    val b = q.select(col("bucket"), col("vec_id").as("b"),
+      col("q").as("qb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("a") < col("b") && col("na") > 0 && col("nb") > 0)
+      .withColumn("cosine", dot(col("qa"), col("qb")).cast("double") /
+        sqrt(col("na").cast("double") * col("nb").cast("double")))
+      .filter(col("cosine") >= threshold)
+    pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("b")).orderBy(col("a"))))
+      .filter(col("rn") === 1)
+      .select(col("b").as("dropped_id"), col("a").as("kept_id"), col("cosine"))
+  }
+
+  /** Driver binding: the embeddings table plus planted near-copies —
+    * vec_id < 15 re-emitted at vec_id + 10000 scaled by 1 + 2^-10
+    * (exactly representable, so the float/double chain is IEEE-
+    * identical on both engines; positive scaling preserves every sign
+    * bucket, and the only quantization-level difference is rounding
+    * noise, cosine ~ 1). The corpus's own best natural pair sits at
+    * cosine 0.51, so the result is exactly the planted copies — the
+    * oracle replays the same plant in SQL.
+    */
+  def q89SemDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val planted = emb.filter(col("vec_id") < 15)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * lit(1.0009765625)).cast("float")).as("embedding"))
+    semDedup(emb.select(col("vec_id"), col("embedding")).unionByName(planted))
+      .orderBy(col("dropped_id"))
+  }
+
   /** Lexical candidate slate width for [[q81HybridSearch]]'s re-rank. */
   val HybridLexK = 20
 

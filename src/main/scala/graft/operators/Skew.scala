@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Skew mitigation: two-phase salted aggregation.
   *
@@ -26,4 +28,20 @@ object Skew {
       .agg(sum(value).as("_partial"))
       .groupBy(key)
       .agg(sum(col("_partial")).as(resultName))
+
+  /** Driver binding: per-supplier revenue through the salted two-phase
+    * aggregate, summed as DECIMAL so the salted merge order cannot
+    * perturb the result — the oracle is the PLAIN one-phase GROUP BY,
+    * which the salted plan must equal bit-for-bit (the whole point:
+    * salting is a physical rewrite, never a semantic one).
+    */
+  def q90SaltedRevenue(s: SparkSession, d: String): DataFrame =
+    saltedSum(
+      Tables.lineitem(s, d),
+      col("l_suppkey"),
+      col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount")).cast(DecimalType(8, 2)),
+      "revenue")
+      .select(col("l_suppkey"), col("revenue").cast("double").as("revenue"))
+      .orderBy(col("l_suppkey"))
 }

@@ -61,6 +61,18 @@ class ScaleSpec extends SparkSpec {
       direct.view.mapValues(_.doubleValue).toMap)
   }
 
+  test("q90 salted revenue equals the plain one-phase GROUP BY bit-for-bit") {
+    val got = Skew.q90SaltedRevenue(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val plain = Tables.lineitem(spark, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount")).cast(DecimalType(8, 2))).cast("double").as("revenue"))
+      .orderBy(col("l_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == plain)
+  }
+
   test("LSH hot buckets are dropped before pair generation") {
     import spark.implicits._
     // one hot bucket with 200 members (naively 19,900 pairs) and one
