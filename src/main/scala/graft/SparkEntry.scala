@@ -108,6 +108,9 @@ object SparkEntry {
     "q88_all_pairs" -> (Dedup.q88AllPairs _),
     "q89_sem_dedup" -> (Similarity.q89SemDedup _),
     "q90_salted_agg" -> (Skew.q90SaltedRevenue _),
+    "q91_outlier_profile" -> (Relational.q91OutlierProfile _),
+    "q92_inverted_index" -> (TextOps.q92InvertedIndex _),
+    "q93_stream_dedup" -> (graft.streaming.EventStream.q93StreamDedup _),
   )
 
   private val Rev =
@@ -1091,5 +1094,55 @@ object SparkEntry {
     "q90_salted_agg" ->
       s"""SELECT l_suppkey, CAST(SUM($Rev) AS DOUBLE) AS revenue
          |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    // moments as exact DECIMAL sums, mean/variance/threshold derived in
+    // the same fixed double-op sequence as the Spark side
+    "q91_outlier_profile" ->
+      """WITH s AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS sx,
+        |    SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sxx
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT user_id, n,
+        |    CAST(sx AS DOUBLE) / n AS mean,
+        |    CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS variance
+        |  FROM s)
+        |SELECT e.user_id, CAST(MIN(m.n) AS BIGINT) AS n, MIN(m.mean) AS mean,
+        |  MIN(m.variance) AS variance,
+        |  CAST(SUM(CASE WHEN abs(e.value - m.mean) > 2.0 * sqrt(m.variance)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN m USING (user_id)
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+    // per-(token, doc) pre-aggregate, then df/occurrence stats and the
+    // ordered posting-list head — list(... ORDER BY) sliced to the same
+    // K as the Spark side's bounded aggregator
+    "q92_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(COALESCE(text, '')), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, t[i] AS tok, i AS pos
+        |  FROM tok, unnest(range(1, len(t) + 1)) u(i)),
+        |pd AS (
+        |  SELECT tok, doc_id, COUNT(*) AS tf, MIN(pos) AS first_pos
+        |  FROM p GROUP BY tok, doc_id),
+        |st AS (
+        |  SELECT tok, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS n_occurrences
+        |  FROM pd GROUP BY tok),
+        |hd AS (
+        |  SELECT tok, array_to_string(
+        |    (list(doc_id || ':' || tf || ':' || first_pos ORDER BY doc_id))[1:5],
+        |    ',') AS postings
+        |  FROM pd GROUP BY tok)
+        |SELECT st.tok, st.df, st.n_occurrences, hd.postings
+        |FROM st JOIN hd USING (tok)
+        |ORDER BY st.df DESC, st.tok LIMIT 20""".stripMargin,
+    // the batch answer over the ORIGINAL table: a correct streaming
+    // dedup makes the planted duplicate deliveries invisible
+    "q93_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

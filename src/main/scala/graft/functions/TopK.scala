@@ -46,3 +46,41 @@ class TopKByScore[IN](k: Int, extract: IN => (Long, Double))(
   def bufferEncoder: Encoder[Seq[(Long, Double)]] = enc
   def outputEncoder: Encoder[Seq[(Long, Double)]] = enc
 }
+
+/** Bounded bottom-k selection of (key, a, b) triples ordered ascending
+  * by the full tuple — the head of a posting list, kept at O(k) state
+  * per group with map-side partial merge. The collect_list + sort +
+  * slice form this replaces materializes a hot group's ENTIRE posting
+  * stream in one aggregation buffer; a row_number window caps it but
+  * still sorts the whole group in one task. Same bounded-buffer design
+  * as [[TopKByScore]], ascending and triple-shaped.
+  */
+class BottomKTriples[IN](k: Int, extract: IN => (Long, Long, Long))(
+    implicit enc: Encoder[Seq[(Long, Long, Long)]])
+    extends Aggregator[IN, Seq[(Long, Long, Long)], Seq[(Long, Long, Long)]] {
+
+  private val ord = Ordering[(Long, Long, Long)]
+
+  private def insert(buf: Seq[(Long, Long, Long)], x: (Long, Long, Long)): Seq[(Long, Long, Long)] = {
+    // buf is kept sorted ascending and bounded at k
+    if (buf.size >= k && ord.lt(buf.last, x)) buf
+    else {
+      val (before, after) = buf.span(ord.lt(_, x))
+      val merged = before ++ (x +: after)
+      if (merged.size > k) merged.take(k) else merged
+    }
+  }
+
+  def zero: Seq[(Long, Long, Long)] = Vector.empty
+
+  def reduce(buf: Seq[(Long, Long, Long)], x: IN): Seq[(Long, Long, Long)] =
+    insert(buf, extract(x))
+
+  def merge(a: Seq[(Long, Long, Long)], b: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+    b.foldLeft(a)(insert)
+
+  def finish(buf: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = buf
+
+  def bufferEncoder: Encoder[Seq[(Long, Long, Long)]] = enc
+  def outputEncoder: Encoder[Seq[(Long, Long, Long)]] = enc
+}

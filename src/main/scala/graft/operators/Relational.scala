@@ -493,6 +493,41 @@ object Relational {
         sum(col("score")).as("sum_chars"))
       .orderBy(col("bucket"))
 
+  /** Statistical profiling + outlier detection (q91): per-user event
+    * value moments and the 2-sigma outlier count. Determinism: the
+    * naive `stddev` aggregate accumulates doubles in reduction order —
+    * not reproducible distributed, never oracle-matchable. Here both
+    * moments are DECIMAL sums (exact, order-free); mean and population
+    * variance are derived in a FIXED handful of double ops
+    * (cast-divide, multiply-subtract) that both engines evaluate
+    * identically, so even the sigma threshold comparisons agree
+    * bit-for-bit. Two passes over events, both on the same user_id
+    * shuffle; the stats side is one row per user, so Catalyst
+    * broadcasts it back for the outlier recount.
+    */
+  def q91OutlierProfile(s: SparkSession, d: String): DataFrame = {
+    val v = col("value").cast(DecimalType(18, 6))
+    val stats = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(v).as("sx"),
+        sum(v * v).as("sxx"))
+      .withColumn("mean", col("sx").cast("double") / col("n"))
+      .withColumn("variance",
+        col("sxx").cast("double") / col("n") - col("mean") * col("mean"))
+    Tables.events(s, d)
+      .join(stats, "user_id")
+      .groupBy(col("user_id"))
+      .agg(
+        first(col("n")).as("n"),
+        first(col("mean")).as("mean"),
+        first(col("variance")).as("variance"),
+        sum(when(abs(col("value") - col("mean")) >
+          lit(2.0) * sqrt(col("variance")), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("user_id"))
+  }
+
   /** CASE/math scalar functions feeding an aggregation. */
   def q16CaseMath(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

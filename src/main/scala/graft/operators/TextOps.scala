@@ -242,4 +242,52 @@ object TextOps {
         expr("min_window_fingerprint(text)").as("min_window_fp"))
       .orderBy(col("doc_id"))
   }
+
+  /** Posting-list head length for [[q92InvertedIndex]]. */
+  val PostingHeadK = 5
+
+  /** Search-index construction (q92): the inverted index as a
+    * first-class operator — per token its document frequency, total
+    * occurrences, and the HEAD of its posting list (first
+    * [[PostingHeadK]] docs by id, each as doc:tf:first_pos), for the
+    * 20 highest-df tokens.
+    *
+    * Scale shape: postings pre-aggregate per (token, doc) first — one
+    * shuffle of the position stream, after which a token's row count is
+    * its df, not its occurrence count. The head selection is the
+    * [[graft.functions.BottomKTriples]] bounded aggregator: O(k) state
+    * per token with map-side partial merge, where a collect_list+slice
+    * or row_number window would buffer (or single-task sort) a stopword
+    * token's entire posting stream. Stats and head ride the SAME
+    * per-(token,doc) frame; the final join is vocabulary-sized.
+    */
+  def q92InvertedIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pos = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text0) =>
+        val text = if (text0 == null) "" else text0
+        text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+          .iterator.zipWithIndex.map { case (t, i) => (t, id, i + 1L) }
+      }.toDF("tok", "doc_id", "pos")
+    val perDoc = pos.groupBy(col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), min(col("pos")).as("first_pos"))
+      .persist() // consumed twice below (stats + head), tiny rows
+    val stats = perDoc.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("n_occurrences"))
+    val bottomK = new graft.functions.BottomKTriples[(String, Long, Long, Long)](
+      PostingHeadK, { case (_, doc, tf, fp) => (doc, tf, fp) })
+    val head = perDoc.as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .agg(bottomK.toColumn.name("head"))
+      .toDF("tok", "head")
+      .withColumn("postings", array_join(
+        transform(col("head"), x => concat_ws(":",
+          x.getField("_1"), x.getField("_2"), x.getField("_3"))), ","))
+      .select(col("tok"), col("postings"))
+    stats.join(head, "tok")
+      .select(col("tok"), col("df"), col("n_occurrences"), col("postings"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(20)
+  }
 }

@@ -301,6 +301,43 @@ object EventStream {
       .orderBy(col("user_id"))
   }
 
+  /** q93 — [[dedupStream]] (dropDuplicatesWithinWatermark) replayed
+    * over the bounded events table with PLANTED replays (every
+    * event_id % 37 == 0 row delivered twice — the at-least-once
+    * redelivery a streaming dedup exists to absorb) and checked against
+    * the batch answer: per-type counts of the ORIGINAL table, because a
+    * correct dedup makes the duplicate deliveries invisible. With
+    * q70/q76/q83 this puts the fourth streaming shape — keyed
+    * dedup state — under driver hash-match rather than spec-only.
+    *
+    * Replay exactness: both file sources deliver within one
+    * micro-batch interval, and duplicate keys land while the watermark
+    * still holds every key in state, so within-watermark dedup removes
+    * exactly the planted copies. A production unbounded run keeps the
+    * same 10-minute state bound; redeliveries later than the watermark
+    * are the documented at-most-once residue of ANY bounded-state
+    * dedup.
+    */
+  def q93StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val schema = graft.Tables.events(s, d).schema
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_type"), col("user_id"))
+    val redelivered = src.union(src.filter(col("event_id") % 37 === 0))
+    val deduped = dedupStream(redelivered, "event_id")
+    val qname = "q93_stream_dedup"
+    val q = deduped.writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-user running aggregate over an event stream — value sums per
     * user per window, the streaming analogue of the reducer-with-state
     * idiom.

@@ -219,6 +219,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q93: streaming dedup absorbs planted redeliveries, equals batch counts") {
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+    val d = "/root/testdata/sf0.001"
+    val streamed = EventStream.q93StreamDedup(spark, d)
+      .collect().map(_.toString).toSeq
+    val batch = graft.Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("q76: streaming windowed counts over the bounded events table equal batch buckets") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val d = "/root/testdata/sf0.001"
