@@ -111,6 +111,8 @@ object SparkEntry {
     "q91_outlier_profile" -> (Relational.q91OutlierProfile _),
     "q92_inverted_index" -> (TextOps.q92InvertedIndex _),
     "q93_stream_dedup" -> (graft.streaming.EventStream.q93StreamDedup _),
+    "q94_snapshot_diff" -> (Relational.q94SnapshotDiff _),
+    "q95_winsorize" -> (Relational.q95Winsorize _),
   )
 
   private val Rev =
@@ -1144,5 +1146,48 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same deterministic next-day snapshot, same delete-wins precedence
+    "q94_snapshot_diff" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 31 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |    o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 53 <> 0),
+        |ins AS (
+        |  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |neu AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |d AS (
+        |  SELECT CASE
+        |    WHEN o.o_orderkey IS NULL THEN 'insert'
+        |    WHEN n.o_orderkey IS NULL THEN 'delete'
+        |    WHEN o.o_custkey = n.o_custkey AND o.o_orderstatus = n.o_orderstatus
+        |      AND o.o_totalprice = n.o_totalprice
+        |      AND o.o_orderpriority = n.o_orderpriority THEN 'unchanged'
+        |    ELSE 'update' END AS change_type
+        |  FROM orders o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey)
+        |SELECT change_type, COUNT(*) AS n_rows
+        |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin,
+    // exact percentile bounds; inliers as DECIMAL, tails as count x
+    // bound in the same fixed double-op order as the Spark side
+    "q95_winsorize" ->
+      """WITH st AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY l_returnflag),
+        |agg AS (
+        |  SELECT li.l_returnflag,
+        |    MIN(st.n) AS n, MIN(st.lo) AS lo, MIN(st.hi) AS hi,
+        |    CAST(SUM(CASE WHEN li.l_extendedprice < st.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |    CAST(SUM(CASE WHEN li.l_extendedprice > st.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |    SUM(CASE WHEN li.l_extendedprice >= st.lo AND li.l_extendedprice <= st.hi
+        |        THEN CAST(li.l_extendedprice AS DECIMAL(18,2)) END) AS s_in
+        |  FROM lineitem li JOIN st USING (l_returnflag)
+        |  GROUP BY li.l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n, lo, hi, n_low, n_high,
+        |  (CAST(s_in AS DOUBLE) + n_low * lo + n_high * hi) / n AS win_mean
+        |FROM agg ORDER BY l_returnflag""".stripMargin,
   )
 }

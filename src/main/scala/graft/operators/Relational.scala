@@ -528,6 +528,85 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Snapshot diff (change-data-capture audit): classify every key of
+    * two table versions as insert / delete / update / unchanged via ONE
+    * full-outer join on the key with the compared attributes carried as
+    * structs — no per-column join cascade, no row hashing (struct
+    * equality compares in place; a hash would add a collision caveat
+    * for zero plan benefit). At 100 TB both snapshots shuffle once on
+    * the key — or not at all when stored bucketed by it, the natural
+    * layout for versioned tables.
+    *
+    * Attribute nulls compare with `<=>` so a null-to-value transition
+    * classifies as update, not unchanged.
+    */
+  def snapshotDiff(old: DataFrame, neu: DataFrame,
+      key: String, attrs: Seq[String]): DataFrame = {
+    val o = old.select(col(key), struct(attrs.map(col): _*).as("_o"))
+    val n = neu.select(col(key), struct(attrs.map(col): _*).as("_n"))
+    o.join(n, Seq(key), "full_outer")
+      .select(col(key),
+        when(col("_o").isNull, "insert")
+          .when(col("_n").isNull, "delete")
+          .when(col("_o") <=> col("_n"), "unchanged")
+          .otherwise("update").as("change_type"))
+  }
+
+  /** Driver binding: orders vs a deterministic "next-day" snapshot —
+    * keys % 53 deleted, % 31 status-flipped, % 97 cloned as inserts
+    * (delete wins on overlap, same precedence in the oracle SQL).
+    */
+  def q94SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val cur = Tables.orders(s, d)
+    val attrs = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    val upd = cur.filter(col("o_orderkey") % 53 =!= 0)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 31 === 0, lit("X")).otherwise(col("o_orderstatus")))
+    val ins = cur.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    snapshotDiff(cur, upd.unionByName(ins), "o_orderkey", attrs)
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("change_type"))
+  }
+
+  /** Winsorized robust mean (q95): per-returnflag price mean with the
+    * tails clipped at the exact 5th/95th percentiles. Determinism: the
+    * clipped-value sum would accumulate percentile DOUBLES in reduction
+    * order — not reproducible; instead inliers sum as DECIMAL (exact,
+    * order-free) and the clipped tails enter as count x bound in ONE
+    * fixed double-op sequence, so the mean hash-matches. The exact
+    * `percentile` aggregate interpolates bit-identically to DuckDB's
+    * `quantile_cont` (the q74 contract); two passes over lineitem on
+    * the same returnflag exchange, the one-row-per-flag stats side
+    * broadcast back.
+    */
+  def q95Winsorize(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val stats = li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(col("l_extendedprice"), lit(0.05)).as("lo"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("hi"))
+    li.join(stats, "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        first(col("n")).as("n"),
+        first(col("lo")).as("lo"),
+        first(col("hi")).as("hi"),
+        sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("l_extendedprice") >= col("lo") && col("l_extendedprice") <= col("hi"),
+          col("l_extendedprice").cast(DecimalType(18, 2))).otherwise(lit(null)))
+          .as("s_in"))
+      .withColumn("win_mean",
+        (col("s_in").cast("double") + col("n_low") * col("lo") + col("n_high") * col("hi"))
+          / col("n"))
+      .select(col("l_returnflag"), col("n"), col("lo"), col("hi"),
+        col("n_low"), col("n_high"), col("win_mean"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** CASE/math scalar functions feeding an aggregation. */
   def q16CaseMath(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

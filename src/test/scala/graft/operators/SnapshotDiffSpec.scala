@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.mr.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Snapshot diff (q94) and winsorized mean (q95). Driver hash-matches
+  * both; these fixtures pin the classification table — including the
+  * null-transition case the `<=>` comparison exists for — and the
+  * winsorized mean against a hand-computed value.
+  */
+class SnapshotDiffSpec extends SparkSpec {
+
+  test("insert / delete / update / unchanged / null-transition classify correctly") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, Option("a"), 10.0), (2L, Option("b"), 20.0),
+      (3L, Option("c"), 30.0), (4L, None: Option[String], 40.0))
+      .toDF("k", "status", "price")
+    val neu = Seq(
+      (1L, Option("a"), 10.0),               // unchanged
+      (2L, Option("z"), 20.0),               // update
+      (4L, Option("now-set"), 40.0),         // null -> value: update, not unchanged
+      (5L, Option("new"), 50.0))             // insert; 3 deleted
+      .toDF("k", "status", "price")
+    val got = Relational.snapshotDiff(old, neu, "k", Seq("status", "price"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[String]("change_type")).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "update", 3L -> "delete",
+      4L -> "update", 5L -> "insert"))
+  }
+
+  test("q94 binding: all four change classes present, counts consistent") {
+    val d = "/root/testdata/sf0.01"
+    val got = Relational.q94SnapshotDiff(spark, d)
+      .collect().map(r => r.getAs[String]("change_type") -> r.getAs[Long]("n_rows")).toMap
+    assert(got.keySet == Set("insert", "delete", "update", "unchanged"))
+    val total = graft.Tables.orders(spark, d).count()
+    assert(got("delete") + got("update") + got("unchanged") == total)
+  }
+
+  test("winsorized mean equals the hand-computed clip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q95fix").toString
+    // values 1..20 for flag A: p05 = 1.95, p95 = 19.05 (linear interp),
+    // one value clipped low (1), one high (20)
+    (1 to 20).map(i => ("A", i.toDouble))
+      .toDF("l_returnflag", "l_extendedprice")
+      .withColumn("l_orderkey", lit(1L)).withColumn("l_partkey", lit(1L))
+      .withColumn("l_suppkey", lit(1L)).withColumn("l_quantity", lit(1.0))
+      .withColumn("l_discount", lit(0.0)).withColumn("l_tax", lit(0.0))
+      .withColumn("l_linestatus", lit("O"))
+      .withColumn("l_shipdate", current_timestamp())
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Relational.q95Winsorize(spark, dir).collect().head
+    val lo = r.getAs[Double]("lo"); val hi = r.getAs[Double]("hi")
+    assert(math.abs(lo - 1.95) < 1e-12 && math.abs(hi - 19.05) < 1e-12)
+    assert(r.getAs[Long]("n_low") == 1L && r.getAs[Long]("n_high") == 1L)
+    val expect = ((2 to 19).map(_.toDouble).sum + lo + hi) / 20.0
+    assert(math.abs(r.getAs[Double]("win_mean") - expect) < 1e-12)
+  }
+}
