@@ -113,7 +113,85 @@ object SparkEntry {
     "q93_stream_dedup" -> (graft.streaming.EventStream.q93StreamDedup _),
     "q94_snapshot_diff" -> (Relational.q94SnapshotDiff _),
     "q95_winsorize" -> (Relational.q95Winsorize _),
+    "q96_kcore" -> (Corpus.q96KCore _),
+    "q97_contamination_report" -> (Curation.q97ContaminationReport _),
   )
+
+  private val Q58Sql =
+    """WITH tok AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g4 AS (
+        |  SELECT doc_id, source,
+        |    unnest([array_to_string(toks[i:i+3], ' ') for i in range(1, greatest(len(toks) - 2, 1))]) AS g
+        |  FROM tok),
+        |bg AS (SELECT DISTINCT g FROM g4 WHERE doc_id % 97 = 0),
+        |contam AS (
+        |  SELECT DISTINCT doc_id FROM g4
+        |  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bg)),
+        |base AS (SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0)
+        |SELECT base.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN contam.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(SUM(CASE WHEN contam.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        |FROM base LEFT JOIN contam ON base.doc_id = contam.doc_id
+        |GROUP BY base.source ORDER BY base.source""".stripMargin
+
+  private val Q71Sql =
+    """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nrm
+        |  FROM q, range(1, 65) t(i) GROUP BY vec_id),
+        |c AS (SELECT q.vec_id, label, qv, nrm FROM q JOIN n USING (vec_id) WHERE q.vec_id % 97 <> 0),
+        |b AS (SELECT q.vec_id AS bid, qv AS bqv, nrm AS bn FROM q JOIN n USING (vec_id) WHERE q.vec_id % 97 = 0),
+        |pairs AS (
+        |  SELECT c.vec_id, c.label, CAST(SUM(c.qv[i] * b.bqv[i]) AS BIGINT) AS dot, c.nrm, b.bn
+        |  FROM c, b, range(1, 65) t(i)
+        |  GROUP BY c.vec_id, c.label, b.bid, c.nrm, b.bn),
+        |best AS (
+        |  SELECT vec_id, label,
+        |    MAX(CASE WHEN nrm > 0 AND bn > 0
+        |             THEN CAST(dot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE) * CAST(bn AS DOUBLE))
+        |             ELSE 0.0 END) AS best_cos
+        |  FROM pairs GROUP BY vec_id, label)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CASE WHEN best_cos >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  CAST(SUM(CASE WHEN best_cos >= 0.3 THEN 0 ELSE 1 END) AS BIGINT) AS n_clean,
+        |  MAX(best_cos) AS max_cosine
+        |FROM best GROUP BY label ORDER BY label""".stripMargin
+
+  private val Q75Sql =
+    """WITH bench AS (SELECT doc_id AS bid, text AS btext FROM documents WHERE doc_id % 97 = 0),
+        |planted AS (
+        |  SELECT c.doc_id, c.source,
+        |    CASE WHEN c.doc_id % 7 = 0 AND b.bid IS NOT NULL
+        |         THEN c.text || ' ' || substr(b.btext, 1, 50 + CAST(c.doc_id % 5 AS INT) * 100)
+        |         ELSE c.text END AS text
+        |  FROM (SELECT * FROM documents WHERE doc_id % 97 <> 0) c
+        |  LEFT JOIN bench b ON b.bid = 97 * (c.doc_id % 6)),
+        |tok AS (SELECT doc_id, source,
+        |  list_filter(string_split(lower(COALESCE(text, '')), ' '), x -> x <> '') AS t FROM planted),
+        |dg AS (SELECT DISTINCT doc_id,
+        |    substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]), 1, 16) AS k
+        |  FROM tok, unnest(range(1, len(t) - 3)) u(i)),
+        |btok AS (SELECT bid,
+        |  list_filter(string_split(lower(COALESCE(btext, '')), ' '), x -> x <> '') AS t FROM bench),
+        |bg AS (SELECT DISTINCT bid,
+        |    substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]), 1, 16) AS k
+        |  FROM btok, unnest(range(1, len(t) - 3)) u(i)),
+        |bsz AS (SELECT bid, COUNT(*) AS bn FROM bg GROUP BY bid),
+        |ix AS (SELECT c.doc_id, b.bid, COUNT(*) AS n FROM dg c JOIN bg b ON c.k = b.k GROUP BY 1, 2),
+        |cont AS (
+        |  SELECT t.doc_id, t.source, COALESCE(MAX(CAST(i.n AS DOUBLE) / bsz.bn), 0.0) AS bc
+        |  FROM tok t LEFT JOIN ix i ON t.doc_id = i.doc_id LEFT JOIN bsz ON i.bid = bsz.bid
+        |  GROUP BY 1, 2)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN bc >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(CASE WHEN bc >= 0.3 THEN 0 ELSE 1 END) AS BIGINT) AS n_clean,
+        |  MAX(bc) AS max_containment
+        |FROM cont GROUP BY source ORDER BY source""".stripMargin
 
   private val Rev =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))"
@@ -501,24 +579,7 @@ object SparkEntry {
         |WHERE substr(md5(text), 1, 1) <
         |  CASE WHEN lang = 'en' THEN '4' WHEN lang = 'de' THEN '8' ELSE '2' END
         |ORDER BY doc_id""".stripMargin,
-    "q58_decontaminate" ->
-      """WITH tok AS (
-        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |g4 AS (
-        |  SELECT doc_id, source,
-        |    unnest([array_to_string(toks[i:i+3], ' ') for i in range(1, greatest(len(toks) - 2, 1))]) AS g
-        |  FROM tok),
-        |bg AS (SELECT DISTINCT g FROM g4 WHERE doc_id % 97 = 0),
-        |contam AS (
-        |  SELECT DISTINCT doc_id FROM g4
-        |  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bg)),
-        |base AS (SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0)
-        |SELECT base.source, COUNT(*) AS n_docs,
-        |  CAST(SUM(CASE WHEN contam.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-        |  CAST(SUM(CASE WHEN contam.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
-        |FROM base LEFT JOIN contam ON base.doc_id = contam.doc_id
-        |GROUP BY base.source ORDER BY base.source""".stripMargin,
+    "q58_decontaminate" -> Q58Sql,
     "q59_vocab_coverage" ->
       """WITH t AS (
         |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -672,31 +733,7 @@ object SparkEntry {
     // fixed-point quantization (round(x*1e6) BIGINT) makes every dot,
     // norm, and cosine integer-exact and order-independent, so the
     // embedding decontamination rollup hash-matches bit-for-bit
-    "q71_embed_decontaminate" ->
-      """WITH q AS (
-        |  SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-        |  FROM embeddings),
-        |n AS (
-        |  SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nrm
-        |  FROM q, range(1, 65) t(i) GROUP BY vec_id),
-        |c AS (SELECT q.vec_id, label, qv, nrm FROM q JOIN n USING (vec_id) WHERE q.vec_id % 97 <> 0),
-        |b AS (SELECT q.vec_id AS bid, qv AS bqv, nrm AS bn FROM q JOIN n USING (vec_id) WHERE q.vec_id % 97 = 0),
-        |pairs AS (
-        |  SELECT c.vec_id, c.label, CAST(SUM(c.qv[i] * b.bqv[i]) AS BIGINT) AS dot, c.nrm, b.bn
-        |  FROM c, b, range(1, 65) t(i)
-        |  GROUP BY c.vec_id, c.label, b.bid, c.nrm, b.bn),
-        |best AS (
-        |  SELECT vec_id, label,
-        |    MAX(CASE WHEN nrm > 0 AND bn > 0
-        |             THEN CAST(dot AS DOUBLE) / sqrt(CAST(nrm AS DOUBLE) * CAST(bn AS DOUBLE))
-        |             ELSE 0.0 END) AS best_cos
-        |  FROM pairs GROUP BY vec_id, label)
-        |SELECT label, COUNT(*) AS n_vecs,
-        |  CAST(SUM(CASE WHEN best_cos >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-        |  CAST(SUM(CASE WHEN best_cos >= 0.3 THEN 0 ELSE 1 END) AS BIGINT) AS n_clean,
-        |  MAX(best_cos) AS max_cosine
-        |FROM best GROUP BY label ORDER BY label""".stripMargin,
+    "q71_embed_decontaminate" -> Q71Sql,
     // independent SQL reimplementation of the Luhn mod-10 checksum over
     // the same planted 16-digit PANs (check digit = doc_id % 10, so
     // validity is data-dependent): the n_valid split only matches if
@@ -765,36 +802,7 @@ object SparkEntry {
     // same planted quotes, same md5-derived 5-gram keys, same
     // containment ratio and max — the per-source flag split only
     // matches if the whole gram pipeline agrees
-    "q75_containment" ->
-      """WITH bench AS (SELECT doc_id AS bid, text AS btext FROM documents WHERE doc_id % 97 = 0),
-        |planted AS (
-        |  SELECT c.doc_id, c.source,
-        |    CASE WHEN c.doc_id % 7 = 0 AND b.bid IS NOT NULL
-        |         THEN c.text || ' ' || substr(b.btext, 1, 50 + CAST(c.doc_id % 5 AS INT) * 100)
-        |         ELSE c.text END AS text
-        |  FROM (SELECT * FROM documents WHERE doc_id % 97 <> 0) c
-        |  LEFT JOIN bench b ON b.bid = 97 * (c.doc_id % 6)),
-        |tok AS (SELECT doc_id, source,
-        |  list_filter(string_split(lower(COALESCE(text, '')), ' '), x -> x <> '') AS t FROM planted),
-        |dg AS (SELECT DISTINCT doc_id,
-        |    substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]), 1, 16) AS k
-        |  FROM tok, unnest(range(1, len(t) - 3)) u(i)),
-        |btok AS (SELECT bid,
-        |  list_filter(string_split(lower(COALESCE(btext, '')), ' '), x -> x <> '') AS t FROM bench),
-        |bg AS (SELECT DISTINCT bid,
-        |    substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]), 1, 16) AS k
-        |  FROM btok, unnest(range(1, len(t) - 3)) u(i)),
-        |bsz AS (SELECT bid, COUNT(*) AS bn FROM bg GROUP BY bid),
-        |ix AS (SELECT c.doc_id, b.bid, COUNT(*) AS n FROM dg c JOIN bg b ON c.k = b.k GROUP BY 1, 2),
-        |cont AS (
-        |  SELECT t.doc_id, t.source, COALESCE(MAX(CAST(i.n AS DOUBLE) / bsz.bn), 0.0) AS bc
-        |  FROM tok t LEFT JOIN ix i ON t.doc_id = i.doc_id LEFT JOIN bsz ON i.bid = bsz.bid
-        |  GROUP BY 1, 2)
-        |SELECT source, COUNT(*) AS n_docs,
-        |  CAST(SUM(CASE WHEN bc >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
-        |  CAST(SUM(CASE WHEN bc >= 0.3 THEN 0 ELSE 1 END) AS BIGINT) AS n_clean,
-        |  MAX(bc) AS max_containment
-        |FROM cont GROUP BY source ORDER BY source""".stripMargin,
+    "q75_containment" -> Q75Sql,
     // tumbling windows are epoch-aligned, so the streaming window
     // aggregation must equal plain bucket arithmetic on event time
     "q76_stream_windows" ->
@@ -1189,5 +1197,56 @@ object SparkEntry {
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n, lo, hi, n_low, n_high,
         |  (CAST(s_in AS DOUBLE) + n_low * lo + n_high * hi) / n AS win_mean
         |FROM agg ORDER BY l_returnflag""".stripMargin,
+    // four unrolled peel rounds + final induced-degree recount, same
+    // fixed depth as the Spark loop
+    "q96_kcore" ->
+      """WITH hi AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 49),
+        |p AS (
+        |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |  FROM hi a JOIN hi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+        |n0 AS (SELECT DISTINCT src AS v FROM e),
+        |d1 AS (SELECT e.src AS v, COUNT(*) AS deg FROM e
+        |       WHERE e.src IN (SELECT v FROM n0) AND e.dst IN (SELECT v FROM n0)
+        |       GROUP BY e.src),
+        |n1 AS (SELECT v FROM d1 WHERE deg >= 3),
+        |d2 AS (SELECT e.src AS v, COUNT(*) AS deg FROM e
+        |       WHERE e.src IN (SELECT v FROM n1) AND e.dst IN (SELECT v FROM n1)
+        |       GROUP BY e.src),
+        |n2 AS (SELECT v FROM d2 WHERE deg >= 3),
+        |d3 AS (SELECT e.src AS v, COUNT(*) AS deg FROM e
+        |       WHERE e.src IN (SELECT v FROM n2) AND e.dst IN (SELECT v FROM n2)
+        |       GROUP BY e.src),
+        |n3 AS (SELECT v FROM d3 WHERE deg >= 3),
+        |d4 AS (SELECT e.src AS v, COUNT(*) AS deg FROM e
+        |       WHERE e.src IN (SELECT v FROM n3) AND e.dst IN (SELECT v FROM n3)
+        |       GROUP BY e.src),
+        |n4 AS (SELECT v FROM d4 WHERE deg >= 3),
+        |d5 AS (SELECT e.src AS v, COUNT(*) AS deg FROM e
+        |       WHERE e.src IN (SELECT v FROM n4) AND e.dst IN (SELECT v FROM n4)
+        |       GROUP BY e.src)
+        |SELECT v AS l_partkey, CAST(deg AS BIGINT) AS core_degree
+        |FROM d5 ORDER BY l_partkey""".stripMargin,
+    // the three detector oracles stitched verbatim: the composed
+    // report's correctness is exactly the legs' correctness
+    "q97_contamination_report" ->
+      s"""WITH ngram_leg AS ($Q58Sql),
+         |containment_leg AS ($Q75Sql),
+         |embedding_leg AS ($Q71Sql)
+         |SELECT * FROM (
+         |  SELECT 'containment' AS detector,
+         |    CAST(SUM(n_docs) AS BIGINT) AS n_checked,
+         |    CAST(SUM(n_flagged) AS BIGINT) AS n_flagged
+         |  FROM containment_leg
+         |  UNION ALL
+         |  SELECT 'embedding',
+         |    CAST(SUM(n_vecs) AS BIGINT), CAST(SUM(n_contaminated) AS BIGINT)
+         |  FROM embedding_leg
+         |  UNION ALL
+         |  SELECT 'ngram',
+         |    CAST(SUM(n_docs) AS BIGINT), CAST(SUM(n_contaminated) AS BIGINT)
+         |  FROM ngram_leg) z
+         |ORDER BY detector""".stripMargin,
   )
 }

@@ -398,6 +398,68 @@ object Corpus {
       .orderBy(col("l_partkey"))
   }
 
+  /** Fixed-depth k-core peeling: `rounds` iterations of "drop every
+    * node whose degree in the SURVIVING subgraph is below k" (Seidman
+    * '83 cores; the standard graph-sparsification pre-pass before
+    * community/centrality work). Depth is a PARAMETER, not a fixpoint
+    * loop, so the result is well-defined at any scale and expressible
+    * as an unrolled oracle; production fixpoint mode is the same loop
+    * with a convergence check (count unchanged -> stop), exactly as
+    * [[connectedComponents]] iterates.
+    *
+    * Scale shape, per round: the (cached, symmetric) edge frame is
+    * filtered by TWO semi-joins against the alive set — alive is
+    * degree-bounded-shrinking and broadcasts — then one groupBy(src)
+    * recount. The edge frame never re-shuffles; only the alive frame
+    * (one long per node) moves. Final output re-counts degree over the
+    * last surviving set.
+    *
+    * @param edges symmetric `(src, dst)` — both directions present.
+    * @return `(v, core_degree)` for nodes surviving `rounds` peels,
+    *         with degree in the surviving induced subgraph.
+    */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val e = edges.select(col("src"), col("dst")).persist()
+    def induced(alive: DataFrame): DataFrame = e
+      .join(broadcast(alive.select(col("v").as("src"))), Seq("src"), "left_semi")
+      .join(broadcast(alive.select(col("v").as("dst"))), Seq("dst"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var alive = e.select(col("src").as("v")).distinct().persist()
+    var prev = alive
+    for (_ <- 1 to rounds) {
+      prev = alive
+      alive = induced(prev)
+        .filter(col("deg") >= k)
+        .select(col("src").as("v"))
+        .persist()
+      alive.count() // materialize before releasing the parent round
+      prev.unpersist(blocking = false)
+    }
+    val out = induced(alive)
+      .select(col("src").as("v"), col("deg").as("core_degree"))
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** Driver binding: depth-4 peel of the 3-core of the q53 co-purchase
+    * graph (converges in 3 rounds at test scale, so the fixed depth IS
+    * the fixpoint there). Oracle: four unrolled semi-join rounds in
+    * SQL.
+    */
+  def q96KCore(s: SparkSession, d: String): DataFrame = {
+    val hi = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = LshJoin.boundedBucketPairs(hi, "l_partkey",
+      LshJoin.MaxBucket, "l_orderkey")
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    kCorePeel(edges, k = 3, rounds = 4)
+      .select(col("v").as("l_partkey"), col("core_degree"))
+      .orderBy(col("l_partkey"))
+  }
+
   /** Count-min sketch relative-error epsilon (est <= exact + eps * N). */
   val CmsEps = 0.001
 

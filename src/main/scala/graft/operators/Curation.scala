@@ -926,4 +926,28 @@ object Curation {
           .otherwise(col("text")).as("text"))
     containmentStats(planted, bench.select(col("btext").as("text")))
   }
+
+  /** Composed contamination report (q97): the three ORACLED
+    * decontamination detectors — verbatim n-gram overlap (q58),
+    * asymmetric containment (q75), embedding cosine (q71) — rolled to
+    * one row each of (detector, n_checked, n_flagged). The composition
+    * IS the operator: a real pipeline never runs one detector, and
+    * each leg reuses its library stage unchanged, so the report's
+    * correctness is exactly the three legs' correctness (the oracle
+    * stitches the same three SQLs). Legs are independent Catalyst
+    * plans over different tables; nothing is recomputed across legs.
+    */
+  def q97ContaminationReport(s: SparkSession, d: String): DataFrame = {
+    def leg(df: DataFrame, detector: String, nCol: String, flagCol: String): DataFrame =
+      df.agg(
+        sum(col(nCol)).as("n_checked"),
+        sum(col(flagCol)).as("n_flagged"))
+        .select(lit(detector).as("detector"),
+          col("n_checked"), col("n_flagged"))
+    leg(q75Containment(s, d), "containment", "n_docs", "n_flagged")
+      .unionByName(leg(Similarity.q71EmbedDecontaminate(s, d),
+        "embedding", "n_vecs", "n_contaminated"))
+      .unionByName(leg(q58Decontaminate(s, d), "ngram", "n_docs", "n_contaminated"))
+      .orderBy(col("detector"))
+  }
 }

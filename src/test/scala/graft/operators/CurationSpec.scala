@@ -462,4 +462,17 @@ class CurationSpec extends SparkSpec {
     assert(packed.map(_.getAs[Long]("n_tokens")).sum == totalToks)
     assert(packed.map(_.getAs[Long]("n_docs")).sum == docs.count())
   }
+
+  test("q97 composed report carries all three detectors with live signal") {
+    val rows = Curation.q97ContaminationReport(spark, d)
+      .collect()
+      .map(r => r.getAs[String]("detector") ->
+        ((r.getAs[Long]("n_checked"), r.getAs[Long]("n_flagged"))))
+      .toMap
+    assert(rows.keySet == Set("containment", "embedding", "ngram"))
+    // every leg checked a non-trivial population; the planted legs
+    // (q58's %97 benchmark grams, q75's planted quotes) must flag > 0
+    assert(rows.values.forall(_._1 > 0))
+    assert(rows("ngram")._2 > 0 && rows("containment")._2 > 0)
+  }
 }
