@@ -355,13 +355,18 @@ object Corpus {
     * @return one row per triangle-participating node: `(p, n_triangles)`.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("a").as("p"))
-      .unionAll(edges.select(col("b").as("p")))
+    // e feeds the degree count AND the orientation join; de feeds BOTH
+    // wedge sides and the closing-edge probe. Without the persists each
+    // consumer re-executes the whole upstream edge pipeline — the
+    // un-cached form of this plan re-ran the source scan 90 times.
+    // Lifetime: LRU/clearCache, the lazily-returned-frame contract.
+    val e = edges.persist()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("deg"))
     // (deg, id) is a total order: orient src -> dst along it, carrying
     // dst's order key so wedge endpoints can themselves be ordered
     val lowFirst = struct(col("da"), col("a")) < struct(col("db"), col("b"))
-    val de = edges
+    val de = e
       .join(deg.select(col("p").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("p").as("b"), col("deg").as("db")), "b")
       .select(
@@ -369,6 +374,7 @@ object Corpus {
         when(lowFirst, col("b")).otherwise(col("a")).as("dst"),
         when(lowFirst, struct(col("db").as("d"), col("b").as("i")))
           .otherwise(struct(col("da").as("d"), col("a").as("i"))).as("dord"))
+      .persist()
     // wedges centered at the doubly-out node; (v, w) ordered by the
     // SAME total order the orientation used, so the closing edge is
     // exactly the oriented v -> w row
@@ -376,9 +382,7 @@ object Corpus {
         col("e1.src") === col("e2.src") && col("e1.dord") < col("e2.dord"))
       .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
     val tri = wedges.join(de.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
-    tri.select(col("u").as("p"))
-      .unionAll(tri.select(col("v").as("p")))
-      .unionAll(tri.select(col("w").as("p")))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("n_triangles"))
   }
 

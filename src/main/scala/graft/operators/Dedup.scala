@@ -670,12 +670,16 @@ object Dedup {
     // exactly-integral t*n UP a ulp (which would shorten the prefix by
     // one and silently lose completeness)
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gram"))
+    // persisted: BOTH sides of the candidate self-join read this frame,
+    // and its subtree (df join + rarity window) would otherwise run
+    // twice. Lifetime contract as above.
     val prefix = docGrams
       .select(col("doc_id"), size(col("grams")).as("n"), explode(col("grams")).as("gram"))
       .join(dfreq, "gram")
       .withColumn("r", row_number().over(byRarity))
       .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
       .select(col("gram"), col("doc_id"))
+      .persist()
 
     val cand = prefix.as("pa").join(prefix.as("pb"),
         col("pa.gram") === col("pb.gram") && col("pa.doc_id") < col("pb.doc_id"))

@@ -188,6 +188,10 @@ object Temporal {
     // round into the wrong bucket once us * (1/dayUs) outgrows double
     // ulp spacing, and DuckDB's `//` is integer division
     val d = expr(s"us div $dayUs")
+    // persisted: the span aggregate AND the grid join both consume it,
+    // and its subtree (scan + per-day window) would otherwise run
+    // twice; one compact row per (key, active day). Lifetime: LRU /
+    // clearCache, the lazily-returned-frame contract.
     val perDay = events
       .withColumn("d", d)
       .withColumn("_rn", row_number().over(
@@ -195,6 +199,7 @@ object Temporal {
           .orderBy(col("us").desc, col("id").desc)))
       .filter(col("_rn") === 1)
       .select(col("key"), col("d"), col("v"))
+      .persist()
     val grid = perDay.groupBy(col("key"))
       .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
       .select(col("key"), explode(sequence(col("d0"), col("d1"))).as("d"))
