@@ -115,6 +115,9 @@ object SparkEntry {
     "q95_winsorize" -> (Relational.q95Winsorize _),
     "q96_kcore" -> (Corpus.q96KCore _),
     "q97_contamination_report" -> (Curation.q97ContaminationReport _),
+    "q98_dup_flow" -> (Dedup.q98DupFlow _),
+    "q99_profile_table" -> (Relational.q99ProfileTable _),
+    "q100_hist_drift" -> (Relational.q100HistDrift _),
   )
 
   private val Q58Sql =
@@ -1248,5 +1251,95 @@ object SparkEntry {
          |    CAST(SUM(n_docs) AS BIGINT), CAST(SUM(n_contaminated) AS BIGINT)
          |  FROM ngram_leg) z
          |ORDER BY detector""".stripMargin,
+    // q88's brute-force pair oracle rolled to unordered source pairs
+    "q98_dup_flow" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(COALESCE(text, '')), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 16) AS k
+        |  FROM tok, unnest(range(1, len(t) - 1)) u(i)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |i AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS ix
+        |  FROM g a JOIN g b ON a.k = b.k AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT i.a, i.b
+        |  FROM i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+        |  WHERE CAST(i.ix AS DOUBLE) / CAST(sa.n + sb.n - i.ix AS DOUBLE) >= 0.5)
+        |SELECT least(da.source, db.source) AS source_a,
+        |  greatest(da.source, db.source) AS source_b,
+        |  COUNT(*) AS n_pairs
+        |FROM pr
+        |JOIN documents da ON da.doc_id = pr.a
+        |JOIN documents db ON db.doc_id = pr.b
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+    // one UNION ALL leg per column, exact distinct counts
+    "q99_profile_table" ->
+      """SELECT 'l_orderkey' AS column_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct FROM lineitem
+        |UNION ALL
+        |SELECT 'l_partkey' AS column_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct FROM lineitem
+        |UNION ALL
+        |SELECT 'l_suppkey' AS column_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linenumber' AS column_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_distinct FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity' AS column_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice' AS column_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS n_distinct FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount' AS column_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS n_distinct FROM lineitem
+        |UNION ALL
+        |SELECT 'l_tax' AS column_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT l_tax) AS BIGINT) AS n_distinct FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag' AS column_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_distinct FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus' AS column_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_distinct FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate' AS column_name, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS n_distinct FROM lineitem
+        |ORDER BY column_name""".stripMargin,
+    // $50k integer-cent buckets, current vs the q94 next-day snapshot
+    "q100_hist_drift" ->
+      """WITH neu AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 53 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey % 97 = 0),
+        |hc AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000 AS bucket,
+        |    COUNT(*) AS n_cur
+        |  FROM orders GROUP BY 1),
+        |hn AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000 AS bucket,
+        |    COUNT(*) AS n_new
+        |  FROM neu GROUP BY 1)
+        |SELECT COALESCE(hc.bucket, hn.bucket) AS bucket,
+        |  COALESCE(hc.n_cur, 0) AS n_cur, COALESCE(hn.n_new, 0) AS n_new,
+        |  abs(COALESCE(hc.n_cur, 0) - COALESCE(hn.n_new, 0)) AS l1
+        |FROM hc FULL OUTER JOIN hn ON hc.bucket = hn.bucket
+        |ORDER BY bucket""".stripMargin,
   )
 }

@@ -704,6 +704,27 @@ object Dedup {
     allPairsJaccard(Tables.documents(s, d), 0.5)
       .orderBy(col("a"), col("b"))
 
+  /** Cross-source duplicate flow (q98): q88's exact near-dup pairs
+    * rolled up to an UNORDERED source-pair matrix — "which sources
+    * copy from which", the report that decides whether dedup should
+    * run within or across acquisition pipelines. Sources are
+    * canonicalized with least/greatest so (A,B) and (B,A) land in one
+    * cell; the doc->source attachment is two joins of the (tiny) pair
+    * frame against the id->source projection, never a corpus shuffle.
+    */
+  def q98DupFlow(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val pairs = allPairsJaccard(Tables.documents(s, d), 0.5)
+    pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+      .groupBy(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   private val Md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

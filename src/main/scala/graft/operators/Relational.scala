@@ -552,22 +552,84 @@ object Relational {
           .otherwise("update").as("change_type"))
   }
 
-  /** Driver binding: orders vs a deterministic "next-day" snapshot —
-    * keys % 53 deleted, % 31 status-flipped, % 97 cloned as inserts
-    * (delete wins on overlap, same precedence in the oracle SQL).
+  /** The deterministic "next-day" orders snapshot shared by q94 and
+    * q100: keys % 53 deleted, % 31 status-flipped, % 97 cloned as
+    * inserts (delete wins on overlap, same precedence in the oracles).
     */
-  def q94SnapshotDiff(s: SparkSession, d: String): DataFrame = {
-    val cur = Tables.orders(s, d)
-    val attrs = Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+  private def nextOrdersSnapshot(cur: DataFrame): DataFrame = {
     val upd = cur.filter(col("o_orderkey") % 53 =!= 0)
       .withColumn("o_orderstatus",
         when(col("o_orderkey") % 31 === 0, lit("X")).otherwise(col("o_orderstatus")))
     val ins = cur.filter(col("o_orderkey") % 97 === 0)
       .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
-    snapshotDiff(cur, upd.unionByName(ins), "o_orderkey", attrs)
+    upd.unionByName(ins)
+  }
+
+  /** Driver binding for [[snapshotDiff]] over [[nextOrdersSnapshot]]. */
+  def q94SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val cur = Tables.orders(s, d)
+    snapshotDiff(cur, nextOrdersSnapshot(cur), "o_orderkey",
+      Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
       .groupBy(col("change_type"))
       .agg(count(lit(1)).as("n_rows"))
       .orderBy(col("change_type"))
+  }
+
+  /** Generic schema-driven table profiler (q99): per column, row/null/
+    * exact-distinct counts in long format — the data-quality snapshot a
+    * pipeline takes before trusting a new drop. ONE aggregation
+    * computes every column's metrics in a single pass (Catalyst plans
+    * the multi-column COUNT DISTINCT as one Expand — rows x columns,
+    * the standard exact plan; swap in approx_count_distinct per column
+    * when cardinalities stop fitting), then `stack` unpivots to long
+    * format driver-side-free.
+    */
+  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nn_$c"),
+        countDistinct(col(c)).as(s"_nd_$c"))
+    } :+ count(lit(1)).as("_n")
+    val stackExpr = cols.map(c => s"'$c', _nn_$c, _nd_$c").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("_n",
+        s"stack(${cols.length}, $stackExpr) AS (column_name, n_nulls, n_distinct)")
+      .select(col("column_name"), col("_n").as("n_rows"),
+        col("n_nulls"), col("n_distinct"))
+      .orderBy(col("column_name"))
+  }
+
+  /** Driver binding: profile every lineitem column. */
+  def q99ProfileTable(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    profileTable(li, li.columns.toSeq)
+  }
+
+  /** Histogram drift between table versions (q100): L1 distance of the
+    * order-value distribution, current vs [[nextOrdersSnapshot]], in
+    * $50k buckets — the monitoring gate that catches a bad ingest
+    * before it trains. Integer cents bucketing (decimal-exact) and
+    * BIGINT counts keep every cell hash-matchable; PSI-style ratio
+    * scores would need ln and live outside the oracle's determinism
+    * rules, so the report stays in count space.
+    */
+  def q100HistDrift(s: SparkSession, d: String): DataFrame = {
+    // integer `div` (matching DuckDB `//`), never float division, and
+    // cents via DECIMAL so the bucket edge is exact
+    val bucket = expr(
+      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 5000000")
+      .as("bucket")
+    def hist(df: DataFrame, n: String): DataFrame =
+      df.select(bucket).groupBy(col("bucket")).agg(count(lit(1)).as(n))
+    val cur = Tables.orders(s, d)
+    hist(cur, "n_cur")
+      .join(hist(nextOrdersSnapshot(cur), "n_new"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("l1", abs(col("n_cur") - col("n_new")))
+      .orderBy(col("bucket"))
   }
 
   /** Winsorized robust mean (q95): per-returnflag price mean with the

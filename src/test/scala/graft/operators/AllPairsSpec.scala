@@ -63,6 +63,14 @@ class AllPairsSpec extends SparkSpec {
       assert(run(corpus, t) == brute(corpus, t), s"prefix filter lost pairs at t=$t")
   }
 
+  test("q98 flow matrix conserves q88's pair count and canonicalizes source order") {
+    val d = "/root/testdata/sf0.01"
+    val flows = Dedup.q98DupFlow(spark, d).collect()
+    assert(flows.map(_.getAs[Long]("n_pairs")).sum == Dedup.q88AllPairs(spark, d).count())
+    assert(flows.forall(r =>
+      r.getAs[String]("source_a") <= r.getAs[String]("source_b")))
+  }
+
   test("q88 binding finds the corpus's planted exact duplicates") {
     val rows = Dedup.q88AllPairs(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)

@@ -37,6 +37,33 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(got("delete") + got("update") + got("unchanged") == total)
   }
 
+  test("profileTable counts nulls and distincts per column in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Option("a")), (Some(1L), Option("b")),
+      (None: Option[Long], Option("b")), (Some(3L), None: Option[String]))
+      .toDF("x", "y")
+    val got = Relational.profileTable(df, Seq("x", "y"))
+      .collect().map(r => r.getAs[String]("column_name") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct"))))
+      .toMap
+    assert(got("x") == ((4L, 1L, 2L))) // distinct ignores null: {1, 3}
+    assert(got("y") == ((4L, 1L, 2L))) // {a, b}
+  }
+
+  test("q100 drift: L1 cells reconcile with the q94 change counts") {
+    val d = "/root/testdata/sf0.01"
+    val drift = Relational.q100HistDrift(spark, d).collect()
+    val diff = Relational.q94SnapshotDiff(spark, d)
+      .collect().map(r => r.getAs[String]("change_type") -> r.getAs[Long]("n_rows")).toMap
+    val totalCur = drift.map(_.getAs[Long]("n_cur")).sum
+    val totalNew = drift.map(_.getAs[Long]("n_new")).sum
+    // updates keep their price bucket, so net histogram movement is
+    // exactly inserts minus deletes
+    assert(totalNew - totalCur == diff("insert") - diff("delete"))
+    assert(drift.map(_.getAs[Long]("l1")).sum >= math.abs(diff("insert") - diff("delete")))
+  }
+
   test("winsorized mean equals the hand-computed clip") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q95fix").toString
