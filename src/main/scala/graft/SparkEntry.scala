@@ -118,6 +118,8 @@ object SparkEntry {
     "q98_dup_flow" -> (Dedup.q98DupFlow _),
     "q99_profile_table" -> (Relational.q99ProfileTable _),
     "q100_hist_drift" -> (Relational.q100HistDrift _),
+    "q101_active_users" -> (Temporal.q101ActiveUsers _),
+    "q102_retention_cohorts" -> (Temporal.q102RetentionCohorts _),
   )
 
   private val Q58Sql =
@@ -1341,5 +1343,37 @@ object SparkEntry {
         |  abs(COALESCE(hc.n_cur, 0) - COALESCE(hn.n_new, 0)) AS l1
         |FROM hc FULL OUTER JOIN hn ON hc.bucket = hn.bucket
         |ORDER BY bucket""".stripMargin,
+    // per-(user, day) fan-out to trailing-window days, clipped to the
+    // observed span; DAU joined per day
+    "q101_active_users" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+        |wau AS (
+        |  SELECT t.d, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+        |  FROM e, span, unnest(generate_series(e.day, e.day + 6)) t(d)
+        |  WHERE t.d BETWEEN span.d0 AND span.d1
+        |  GROUP BY t.d),
+        |dau AS (
+        |  SELECT day AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM e GROUP BY day)
+        |SELECT w.d, COALESCE(dau.dau, 0) AS dau, w.wau
+        |FROM wau w LEFT JOIN dau ON dau.d = w.d
+        |ORDER BY w.d""".stripMargin,
+    // first-active week cohorts, offset triangle, exact distinct counts
+    "q102_retention_cohorts" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, (epoch_us(ts) // 86400000000) // 7 AS week FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id),
+        |r AS (
+        |  SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+        |    CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_users
+        |  FROM uw JOIN c ON c.user_id = uw.user_id
+        |  GROUP BY 1, 2),
+        |sz AS (SELECT cohort_week, n_users AS cohort_size FROM r WHERE week_offset = 0)
+        |SELECT r.cohort_week, r.week_offset, r.n_users, sz.cohort_size,
+        |  CAST(r.n_users AS DOUBLE) / sz.cohort_size AS retention
+        |FROM r JOIN sz ON sz.cohort_week = r.cohort_week
+        |ORDER BY r.cohort_week, r.week_offset""".stripMargin,
   )
 }

@@ -211,6 +211,62 @@ object Temporal {
         when(col("v").isNull, 1L).otherwise(0L).as("was_gap"))
   }
 
+  /** Rolling active users (q101): per day, the distinct-user count for
+    * that day (DAU) and for the trailing 7-day window (WAU) — the
+    * canonical product-analytics pair. A windowed COUNT(DISTINCT) is
+    * not SQL-expressible (and a per-day range self-join re-shuffles the
+    * event table once per day); instead each (user, active-day) row
+    * FANS OUT to the <= 7 window days it contributes to — an equi-
+    * shaped groupBy whose shuffle is bounded at 7x the compact
+    * user-day frame, never the raw event stream. The day span is two
+    * longs collected to the driver (the documented bounded-scalar
+    * contract).
+    */
+  def q101ActiveUsers(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+      .persist() // feeds span, DAU, and WAU; lifetime: LRU/clearCache
+    val span = ud.agg(min(col("day")), max(col("day"))).head()
+    val (d0, d1) = (span.getLong(0), span.getLong(1))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("d"))
+      .filter(col("d").between(d0, d1))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val dau = ud.groupBy(col("day").as("d"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    wau.join(dau, Seq("d"), "left")
+      .select(col("d"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+      .orderBy(col("d"))
+  }
+
+  /** Retention cohorts (q102): users grouped by first-active week, the
+    * classic triangle — for each (cohort week, week offset) the
+    * distinct returning users and the retention rate against the
+    * cohort's size. Shape: ONE user-keyed shuffle attaches each
+    * (user, active-week) row to its cohort (the per-user min-week
+    * aggregate, broadcast-joined back), then a (cohort, offset)
+    * hash aggregate; rate is a single final division, exact on both
+    * engines.
+    */
+  def q102RetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val uw = Tables.events(s, d)
+      .select(col("user_id"), expr("((ts div 1000) div 86400000000) div 7").as("week"))
+      .distinct()
+      .persist() // feeds cohort assignment and the return scan
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val ret = uw.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val sizes = ret.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    ret.join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"), col("cohort_size"),
+        (col("n_users").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Driver binding: daily LOCF-filled value series per user over the
     * events table. Oracle: the same grid built with `generate_series`
     * and an IGNORE NULLS window in DuckDB.
