@@ -49,6 +49,28 @@ class ScaleSpec extends SparkSpec {
     assert(n == expected)
   }
 
+  test("dynamic partition pruning reaches a partitioned-parquet fact scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
+    Tables.orders(spark, d).write
+      .partitionBy("o_orderstatus").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // selective dim: one status survives the filter, so DPP should
+    // prune the other status partitions from the fact scan at runtime
+    val dim = Tables.orders(spark, d)
+      .select(col("o_orderstatus").as("s"), col("o_custkey"))
+      .filter(col("o_custkey") < 3)
+      .select(col("s")).distinct()
+    val joined = fact.join(dim, fact("o_orderstatus") === dim("s"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery on the fact scan:\n$plan")
+    // and the pruned plan still computes the right thing
+    val expected = Tables.orders(spark, d).as("o")
+      .join(dim, col("o.o_orderstatus") === col("s"))
+      .count()
+    assert(joined.count() == expected)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val li = Tables.lineitem(spark, d)
     val direct = li.groupBy(col("l_returnflag"))
