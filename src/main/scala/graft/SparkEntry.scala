@@ -120,6 +120,7 @@ object SparkEntry {
     "q100_hist_drift" -> (Relational.q100HistDrift _),
     "q101_active_users" -> (Temporal.q101ActiveUsers _),
     "q102_retention_cohorts" -> (Temporal.q102RetentionCohorts _),
+    "q103_stream_enrich" -> (graft.streaming.EventStream.q103StreamEnrich _),
   )
 
   private val Q58Sql =
@@ -1375,5 +1376,11 @@ object SparkEntry {
         |  CAST(r.n_users AS DOUBLE) / sz.cohort_size AS retention
         |FROM r JOIN sz ON sz.cohort_week = r.cohort_week
         |ORDER BY r.cohort_week, r.week_offset""".stripMargin,
+    // stateless stream-static join: replay equals the batch join
+    "q103_stream_enrich" ->
+      """SELECT c.c_mktsegment AS segment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY c.c_mktsegment ORDER BY segment""".stripMargin,
   )
 }

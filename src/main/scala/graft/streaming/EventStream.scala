@@ -338,6 +338,34 @@ object EventStream {
       .orderBy(col("event_type"))
   }
 
+  /** q103 — stream-static broadcast enrichment under the batch oracle:
+    * the event stream joined (stateless, per micro-batch) against the
+    * STATIC customer dimension, rolled up per market segment. The
+    * stream side never buffers state for this join and the dim is
+    * broadcast — the 100 TB shape for attaching slowly-changing
+    * reference data to a firehose. Stateless join => replay over the
+    * bounded source equals the batch join with no watermark caveats;
+    * the fifth streaming shape under driver hash-match.
+    */
+  def q103StreamEnrich(s: SparkSession, d: String): DataFrame = {
+    val schema = graft.Tables.events(s, d).schema
+    val src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("user_id"), col("value"))
+    val dim = graft.Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val enriched = src.join(broadcast(dim), "user_id")
+    val qname = "q103_stream_enrich"
+    val q = enriched.writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .orderBy(col("segment"))
+  }
+
   /** Per-user running aggregate over an event stream — value sums per
     * user per window, the streaming analogue of the reducer-with-state
     * idiom.

@@ -234,6 +234,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("q103: stream-static enrichment equals the batch join") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val d = "/root/testdata/sf0.001"
+    val streamed = EventStream.q103StreamEnrich(spark, d)
+      .collect().map(_.toString).toSeq
+    val batch = graft.Tables.events(spark, d)
+      .join(graft.Tables.customer(spark, d),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+      .orderBy(col("segment"))
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("q76: streaming windowed counts over the bounded events table equal batch buckets") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val d = "/root/testdata/sf0.001"
