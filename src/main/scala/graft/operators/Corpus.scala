@@ -425,10 +425,13 @@ object Corpus {
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
     val e = edges.select(col("src"), col("dst")).persist()
+    // one edge-wide semi-join (dst membership), then the src membership
+    // filter applies to the NODE-sized aggregate — half the edge-stream
+    // passes of the symmetric two-semi-join form
     def induced(alive: DataFrame): DataFrame = e
-      .join(broadcast(alive.select(col("v").as("src"))), Seq("src"), "left_semi")
       .join(broadcast(alive.select(col("v").as("dst"))), Seq("dst"), "left_semi")
       .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .join(broadcast(alive.select(col("v").as("src"))), Seq("src"), "left_semi")
     var alive = e.select(col("src").as("v")).distinct().persist()
     var prev = alive
     for (_ <- 1 to rounds) {
