@@ -46,6 +46,27 @@ class GapFillSpec extends SparkSpec {
       (1L, 0L, 1.0, 0L), (2L, 7L, 2.0, 0L), (2L, 8L, 3.0, 0L)))
   }
 
+  test("differential vs a driver-side LOCF simulation on random events") {
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 200).map { i =>
+      (rng.nextInt(5).toLong + 1, rng.nextInt(10).toLong * Day + rng.nextInt(1000),
+        i.toLong, rng.nextInt(100) / 10.0)
+    }
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (k, es) =>
+      val lastPerDay = es.groupBy(_._2 / Day).map { case (day, dayEs) =>
+        day -> dayEs.maxBy(e => (e._2, e._3))._4
+      }
+      val (d0, d1) = (lastPerDay.keys.min, lastPerDay.keys.max)
+      var carry = 0.0
+      (d0 to d1).map { d =>
+        val hit = lastPerDay.get(d)
+        carry = hit.getOrElse(carry)
+        (k, d, carry, if (hit.isEmpty) 1L else 0L)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(run(rows) == expected)
+  }
+
   test("q86 binding: grids are dense and gap rows only on event-free days") {
     val df = Temporal.q86GapFill(spark, "/root/testdata/sf0.001")
     val rows = df.collect()

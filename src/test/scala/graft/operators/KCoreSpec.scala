@@ -42,6 +42,30 @@ class KCoreSpec extends SparkSpec {
     assert(run(g, 3, 1) == run(g, 3, 4))
   }
 
+  test("differential vs a driver-side peel on random graphs") {
+    val rng = new scala.util.Random(31)
+    for (trial <- 1 to 5) {
+      val n = 25
+      val edges = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rng.nextDouble() < 0.2
+      } yield (a, b)).toSeq
+      val sym = edges ++ edges.map(_.swap)
+      for ((k, rounds) <- Seq((2, 3), (3, 4))) {
+        var alive = sym.map(_._1).toSet
+        for (_ <- 1 to rounds) {
+          val deg = sym.filter(e => alive(e._1) && alive(e._2))
+            .groupBy(_._1).map { case (v, es) => v -> es.size }
+          alive = deg.filter(_._2 >= k).keySet
+        }
+        val finalDeg = sym.filter(e => alive(e._1) && alive(e._2))
+          .groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+        assert(run(edges, k, rounds) == finalDeg,
+          s"trial $trial diverged at k=$k rounds=$rounds")
+      }
+    }
+  }
+
   test("q96 binding converges within its fixed depth at test scale") {
     import spark.implicits._
     // the sf0.01 co-purchase 3-core, pre-extracted once (the binding
