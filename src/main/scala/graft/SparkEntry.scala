@@ -121,6 +121,8 @@ object SparkEntry {
     "q101_active_users" -> (Temporal.q101ActiveUsers _),
     "q102_retention_cohorts" -> (Temporal.q102RetentionCohorts _),
     "q103_stream_enrich" -> (graft.streaming.EventStream.q103StreamEnrich _),
+    "q104_assoc_rules" -> (Corpus.q104AssocRules _),
+    "q105_transitions" -> (Temporal.q105Transitions _),
   )
 
   private val Q58Sql =
@@ -1382,5 +1384,40 @@ object SparkEntry {
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
         |GROUP BY c.c_mktsegment ORDER BY segment""".stripMargin,
+    // pair supports from a basket self-join, both rule directions,
+    // same >= 2 noise floor and exact single-division confidence
+    "q104_assoc_rules" ->
+      """WITH hi AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40),
+        |ps AS (
+        |  SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS sup
+        |  FROM hi a JOIN hi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |isup AS (SELECT l_partkey AS p, COUNT(*) AS psup FROM hi GROUP BY 1),
+        |dr AS (
+        |  SELECT a AS ante, b AS cons, sup FROM ps
+        |  UNION ALL
+        |  SELECT b, a, sup FROM ps)
+        |SELECT dr.ante, dr.cons, dr.sup,
+        |  CAST(dr.sup AS DOUBLE) / isup.psup AS confidence
+        |FROM dr JOIN isup ON isup.p = dr.ante
+        |WHERE dr.sup >= 2
+        |ORDER BY confidence DESC, ante, cons LIMIT 20""".stripMargin,
+    // LAG over the same (us, event_id) tie order, window row sums for
+    // the probability denominator
+    "q105_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+        |st AS (
+        |  SELECT LAG(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id) AS from_type,
+        |    event_type AS to_type
+        |  FROM o),
+        |cnt AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n
+        |  FROM st WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+        |FROM cnt ORDER BY from_type, to_type""".stripMargin,
   )
 }

@@ -467,6 +467,51 @@ object Corpus {
       .orderBy(col("l_partkey"))
   }
 
+  /** Association rules over co-purchase baskets (q104): for every
+    * directed part pair, support (baskets containing both) and
+    * confidence (support / antecedent support) — the market-basket
+    * classic (Agrawal & Srikant, VLDB '94, the support-confidence
+    * framework; full Apriori's candidate lattice is unnecessary at
+    * pair length). Shape: ONE groupBy(order) pass emits in-basket
+    * pairs (baskets are small by schema; a mega-basket at 100 TB hits
+    * the same collect_list bound as q53's pair generator and should
+    * pre-cap), then two hash aggregates (pair counts, item counts) and
+    * a broadcast-sized item-support join. Confidence is one division,
+    * exact on both engines.
+    */
+  def q104AssocRules(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // quantity >= 40 (not q53's 49): the support floor needs REPEATED
+    // co-purchases, and the 49-cut graph is too sparse to repeat
+    val hi = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 40)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+      .persist() // feeds baskets AND item supports; lifetime: LRU
+    val pairSup = hi.groupBy(col("l_orderkey"))
+      .agg(collect_list(col("l_partkey")).as("items"))
+      .select(col("items")).as[Seq[Long]]
+      .flatMap { items =>
+        val v = items.distinct.sorted
+        for { i <- v.indices.iterator; j <- (i + 1) until v.length }
+          yield (v(i), v(j))
+      }
+      .toDF("a", "b")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+    val itemSup = hi.groupBy(col("l_partkey").as("p"))
+      .agg(count(lit(1)).as("psup"))
+    // both rule directions from each unordered pair
+    val directed = pairSup.select(col("a").as("ante"), col("b").as("cons"), col("sup"))
+      .unionAll(pairSup.select(col("b").as("ante"), col("a").as("cons"), col("sup")))
+    directed
+      .join(itemSup.select(col("p").as("ante"), col("psup")), "ante")
+      .filter(col("sup") >= 2) // noise floor: singleton co-occurrences out
+      .select(col("ante"), col("cons"), col("sup"),
+        (col("sup").cast("double") / col("psup")).as("confidence"))
+      .orderBy(col("confidence").desc, col("ante"), col("cons"))
+      .limit(20)
+  }
+
   /** Count-min sketch relative-error epsilon (est <= exact + eps * N). */
   val CmsEps = 0.001
 

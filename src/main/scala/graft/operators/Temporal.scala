@@ -267,6 +267,30 @@ object Temporal {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Event-type transition matrix (q105): global counts of consecutive
+    * (previous type -> type) steps per user timeline, with the row-
+    * normalized transition probability — the first-order Markov view of
+    * behavioral sequences (the sequential-patterns counterpart to
+    * q80's funnel, which fixes the order a priori; this discovers it).
+    * ONE user-keyed window (lag over (us, event_id) — deterministic
+    * under ties) then a 25-cell hash aggregate; probability is an
+    * integer-sum window plus one division, exact on both engines.
+    */
+  def q105Transitions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(tsUs, col("event_id"))
+    val steps = Tables.events(s, d)
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    steps
+      .withColumn("p",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** Driver binding: daily LOCF-filled value series per user over the
     * events table. Oracle: the same grid built with `generate_series`
     * and an IGNORE NULLS window in DuckDB.
