@@ -17,12 +17,14 @@ import org.apache.spark.sql.SparkSession
   * makes each pass pay for its own cache population inside the timed
   * region and start from identical storage state.
   *
-  * Observability (both additive — the driver's headline fields are
-  * unchanged):
-  *   - `passes` carries EVERY per-query measurement as
-  *     [warmup, t1, t2, t3]: a contended machine shows up as one
-  *     outlier pass next to two normal ones instead of masquerading as
-  *     a regression of the reported min.
+  * Observability (kept OFF the contract line — the driver records only
+  * the last ~2 KB of stdout, which is why r7's per-query times were
+  * lost; the contract line now budgets for that window and the detail
+  * goes to BENCH_DETAIL.json + an earlier stdout line):
+  *   - `passes_ms` carries EVERY per-query measurement as
+  *     [warmup, t1, t2, t3] milliseconds: a contended machine shows up
+  *     as one outlier pass next to two normal ones instead of
+  *     masquerading as a regression of the reported min.
   *   - `cache_bytes` is the query's storage-memory high-water mark
   *     (max over passes of the bytes its internal persists left
   *     cached): clearCache() hides which queries DEPEND on their
@@ -56,15 +58,36 @@ object Bench {
 
     def fmtMap(rows: Seq[(String, String)]): String =
       rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qjson = fmtMap(measured.map { case (n, _, best) => n -> best.toString })
+
+    // The driver artifact keeps only the LAST ~2000 chars of stdout (r7
+    // lost its per-query times this way), so the contract line is kept
+    // under that budget: per-query keys are the qNN prefix (unique by
+    // construction) and times are fixed 3-decimal seconds — 105 queries
+    // in ~1.5 KB. Everything bigger (per-pass arrays, cache residency,
+    // full names) goes to BENCH_DETAIL.json on disk AND an earlier
+    // stdout line, both outside the tail window by design.
     val passes = fmtMap(measured.map { case (n, all, _) =>
-      n -> all.map(_._1).mkString("[", ",", "]")
+      n -> all.map(p => if (p._1 < 0) -1L else math.round(p._1 * 1000)).mkString("[", ",", "]")
     })
-    val cacheBytes = fmtMap(measured.map { case (n, all, _) =>
-      n -> all.map(_._2).max.toString
+    val cacheBytes = fmtMap(measured.collect {
+      case (n, all, _) if all.map(_._2).max > 0L => n -> all.map(_._2).max.toString
+    })
+    val detail =
+      s"""{"detail":"bench_passes","passes_ms":$passes,"cache_bytes":$cacheBytes,"sf":"$sfDir"}"""
+    println(detail)
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (detail + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // detail is best-effort observability
+
+    def s3(v: Double): String = // locale-proof fixed 3-decimal JSON number
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qjson = fmtMap(measured.map { case (n, _, best) =>
+      n.takeWhile(_ != '_') -> (if (best < 0) "-1" else s3(best))
     })
     val total = measured.map(_._3).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"passes":$passes,"cache_bytes":$cacheBytes,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

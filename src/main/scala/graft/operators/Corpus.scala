@@ -142,11 +142,12 @@ object Corpus {
     // co-purchase edges ARE bucket pairs with bucket = order — reuse the
     // bounded pair generator (one groupBy shuffle, per-bucket pair
     // fan-out capped) instead of a self-join shuffling the scan twice;
-    // orders hold <=7 items so the cap never bites here, but a
-    // pathological mega-order at scale degrades to a dropped bucket,
-    // not an O(m^2) blow-up. Symmetric closure so one join per round
-    // propagates labels both ways.
-    val pairs = LshJoin.boundedBucketPairs(hi, "l_partkey",
+    // orders hold <=7 items so the cap never bites here, and because
+    // this binding is EXACT (the oracle enumerates the uncapped pair
+    // set) a pathological mega-order fails loudly via exactBucketPairs
+    // instead of silently dropping edges. Symmetric closure so one join
+    // per round propagates labels both ways.
+    val pairs = LshJoin.exactBucketPairs(hi, "l_partkey",
       LshJoin.MaxBucket, "l_orderkey")
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
@@ -329,7 +330,7 @@ object Corpus {
     val hi = Tables.lineitem(s, d)
       .filter(col("l_quantity") >= 49)
       .select(col("l_orderkey"), col("l_partkey"))
-    val pairs = LshJoin.boundedBucketPairs(hi, "l_partkey",
+    val pairs = LshJoin.exactBucketPairs(hi, "l_partkey",
       LshJoin.MaxBucket, "l_orderkey")
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
@@ -395,7 +396,7 @@ object Corpus {
     val hi = Tables.lineitem(s, d)
       .filter(col("l_quantity") >= 49)
       .select(col("l_orderkey"), col("l_partkey"))
-    val edges = LshJoin.boundedBucketPairs(hi, "l_partkey",
+    val edges = LshJoin.exactBucketPairs(hi, "l_partkey",
       LshJoin.MaxBucket, "l_orderkey")
     triangleCounts(edges)
       .select(col("p").as("l_partkey"), col("n_triangles"))
@@ -412,39 +413,78 @@ object Corpus {
     * [[connectedComponents]] iterates.
     *
     * Scale shape, per round: the (cached, symmetric) edge frame is
-    * filtered by TWO semi-joins against the alive set — alive is
-    * degree-bounded-shrinking and broadcasts — then one groupBy(src)
-    * recount. The edge frame never re-shuffles; only the alive frame
-    * (one long per node) moves. Final output re-counts degree over the
-    * last surviving set.
+    * filtered by TWO semi-joins against the alive set, then one
+    * groupBy(src) recount. The edge frame never re-shuffles; only the
+    * alive frame (one long per node) moves. The semi-joins carry NO
+    * broadcast hint: round 1's alive set is ALL distinct vertices —
+    * billions of ids at the 100 TB analogue, where a forced hint would
+    * bypass AQE's size check and OOM the executors — so strategy choice
+    * is left to AQE, which converts the exchange to a broadcast at
+    * runtime exactly when peeling has shrunk alive under the threshold.
+    * Final output re-counts degree over the last surviving set, is
+    * materialized eagerly, and every intermediate (edge cache, per-round
+    * alive frames) is released before returning.
     *
     * @param edges symmetric `(src, dst)` — both directions present.
     * @return `(v, core_degree)` for nodes surviving `rounds` peels,
     *         with degree in the surviving induced subgraph.
     */
-  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    kCoreLoop(edges, k, rounds, toFixpoint = false)
+
+  /** Fixpoint k-core: [[kCorePeel]]'s loop run to convergence (alive
+    * count unchanged -> stop), bounded by `maxRounds` as a runaway
+    * guard. This is the form production callers want — the true
+    * Seidman core, invariant to extra rounds; the fixed-depth peel
+    * stays as the oracle-unrollable harness. Peeling strictly shrinks
+    * the alive set, so the per-round `count()` the loop already runs
+    * for cache-lifetime reasons doubles as the convergence test at no
+    * extra cost.
+    */
+  def kCoreFull(edges: DataFrame, k: Int, maxRounds: Int = 1000): DataFrame =
+    kCoreLoop(edges, k, maxRounds, toFixpoint = true)
+
+  /** Degrees of the `alive`-induced subgraph: one edge-wide semi-join
+    * (dst membership), then the src membership filter applies to the
+    * NODE-sized aggregate — half the edge-stream passes of the
+    * symmetric two-semi-join form. No broadcast hints: AQE picks the
+    * strategy from the alive frame's RUNTIME size (package-private so
+    * KCoreSpec can assert the plan is hint-free).
+    */
+  private[operators] def kCoreInduced(e: DataFrame, alive: DataFrame): DataFrame = e
+    .join(alive.select(col("v").as("dst")), Seq("dst"), "left_semi")
+    .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    .join(alive.select(col("v").as("src")), Seq("src"), "left_semi")
+
+  private def kCoreLoop(
+      edges: DataFrame, k: Int, rounds: Int, toFixpoint: Boolean): DataFrame = {
     require(k >= 1 && rounds >= 1)
     val e = edges.select(col("src"), col("dst")).persist()
-    // one edge-wide semi-join (dst membership), then the src membership
-    // filter applies to the NODE-sized aggregate — half the edge-stream
-    // passes of the symmetric two-semi-join form
-    def induced(alive: DataFrame): DataFrame = e
-      .join(broadcast(alive.select(col("v").as("dst"))), Seq("dst"), "left_semi")
-      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .join(broadcast(alive.select(col("v").as("src"))), Seq("src"), "left_semi")
+    def induced(alive: DataFrame): DataFrame = kCoreInduced(e, alive)
     var alive = e.select(col("src").as("v")).distinct().persist()
-    var prev = alive
-    for (_ <- 1 to rounds) {
-      prev = alive
+    var aliveN = alive.count()
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      round += 1
+      val prev = alive
+      val prevN = aliveN
       alive = induced(prev)
         .filter(col("deg") >= k)
         .select(col("src").as("v"))
         .persist()
-      alive.count() // materialize before releasing the parent round
+      aliveN = alive.count() // materialize before releasing the parent round
       prev.unpersist(blocking = false)
+      converged = toFixpoint && aliveN == prevN
     }
+    // materialize the node-sized result BEFORE releasing the caches it
+    // reads through — an unpersist ahead of the action would silently
+    // recompute the whole upstream edge pipeline at collect time
     val out = induced(alive)
       .select(col("src").as("v"), col("deg").as("core_degree"))
+      .persist()
+    out.count()
+    alive.unpersist(blocking = false)
     e.unpersist(blocking = false)
     out
   }
@@ -458,7 +498,7 @@ object Corpus {
     val hi = Tables.lineitem(s, d)
       .filter(col("l_quantity") >= 49)
       .select(col("l_orderkey"), col("l_partkey"))
-    val pairs = LshJoin.boundedBucketPairs(hi, "l_partkey",
+    val pairs = LshJoin.exactBucketPairs(hi, "l_partkey",
       LshJoin.MaxBucket, "l_orderkey")
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))

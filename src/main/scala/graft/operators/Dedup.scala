@@ -331,11 +331,15 @@ object Dedup {
       .select(col("rep"), col("bench_id")).distinct()
       .persist()
 
-    // 3. guarded broadcast: cand is bounded (<= bucketCap x Bands x
-    // |bench| by the cap) and consumed twice, so the count() action is
-    // amortized by the persist; above the ceiling the verify joins run
-    // as shuffle hash joins instead of broadcasting
-    val candSmall = cand.count() <= maxBroadcastCand
+    // 3. guarded broadcast: the guard only needs to know whether cand
+    // EXCEEDS the ceiling, not its exact size, so it probes
+    // limit(max+1).count() — the LocalLimit stops each task after it has
+    // seen enough rows, bounding the probe job at O(maxBroadcastCand)
+    // instead of a full count over the candidate set (which at flood
+    // scale is exactly when the full count hurts). Above the ceiling the
+    // verify joins run as shuffle hash joins instead of broadcasting.
+    val probeN = math.min(maxBroadcastCand + 1, Int.MaxValue.toLong).toInt
+    val candSmall = cand.limit(probeN).count() <= maxBroadcastCand
     def sized(df: DataFrame): DataFrame = if (candSmall) broadcast(df) else df
 
     // exact-Jaccard verify over representatives only

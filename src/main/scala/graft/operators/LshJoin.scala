@@ -106,6 +106,27 @@ object LshJoin {
     (pairs, stats)
   }
 
+  /** [[boundedBucketPairs]] for EXACT-graph callers (oracle-matched
+    * graph bindings like triangles / k-core / connected components):
+    * same capped plan — a mega-bucket still cannot O(n^2) the stage —
+    * but a cap that actually BINDS would silently drop edges only on
+    * this side of an uncapped oracle, so it asserts at runtime that
+    * nothing was discarded and fails loudly instead of diverging. The
+    * probe is one aggregate over the tiny, already-persisted hot-bucket
+    * frame (empty for any sane bucket column; the assert costs one
+    * short job, not a re-shuffle).
+    */
+  def exactBucketPairs(
+      buckets: DataFrame, idCol: String, cap: Int, bucketCols: String*): DataFrame = {
+    val (pairs, stats) = boundedBucketPairsWithStats(buckets, idCol, cap, bucketCols: _*)
+    val d = stats.head()
+    require(d.getLong(0) == 0L,
+      s"exactBucketPairs: cap=$cap dropped ${d.getLong(0)} buckets " +
+        s"(${d.getLong(1)} members) — exact graph semantics would silently " +
+        "lose edges; raise the cap or use the capped boundedBucketPairs API")
+    pairs
+  }
+
   /** The dropped (oversized) buckets — one row per bucket with its
     * member-ROW count (callers with duplicate (id, bucket) rows should
     * pre-distinct if they need distinct-member counts; the bounded

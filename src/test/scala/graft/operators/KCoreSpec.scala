@@ -66,6 +66,41 @@ class KCoreSpec extends SparkSpec {
     }
   }
 
+  test("kCoreFull reaches the true core and is invariant to maxRounds") {
+    // K4 with a long pendant chain: fixed depth 2 has NOT finished
+    // peeling the chain, the fixpoint has — and extra headroom is a
+    // no-op once converged
+    val g = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)) ++
+      Seq((4L, 10L), (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+    def full(maxRounds: Int): Map[Long, Long] =
+      Corpus.kCoreFull(sym(g), 2, maxRounds)
+        .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("core_degree")).toMap
+    val core = full(100)
+    assert(core.keySet == Set(1L, 2L, 3L, 4L), core)
+    assert(core == full(7)) // converged well before either bound
+    // chain peels one hop per round at k=2: depth 2 still holds 4-10-11
+    val shallow = run(g, 2, 2)
+    assert(shallow.keySet != core.keySet)
+  }
+
+  test("no forced broadcast hint anywhere in the peel's induced-join plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.functions.col
+    // round 1's alive set is ALL vertices — a forced broadcast there is
+    // the guaranteed-OOM shape at scale, so strategy must be AQE's call.
+    // Asserted on the un-executed induced-degree frame (the returned
+    // peel result is already collapsed to an InMemoryRelation).
+    val g = sym((for { a <- 1L to 6L; b <- (a + 1) to 6L } yield (a, b)).toSeq)
+    val alive = g.select(col("src").as("v")).distinct()
+    val induced = Corpus.kCoreInduced(g, alive)
+    val hinted = induced.queryExecution.optimizedPlan.collect {
+      case j: Join if j.hint.leftHint.exists(_.strategy.isDefined) ||
+        j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    assert(hinted.isEmpty,
+      s"induced-join plan carries join-strategy hints:\n${induced.queryExecution.optimizedPlan}")
+  }
+
   test("q96 binding converges within its fixed depth at test scale") {
     import spark.implicits._
     // the sf0.01 co-purchase 3-core, pre-extracted once (the binding
