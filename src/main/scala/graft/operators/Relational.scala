@@ -577,19 +577,48 @@ object Relational {
 
   /** Generic schema-driven table profiler (q99): per column, row/null/
     * exact-distinct counts in long format — the data-quality snapshot a
-    * pipeline takes before trusting a new drop. ONE aggregation
-    * computes every column's metrics in a single pass (Catalyst plans
-    * the multi-column COUNT DISTINCT as one Expand — rows x columns,
-    * the standard exact plan; swap in approx_count_distinct per column
-    * when cardinalities stop fitting), then `stack` unpivots to long
-    * format driver-side-free.
+    * pipeline takes before trusting a new drop.
+    *
+    * Plan shape: one union leg per column, each a SINGLE-distinct
+    * aggregate. Catalyst's one-distinct rewrite plans each leg as
+    * partial-aggregate-by-value -> exchange of the column's DISTINCT
+    * values -> final count — no Expand anywhere, and each leg's scan
+    * prunes to its one column, so the total read is the table once
+    * (columnar) and the total exchange is sum of per-column distinct
+    * partials. The previous form — ONE agg with N countDistinct
+    * columns — planned as a single Expand x (N+1) of the full scan:
+    * rows x 17 through the exchange for lineitem, a multi-PB shuffle at
+    * the 100 TB analogue and the #2 cost in the r7 bench. For
+    * cardinalities where even per-column exact distinct stops paying,
+    * use [[approxProfileTable]].
     */
   def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    cols.map { c =>
+      df.select(col(c)).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column_name"), col("n_rows"),
+          coalesce(col("n_nulls"), lit(0L)).as("n_nulls"), col("n_distinct"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("column_name"))
+  }
+
+  /** [[profileTable]]'s scale mode: identical long-format output with
+    * `approx_count_distinct` (HLL++, Heule '13) cardinalities — every
+    * column's metrics in ONE pass over the table with O(columns x
+    * sketch) aggregation state and no Expand, the form to reach for
+    * when per-column exact distinct passes stop paying at 100 TB.
+    * Approximate by design -> not oracle-bound; ApproxSpec pins the
+    * error envelope against [[profileTable]].
+    */
+  def approxProfileTable(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty)
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nn_$c"),
-        countDistinct(col(c)).as(s"_nd_$c"))
+        approx_count_distinct(col(c), rsd).as(s"_nd_$c"))
     } :+ count(lit(1)).as("_n")
     val stackExpr = cols.map(c => s"'$c', _nn_$c, _nd_$c").mkString(", ")
     df.agg(aggs.head, aggs.tail: _*)
@@ -600,11 +629,20 @@ object Relational {
       .orderBy(col("column_name"))
   }
 
-  /** Driver binding: profile every lineitem column. */
-  def q99ProfileTable(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-    profileTable(li, li.columns.toSeq)
-  }
+  /** The lineitem columns q99 profiles — ONE list shared by the Spark
+    * side and (by construction) the hand-unrolled DuckDB oracle, so a
+    * fixture schema change breaks loudly instead of silently profiling
+    * different column sets (ProfileSpec asserts the fixture still
+    * matches).
+    */
+  val LineitemProfileCols: Seq[String] = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate")
+
+  /** Driver binding: profile every lineitem column (pinned list). */
+  def q99ProfileTable(s: SparkSession, d: String): DataFrame =
+    profileTable(Tables.lineitem(s, d), LineitemProfileCols)
 
   /** Histogram drift between table versions (q100): L1 distance of the
     * order-value distribution, current vs [[nextOrdersSnapshot]], in

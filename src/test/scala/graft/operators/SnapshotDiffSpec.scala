@@ -51,6 +51,36 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(got("y") == ((4L, 1L, 2L))) // {a, b}
   }
 
+  test("q99's profile plan has no Expand and its column list matches the fixture") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    // the oracle SQL hand-unrolls exactly these columns — a fixture
+    // schema change must break HERE, not silently profile a different set
+    assert(li.columns.toSeq == Relational.LineitemProfileCols)
+    // the multi-countDistinct single-agg form planned an Expand x 17 of
+    // the scan (rows x columns through the exchange); the union-per-column
+    // form must not
+    val plan = Relational.q99ProfileTable(spark, "/root/testdata/sf0.01")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"profile plan still Expands:\n$plan")
+  }
+
+  test("approxProfileTable: exact nulls/rows, distincts within the rsd envelope") {
+    val d = "/root/testdata/sf0.01"
+    val li = graft.Tables.lineitem(spark, d)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("column_name") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct"))))
+        .toMap
+    val exact = toMap(Relational.profileTable(li, Relational.LineitemProfileCols))
+    val approx = toMap(Relational.approxProfileTable(li, Relational.LineitemProfileCols))
+    for (c <- Relational.LineitemProfileCols) {
+      val (er, en, ed) = exact(c); val (ar, an, ad) = approx(c)
+      assert(ar == er && an == en, s"$c: rows/nulls must be exact")
+      // HLL++ at rsd=0.05: allow 5 sigma
+      assert(math.abs(ad - ed) <= math.max(4.0, 0.25 * ed), s"$c: $ad vs exact $ed")
+    }
+  }
+
   test("q100 drift: L1 cells reconcile with the q94 change counts") {
     val d = "/root/testdata/sf0.01"
     val drift = Relational.q100HistDrift(spark, d).collect()
