@@ -858,6 +858,49 @@ object SparkEntry {
         |  CAST(SUM(dup) AS BIGINT) AS n_dup,
         |  CAST(SUM(1 - dup) AS BIGINT) AS n_new
         |FROM cls GROUP BY source ORDER BY source""".stripMargin,
+    // exact-edge cluster-safe split: identical-content collapse (min
+    // doc_id per md5), q88's brute-force gram-join Jaccard edges between
+    // representatives at t=0.5, min-label components via recursive CTE
+    // (q53's pattern), split from the label doc's md5 first hex char
+    "q79_cluster_split" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents),
+        |reps AS (
+        |  SELECT d.doc_id, d.text FROM documents d
+        |  JOIN h ON h.doc_id = d.doc_id WHERE h.doc_id = h.rep),
+        |tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(COALESCE(text, '')), ' '), x -> x <> '') AS t
+        |  FROM reps),
+        |g AS (
+        |  SELECT DISTINCT doc_id, substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 16) AS k
+        |  FROM tok, unnest(range(1, len(t) - 1)) u(i)),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |ix AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+        |  FROM g a JOIN g b ON a.k = b.k AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT ix.a, ix.b FROM ix
+        |  JOIN sz sa ON sa.doc_id = ix.a
+        |  JOIN sz sb ON sb.doc_id = ix.b
+        |  WHERE CAST(ix.c AS DOUBLE) / CAST(sa.n + sb.n - ix.c AS DOUBLE) >= 0.5),
+        |e AS (SELECT a AS src, b AS dst FROM pr UNION ALL SELECT b AS src, a AS dst FROM pr),
+        |reach(p, lbl) AS (
+        |  SELECT doc_id, doc_id FROM reps
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.p WHERE r.lbl < e.dst),
+        |cl AS (SELECT p, MIN(lbl) AS cluster_id FROM reach GROUP BY p),
+        |doccl AS (SELECT h.doc_id, cl.cluster_id FROM h JOIN cl ON cl.p = h.rep),
+        |spl AS (
+        |  SELECT dc.doc_id, dc.cluster_id,
+        |    CASE WHEN substr(md5(d.text), 1, 1) <= 'b' THEN 'train'
+        |         WHEN substr(md5(d.text), 1, 1) <= 'd' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM doccl dc JOIN documents d ON d.doc_id = dc.cluster_id)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+        |FROM spl GROUP BY split ORDER BY split""".stripMargin,
     // same chained whole-partition window minima: stage timestamps
     // cascade (click after first view, purchase after first qualifying
     // click), each within the 24h conversion window, at microsecond
@@ -1178,9 +1221,10 @@ object SparkEntry {
         |  SELECT CASE
         |    WHEN o.o_orderkey IS NULL THEN 'insert'
         |    WHEN n.o_orderkey IS NULL THEN 'delete'
-        |    WHEN o.o_custkey = n.o_custkey AND o.o_orderstatus = n.o_orderstatus
-        |      AND o.o_totalprice = n.o_totalprice
-        |      AND o.o_orderpriority = n.o_orderpriority THEN 'unchanged'
+        |    WHEN o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+        |      AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        |      AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+        |      AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority THEN 'unchanged'
         |    ELSE 'update' END AS change_type
         |  FROM orders o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey)
         |SELECT change_type, COUNT(*) AS n_rows

@@ -540,12 +540,62 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Driver binding (q79): cluster-atomic split of the documents table,
-    * reported per (split) with doc and cluster counts. Rows-only; the
-    * atomicity invariant is pinned by `ClusterSplitSpec`.
+  /** [[clusterSafeSplit]] with EXACT near-dup edges: identical-content
+    * collapse, then [[allPairsJaccard]] (prefix-filtered, zero recall
+    * loss) between representatives instead of MinHash/LSH candidates,
+    * then the same pointer-doubling components and representative-
+    * content split assignment. Every step is deterministic SQL-
+    * expressible arithmetic, so the no-cluster-straddle guarantee —
+    * the one LLM-pipeline *invariant* this family exists for — is
+    * DuckDB-oracle-checkable end to end; the LSH form remains the
+    * documented scale mode when the corpus is too large for exact
+    * all-pairs (its candidate generation is bucket-capped where this
+    * one's prefix-posting join is the algorithm's own bound).
+    */
+  def clusterSafeSplitExact(
+      documents: DataFrame, threshold: Double = DupJaccardThreshold): DataFrame = {
+    val hashed = documents
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val docRep = hashed.join(
+      hashed.groupBy(col("h")).agg(min(col("doc_id")).as("rep")), "h")
+      .select(col("doc_id"), col("rep"))
+    val reps = documents.join(
+      docRep.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+
+    val pairs = allPairsJaccard(reps, threshold)
+    val sym = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = docRep.select(col("rep").as("p")).distinct()
+    val labels = Corpus.connectedComponents(nodes, sym)
+
+    val docLabels = docRep.join(labels, docRep("rep") === labels("p"))
+      .select(col("doc_id"), col("lbl"))
+    val sizes = docLabels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    // the cluster label IS a doc_id (min-label components over min-id
+    // reps), so the split hashes the LABEL doc's content — stable under
+    // corpus growth exactly like the LSH form
+    val repHash = documents.select(col("doc_id").as("lbl"),
+      substring(md5(col("text").cast("binary")), 1, 1).as("rh"))
+    docLabels.join(sizes, "lbl").join(repHash, "lbl")
+      .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"),
+        when(col("rh") <= "b", "train")
+          .when(col("rh") <= "d", "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver binding (q79): cluster-atomic split of the documents table
+    * via the EXACT edge set (t=0.5, q88's threshold), reported per
+    * split with doc and cluster counts — hash-matched against a DuckDB
+    * oracle that rebuilds the same collapse, gram-join Jaccard edges,
+    * recursive-CTE components, and rep-hash assignment. The atomicity
+    * invariant is additionally pinned by `ClusterSplitSpec` for both
+    * edge modes.
     */
   def q79ClusterSplit(s: SparkSession, d: String): DataFrame =
-    clusterSafeSplit(Tables.documents(s, d).select(col("doc_id"), col("text")))
+    clusterSafeSplitExact(
+      Tables.documents(s, d).select(col("doc_id"), col("text")), 0.5)
       .groupBy(col("split"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -46,6 +46,28 @@ class ClusterSplitSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("exact-edge variant: same atomicity, and it agrees with the LSH mode here") {
+    val docs = df(Seq(
+      (1L, base),
+      (2L, base), // exact dup of 1
+      (3L, base.replace("spring", "autumn")), // near dup of 1
+      (4L, "completely unrelated content about columnar execution engines " +
+        "and distributed shuffle services with adaptive planning")))
+    val exact = Dedup.clusterSafeSplitExact(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[String]("split")))).toMap
+    assert(exact.size == 4)
+    assert(exact(1L)._1 == exact(2L)._1 && exact(2L)._1 == exact(3L)._1)
+    assert(exact(1L)._3 == exact(2L)._3 && exact(2L)._3 == exact(3L)._3)
+    assert(exact(1L)._2 == 3L && exact(4L)._2 == 1L)
+    // on a fixture where LSH recall is perfect the two modes coincide
+    val lsh = Dedup.clusterSafeSplit(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[String]("split")))).toMap
+    assert(exact.view.mapValues(v => (v._1, v._3)).toMap == lsh)
+  }
+
   test("q79 covers every document exactly once across splits") {
     val d = "/root/testdata/sf0.001"
     val rows = Dedup.q79ClusterSplit(spark, d).collect()
