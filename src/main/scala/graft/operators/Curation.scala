@@ -862,14 +862,23 @@ object Curation {
       maxBenchmarkGrams: Int = MaxBenchmarkGrams): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
-    val benchSets: Array[Array[Long]] = benchmark
+    // the gram-set frame is persisted so the size gate and the collect
+    // share one tokenization pass; the gate runs DISTRIBUTED (same
+    // shape as decontaminateStats') — an over-sized "benchmark" fails
+    // fast here and its gram sets never ship to the driver
+    val bsFrame = benchmark
       .select(col("text")).as[String]
       .map(t => Curation.containGramSet(t, n))
       .filter(g => g.length > 0)
-      .collect()
-    require(benchSets.iterator.map(_.length.toLong).sum <= maxBenchmarkGrams,
-      s"benchmark gram total exceeds $maxBenchmarkGrams - this frame is " +
-        "corpus-sized, not an eval suite (or raise maxBenchmarkGrams deliberately)")
+      .persist()
+    val totalGrams = bsFrame.select(
+      coalesce(sum(size(col("value"))), lit(0L))).as[Long].head()
+    require(totalGrams <= maxBenchmarkGrams,
+      s"benchmark gram total $totalGrams exceeds $maxBenchmarkGrams - this " +
+        "frame is corpus-sized, not an eval suite (or raise " +
+        "maxBenchmarkGrams deliberately)")
+    val benchSets: Array[Array[Long]] = bsFrame.collect()
+    bsFrame.unpersist()
     val bc = s.sparkContext.broadcast(benchSets)
 
     corpus

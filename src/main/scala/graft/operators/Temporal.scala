@@ -228,6 +228,10 @@ object Temporal {
       .distinct()
       .persist() // feeds span, DAU, and WAU; lifetime: LRU/clearCache
     val span = ud.agg(min(col("day")), max(col("day"))).head()
+    if (span.isNullAt(0)) { // empty events table: empty frame, not an NPE
+      import s.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("d", "dau", "wau")
+    }
     val (d0, d1) = (span.getLong(0), span.getLong(1))
     val wau = ud
       .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("d"))

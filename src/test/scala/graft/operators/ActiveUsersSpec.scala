@@ -33,6 +33,12 @@ class ActiveUsersSpec extends SparkSpec {
     assert(!got.contains(9L))      // beyond the observed span
   }
 
+  test("empty events table yields an empty frame, not an NPE") {
+    val dir = java.nio.file.Files.createTempDirectory("q101empty").toString
+    writeEvents(dir, Seq.empty)
+    assert(Temporal.q101ActiveUsers(spark, dir).collect().isEmpty)
+  }
+
   test("cohort triangle: offsets, sizes, and rates") {
     val dir = java.nio.file.Files.createTempDirectory("q102fix").toString
     // cohort week 0: users 1,2 (user 1 returns week 1); cohort week 1: user 3
