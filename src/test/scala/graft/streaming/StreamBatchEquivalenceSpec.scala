@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.mr.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins the five driver-oracled stream==batch equivalences (q70 / q76 /
+  * q83 / q93 / q103) on a PERTURBED copy of the events fixture — not
+  * the driver corpus — so the boundary contracts they encode (micros
+  * `div` truncation, the +1us session gap, one-micro-batch replay
+  * exactness, planted-redelivery invisibility, stateless dim join)
+  * can't silently regress between driver runs. Each binding's bounded
+  * replay is compared against an independently-written batch
+  * formulation over the same perturbed table.
+  */
+class StreamBatchEquivalenceSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("stream_eq_").toString
+    val base = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    // deterministic perturbation: +-5s timestamp jitter and a value
+    // shift, both keyed off event_id — different session/window/join
+    // boundaries than any driver-corpus run
+    base.select(
+      col("event_id"),
+      (col("ts") + (col("event_id") % 11 - lit(5)) * lit(1000000000L)).as("ts"),
+      col("user_id"), col("event_type"),
+      (col("value") + (col("event_id") % 3).cast("double") * lit(0.25)).as("value"),
+      col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/_ev")
+    // the stream source's pathGlobFilter expects events.parquet to be a
+    // single FILE (the testdata layout), not a Spark output directory
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(d, "_ev"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    java.nio.file.Files.copy(part, java.nio.file.Paths.get(d, "events.parquet"))
+    graft.Tables.customer(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    d
+  }
+
+  private def events: DataFrame = graft.Tables.events(spark, dir)
+  private val us = expr("ts div 1000")
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("q70 session replay equals the inclusive-gap batch sessionizer") {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val batch = events.select(col("user_id"), us.as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("fresh",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("fresh")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_us"), col("end_us"))
+    val got = EventStream.q70StreamSessionize(spark, dir)
+    assert(got.count() > 0)
+    assert(rows(got) == rows(batch))
+  }
+
+  test("q76 tumbling replay equals epoch-aligned bucket arithmetic") {
+    val batch = events
+      .select((us - us % 60000000L).as("win_start_us"), col("event_type"))
+      .groupBy(col("win_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val got = EventStream.q76StreamWindowCounts(spark, dir)
+    assert(got.count() > 0)
+    assert(rows(got) == rows(batch))
+  }
+
+  test("q83 interval-join replay equals the batch range join") {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), us.as("click_us"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), us.as("p_us"), col("value"))
+    val batch = p.join(v, Seq("user_id"))
+      .filter(col("click_us") <= col("p_us") &&
+        col("click_us") >= col("p_us") - 600000000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("attributed_value"),
+        min(col("click_us")).as("first_click_us"))
+    val got = EventStream.q83StreamAttribution(spark, dir)
+    assert(got.count() > 0)
+    assert(rows(got) == rows(batch))
+  }
+
+  test("q93 dedup replay makes the planted redeliveries invisible") {
+    val batch = events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    val got = EventStream.q93StreamDedup(spark, dir)
+    assert(got.count() > 0)
+    assert(rows(got) == rows(batch))
+  }
+
+  test("q103 stream-static enrich equals the batch dimension join") {
+    val dim = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val batch = events.select(col("user_id"), col("value"))
+      .join(dim, "user_id")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+    val got = EventStream.q103StreamEnrich(spark, dir)
+    assert(got.count() > 0)
+    assert(rows(got) == rows(batch))
+  }
+}
