@@ -123,6 +123,8 @@ object SparkEntry {
     "q103_stream_enrich" -> (graft.streaming.EventStream.q103StreamEnrich _),
     "q104_assoc_rules" -> (Corpus.q104AssocRules _),
     "q105_transitions" -> (Temporal.q105Transitions _),
+    "q106_gram_repetition" -> (Corpus.q106GramRepetition _),
+    "q107_bm25_search" -> (TextOps.q107Bm25Search _),
   )
 
   private val Q58Sql =
@@ -1463,5 +1465,79 @@ object SparkEntry {
         |SELECT from_type, to_type, n,
         |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
         |FROM cnt ORDER BY from_type, to_type""".stripMargin,
+    // Gopher A1 top-n-gram fractions: count x n / tokens per doc, one
+    // double division per fraction, flag over 0.20/0.18/0.16
+    "q106_gram_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, len(t) AS nt FROM tok),
+        |g2 AS (
+        |  SELECT doc_id, MAX(c) AS m FROM (
+        |    SELECT doc_id, t[i] || ' ' || t[i+1] AS g, COUNT(*) AS c
+        |    FROM tok, unnest(range(1, len(t))) u(i) GROUP BY 1, 2) GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, MAX(c) AS m FROM (
+        |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g, COUNT(*) AS c
+        |    FROM tok, unnest(range(1, len(t) - 1)) u(i) GROUP BY 1, 2) GROUP BY doc_id),
+        |g4 AS (
+        |  SELECT doc_id, MAX(c) AS m FROM (
+        |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g, COUNT(*) AS c
+        |    FROM tok, unnest(range(1, len(t) - 2)) u(i) GROUP BY 1, 2) GROUP BY doc_id),
+        |f AS (
+        |  SELECT n.doc_id, n.nt AS n_tok,
+        |    COALESCE(CAST(g2.m * 2 AS DOUBLE) / CAST(n.nt AS DOUBLE), 0.0) AS top2_frac,
+        |    COALESCE(CAST(g3.m * 3 AS DOUBLE) / CAST(n.nt AS DOUBLE), 0.0) AS top3_frac,
+        |    COALESCE(CAST(g4.m * 4 AS DOUBLE) / CAST(n.nt AS DOUBLE), 0.0) AS top4_frac
+        |  FROM n
+        |  LEFT JOIN g2 USING (doc_id)
+        |  LEFT JOIN g3 USING (doc_id)
+        |  LEFT JOIN g4 USING (doc_id))
+        |SELECT doc_id, n_tok, top2_frac, top3_frac, top4_frac
+        |FROM f
+        |WHERE top2_frac > 0.20 OR top3_frac > 0.18 OR top4_frac > 0.16
+        |ORDER BY doc_id""".stripMargin,
+    // BM25 with the rational idf core (x2-scaled to integers), dl/avgdl
+    // as one dl*N/L division, per-term doubles in a fixed op sequence,
+    // DECIMAL(20,9) order-free score sum - same determinism contract as
+    // the Spark side, term for term
+    "q107_bm25_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM tok) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |    (SELECT CAST(SUM(tf) AS BIGINT) FROM tf) AS l_total),
+        |q AS (
+        |  SELECT DISTINCT query_id, tok FROM (
+        |    SELECT doc_id AS query_id, unnest(t[1:8]) AS tok
+        |    FROM tok WHERE doc_id % 101 = 0)),
+        |hits AS (
+        |  SELECT q.query_id, tf.doc_id, tf.tf, dfq.df, dl.dl, tot.n_docs, tot.l_total
+        |  FROM q JOIN tf USING (tok) JOIN dfq USING (tok)
+        |  JOIN dl ON dl.doc_id = tf.doc_id, tot),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    SUM(CAST(
+        |      (CAST(2 * (n_docs - df) + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE)) *
+        |      ((CAST(tf AS DOUBLE) * 2.2) /
+        |        (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |          (CAST(dl * n_docs AS DOUBLE) / CAST(l_total AS DOUBLE)))))
+        |      AS DECIMAL(20,9))) AS score_dec,
+        |    COUNT(*) AS n_terms
+        |  FROM hits GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT query_id, doc_id, score_dec, n_terms,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_dec DESC, doc_id) AS rnk
+        |  FROM sc WHERE doc_id <> query_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id,
+        |  CAST(score_dec AS DOUBLE) AS score, n_terms
+        |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
   )
 }

@@ -58,6 +58,51 @@ object Corpus {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher top-n-gram repetition thresholds (Rae et al. '21 table A1:
+    * a doc is filtered when the most frequent 2-/3-/4-gram covers more
+    * than 20/18/16% of it).
+    */
+  val MaxTopGramFrac: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+
+  /** Gopher top-n-gram repetition filter (q106): for n = 2..4 the
+    * fraction of the document covered by its most frequent n-gram
+    * (count x n / tokens), flagging docs over the A1 thresholds — the
+    * n-gram half of the MassiveText repetition family; [[q51QualityRepetition]]
+    * is the token half. Same shape as q51: per-doc histograms fit by
+    * the document-length bound, so ONE typed map closure computes all
+    * three fractions in a single pass with no explode-shuffle — the
+    * only exchange is the final tiny sort of flagged rows. Fractions
+    * are one double division each (count*n exact in long), so the SQL
+    * oracle reproduces them bit-for-bit.
+    */
+  def q106GramRepetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text0) =>
+        val toks = (if (text0 == null) "" else text0).split(" ").filter(_.nonEmpty)
+        def topFrac(n: Int): Double = {
+          if (toks.length < n) 0.0
+          else {
+            val counts = collection.mutable.HashMap.empty[String, Int]
+            var i = 0
+            while (i + n <= toks.length) {
+              val g = toks.slice(i, i + n).mkString(" ")
+              counts.update(g, counts.getOrElse(g, 0) + 1)
+              i += 1
+            }
+            (counts.valuesIterator.max.toLong * n).toDouble / toks.length.toDouble
+          }
+        }
+        (id, toks.length.toLong, topFrac(2), topFrac(3), topFrac(4))
+      }
+      .toDF("doc_id", "n_tok", "top2_frac", "top3_frac", "top4_frac")
+      .filter(col("top2_frac") > MaxTopGramFrac(2)
+        || col("top3_frac") > MaxTopGramFrac(3)
+        || col("top4_frac") > MaxTopGramFrac(4))
+      .orderBy(col("doc_id"))
+  }
+
   /** Characteristic terms per source: score = tf * N / df (term
     * frequency weighted by inverse document frequency — the rational
     * tf-idf form, kept log-free so every arithmetic step is a single

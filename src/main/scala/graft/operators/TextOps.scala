@@ -290,4 +290,89 @@ object TextOps {
       .orderBy(col("df").desc, col("tok"))
       .limit(20)
   }
+
+  /** BM25 parameters: Robertson's defaults k1=1.2, b=0.75 appear below
+    * as the literals 2.2 (k1+1), 1.2, 0.25 (1-b) and 0.75 inside one
+    * fixed arithmetic sequence shared with the oracle.
+    */
+  val Bm25TopK = 5
+  /** Probe selection (`doc_id % 101 == 0`) and query width (first 8
+    * tokens) for the q107 binding.
+    */
+  val Bm25ProbeMod = 101
+  val Bm25QueryTerms = 8
+
+  /** BM25-ranked retrieval (q107): each probe document's first-8-token
+    * distinct term set queries the corpus; matches score
+    * idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) summed over
+    * query terms, top-5 docs per query (self excluded). Completes the
+    * retrieval family: q22 ranks by gram Jaccard, q81 fuses lexical +
+    * semantic, this adds the tf-saturation + length-normalization
+    * ranker (Robertson & Walker SIGIR '94; the BM25 in every search
+    * stack).
+    *
+    * Determinism contract (hash-match on doubles): the log idf is
+    * replaced by its rational core (N - df + 0.5)/(df + 0.5) — scaled
+    * x2 to integer arithmetic — so each per-term score is ONE fixed
+    * sequence of IEEE ops (two exact-integer divisions, one multiply
+    * chain) identical in the SQL; dl/avgdl is computed as dl*N/L in a
+    * single division. Per-term scores then sum as DECIMAL(20,9) —
+    * order-free, the q83/q91 contract — so ranking ties break
+    * identically on both engines.
+    *
+    * Scale shape: ONE (tok, doc) aggregate feeds tf/df/dl; the (tiny)
+    * query term set broadcasts into it, so the corpus never re-shuffles
+    * for probing; per-term stats attach broadcast; the only exchange
+    * after the slate is the (query, doc) score aggregate and a
+    * per-query top-k window over slate-sized frames. Cost is bounded
+    * by the matched posting volume — at 100 TB the next step is
+    * max-score/WAND-style posting pruning, which drops low-idf terms
+    * whose maximum contribution cannot reach the current top-k floor.
+    */
+  def q107Bm25Search(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // one explode pass, pre-aggregated to (tok, doc) counts: tf, df and
+    // dl all derive from this frame. Lifetime: LRU/clearCache (lazily
+    // returned frame, same contract as q52's perDoc)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tf.agg(sum(col("tf")).as("l_total")))
+
+    val qterms = docs.filter(col("doc_id") % Bm25ProbeMod === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(
+          slice(tokens(col("text")), 1, Bm25QueryTerms))).as("tok"))
+
+    val hits = tf
+      .join(broadcast(qterms), "tok") // probe side tiny: corpus tf never re-shuffles
+      .join(broadcast(dfreq.join(qterms.select(col("tok")).distinct(), Seq("tok"), "left_semi")), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+
+    val norm = (col("dl") * col("n_docs")).cast("double") / col("l_total").cast("double")
+    val idf = (lit(2) * (col("n_docs") - col("df")) + 1).cast("double") /
+      (lit(2) * col("df") + 1).cast("double")
+    val sterm = idf * ((col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * norm)))
+
+    val byScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_dec").desc, col("doc_id"))
+    hits
+      .withColumn("sterm", sterm)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("sterm").cast("decimal(20,9)")).as("score_dec"),
+        count(lit(1)).as("n_terms"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("rnk", row_number().over(byScore).cast("long"))
+      .filter(col("rnk") <= Bm25TopK)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("score_dec").cast("double").as("score"), col("n_terms"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
 }

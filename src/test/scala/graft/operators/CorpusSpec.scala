@@ -29,6 +29,31 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q106 top-n-gram fractions match hand-computed overlapping counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q106fix").toString
+    Seq(
+      // "a b a b a b": 2-grams (overlapping) -> "a b" x3 => 3*2/6 = 1.0;
+      // 3-grams -> "a b a" x2 => 2*3/6 = 1.0; 4-grams -> "a b a b" x2
+      // => 2*4/6 ~ 1.333
+      (1L, "a b a b a b", "en", "s", 11L),
+      // all-distinct tokens: top fracs n/30 each, under every threshold
+      // (an all-distinct doc still has top-n frac n/len, so it needs
+      // len > 4/0.16 = 25 tokens to be clean)
+      (2L, (1 to 30).map("t" + _).mkString(" "), "en", "s", 23L),
+      // shorter than 4 tokens: top4 = 0, top2 = 2/3 flags it
+      (3L, "x x x", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Corpus.q106GramRepetition(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Double]("top2_frac"),
+          r.getAs[Double]("top3_frac"), r.getAs[Double]("top4_frac")))).toMap
+    assert(got.keySet == Set(1L, 3L)) // doc 2 is clean
+    assert(got(1L) == ((6L, 1.0, 1.0, 8.0 / 6.0)))
+    assert(got(3L) == ((3L, 4.0 / 3.0, 3.0 / 3.0, 0.0)))
+  }
+
   test("q52 emits exactly 3 ranked terms per source, scores non-increasing") {
     val rows = Corpus.q52TermScores(spark, d).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))
