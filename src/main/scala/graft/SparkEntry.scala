@@ -125,6 +125,8 @@ object SparkEntry {
     "q105_transitions" -> (Temporal.q105Transitions _),
     "q106_gram_repetition" -> (Corpus.q106GramRepetition _),
     "q107_bm25_search" -> (TextOps.q107Bm25Search _),
+    "q108_stream_custom_sessions" ->
+      (graft.streaming.EventStream.q108StreamCustomSessions _),
   )
 
   private val Q58Sql =
@@ -1539,5 +1541,31 @@ object SparkEntry {
         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id,
         |  CAST(score_dec AS DOUBLE) AS score, n_terms
         |FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    // gap-split sessions at micros (diff <= 30min stays in-session),
+    // minus each user's LAST session: append-mode replay emits exactly
+    // the closed ones
+    "q108_stream_custom_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |o AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN LAG(us) OVER w IS NULL
+        |      OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS fresh
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s2 AS (
+        |  SELECT user_id, us, SUM(fresh) OVER (
+        |    PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us,
+        |    COUNT(*) AS n_events
+        |  FROM s2 GROUP BY 1, 2),
+        |closed AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id ORDER BY sid DESC) AS rr FROM sess)
+        |  WHERE rr > 1)
+        |SELECT user_id, start_us, end_us, CAST(n_events AS BIGINT) AS n_events
+        |FROM closed ORDER BY user_id, start_us""".stripMargin,
   )
 }

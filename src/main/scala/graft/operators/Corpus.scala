@@ -461,14 +461,15 @@ object Corpus {
     * filtered by TWO semi-joins against the alive set, then one
     * groupBy(src) recount. The edge frame never re-shuffles; only the
     * alive frame (one long per node) moves. The semi-joins carry NO
-    * broadcast hint: round 1's alive set is ALL distinct vertices —
-    * billions of ids at the 100 TB analogue, where a forced hint would
-    * bypass AQE's size check and OOM the executors — so strategy choice
-    * is left to AQE, which converts the exchange to a broadcast at
-    * runtime exactly when peeling has shrunk alive under the threshold.
-    * Final output re-counts degree over the last surviving set, is
-    * materialized eagerly, and every intermediate (edge cache, per-round
-    * alive frames) is released before returning.
+    * unconditional broadcast hint: round 1's alive set is ALL distinct
+    * vertices — billions of ids at the 100 TB analogue, where a forced
+    * hint would bypass AQE's size check and OOM the executors. Instead
+    * the hint is applied only when the round's MEASURED alive count
+    * (which the loop takes anyway for cache lifetime) fits under
+    * [[MaxBroadcastAlive]]; larger rounds are left to AQE. Final output
+    * re-counts degree over the last surviving set, is materialized
+    * eagerly, and every intermediate (edge cache, per-round alive
+    * frames) is released before returning.
     *
     * @param edges symmetric `(src, dst)` — both directions present.
     * @return `(v, core_degree)` for nodes surviving `rounds` peels,
@@ -501,11 +502,22 @@ object Corpus {
     .groupBy(col("src")).agg(count(lit(1)).as("deg"))
     .join(alive.select(col("v").as("src")), Seq("src"), "left_semi")
 
+  /** Alive sets at or under this count get an explicit broadcast hint
+    * in the peel's semi-joins (4M longs ~ 32 MB). The loop already
+    * counts every round's alive frame for cache-lifetime reasons, so
+    * the guard is free — and unlike an unconditional hint it can never
+    * force a billion-vertex round-1 broadcast.
+    */
+  val MaxBroadcastAlive = 4000000L
+
   private def kCoreLoop(
       edges: DataFrame, k: Int, rounds: Int, toFixpoint: Boolean): DataFrame = {
     require(k >= 1 && rounds >= 1)
     val e = edges.select(col("src"), col("dst")).persist()
-    def induced(alive: DataFrame): DataFrame = kCoreInduced(e, alive)
+    // the hint is applied by the caller of kCoreInduced, and only once
+    // the MEASURED count fits — AQE handles the un-hinted rounds
+    def induced(alive: DataFrame, n: Long): DataFrame =
+      kCoreInduced(e, if (n <= MaxBroadcastAlive) broadcast(alive) else alive)
     var alive = e.select(col("src").as("v")).distinct().persist()
     var aliveN = alive.count()
     var round = 0
@@ -514,7 +526,7 @@ object Corpus {
       round += 1
       val prev = alive
       val prevN = aliveN
-      alive = induced(prev)
+      alive = induced(prev, prevN)
         .filter(col("deg") >= k)
         .select(col("src").as("v"))
         .persist()
@@ -525,7 +537,7 @@ object Corpus {
     // materialize the node-sized result BEFORE releasing the caches it
     // reads through — an unpersist ahead of the action would silently
     // recompute the whole upstream edge pipeline at collect time
-    val out = induced(alive)
+    val out = induced(alive, aliveN)
       .select(col("src").as("v"), col("deg").as("core_degree"))
       .persist()
     out.count()

@@ -107,24 +107,46 @@ object LshJoin {
   }
 
   /** [[boundedBucketPairs]] for EXACT-graph callers (oracle-matched
-    * graph bindings like triangles / k-core / connected components):
-    * same capped plan — a mega-bucket still cannot O(n^2) the stage —
-    * but a cap that actually BINDS would silently drop edges only on
-    * this side of an uncapped oracle, so it asserts at runtime that
-    * nothing was discarded and fails loudly instead of diverging. The
-    * probe is one aggregate over the tiny, already-persisted hot-bucket
-    * frame (empty for any sane bucket column; the assert costs one
-    * short job, not a re-shuffle).
+    * graph bindings like triangles / k-core / connected components),
+    * where a cap that actually BINDS would silently drop edges only on
+    * this side of an uncapped oracle. The guard is TASK-SIDE: the same
+    * single groupBy + pair fan-out as the capped path, with a
+    * `require` on the bucket's distinct size inside the generator —
+    * an over-cap bucket fails the job loudly instead of diverging,
+    * and no histogram pass / hot-list broadcast / separate stats
+    * action is needed (a first cut ran the capped plan plus an eager
+    * stats probe; that extra scan+aggregate job cost ~0.5 s per graph
+    * query at sf0.1). Note the guard is a correctness tripwire, not a
+    * memory bound — the bucket's id list is materialized before the
+    * check fires, so genuinely flood-prone bucket columns belong on
+    * the capped API, which drops hot buckets BEFORE the collect.
     */
   def exactBucketPairs(
       buckets: DataFrame, idCol: String, cap: Int, bucketCols: String*): DataFrame = {
-    val (pairs, stats) = boundedBucketPairsWithStats(buckets, idCol, cap, bucketCols: _*)
-    val d = stats.head()
-    require(d.getLong(0) == 0L,
-      s"exactBucketPairs: cap=$cap dropped ${d.getLong(0)} buckets " +
-        s"(${d.getLong(1)} members) — exact graph semantics would silently " +
-        "lose edges; raise the cap or use the capped boundedBucketPairs API")
-    pairs
+    val s = buckets.sparkSession
+    import s.implicits._
+    buckets.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"exactBucketPairs: id column '$idCol' must be integral (widened to BIGINT), got $other")
+    }
+    buckets
+      .select(col(idCol).cast(LongType).as("id"),
+        struct(bucketCols.map(col): _*).as("bucket"))
+      .groupBy(col("bucket")).agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val v = ids.distinct.sorted
+        require(v.length <= cap,
+          s"exactBucketPairs: bucket holds ${v.length} distinct ids (cap $cap) — " +
+            "exact graph semantics would silently lose edges under the capped " +
+            "API; raise the cap or use boundedBucketPairs deliberately")
+        for { i <- v.indices.iterator; j <- (i + 1) until v.length }
+          yield (v(i), v(j))
+      }
+      .toDF("a", "b")
+      .distinct()
   }
 
   /** The dropped (oversized) buckets — one row per bucket with its

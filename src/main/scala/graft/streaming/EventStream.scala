@@ -366,6 +366,39 @@ object EventStream {
       .orderBy(col("segment"))
   }
 
+  /** q108 — [[sessionize]] itself (the CUSTOM `flatMapGroupsWithState`
+    * state function, not its declarative `session_window` cousin q70)
+    * under the batch oracle. Append mode emits exactly the CLOSED
+    * sessions — on a bounded one-micro-batch replay that is every
+    * session except each user's most recent, which is precisely
+    * SQL-expressible (gap-split sessions minus the per-user last), so
+    * the hand-written state machine joins the five declarative
+    * streaming shapes under driver hash-match.
+    *
+    * Event time is truncated to MICROS before entering state (`div
+    * 1000`, the q35/q36 contract): the oracle's DuckDB reads the
+    * nanos-parquet column as a micros TIMESTAMP, so nano-resolution
+    * state would diverge from any SQL formulation. The inclusive
+    * `diff <= gap` session rule needs no +1us adjustment here — the
+    * state function implements the batch rule directly.
+    */
+  def q108StreamCustomSessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = graft.Tables.events(s, d).schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("user_id"), expr("ts div 1000").as("ts_ns")).as[SessionEvent]
+    val sessions = sessionize(stream, 30L * 60 * 1000000L) // gap in MICROS
+    val qname = "q108_stream_custom_sessions"
+    val q = sessions.toDF().writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname)
+      .select(col("user_id"), col("start_ns").as("start_us"),
+        col("end_ns").as("end_us"), col("n_events"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
   /** Per-user running aggregate over an event stream — value sums per
     * user per window, the streaming analogue of the reducer-with-state
     * idiom.

@@ -102,6 +102,28 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assert(rows(got) == rows(batch))
   }
 
+  test("q108 custom-state replay emits exactly the closed (non-last) sessions") {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events.select(col("user_id"), us.as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .withColumn("fresh",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("fresh")).over(cum))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"))
+    val batch = sess
+      .withColumn("rr", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("sid").desc)))
+      .filter(col("rr") > 1)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+    val got = EventStream.q108StreamCustomSessions(spark, dir)
+    assert(got.count() > 0)
+    assert(rows(got) == rows(batch))
+  }
+
   test("q103 stream-static enrich equals the batch dimension join") {
     val dim = graft.Tables.customer(spark, dir)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
