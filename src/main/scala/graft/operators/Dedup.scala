@@ -556,9 +556,14 @@ object Dedup {
       documents: DataFrame, threshold: Double = DupJaccardThreshold): DataFrame = {
     val hashed = documents
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    // persisted: feeds the representative semi-join, the node set and
+    // the per-doc label attach — three consumers that would otherwise
+    // each re-run the md5 + groupBy + join over the corpus. Lifetime:
+    // LRU/clearCache (lazily returned frame, the library contract).
     val docRep = hashed.join(
       hashed.groupBy(col("h")).agg(min(col("doc_id")).as("rep")), "h")
       .select(col("doc_id"), col("rep"))
+      .persist()
     val reps = documents.join(
       docRep.filter(col("doc_id") === col("rep")).select(col("doc_id")),
       Seq("doc_id"), "left_semi")

@@ -340,7 +340,6 @@ object TextOps {
       .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
       .persist()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val totals = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(tf.agg(sum(col("tf")).as("l_total")))
 
@@ -349,9 +348,16 @@ object TextOps {
         explode(array_distinct(
           slice(tokens(col("text")), 1, Bm25QueryTerms))).as("tok"))
 
+    // document frequency only for the QUERY terms: semi-join the (tok,
+    // doc) frame down to them first, so the df aggregate shuffles ~40
+    // terms' postings instead of the full corpus vocabulary
+    val dfq = tf
+      .join(broadcast(qterms.select(col("tok")).distinct()), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
     val hits = tf
       .join(broadcast(qterms), "tok") // probe side tiny: corpus tf never re-shuffles
-      .join(broadcast(dfreq.join(qterms.select(col("tok")).distinct(), Seq("tok"), "left_semi")), "tok")
+      .join(broadcast(dfq), "tok")
       .join(dl, "doc_id")
       .crossJoin(broadcast(totals))
 
