@@ -127,6 +127,7 @@ object SparkEntry {
     "q107_bm25_search" -> (TextOps.q107Bm25Search _),
     "q108_stream_custom_sessions" ->
       (graft.streaming.EventStream.q108StreamCustomSessions _),
+    "q109_truncation_dups" -> (Dedup.q109TruncationDups _),
   )
 
   private val Q58Sql =
@@ -1567,5 +1568,35 @@ object SparkEntry {
         |  WHERE rr > 1)
         |SELECT user_id, start_us, end_us, CAST(n_events AS BIGINT) AS n_events
         |FROM closed ORDER BY user_id, start_us""".stripMargin,
+    // sorted-adjacency prefix detection over distinct texts bucketed by
+    // the first-16-token md5, planted half-length truncations included
+    "q109_truncation_dups" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id, 'planted' AS source,
+        |    array_to_string(t[1:(len(t) // 2)], ' ') AS text
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |        FROM documents)
+        |  WHERE doc_id % 13 = 0),
+        |ct AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM corpus),
+        |dt AS (
+        |  SELECT text,
+        |    md5(array_to_string(
+        |      list_filter(string_split(text, ' '), x -> x <> '')[1:16], ' ')) AS bkey
+        |  FROM (SELECT DISTINCT text FROM ct WHERE len(t) >= 16)),
+        |fl AS (
+        |  SELECT text FROM (
+        |    SELECT text, LEAD(text) OVER (PARTITION BY bkey ORDER BY text) AS nxt
+        |    FROM dt)
+        |  WHERE nxt IS NOT NULL AND length(nxt) > length(text)
+        |    AND substr(nxt, 1, length(text)) = text
+        |    AND substr(nxt, length(text) + 1, 1) = ' ')
+        |SELECT c.doc_id, c.source, CAST(len(c.t) AS BIGINT) AS n_tok
+        |FROM ct c JOIN (SELECT DISTINCT text FROM fl) f ON f.text = c.text
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -784,6 +784,72 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Shortest prefix (in tokens) [[truncationDups]] detects — also the
+    * bucket key width. Docs shorter than this can't be flagged as
+    * truncations; the floor is what keeps the bucket key selective.
+    */
+  val MinPrefixTokens = 16
+
+  /** Truncation (prefix) duplicates (q109): documents whose token
+    * sequence is a strict prefix of another document's — the
+    * same-page-cut-off-at-different-lengths artifact that exact dedup
+    * (q19) misses (different hashes) and Jaccard dedup under-scores
+    * (a 10% prefix has ~10% Jaccard). Detection is EXACT above the
+    * [[MinPrefixTokens]] floor via the sorted-adjacency lemma: if A ≤
+    * B ≤ C lexicographically and A is a char-prefix of C, A is a
+    * char-prefix of B — so a doc is a prefix of SOME doc iff it is a
+    * prefix of its immediate lexicographic successor; and because a
+    * space (0x20) sorts below every token character, a token-boundary
+    * extension sorts before char-glued extensions, making the
+    * successor check's boundary test complete, not just sound.
+    *
+    * Scale shape: distinct texts bucket by the md5 of their first
+    * [[MinPrefixTokens]] tokens (any prefix pair shares that key, so
+    * bucketing loses nothing); the sort-and-successor window runs PER
+    * BUCKET — no global sort, no single-partition window; flagged
+    * texts rejoin the corpus by content hash. One wide exchange on the
+    * bucket key plus the final semi-join.
+    */
+  def truncationDups(
+      documents: DataFrame, minPrefixTokens: Int = MinPrefixTokens): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minPrefixTokens >= 1)
+    val toks = filter(split(col("text"), " "), x => x =!= "")
+    val dt = documents.select(col("text")).distinct()
+      .withColumn("t", toks)
+      .filter(size(col("t")) >= minPrefixTokens)
+      .withColumn("bkey", md5(concat_ws(" ", slice(col("t"), 1, minPrefixTokens))))
+      .select(col("bkey"), col("text"))
+    val w = Window.partitionBy(col("bkey")).orderBy(col("text"))
+    val flagged = dt
+      .withColumn("nxt", lead(col("text"), 1).over(w))
+      .filter(col("nxt").isNotNull
+        && expr("length(nxt) > length(text)")
+        && expr("substring(nxt, 1, length(text)) = text")
+        && expr("substring(nxt, length(text) + 1, 1) = ' '"))
+      .select(md5(col("text").cast("binary")).as("h"))
+    documents
+      .withColumn("h", md5(col("text").cast("binary")))
+      .join(flagged, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver binding (q109): [[truncationDups]] over the corpus plus
+    * PLANTED half-length truncations (every `doc_id % 13 == 0` doc
+    * re-enters as its first `n/2` tokens under a shifted id) — the
+    * synthetic corpus has no natural prefix dups, so the planted rows
+    * make the driver check non-vacuous, the q89/q93 pattern.
+    */
+  def q109TruncationDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val planted = docs.filter(col("doc_id") % 13 === 0)
+      .withColumn("t", filter(split(col("text"), " "), x => x =!= ""))
+      .select((col("doc_id") + 20000L).as("doc_id"), lit("planted").as("source"),
+        concat_ws(" ", slice(col("t"), lit(1), expr("size(t) div 2"))).as("text"))
+    truncationDups(docs.unionByName(planted))
+  }
+
   private val Md5 = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
