@@ -128,6 +128,7 @@ object SparkEntry {
     "q108_stream_custom_sessions" ->
       (graft.streaming.EventStream.q108StreamCustomSessions _),
     "q109_truncation_dups" -> (Dedup.q109TruncationDups _),
+    "q110_source_drift" -> (Corpus.q110SourceDrift _),
   )
 
   private val Q58Sql =
@@ -1598,5 +1599,31 @@ object SparkEntry {
         |SELECT c.doc_id, c.source, CAST(len(c.t) AS BIGINT) AS n_tok
         |FROM ct c JOIN (SELECT DISTINCT text FROM fl) f ON f.text = c.text
         |ORDER BY doc_id""".stripMargin,
+    // chi-squared vs the corpus-global top-50 token distribution; each
+    // contribution one fixed IEEE sequence, DECIMAL(25,9) order-free sum
+    "q110_source_drift" ->
+      """WITH t AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |st AS (SELECT source, tok, COUNT(*) AS o FROM t GROUP BY 1, 2),
+        |vocab AS (
+        |  SELECT tok, CAST(SUM(o) AS BIGINT) AS o_t FROM st GROUP BY tok
+        |  ORDER BY o_t DESC, tok LIMIT 50),
+        |srcs AS (SELECT DISTINCT source FROM st),
+        |grid AS (
+        |  SELECT s.source, v.tok, v.o_t, COALESCE(st.o, 0) AS o
+        |  FROM srcs s CROSS JOIN vocab v
+        |  LEFT JOIN st ON st.source = s.source AND st.tok = v.tok),
+        |ns AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_s FROM grid GROUP BY source),
+        |tot AS (SELECT CAST(SUM(o_t) AS BIGINT) AS n FROM vocab)
+        |SELECT g.source, MAX(ns.n_s) AS n_tok_v,
+        |  CAST(SUM(CAST(
+        |    (CAST(g.o AS DOUBLE) - CAST(ns.n_s * g.o_t AS DOUBLE) / CAST(tot.n AS DOUBLE)) *
+        |    (CAST(g.o AS DOUBLE) - CAST(ns.n_s * g.o_t AS DOUBLE) / CAST(tot.n AS DOUBLE)) /
+        |    (CAST(ns.n_s * g.o_t AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |    AS DECIMAL(25,9))) AS DOUBLE) AS chi2,
+        |  CAST(49 AS BIGINT) AS dof
+        |FROM grid g JOIN ns USING (source), tot
+        |GROUP BY g.source ORDER BY g.source""".stripMargin,
   )
 }

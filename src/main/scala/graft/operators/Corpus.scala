@@ -609,6 +609,64 @@ object Corpus {
       .limit(20)
   }
 
+  /** Vocabulary width for the q110 drift statistic (top tokens by
+    * global count, ties by token asc — deterministic on both engines).
+    */
+  val DriftVocab = 50
+
+  /** Per-source token-distribution drift (q110): the chi-squared
+    * statistic of each source's token counts against the corpus-global
+    * distribution over the top-[[DriftVocab]] vocabulary — the
+    * mixture-monitoring gate that catches one source's content
+    * shifting (scraper broke, domain pivoted, dedup over-pruned)
+    * before it skews a training mix. For source s and vocab token t:
+    * expected e = n_s * o_t / n, contribution (o_st - e)^2 / e, summed
+    * over the vocabulary (a source missing a vocab token contributes
+    * e itself — the dense grid below keeps those zero cells).
+    *
+    * Determinism: each contribution is ONE fixed IEEE sequence (one
+    * division for e, subtract, square, divide) on exact integer
+    * inputs, and the cross-term sum quantizes to DECIMAL(25,9) first —
+    * order-free, the q83/q91/q107 contract — so the statistic
+    * hash-matches the SQL.
+    *
+    * Scale shape: one wordcount pass pre-aggregated to (source, tok);
+    * everything after is vocabulary-bounded — the top-V list, the
+    * dense sources x V grid (broadcast cross join), and the final
+    * ~per-source aggregate. The corpus is read once.
+    */
+  def q110SourceDrift(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+    val st = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("o"))
+      .persist() // feeds the vocab ranking AND the grid join; LRU lifetime
+    val vocab = st.groupBy(col("tok")).agg(sum(col("o")).as("o_t"))
+      .orderBy(col("o_t").desc, col("tok"))
+      .limit(DriftVocab)
+    val sources = st.select(col("source")).distinct()
+    // dense grid: every (source, vocab token) cell, zeros kept
+    val grid = sources.crossJoin(broadcast(vocab))
+      .join(st, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"), col("o_t"),
+        coalesce(col("o"), lit(0L)).as("o"))
+      .persist() // feeds totals and the statistic; LRU lifetime
+    val ns = grid.groupBy(col("source")).agg(sum(col("o")).as("n_s"))
+    val n = vocab.agg(sum(col("o_t")).as("n"))
+    val e = (col("n_s") * col("o_t")).cast("double") / col("n").cast("double")
+    val diff = col("o").cast("double") - e
+    grid
+      .join(ns, "source")
+      .crossJoin(broadcast(n))
+      .withColumn("contrib", diff * diff / e)
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tok_v"),
+        sum(col("contrib").cast("decimal(25,9)")).cast("double").as("chi2"))
+      .withColumn("dof", lit(DriftVocab - 1).cast("long"))
+      .orderBy(col("source"))
+  }
+
   /** Count-min sketch relative-error epsilon (est <= exact + eps * N). */
   val CmsEps = 0.001
 

@@ -54,6 +54,25 @@ class CorpusSpec extends SparkSpec {
     assert(got(3L) == ((3L, 4.0 / 3.0, 3.0 / 3.0, 0.0)))
   }
 
+  test("q110 chi-squared: identical sources score ~0, a skewed one dominates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q110fix").toString
+    val balanced = "alpha beta gamma delta " * 25 // identical distribution
+    val skewed = "alpha " * 100                   // all mass on one token
+    ((1 to 5).map(i => (i.toLong, balanced.trim, "en", s"bal$i", 1L)) :+
+      ((99L, skewed.trim, "en", "skew", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Corpus.q110SourceDrift(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("chi2")).toMap
+    val bal = (1 to 5).map(i => got(s"bal$i"))
+    val skew = got("skew")
+    // identical sources deviate from the global mix only because the
+    // skewed source shifts it; the skewed source itself must dominate
+    assert(bal.forall(_ < skew), s"balanced $bal vs skew $skew")
+    assert(skew > 10 * bal.max)
+  }
+
   test("q52 emits exactly 3 ranked terms per source, scores non-increasing") {
     val rows = Corpus.q52TermScores(spark, d).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))
