@@ -657,7 +657,10 @@ object Corpus {
     val e = (col("n_s") * col("o_t")).cast("double") / col("n").cast("double")
     val diff = col("o").cast("double") - e
     grid
-      .join(ns, "source")
+      // one row per source — broadcast-safe by construction (a corpus
+      // has thousands of sources, not millions), and the static hint
+      // keeps the attach off the sort-merge path without waiting on AQE
+      .join(broadcast(ns), "source")
       .crossJoin(broadcast(n))
       .withColumn("contrib", diff * diff / e)
       .groupBy(col("source"))

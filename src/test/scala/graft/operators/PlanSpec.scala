@@ -87,4 +87,28 @@ class PlanSpec extends SparkSpec {
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
     assert(exchanges <= 2, s"q22 plans $exchanges exchanges:\n$p")
   }
+
+  test("q107: the query-term probe broadcasts — the corpus tf frame is never re-shuffled by a join") {
+    val p = plan("q107_bm25_search")
+    // every join in the plan must be broadcast-built (term probe, df
+    // attach, totals); a SortMergeJoin would mean the corpus-sized tf
+    // frame re-exchanged on the probe path. The dl attach join is
+    // allowed either way (slate x per-doc lengths, AQE's call).
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus frame re-shuffled by a sort-merge join:\n$p")
+  }
+
+  test("q109: the successor window is per-bucket, never a single global partition") {
+    val p = plan("q109_truncation_dups")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"),
+      s"q109 planned a global (single-partition) window:\n$p")
+  }
+
+  test("q110: one corpus wordcount with map-side combine; grid joins broadcast") {
+    val p = plan("q110_source_drift")
+    assert(p.contains("partial_count"), p) // the (source, tok) pre-aggregate
+    assert(!p.contains("SortMergeJoin"),
+      s"q110's vocabulary-bounded joins should broadcast:\n$p")
+  }
 }
