@@ -54,6 +54,40 @@ class CorpusSpec extends SparkSpec {
     assert(got(3L) == ((3L, 4.0 / 3.0, 3.0 / 3.0, 0.0)))
   }
 
+  test("q106 randomized differential vs a driver-side n-gram counter") {
+    import spark.implicits._
+    val rng = new scala.util.Random(53)
+    val vocab = Vector("x", "y", "z", "w")
+    val rows = (1 to 40).map { i =>
+      val len = 1 + rng.nextInt(30)
+      (i.toLong, (1 to len).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("q106rand").toString
+    rows.map { case (id, t) => (id, t, "en", "s", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def topFrac(toks: Array[String], n: Int): Double =
+      if (toks.length < n) 0.0
+      else {
+        val m = toks.sliding(n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).values.map(_.size).max
+        (m.toLong * n).toDouble / toks.length.toDouble
+      }
+    val expect = rows.flatMap { case (id, t) =>
+      val toks = t.split(" ").filter(_.nonEmpty)
+      val (f2, f3, f4) = (topFrac(toks, 2), topFrac(toks, 3), topFrac(toks, 4))
+      if (f2 > Corpus.MaxTopGramFrac(2) || f3 > Corpus.MaxTopGramFrac(3)
+        || f4 > Corpus.MaxTopGramFrac(4))
+        Some(id -> ((toks.length.toLong, f2, f3, f4)))
+      else None
+    }.toMap
+    val got = Corpus.q106GramRepetition(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Double]("top2_frac"),
+          r.getAs[Double]("top3_frac"), r.getAs[Double]("top4_frac")))).toMap
+    assert(got == expect)
+  }
+
   test("q110 chi-squared: identical sources score ~0, a skewed one dominates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("q110fix").toString

@@ -65,6 +65,28 @@ class PrefixDupSpec extends SparkSpec {
     assert(got == Set(1L, 2L))
   }
 
+  test("randomized differential vs a brute-force O(n^2) prefix check") {
+    val rng = new scala.util.Random(47)
+    val vocab = Vector("a", "b", "c") // tiny vocab forces shared prefixes
+    for (trial <- 1 to 3) {
+      val bases = (1 to 25).map { i =>
+        val len = 16 + rng.nextInt(10)
+        (i.toLong, (1 to len).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      // plant explicit truncations of a few docs
+      val planted = bases.filter(_._1 % 5 == 0).map { case (id, t) =>
+        val toks = t.split(" ")
+        (id + 100L, toks.take(16 + rng.nextInt(toks.length - 15)).mkString(" "))
+      }
+      val all = bases ++ planted
+      val texts = all.map(_._2).distinct
+      val prefixes = texts.filter(a =>
+        texts.exists(b => b.length > a.length && b.startsWith(a + " "))).toSet
+      val expect = all.filter(r => prefixes(r._2)).map(_._1).toSet
+      assert(run(all) == expect, s"trial $trial diverged")
+    }
+  }
+
   test("q109 binding flags every planted half-length truncation of long docs") {
     val d = "/root/testdata/sf0.001"
     val flagged = Dedup.q109TruncationDups(spark, d)
