@@ -574,8 +574,12 @@ object Dedup {
     val nodes = docRep.select(col("rep").as("p")).distinct()
     val labels = Corpus.connectedComponents(nodes, sym)
 
+    // persisted: the sizes aggregate AND the final attach both read it,
+    // and its lineage includes the whole CC iteration — recomputing that
+    // is the expensive half of the query. LRU lifetime as above.
     val docLabels = docRep.join(labels, docRep("rep") === labels("p"))
       .select(col("doc_id"), col("lbl"))
+      .persist()
     val sizes = docLabels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     // the cluster label IS a doc_id (min-label components over min-id
     // reps), so the split hashes the LABEL doc's content — stable under
