@@ -129,6 +129,7 @@ object SparkEntry {
       (graft.streaming.EventStream.q108StreamCustomSessions _),
     "q109_truncation_dups" -> (Dedup.q109TruncationDups _),
     "q110_source_drift" -> (Corpus.q110SourceDrift _),
+    "q111_salted_join" -> (Skew.q111SaltedJoin _),
   )
 
   private val Q58Sql =
@@ -1625,5 +1626,12 @@ object SparkEntry {
         |  CAST(49 AS BIGINT) AS dof
         |FROM grid g JOIN ns USING (source), tot
         |GROUP BY g.source ORDER BY g.source""".stripMargin,
+    // the PLAIN join: the salted rewrite must be output-identical
+    "q111_salted_join" ->
+      """SELECT o.o_orderstatus, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(1 - l.l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
   )
 }

@@ -44,4 +44,48 @@ object Skew {
       "revenue")
       .select(col("l_suppkey"), col("revenue").cast("double").as("revenue"))
       .orderBy(col("l_suppkey"))
+
+  /** Replication factor for [[saltedJoin]]'s dimension side. */
+  val JoinSalt = 8
+
+  /** Salted equi-join for hot fact keys: the fact side gains a
+    * partition-derived salt, the dimension side replicates once per
+    * salt value, and the join runs on (key, salt) — a single hot key's
+    * rows now spread across `salt` reducers instead of one. The result
+    * SET is provably independent of the salt (every fact row meets
+    * exactly the one dim replica carrying its salt), so salting is a
+    * physical rewrite only — which the q111 oracle (the PLAIN join)
+    * checks bit-for-bit.
+    *
+    * When to reach for it: AQE's skew-join handling re-plans skewed
+    * SORT-MERGE joins at runtime, but cannot help a forced shuffle-hash
+    * path, a streaming join's fixed state partitioning, or a first
+    * stage whose skew only materializes downstream of AQE's stats —
+    * the manual rewrite is the portable form. Cost: `salt` x the
+    * dimension's shuffle volume; keep the dim side the small one.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int = JoinSalt): DataFrame = {
+    require(salt >= 1, s"salt must be positive, got $salt")
+    val f = fact.withColumn("_salt", pmod(spark_partition_id(), lit(salt)))
+    val dRep = dim.withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
+    f.join(dRep, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Driver binding (q111): lineitem joined to orders through the
+    * salted rewrite, rolled up per order status with DECIMAL-exact
+    * revenue. Oracle: the plain join + GROUP BY — identical output is
+    * the operator's entire contract.
+    */
+  def q111SaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount")).cast(DecimalType(8, 2))).as("rev"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    saltedJoin(li, ord, "l_orderkey")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
 }

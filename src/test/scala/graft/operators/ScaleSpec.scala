@@ -95,6 +95,25 @@ class ScaleSpec extends SparkSpec {
     assert(got == plain)
   }
 
+  test("salted join equals the plain join row-for-row, and spreads the dim x salt") {
+    val li = Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_quantity"))
+    val ord = Tables.orders(spark, d)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    val salted = Skew.saltedJoin(li, ord, "l_orderkey")
+    val plain = li.join(ord, "l_orderkey")
+    // identical multiset of rows: the salt is a physical rewrite only
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("l_orderkey"), col("l_quantity"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(_.toSeq).toSet
+    assert(key(salted) == key(plain))
+    // the dim side replicates once per salt value (Generate/explode in
+    // the plan) and the join condition carries the salt column
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("Generate explode"), p)
+    assert(p.contains("_salt"), p)
+  }
+
   test("LSH hot buckets are dropped before pair generation") {
     import spark.implicits._
     // one hot bucket with 200 members (naively 19,900 pairs) and one
