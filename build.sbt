@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes straight to stdout, UNPREFIXED — sbt's
+// default LoggedOutput wraps every line in "[info] ", which is what
+// kept the Bench contract line from machine-parsing (r8 artifact:
+// "parsed": null). StdoutOutput makes the final JSON line bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

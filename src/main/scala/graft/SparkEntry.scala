@@ -1576,7 +1576,8 @@ object SparkEntry {
       """WITH corpus AS (
         |  SELECT doc_id, source, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 20000 AS doc_id, 'planted' AS source,
+        |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+        |    'planted' AS source,
         |    array_to_string(t[1:(len(t) // 2)], ' ') AS text
         |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         |        FROM documents)
@@ -1599,7 +1600,7 @@ object SparkEntry {
         |    AND substr(nxt, length(text) + 1, 1) = ' ')
         |SELECT c.doc_id, c.source, CAST(len(c.t) AS BIGINT) AS n_tok
         |FROM ct c JOIN (SELECT DISTINCT text FROM fl) f ON f.text = c.text
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id, source""".stripMargin,
     // chi-squared vs the corpus-global top-50 token distribution; each
     // contribution one fixed IEEE sequence, DECIMAL(25,9) order-free sum
     "q110_source_drift" ->
@@ -1619,9 +1620,11 @@ object SparkEntry {
         |tot AS (SELECT CAST(SUM(o_t) AS BIGINT) AS n FROM vocab)
         |SELECT g.source, MAX(ns.n_s) AS n_tok_v,
         |  CAST(SUM(CAST(
+        |    CASE WHEN CAST(ns.n_s * g.o_t AS DOUBLE) / CAST(tot.n AS DOUBLE) > 0 THEN
         |    (CAST(g.o AS DOUBLE) - CAST(ns.n_s * g.o_t AS DOUBLE) / CAST(tot.n AS DOUBLE)) *
         |    (CAST(g.o AS DOUBLE) - CAST(ns.n_s * g.o_t AS DOUBLE) / CAST(tot.n AS DOUBLE)) /
         |    (CAST(ns.n_s * g.o_t AS DOUBLE) / CAST(tot.n AS DOUBLE))
+        |    ELSE 0.0 END
         |    AS DECIMAL(25,9))) AS DOUBLE) AS chi2,
         |  CAST(49 AS BIGINT) AS dof
         |FROM grid g JOIN ns USING (source), tot

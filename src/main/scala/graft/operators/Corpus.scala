@@ -662,7 +662,12 @@ object Corpus {
       // keeps the attach off the sort-merge path without waiting on AQE
       .join(broadcast(ns), "source")
       .crossJoin(broadcast(n))
-      .withColumn("contrib", diff * diff / e)
+      // e = 0 only when n_s = 0 (a source with zero vocab-token
+      // occurrences): every cell is then 0/0. Pin that pathological
+      // case to contrib = 0 on BOTH sides — Spark would NaN->NULL via
+      // the DECIMAL cast while DuckDB errors on CAST(NaN AS DECIMAL),
+      // so without the guard the two engines fail differently.
+      .withColumn("contrib", when(e > lit(0.0), diff * diff / e).otherwise(lit(0.0)))
       .groupBy(col("source"))
       .agg(max(col("n_s")).as("n_tok_v"),
         sum(col("contrib").cast("decimal(25,9)")).cast("double").as("chi2"))

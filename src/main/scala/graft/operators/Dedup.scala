@@ -798,14 +798,20 @@ object Dedup {
     * sequence is a strict prefix of another document's — the
     * same-page-cut-off-at-different-lengths artifact that exact dedup
     * (q19) misses (different hashes) and Jaccard dedup under-scores
-    * (a 10% prefix has ~10% Jaccard). Detection is EXACT above the
+    * (a 10% prefix has ~10% Jaccard). Detection is EXACT — conditional
+    * on single-space-joined token text whose characters sort above
+    * 0x20 (printable ASCII and everything higher; the successor test
+    * is char-level, so irregular whitespace or sub-space control
+    * characters void the guarantee below) — above the
     * [[MinPrefixTokens]] floor via the sorted-adjacency lemma: if A ≤
     * B ≤ C lexicographically and A is a char-prefix of C, A is a
     * char-prefix of B — so a doc is a prefix of SOME doc iff it is a
     * prefix of its immediate lexicographic successor; and because a
-    * space (0x20) sorts below every token character, a token-boundary
-    * extension sorts before char-glued extensions, making the
-    * successor check's boundary test complete, not just sound.
+    * space (0x20) then sorts below every token character, a
+    * token-boundary extension sorts before char-glued extensions,
+    * making the successor check's boundary test complete, not just
+    * sound. Callers with untrusted whitespace should pre-normalize
+    * (`concat_ws(" ", filter(split(text, " "), _ =!= ""))`).
     *
     * Scale shape: distinct texts bucket by the md5 of their first
     * [[MinPrefixTokens]] tokens (any prefix pair shares that key, so
@@ -836,20 +842,30 @@ object Dedup {
       .withColumn("h", md5(col("text").cast("binary")))
       .join(flagged, Seq("h"), "left_semi")
       .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tok"))
-      .orderBy(col("doc_id"))
+      // source in the sort: planted ids are collision-free by
+      // construction (q109 derives the shift from max(doc_id)), but
+      // generic callers may feed id ties and the output contract is a
+      // total order either way
+      .orderBy(col("doc_id"), col("source"))
   }
 
   /** Driver binding (q109): [[truncationDups]] over the corpus plus
     * PLANTED half-length truncations (every `doc_id % 13 == 0` doc
     * re-enters as its first `n/2` tokens under a shifted id) — the
     * synthetic corpus has no natural prefix dups, so the planted rows
-    * make the driver check non-vacuous, the q89/q93 pattern.
+    * make the driver check non-vacuous, the q89/q93 pattern. The id
+    * shift is `max(doc_id) + 1` measured from the fixture (one
+    * broadcast scalar, same subquery in the oracle) rather than a
+    * constant, so planted ids can never collide with real ones at any
+    * scale factor.
     */
   def q109TruncationDups(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val shift = docs.agg((max(col("doc_id")) + 1L).as("shift"))
     val planted = docs.filter(col("doc_id") % 13 === 0)
       .withColumn("t", filter(split(col("text"), " "), x => x =!= ""))
-      .select((col("doc_id") + 20000L).as("doc_id"), lit("planted").as("source"),
+      .crossJoin(broadcast(shift))
+      .select((col("doc_id") + col("shift")).as("doc_id"), lit("planted").as("source"),
         concat_ws(" ", slice(col("t"), lit(1), expr("size(t) div 2"))).as("text"))
     truncationDups(docs.unionByName(planted))
   }

@@ -63,9 +63,20 @@ object Skew {
     * stage whose skew only materializes downstream of AQE's stats —
     * the manual rewrite is the portable form. Cost: `salt` x the
     * dimension's shuffle volume; keep the dim side the small one.
+    *
+    * Caveats: inputs must not already carry a `_salt` column
+    * (withColumn would silently replace the fact's and the join key
+    * would collide with the dim's — rejected eagerly below); and
+    * because the salt derives from `spark_partition_id`, a hot key
+    * spreads across at most as many reducers as INPUT partitions
+    * contain it — a hot key confined to few input partitions gets
+    * less than `salt`-way spreading (use a repartitioned fact or a
+    * random salt when that matters).
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int = JoinSalt): DataFrame = {
     require(salt >= 1, s"salt must be positive, got $salt")
+    require(!fact.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "saltedJoin reserves the _salt column; rename it on the input first")
     val f = fact.withColumn("_salt", pmod(spark_partition_id(), lit(salt)))
     val dRep = dim.withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
     f.join(dRep, Seq(key, "_salt")).drop("_salt")

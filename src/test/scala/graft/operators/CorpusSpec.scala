@@ -107,6 +107,24 @@ class CorpusSpec extends SparkSpec {
     assert(skew > 10 * bal.max)
   }
 
+  test("q110: a source with zero vocab-token mass scores chi2 = 0, not NaN/NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q110empty").toString
+    // 60 distinct heavy tokens crowd the top-50 vocab; the "ghost"
+    // source's tokens all rank below it, so its n_s = 0 and every
+    // expected count e = 0 — the 0/0 case the guard must pin to 0
+    val heavy = (1 to 60).map(i => f"tok$i%02d " * (60 - i + 2)).mkString.trim
+    val rows = (1 to 3).map(i => (i.toLong, heavy, "en", "bulk", 1L)) :+
+      ((99L, "zzz yyy xxx", "en", "ghost", 1L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Corpus.q110SourceDrift(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        Option(r.getAs[java.lang.Double]("chi2"))).toMap
+    assert(got("ghost").contains(0.0), s"ghost chi2 = ${got("ghost")}")
+    assert(got("bulk").exists(v => !v.isNaN))
+  }
+
   test("q52 emits exactly 3 ranked terms per source, scores non-increasing") {
     val rows = Corpus.q52TermScores(spark, d).collect()
     val bySource = rows.groupBy(_.getAs[String]("source"))

