@@ -130,6 +130,8 @@ object SparkEntry {
     "q109_truncation_dups" -> (Dedup.q109TruncationDups _),
     "q110_source_drift" -> (Corpus.q110SourceDrift _),
     "q111_salted_join" -> (Skew.q111SaltedJoin _),
+    "q112_kcore_full" -> (Corpus.q112KCoreFull _),
+    "q113_approx_profile" -> (Relational.q113ApproxProfile _),
   )
 
   private val Q58Sql =
@@ -1636,5 +1638,33 @@ object SparkEntry {
         |    CAST(1 - l.l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
         |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
+    // the FIXPOINT 3-core, oracled by unrolling peel rounds PAST
+    // convergence: peeling shrinks monotonically, so once the alive
+    // set stabilizes every deeper unroll is bit-identical — 8 rounds
+    // vs the ~3 the driver-scale graph needs (KCoreSpec pins the bound)
+    "q112_kcore_full" -> {
+      val rounds = Corpus.Q112OracleRounds
+      val head =
+        """WITH hi AS (
+          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 49),
+          |p AS (
+          |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          |  FROM hi a JOIN hi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+          |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+          |n0 AS (SELECT DISTINCT src AS v FROM e)""".stripMargin
+      val legs = (1 to rounds).map { i =>
+        s"""d$i AS (SELECT e.src AS v, COUNT(*) AS deg FROM e
+           |       WHERE e.src IN (SELECT v FROM n${i - 1}) AND e.dst IN (SELECT v FROM n${i - 1})
+           |       GROUP BY e.src),
+           |n$i AS (SELECT v FROM d$i WHERE deg >= 3)""".stripMargin
+      }
+      val tail =
+        s"""dfin AS (SELECT e.src AS v, COUNT(*) AS deg FROM e
+           |       WHERE e.src IN (SELECT v FROM n$rounds) AND e.dst IN (SELECT v FROM n$rounds)
+           |       GROUP BY e.src)
+           |SELECT v AS l_partkey, CAST(deg AS BIGINT) AS core_degree
+           |FROM dfin ORDER BY l_partkey""".stripMargin
+      (head +: legs :+ tail).mkString(",\n")
+    },
   )
 }

@@ -518,20 +518,30 @@ object Corpus {
     // the MEASURED count fits — AQE handles the un-hinted rounds
     def induced(alive: DataFrame, n: Long): DataFrame =
       kCoreInduced(e, if (n <= MaxBroadcastAlive) broadcast(alive) else alive)
-    var alive = e.select(col("src").as("v")).distinct().persist()
+    // Each round's alive frame is LINEAGE-TRUNCATED (eager
+    // localCheckpoint -> LogicalRDD), not merely persisted: the
+    // induced join references `alive` twice, so without truncation the
+    // logical plan DOUBLES per round — by round 8 the 2^8-subtree plan
+    // OOMs the driver just STRINGIFYING for the SQL listener, the
+    // classic iterative-lineage failure (GraphX Pregel checkpoints for
+    // the same reason). The checkpoint also materializes the round, so
+    // the convergence count() below reads cached node-sized blocks.
+    // On a multi-executor cluster swap in reliable checkpointing if
+    // executor loss during the loop must be survivable.
+    var alive = e.select(col("src").as("v")).distinct().localCheckpoint(true)
     var aliveN = alive.count()
     var round = 0
     var converged = false
     while (round < rounds && !converged) {
       round += 1
-      val prev = alive
       val prevN = aliveN
-      alive = induced(prev, prevN)
+      alive = induced(alive, prevN)
         .filter(col("deg") >= k)
         .select(col("src").as("v"))
-        .persist()
-      aliveN = alive.count() // materialize before releasing the parent round
-      prev.unpersist(blocking = false)
+        .localCheckpoint(true) // eager: materialize + truncate lineage
+      aliveN = alive.count()
+      // prior rounds' checkpoint blocks are released by the context
+      // cleaner once unreferenced — node-sized frames, bounded residue
       converged = toFixpoint && aliveN == prevN
     }
     // materialize the node-sized result BEFORE releasing the caches it
@@ -563,6 +573,35 @@ object Corpus {
       .select(col("v").as("l_partkey"), col("core_degree"))
       .orderBy(col("l_partkey"))
   }
+
+  /** Driver binding (q112): [[kCoreFull]] — the FIXPOINT 3-core of the
+    * q96 co-purchase graph, i.e. the production form callers actually
+    * want (invariant to extra rounds, Seidman's true core). Oracled by
+    * peel rounds unrolled PAST convergence: peeling is monotone
+    * shrinking, so once the alive set stabilizes every deeper unroll
+    * is bit-identical — the SQL unrolls [[Q112OracleRounds]] rounds,
+    * comfortably past the ~3 the graph needs at driver scale, making
+    * the fixpoint exactly checkable without recursive SQL.
+    */
+  def q112KCoreFull(s: SparkSession, d: String): DataFrame = {
+    val hi = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = LshJoin.exactBucketPairs(hi, "l_partkey",
+      LshJoin.MaxBucket, "l_orderkey")
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    kCoreFull(edges, k = 3)
+      .select(col("v").as("l_partkey"), col("core_degree"))
+      .orderBy(col("l_partkey"))
+  }
+
+  /** Unroll depth of q112's oracle — must exceed the peel rounds the
+    * driver-scale graph needs to converge (~3 at sf0.01; KCoreSpec
+    * asserts convergence within this bound so a fixture change that
+    * slows convergence fails a SPEC, not the driver hash).
+    */
+  val Q112OracleRounds = 8
 
   /** Association rules over co-purchase baskets (q104): for every
     * directed part pair, support (baskets containing both) and

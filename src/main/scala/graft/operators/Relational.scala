@@ -644,6 +644,16 @@ object Relational {
   def q99ProfileTable(s: SparkSession, d: String): DataFrame =
     profileTable(Tables.lineitem(s, d), LineitemProfileCols)
 
+  /** Driver binding (q113): [[approxProfileTable]] over the same
+    * pinned lineitem columns as q99 — the one-pass HLL++ scale mode
+    * production callers reach for first, now exercised under the
+    * driver instead of only ScalaTest. Approximate by design ->
+    * rows-only; ApproxSpec pins the rsd error envelope against the
+    * exact q99 and the driver pins rows == column count.
+    */
+  def q113ApproxProfile(s: SparkSession, d: String): DataFrame =
+    approxProfileTable(Tables.lineitem(s, d), LineitemProfileCols)
+
   /** Histogram drift between table versions (q100): L1 distance of the
     * order-value distribution, current vs [[nextOrdersSnapshot]], in
     * $50k buckets — the monitoring gate that catches a bad ingest

@@ -120,5 +120,15 @@ class KCoreSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(r4.nonEmpty)
     assert(r4 == r5)
+
+    // q112's oracle bet: the FIXPOINT equals the unrolled peel at the
+    // oracle's depth — if a fixture change ever slows convergence past
+    // Q112OracleRounds, this spec fails before the driver hash does
+    val full = Corpus.kCoreFull(edges, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val atOracleDepth = Corpus.kCorePeel(edges, 3, Corpus.Q112OracleRounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == atOracleDepth)
+    assert(full == r4)
   }
 }
