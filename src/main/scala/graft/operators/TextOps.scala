@@ -324,13 +324,61 @@ object TextOps {
     * query term set broadcasts into it, so the corpus never re-shuffles
     * for probing; per-term stats attach broadcast; the only exchange
     * after the slate is the (query, doc) score aggregate and a
-    * per-query top-k window over slate-sized frames. Cost is bounded
-    * by the matched posting volume — at 100 TB the next step is
-    * max-score/WAND-style posting pruning, which drops low-idf terms
-    * whose maximum contribution cannot reach the current top-k floor.
+    * per-query top-k window over slate-sized frames.
+    *
+    * Posting pruning (max-score, Turtle & Flood '95 / WAND Broder '03):
+    * scoring every posting of every query term lets one low-idf
+    * stopword term dominate cost at scale. Instead, per query:
+    * (1) ub(t) = 2.2 * idf(t) * (1+1e-9) upper-bounds any posting's
+    *     contribution (the tf fraction saturates below k1+1 = 2.2 for
+    *     every tf and dl; the margin absorbs IEEE/decimal rounding);
+    * (2) a floor θ = the top-k'th single-term score over ONLY the
+    *     highest-ub term's postings — every doc's full score is ≥ its
+    *     single-term score, so θ lower-bounds the true k'th score;
+    * (3) terms whose ub-ascending cumulative sum stays under θ (minus
+    *     a 1e-6 absolute slack) are NONESSENTIAL: a doc matching only
+    *     those cannot reach θ, hence cannot enter the top k;
+    * (4) candidate docs = docs matching >= 1 ESSENTIAL term; only
+    *     candidates are scored (over ALL their matched terms, so
+    *     surviving scores are bit-identical to unpruned scoring).
+    * The pruning is provably lossless — Bm25Spec pins pruned ==
+    * unpruned on a stopword-heavy fixture and the driver hash-match
+    * stays the proof at sf0.01. Candidate volume is bounded by the
+    * ESSENTIAL posting volume (high-idf = short postings — the whole
+    * point of max-score), so the candidate set broadcasts.
+    *
+    * The pruning is engaged by a MEASURED guard, the q96 pattern: its
+    * three extra broadcast rounds (θ seed, essential split, candidate
+    * set) cost fixed scheduling latency, which at small posting volume
+    * exceeds what pruning saves. The exact matched-posting volume is
+    * Σ df over query terms — free off the driver-collected df slate —
+    * and only volumes past [[Bm25PruneMinPostings]] take the pruned
+    * path; the semantics are identical either way (Bm25Spec proves
+    * it), so the guard swaps PLANS, never answers.
     */
-  def q107Bm25Search(s: SparkSession, d: String): DataFrame = {
+  def q107Bm25Search(s: SparkSession, d: String): DataFrame =
+    bm25Build(s, d, forcePrune = None).ranked
+
+  /** Matched-posting volume (Σ df over query terms) above which
+    * max-score pruning pays for its extra broadcast rounds. ~50M
+    * postings ~ a few GB through the score aggregate — the regime
+    * where dropping nonessential-only docs dominates three extra
+    * ~100ms scheduling rounds.
+    */
+  val Bm25PruneMinPostings = 50000000L
+
+  /** BM25 internals seam: `essential` / `candidates` exist for
+    * Bm25Spec to assert the pruning structure; `forcePrune` overrides
+    * the volume guard — Some(false) is the reference path (score every
+    * posting) the spec proves the pruned path equal to.
+    */
+  private[operators] final case class Bm25Parts(
+      essential: DataFrame, candidates: DataFrame, ranked: DataFrame)
+
+  private[operators] def bm25Build(
+      s: SparkSession, d: String, forcePrune: Option[Boolean]): Bm25Parts = {
     import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     // one explode pass, pre-aggregated to (tok, doc) counts: tf, df and
     // dl all derive from this frame. Lifetime: LRU/clearCache (lazily
@@ -350,27 +398,85 @@ object TextOps {
 
     // document frequency only for the QUERY terms: semi-join the (tok,
     // doc) frame down to them first, so the df aggregate shuffles ~40
-    // terms' postings instead of the full corpus vocabulary
-    val dfq = tf
+    // terms' postings instead of the full corpus vocabulary — then
+    // COLLECTED (bounded by the query-term count, ~40 rows) so Σ df
+    // prices the matched volume for the pruning guard and the slate
+    // re-enters every join as a LocalRelation broadcast, costing no
+    // further distributed rounds
+    val dfqRows = tf
       .join(broadcast(qterms.select(col("tok")).distinct()), Seq("tok"), "left_semi")
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val matchedVolume = dfqRows.map(_._2).sum
+    val prune = forcePrune.getOrElse(matchedVolume >= Bm25PruneMinPostings)
+    val dfq = dfqRows.toDF("tok", "df")
 
-    val hits = tf
-      .join(broadcast(qterms), "tok") // probe side tiny: corpus tf never re-shuffles
-      .join(broadcast(dfq), "tok")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(totals))
-
+    // ONE fixed IEEE sequence per posting, shared verbatim by the θ
+    // seeding pass and the final scoring pass (and mirrored in SQL)
     val norm = (col("dl") * col("n_docs")).cast("double") / col("l_total").cast("double")
     val idf = (lit(2) * (col("n_docs") - col("df")) + 1).cast("double") /
       (lit(2) * col("df") + 1).cast("double")
     val sterm = idf * ((col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * norm)))
 
+    // matched postings — the ONLY corpus-wide pass: tf restricted to
+    // query terms with sterm precomputed, persisted so the θ seed, the
+    // candidate pass and the final scoring all read this (query-term-
+    // bounded) frame instead of re-scanning the corpus tf. Lifetime:
+    // LRU/clearCache, the tf contract above.
+    val matched = tf
+      .join(broadcast(qterms), "tok") // probe side tiny: corpus tf never re-shuffles
+      .join(broadcast(dfq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("sterm", sterm)
+      .persist()
+
+    val (essential, candidates, hits) = if (!prune)
+      (qterms.limit(0), matched.select(col("query_id"), col("doc_id")).limit(0), matched)
+    else {
+      // per-term stats slate: (query_id, tok, ub) — slate-sized
+      val ub = (idf * lit(2.2) * lit(1.0 + 1e-9)).as("ub")
+      val terms = qterms.join(broadcast(dfq), "tok")
+        .crossJoin(broadcast(totals))
+        .select(col("query_id"), col("tok"), ub)
+
+      // θ floor: exact single-term scores over ONLY the top-ub term's
+      // postings (self excluded, same decimal space as final scores)
+      val topTerm = terms
+        .withColumn("_r", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("ub").desc, col("tok"))))
+        .filter(col("_r") === 1).select(col("query_id"), col("tok"))
+      val theta = matched.join(broadcast(topTerm), Seq("query_id", "tok"), "left_semi")
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("sterm").cast("decimal(20,9)").as("sdec"))
+        .withColumn("_r", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("sdec").desc)))
+        .filter(col("_r") === lit(Bm25TopK))
+        .select(col("query_id"), col("sdec").cast("double").as("theta"))
+
+      // max-score partition: ub-ascending prefix whose sum cannot
+      // reach θ is nonessential; no θ (under k seed postings) -> all
+      // terms essential and the path degrades to exactly unpruned
+      val cumUb = sum(col("ub")).over(
+        Window.partitionBy(col("query_id")).orderBy(col("ub").asc, col("tok"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      val ess = terms.join(broadcast(theta), Seq("query_id"), "left")
+        .withColumn("_cum", cumUb)
+        .filter(col("theta").isNull || (col("_cum") + lit(1e-6) >= col("theta")))
+        .select(col("query_id"), col("tok"))
+
+      // candidates: docs matching >= 1 essential term of that query;
+      // bounded by the essential (high-idf, short) posting volume
+      val cand = matched.join(broadcast(ess), Seq("query_id", "tok"), "left_semi")
+        .select(col("query_id"), col("doc_id")).distinct()
+
+      (ess, cand, matched.join(broadcast(cand), Seq("query_id", "doc_id"), "left_semi"))
+    }
+
     val byScore = Window.partitionBy(col("query_id"))
       .orderBy(col("score_dec").desc, col("doc_id"))
-    hits
-      .withColumn("sterm", sterm)
+    val ranked = hits
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("sterm").cast("decimal(20,9)")).as("score_dec"),
         count(lit(1)).as("n_terms"))
@@ -380,5 +486,6 @@ object TextOps {
       .select(col("query_id"), col("rnk"), col("doc_id"),
         col("score_dec").cast("double").as("score"), col("n_terms"))
       .orderBy(col("query_id"), col("rnk"))
+    Bm25Parts(essential, candidates, ranked)
   }
 }

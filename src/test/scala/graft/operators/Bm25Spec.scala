@@ -52,6 +52,33 @@ class Bm25Spec extends SparkSpec {
     assert(s1 < 5 * s2) // ...but sublinearly (k1 saturation)
   }
 
+  test("max-score pruning: stopword-only docs never become candidates, ranking unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25wand").toString
+    // probe 0 queries {stop, rare}: "stop" matches all 30 docs (low
+    // idf), "rare" matches 8. With k=5 the θ floor from rare's own
+    // postings exceeds stop's total upper bound, so stop must fall in
+    // the nonessential partition and the 22 stop-only docs must never
+    // be scored — while the output stays bit-identical to unpruned.
+    val rows = Seq((0L, "stop rare")) ++
+      (1L to 7L).map(i => (i, s"stop rare f$i g$i")) ++
+      (8L to 29L).map(i => (i, s"stop h$i j$i k$i"))
+    write(dir, rows)
+    val pruned = TextOps.bm25Build(spark, dir, forcePrune = Some(true))
+    val full = TextOps.bm25Build(spark, dir, forcePrune = Some(false))
+    val ess = pruned.essential.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[String]("tok"))).toSet
+    assert(ess == Set((0L, "rare")), s"essential partition: $ess")
+    val cand = pruned.candidates.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))).toSet
+    assert(cand == (0L to 7L).map((0L, _)).toSet, s"candidates: $cand")
+    assert(pruned.ranked.collect().toSeq.map(_.toSeq) ==
+      full.ranked.collect().toSeq.map(_.toSeq))
+    // the volume-guarded binding (direct path at fixture scale) agrees
+    // with both forced paths — the guard swaps plans, never answers
+    assert(TextOps.q107Bm25Search(spark, dir).collect().toSeq.map(_.toSeq) ==
+      full.ranked.collect().toSeq.map(_.toSeq))
+  }
+
   test("per-query slates hold at most topK rows, self excluded, ranks dense") {
     val dir = java.nio.file.Files.createTempDirectory("bm25k").toString
     write(dir, (0L to 20L).map(i => (i, s"shared t$i u$i v$i")))
