@@ -132,6 +132,7 @@ object SparkEntry {
     "q111_salted_join" -> (Skew.q111SaltedJoin _),
     "q112_kcore_full" -> (Corpus.q112KCoreFull _),
     "q113_approx_profile" -> (Relational.q113ApproxProfile _),
+    "q114_bpe_merges" -> (Curation.q114BpeMerges _),
   )
 
   private val Q58Sql =
@@ -1665,6 +1666,39 @@ object SparkEntry {
            |SELECT v AS l_partkey, CAST(deg AS BIGINT) AS core_degree
            |FROM dfin ORDER BY l_partkey""".stripMargin
       (head +: legs :+ tail).mkString(",\n")
+    },
+    // BPE training unrolled: one (pair-count, argmax, rewrite) CTE
+    // triple per merge round; the " sym "-block encoding makes the
+    // greedy leftmost merge a plain replace() on both engines
+    "q114_bpe_merges" -> {
+      val m = Curation.BpeMerges
+      val head =
+        """WITH wf AS (
+          |  SELECT w, COUNT(*) AS freq FROM (
+          |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+          |    FROM documents)
+          |  WHERE regexp_matches(w, '^[a-z]+$')
+          |  GROUP BY w),
+          |w0 AS (
+          |  SELECT ' ' || array_to_string([w[i:i] for i in range(1, length(w)+1)], '  ') || ' ' AS seq, freq
+          |  FROM wf)""".stripMargin
+      val rounds = (1 to m).map { r =>
+        s"""p$r AS (
+           |  SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS pr, freq
+           |    FROM (SELECT string_split(trim(seq), '  ') AS l, freq FROM w${r - 1}))
+           |  GROUP BY pr),
+           |b$r AS (SELECT CAST($r AS BIGINT) AS merge_rank, pr AS pair, cnt
+           |        FROM p$r ORDER BY cnt DESC, pr ASC LIMIT 1),
+           |w$r AS (
+           |  SELECT replace(seq,
+           |    ' ' || replace(pair, ' ', '  ') || ' ',
+           |    ' ' || replace(pair, ' ', '') || ' ') AS seq, freq
+           |  FROM w${r - 1}, b$r)""".stripMargin
+      }
+      val tail = (1 to m).map(r => s"SELECT merge_rank, pair, cnt FROM b$r")
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_rank")
+      (head +: rounds).mkString(",\n") + tail
     },
   )
 }

@@ -644,6 +644,87 @@ object Curation {
   def q66PairCounts(s: SparkSession, d: String): DataFrame =
     pairCounts(Tables.documents(s, d).select(col("text")))
 
+  /** Merge rounds for the q114 BPE-training binding. Real tokenizers
+    * train ~32k merges; each round here is two vocab-bounded jobs, so
+    * the driver binding trains a demonstrative 10 — the loop shape is
+    * the deliverable, its depth a parameter.
+    */
+  val BpeMerges = 10
+
+  /** Iterative BPE merge training (Sennrich et al. ACL '16 §3.2) —
+    * the full tokenizer-training loop q66 computes one step of:
+    * repeat `merges` times { count adjacent symbol pairs; merge the
+    * most frequent (ties: pair asc) everywhere }, emitting the merge
+    * table (rank, pair, count) that IS a trained BPE tokenizer.
+    *
+    * Scale shape — the reason BPE trains at 100 TB: the corpus is
+    * read ONCE to build the word-frequency dictionary ([a-z]+ words;
+    * tokenizer prefilter), and every round after runs on that
+    * VOCAB-BOUNDED dict: one flatMap+sum pair count (shuffle = one row
+    * per distinct pair), one 1-row collect (the argmax), one per-row
+    * merge rewrite, lineage-truncated per round (the kCore
+    * localCheckpoint pattern). Nothing corpus-sized ever re-moves.
+    * Production trainers amortize further by batching non-interacting
+    * merges per round; the per-round primitive is identical.
+    *
+    * Merge semantics — pinned to be ORACLE-REPRODUCIBLE in SQL: each
+    * word's segmentation is the concatenation of `" sym "` blocks
+    * (double spaces between symbols, single at the ends), and merging
+    * pair (a,b) is the plain string replace of `" a  b "` with
+    * `" ab "` — leftmost, non-overlapping, exactly BPE's greedy merge
+    * order, with the block invariant self-restoring (each replacement
+    * re-contributes one boundary space on each side). Both engines'
+    * `replace` share these semantics, so the merge table hash-matches.
+    * Pair COUNTS weight overlapping adjacencies per occurrence
+    * (Sennrich's get_stats convention: "aaa" has two "a a" pairs).
+    */
+  def bpeMerges(docs: DataFrame, merges: Int = BpeMerges): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(merges >= 1)
+    var dict = docs.select(col("text")).as[String]
+      .flatMap(t => t.split(" ").iterator
+        .filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z')))
+      .toDF("w")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (" " + w.map(_.toString).mkString("  ") + " ", f) }
+      .toDF("seq", "freq")
+      .localCheckpoint(true) // materialize the dict; truncate corpus lineage
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < merges && !exhausted) {
+      r += 1
+      val best = dict.as[(String, Long)]
+        .flatMap { case (seq, f) =>
+          val l = seq.trim.split("  ")
+          (0 until l.length - 1).iterator.map(i => (l(i) + " " + l(i + 1), f))
+        }
+        .toDF("pair", "freq")
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // all words single-symbol
+      else {
+        val pair = best(0).getString(0)
+        acc += ((r.toLong, pair, best(0).getLong(1)))
+        val Array(a, b) = pair.split(" ")
+        dict = dict
+          .withColumn("seq", replace(col("seq"), lit(s" $a  $b "), lit(s" $a$b ")))
+          .localCheckpoint(true) // per-round lineage truncation
+      }
+    }
+    acc.toSeq.toDF("merge_rank", "pair", "cnt").orderBy(col("merge_rank"))
+  }
+
+  /** Driver binding (q114): the BPE merge table over the corpus.
+    * Oracle: the same rounds unrolled in SQL (generated, one
+    * pair-count + argmax + rewrite CTE triple per merge).
+    */
+  def q114BpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeMerges(Tables.documents(s, d).select(col("text")))
+
   /** Minimum pair count for a [[pmiScores]] collocation (rare pairs
     * have unstable PMI; 5 is the classic collocation-stats floor).
     */

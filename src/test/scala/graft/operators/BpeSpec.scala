@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.mr.SparkSpec
+
+/** Iterative BPE merge training (q114). The driver hash-matches the
+  * merge table against the unrolled SQL; these fixtures pin the
+  * SEMANTICS on a hand-computed corpus (the Sennrich '16 example
+  * family) — greedy leftmost merge application, overlap counting,
+  * deterministic tie-breaks — which the oracle equality alone can't
+  * distinguish from a shared bug.
+  */
+class BpeSpec extends SparkSpec {
+
+  private def corpus(rows: Seq[String]) = {
+    import spark.implicits._
+    rows.toDF("text")
+  }
+
+  private def run(rows: Seq[String], merges: Int): Seq[(Long, String, Long)] =
+    Curation.bpeMerges(corpus(rows), merges).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("pair"),
+        r.getAs[Long]("cnt"))).toSeq
+
+  test("hand-computed merge table on the classic low/lower/newest/widest corpus") {
+    // freqs: low 5, lower 2, newest 6, widest 3.
+    // round 1: "e s" and "s t" tie at 9 -> pair-asc picks "e s"
+    // round 2: "es t" 9  round 3: "l o"/"o w" tie at 7 -> "l o"
+    // round 4: "lo w" 7  round 5: "e w"/"n e"/"w est" tie at 6 -> "e w"
+    val docs = Seq(
+      "low low low low low",
+      "lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest")
+    assert(run(docs, 5) == Seq(
+      (1L, "e s", 9L),
+      (2L, "es t", 9L),
+      (3L, "l o", 7L),
+      (4L, "lo w", 7L),
+      (5L, "e w", 6L)))
+  }
+
+  test("greedy leftmost application: 'aaaa' merges to two 'aa', 'aaa' to one") {
+    // round 1 counts: "a a" = 3 (aaaa, overlapping) + 2 (aaa) = 5;
+    // application is non-overlapping leftmost, so round 2 sees
+    // aaaa -> aa|aa ("aa aa" = 1) and aaa -> aa|a ("aa a" = 1)
+    val docs = Seq("aaaa aaa")
+    val got = run(docs, 2)
+    assert(got.head == ((1L, "a a", 5L)))
+    // round 2: tie "aa a" vs "aa aa" at 1 -> "aa a" wins pair-asc
+    assert(got(1) == ((2L, "aa a", 1L)))
+  }
+
+  test("non-[a-z] words are excluded from the dictionary") {
+    val docs = Seq("abc Abc a1c abc!  abc abc")
+    val got = run(docs, 1)
+    // only the three clean "abc" occurrences count: "b c"/"a b" tie at
+    // 3, pair-asc picks "a b"
+    assert(got == Seq((1L, "a b", 3L)))
+  }
+
+  test("merge table is exhausted gracefully when words go single-symbol") {
+    val docs = Seq("ab ab")
+    val got = run(docs, 5)
+    assert(got == Seq((1L, "a b", 2L))) // one merge possible, then stop
+  }
+}
