@@ -133,6 +133,7 @@ object SparkEntry {
     "q112_kcore_full" -> (Corpus.q112KCoreFull _),
     "q113_approx_profile" -> (Relational.q113ApproxProfile _),
     "q114_bpe_merges" -> (Curation.q114BpeMerges _),
+    "q115_path_mining" -> (Temporal.q115PathMining _),
   )
 
   private val Q58Sql =
@@ -1700,5 +1701,29 @@ object SparkEntry {
         .mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_rank")
       (head +: rounds).mkString(",\n") + tail
     },
+    // the naive sequential-pattern statement: support via three
+    // self-joins + DISTINCT — independent of the Spark side's
+    // running-set scan
+    "q115_path_mining" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+        |l1 AS (SELECT DISTINCT user_id, event_type AS path FROM o),
+        |l2 AS (
+        |  SELECT DISTINCT a.user_id, a.event_type || '>' || b.event_type AS path
+        |  FROM o a JOIN o b ON a.user_id = b.user_id
+        |    AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))),
+        |l3 AS (
+        |  SELECT DISTINCT a.user_id,
+        |    a.event_type || '>' || b.event_type || '>' || c.event_type AS path
+        |  FROM o a
+        |  JOIN o b ON a.user_id = b.user_id
+        |    AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+        |  JOIN o c ON b.user_id = c.user_id
+        |    AND (b.us < c.us OR (b.us = c.us AND b.event_id < c.event_id))),
+        |u AS (
+        |  SELECT * FROM l1 UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM u GROUP BY path
+        |ORDER BY n_users DESC, path ASC LIMIT 25""".stripMargin,
   )
 }

@@ -305,4 +305,64 @@ object Temporal {
         col("event_id").as("id"), col("value").as("v")))
       .select(col("key").as("user_id"), col("d"), col("v"), col("was_gap"))
       .orderBy(col("user_id"), col("d"))
+
+  /** Result size for [[q115PathMining]]. */
+  val TopPaths = 25
+
+  /** Sequential-pattern mining (q115): the top-k event-type
+    * SUBSEQUENCES (gaps allowed, order preserved) of length 1..3 by
+    * user support — q105's first-order transitions generalized to the
+    * sequence patterns a funnel designer actually hunts for
+    * (PrefixSpan's problem statement, Pei et al. ICDE '01; support =
+    * distinct users containing the pattern, the sequential a-priori
+    * measure).
+    *
+    * Scale shape: ONE shuffle (groupByKey on user), then a single
+    * linear scan per user maintaining two running sets — types seen
+    * strictly before the cursor and 2-patterns completed strictly
+    * before it — so each event extends patterns in O(|A| + |A|^2) for
+    * alphabet A (event-type cardinality, ~10 here; the sets are
+    * alphabet-bounded, NOT event-bounded). The per-user emission is
+    * the DISTINCT pattern set, so support aggregation shuffles at most
+    * |A|+|A|^2+|A|^3 rows per user, and the global top-k plans as
+    * TakeOrdered. The oracle states the same thing naively: three
+    * self-joins + DISTINCT — quadratic-to-cubic per user, fine at
+    * sf0.01, exactly the plan this operator exists to avoid at 100 TB.
+    * A mega-user bounds at |A|-polynomial state, not event count; the
+    * scan itself is the per-user event stream once.
+    */
+  def pathMining(events: DataFrame, k: Int = TopPaths): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val support = events
+      .select(col("user_id"), col("us"), col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Long, String)]) =>
+        val types = it.toArray.sortBy(e => (e._2, e._3)).map(_._4)
+        val seen1 = scala.collection.mutable.HashSet.empty[String]
+        val seen2 = scala.collection.mutable.HashSet.empty[(String, String)]
+        val out3 = scala.collection.mutable.HashSet.empty[String]
+        types.foreach { t =>
+          // triples first (pairs completed STRICTLY before the cursor),
+          // then new pairs (first element strictly before), then the
+          // cursor type itself — the order is what makes i<j<k strict
+          out3 ++= seen2.iterator.map { case (a, b) => s"$a>$b>$t" }
+          seen2 ++= seen1.iterator.map(a => (a, t))
+          seen1 += t
+        }
+        seen1.iterator ++ seen2.iterator.map { case (a, b) => s"$a>$b" } ++ out3.iterator
+      }
+      .toDF("path")
+    support.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(k)
+  }
+
+  /** Driver binding (q115): mined paths over the events table. Oracle:
+    * the three-way self-join + DISTINCT formulation in SQL.
+    */
+  def q115PathMining(s: SparkSession, d: String): DataFrame =
+    pathMining(Tables.events(s, d)
+      .select(col("user_id"), tsUs.as("us"), col("event_id"), col("event_type")))
 }
