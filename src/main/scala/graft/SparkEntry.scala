@@ -134,6 +134,7 @@ object SparkEntry {
     "q113_approx_profile" -> (Relational.q113ApproxProfile _),
     "q114_bpe_merges" -> (Curation.q114BpeMerges _),
     "q115_path_mining" -> (Temporal.q115PathMining _),
+    "q116_knn_ivfpq" -> (Similarity.q116KnnIvfPq _),
   )
 
   private val Q58Sql =

@@ -70,4 +70,24 @@ class AnnRecallSpec extends SparkSpec {
     }.sum / 10.0
     assert(recall >= 0.9, s"recall=$recall")
   }
+
+  test("IVFPQ recall@3 >= 0.9 on clustered data at >= 8x vector compression") {
+    import spark.implicits._
+    val emb = planted.toDF("vec_id", "embedding")
+    val truth = topSets(Similarity.knnBruteOf(emb, 3))
+    val parts = Similarity.ivfPqBuild(emb, 3)
+    val approx = topSets(parts.ranked)
+    val recall = (0L until 10L).map { p =>
+      approx.getOrElse(p, Set.empty[Long]).intersect(truth(p)).size.toDouble / 3.0
+    }.sum / 10.0
+    assert(recall >= 0.9, s"recall=$recall")
+    // compression: every encoded row carries M one-byte codes for a
+    // dim-float vector — dim*4 / M >= 8x guaranteed structurally
+    val codeLens = parts.encoded.select(length(col("codes"))).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(codeLens == Set(Similarity.PqSubspaces), s"code widths: $codeLens")
+    val ratio = dim.toDouble * 4 / Similarity.PqSubspaces
+    assert(ratio >= 8.0, s"compression ratio $ratio")
+    assert(parts.encoded.count() == planted.size.toLong)
+  }
 }
