@@ -128,6 +128,52 @@ object EventStream {
       .dropDuplicatesWithinWatermark("simhash")
   }
 
+  /** The batch compaction pass [[nearDupDedupStream]] defers radius
+    * dedup to — run it periodically over the stream's accumulated
+    * survivor store `(ts, doc_id, simhash)`. A survivor is dropped iff
+    * an EARLIER survivor (arrival order: ts, then doc_id) sits within
+    * Hamming `radius` of its fingerprint — the same shadowing
+    * convention as [[graft.operators.Similarity.semDedup]], evaluated
+    * against the full store rather than iteratively, which makes the
+    * result order-free and (with the stream's exact-fingerprint layer)
+    * EXACTLY the single-rule batch semantics: stream-then-compact ==
+    * "drop every doc with an earlier within-radius neighbor", because
+    * any stream-dropped shadow has an equal-fingerprint earlier
+    * survivor standing in for it (StreamingSpec pins the equivalence).
+    *
+    * Scale shape: q21's 4x16-bit chunk LSH generates candidates — the
+    * pigeonhole is exact for radius <= 3 (4 chunks, at most 3 differing
+    * bits -> some chunk matches exactly), so recall is 1.0, not
+    * probabilistic; per-bucket fan-out is capped ([[graft.operators
+    * .LshJoin.MaxBucket]]) with drop stats surfaced on request by the
+    * underlying generator. One shuffle on the chunk key, one verify
+    * join, one anti-join back to the store.
+    */
+  def compactNearDupStore(store: DataFrame, radius: Int = 3): DataFrame = {
+    require(radius >= 0 && radius <= 3,
+      "4x16 chunk LSH candidate generation is complete only for radius <= 3")
+    val s = store.sparkSession
+    import s.implicits._
+    val sigs = store.select(col("ts"), col("doc_id"), col("simhash")).persist()
+    val chunks = sigs.select(col("doc_id"), col("simhash")).as[(Long, Long)]
+      .flatMap { case (id, sig) =>
+        (0 until 4).iterator.map(c => (id, c, (sig >>> (c * 16)) & 0xffffL))
+      }.toDF("doc_id", "chunk", "ck")
+    val cand = graft.operators.LshJoin.boundedBucketPairs(
+      chunks, "doc_id", graft.operators.LshJoin.MaxBucket, "chunk", "ck")
+    val shadowed = cand
+      .join(sigs.select(col("doc_id").as("a"), col("ts").as("ta"),
+        col("simhash").as("sa")), "a")
+      .join(sigs.select(col("doc_id").as("b"), col("ts").as("tb"),
+        col("simhash").as("sb")), "b")
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= radius)
+      .select(when(col("ta") < col("tb")
+        || (col("ta") === col("tb") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("doc_id"))
+      .distinct()
+    sigs.join(shadowed, Seq("doc_id"), "left_anti")
+  }
+
   /** Stream-stream interval join: each purchase paired with EVERY
     * same-user click inside the attribution window — one output row per
     * qualifying (purchase, click) pair, the join's raw fan-out. A

@@ -201,6 +201,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compaction catches a within-radius late near-dup the stream layer passes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    // search for a perturbed text at Hamming 1..3 from base — the case
+    // fingerprint-exact streaming dedup structurally cannot catch
+    val baseSig = graft.operators.Dedup.simhash64(base)
+    val nearText = (1 to 2000).iterator.map(i => s"$base extra$i")
+      .find { t =>
+        val h = java.lang.Long.bitCount(graft.operators.Dedup.simhash64(t) ^ baseSig)
+        h >= 1 && h <= 3
+      }
+    assert(nearText.isDefined, "no radius-3 perturbation found in search budget")
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val dedup = EventStream.nearDupDedupStream(
+      input.toDF().toDF("ts", "doc_id", "text").as[EventStream.Doc])
+    val q = dedup.writeStream.format("memory").queryName("nddc")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L, base), (ts(1), 2L, nearText.get))
+      q.processAllAvailable()
+      val store = spark.table("nddc")
+      // distinct fingerprints -> both survive the stream layer...
+      assert(store.count() == 2L)
+      // ...and the batch compaction pass drops the later near-dup
+      val compacted = EventStream.compactNearDupStore(store)
+        .select("doc_id").as[Long].collect().toSet
+      assert(compacted == Set(1L), s"compacted to $compacted")
+    } finally q.stop()
+  }
+
+  test("stream-then-compact equals the single-rule batch radius dedup") {
+    import spark.implicits._
+    // synthetic fingerprint store: random sigs plus later jittered
+    // copies (0-3 flipped bits) and exact dups, shuffled arrival ids
+    val rnd = new scala.util.Random(7)
+    val bases = (0 until 40).map(i => (ts(i / 4, (i % 4) * 10), i.toLong, rnd.nextLong()))
+    val extras = bases.take(15).zipWithIndex.map { case ((_, _, sig), j) =>
+      val flips = rnd.nextInt(4) // 0 = exact dup, 1..3 = radius dup
+      val jittered = (0 until flips).foldLeft(sig)((s, _) => s ^ (1L << rnd.nextInt(64)))
+      (ts(10 + j / 4, (j % 4) * 10), 100L + j, jittered)
+    }
+    val all = bases ++ extras
+    // the stream layer keeps the first arrival per exact fingerprint
+    // (dropDuplicatesWithinWatermark semantics on a drained store)
+    val ordered = all.sortBy { case (t, id, _) => (t.getTime, id) }
+    val streamSurvivors = ordered
+      .groupBy(_._3).values.map(_.minBy(r => (r._1.getTime, r._2))).toSeq
+    // single-rule batch reference over EVERYTHING: drop iff an earlier
+    // row (any, dropped or not) sits within Hamming 3
+    val wantKept = ordered.filter { case (t, id, sig) =>
+      !ordered.exists { case (t2, id2, sig2) =>
+        (t2.getTime < t.getTime || (t2.getTime == t.getTime && id2 < id)) &&
+          java.lang.Long.bitCount(sig ^ sig2) <= 3
+      }
+    }.map(_._2).toSet
+    val got = EventStream.compactNearDupStore(
+      streamSurvivors.toDF("ts", "doc_id", "simhash"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == wantKept)
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
