@@ -135,6 +135,8 @@ object SparkEntry {
     "q114_bpe_merges" -> (Curation.q114BpeMerges _),
     "q115_path_mining" -> (Temporal.q115PathMining _),
     "q116_knn_ivfpq" -> (Similarity.q116KnnIvfPq _),
+    "q117_stream_compaction" ->
+      (graft.streaming.EventStream.q117StreamCompaction _),
   )
 
   private val Q58Sql =
@@ -1726,5 +1728,34 @@ object SparkEntry {
         |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM u GROUP BY path
         |ORDER BY n_users DESC, path ASC LIMIT 25""".stripMargin,
+    // the single-rule radius dedup stated quadratically: a row
+    // survives iff NO earlier row sits within Hamming 3. Fingerprints
+    // are the q22 md5 trick (first 16 hex chars as signed int64), so
+    // both engines derive bit-identical stores
+    "q117_stream_compaction" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(u AS HUGEINT) - CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+        |      THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS sim
+        |  FROM (SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 16)) AS UBIGINT) AS u
+        |        FROM documents)),
+        |mx AS (SELECT MAX(doc_id) + 1 AS shift FROM documents),
+        |store AS (
+        |  SELECT doc_id AS ts, doc_id, sim FROM fp
+        |  UNION ALL
+        |  SELECT doc_id + shift, doc_id + shift,
+        |    xor(sim, CAST(1 AS BIGINT) << CAST(doc_id % 63 AS INTEGER))
+        |  FROM fp, mx WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2 * shift, doc_id + 2 * shift,
+        |    xor(sim, CAST(255 AS BIGINT) << CAST((doc_id % 7) * 8 AS INTEGER))
+        |  FROM fp, mx WHERE doc_id % 29 = 0)
+        |SELECT CAST(s.ts AS BIGINT) AS arrival, CAST(s.doc_id AS BIGINT) AS doc_id
+        |FROM store s
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM store e
+        |  WHERE (e.ts < s.ts OR (e.ts = s.ts AND e.doc_id < s.doc_id))
+        |    AND bit_count(xor(e.sim, s.sim)) <= 3)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

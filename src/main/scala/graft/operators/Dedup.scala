@@ -889,7 +889,7 @@ object Dedup {
     * is tokenization-dominated, and correctness checkability at the
     * driver outranks a hash micro-cost.
     */
-  private[operators] def gramHash64(g: String): Long = {
+  private[graft] def gramHash64(g: String): Long = {
     val md = Md5.get()
     md.reset()
     val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -174,6 +174,41 @@ object EventStream {
     sigs.join(shadowed, Seq("doc_id"), "left_anti")
   }
 
+  /** Driver binding (q117): [[compactNearDupStore]] under the DuckDB
+    * oracle. The fingerprint store is SQL-REPRODUCIBLE: sim = the
+    * first 8 bytes (big-endian, signed) of md5(text) — the q22 key
+    * trick — with arrival = doc_id; every `doc_id % 13 == 0` doc
+    * re-enters at arrival `doc_id + shift` with ONE deterministic bit
+    * flipped (a radius-1 near-dup compaction MUST drop) and every
+    * `doc_id % 29 == 0` doc at `doc_id + 2*shift` with eight
+    * contiguous bits flipped (Hamming 8 — MUST survive). The oracle
+    * states the rule quadratically (NOT EXISTS earlier-within-radius);
+    * the Spark side's 4x16 chunk LSH is EXACT for radius <= 3, so the
+    * two formulations provably agree — a hash mismatch here means a
+    * real bug, not sampling noise.
+    */
+  def q117StreamCompaction(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val shift = docs.agg(max(col("doc_id")) + lit(1L)).head().getLong(0)
+    val fp = docs.as[(Long, String)]
+      .map { case (id, t) => (id, id, graft.operators.Dedup.gramHash64(t)) }
+      .toDF("ts", "doc_id", "simhash")
+      .persist() // base + two planted legs read it; LRU lifetime
+    val near = fp.filter(col("doc_id") % 13 === 0)
+      .select((col("ts") + shift).as("ts"), (col("doc_id") + shift).as("doc_id"),
+        col("simhash").bitwiseXOR(
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 63 AS INT))")).as("simhash"))
+    val far = fp.filter(col("doc_id") % 29 === 0)
+      .select((col("ts") + lit(2L) * shift).as("ts"),
+        (col("doc_id") + lit(2L) * shift).as("doc_id"),
+        col("simhash").bitwiseXOR(
+          expr("shiftleft(CAST(255 AS BIGINT), CAST((doc_id % 7) * 8 AS INT))")).as("simhash"))
+    compactNearDupStore(fp.unionByName(near).unionByName(far))
+      .select(col("ts").as("arrival"), col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stream-stream interval join: each purchase paired with EVERY
     * same-user click inside the attribution window — one output row per
     * qualifying (purchase, click) pair, the join's raw fan-out. A
