@@ -108,6 +108,20 @@ class PlanSpec extends SparkSpec {
       s"q109's successor window is not bucket-partitioned:\n$p")
   }
 
+  test("q115: one user shuffle + one path aggregate, top-k as TakeOrdered") {
+    val p = plan("q115_path_mining")
+    assert(p.contains("TakeOrderedAndProject"), p) // never a global sort
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("- Exchange (") || l.trim.startsWith("Exchange ("))
+    assert(exchanges <= 2, s"expected <= 2 exchanges (user shuffle + path agg):\n$p")
+  }
+
+  test("q117: compaction joins are all equi-joins — no cartesian anywhere") {
+    val p = plan("q117_stream_compaction")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q110: one corpus wordcount with map-side combine; grid joins broadcast") {
     val p = plan("q110_source_drift")
     assert(p.contains("partial_count"), p) // the (source, tok) pre-aggregate
