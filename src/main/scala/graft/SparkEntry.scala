@@ -137,7 +137,44 @@ object SparkEntry {
     "q116_knn_ivfpq" -> (Similarity.q116KnnIvfPq _),
     "q117_stream_compaction" ->
       (graft.streaming.EventStream.q117StreamCompaction _),
+    "q118_bpe_encode" -> (Curation.q118BpeEncode _),
   )
+
+  /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
+    * the `" sym "` block encoding, then one (pair-count, argmax,
+    * rewrite) CTE triple per merge — the word `w` rides along so q118
+    * can use the final round as the encoded dictionary.
+    */
+  private val BpeRoundsSql: String = {
+    val m = Curation.BpeMerges
+    val head =
+      """WITH wf AS (
+        |  SELECT w, COUNT(*) AS freq FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |    FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z]+$')
+        |  GROUP BY w),
+        |w0 AS (
+        |  SELECT w,
+        |    ' ' || array_to_string([w[i:i] for i in range(1, length(w)+1)], '  ') || ' ' AS seq,
+        |    freq
+        |  FROM wf)""".stripMargin
+    val rounds = (1 to m).map { r =>
+      s"""p$r AS (
+         |  SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS pr, freq
+         |    FROM (SELECT string_split(trim(seq), '  ') AS l, freq FROM w${r - 1}))
+         |  GROUP BY pr),
+         |b$r AS (SELECT CAST($r AS BIGINT) AS merge_rank, pr AS pair, cnt
+         |        FROM p$r ORDER BY cnt DESC, pr ASC LIMIT 1),
+         |w$r AS (
+         |  SELECT w, replace(seq,
+         |    ' ' || replace(pair, ' ', '  ') || ' ',
+         |    ' ' || replace(pair, ' ', '') || ' ') AS seq, freq
+         |  FROM w${r - 1}, b$r)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
 
   private val Q58Sql =
     """WITH tok AS (
@@ -1674,36 +1711,24 @@ object SparkEntry {
     // BPE training unrolled: one (pair-count, argmax, rewrite) CTE
     // triple per merge round; the " sym "-block encoding makes the
     // greedy leftmost merge a plain replace() on both engines
-    "q114_bpe_merges" -> {
-      val m = Curation.BpeMerges
-      val head =
-        """WITH wf AS (
-          |  SELECT w, COUNT(*) AS freq FROM (
-          |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-          |    FROM documents)
-          |  WHERE regexp_matches(w, '^[a-z]+$')
-          |  GROUP BY w),
-          |w0 AS (
-          |  SELECT ' ' || array_to_string([w[i:i] for i in range(1, length(w)+1)], '  ') || ' ' AS seq, freq
-          |  FROM wf)""".stripMargin
-      val rounds = (1 to m).map { r =>
-        s"""p$r AS (
-           |  SELECT pr, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-           |    SELECT unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS pr, freq
-           |    FROM (SELECT string_split(trim(seq), '  ') AS l, freq FROM w${r - 1}))
-           |  GROUP BY pr),
-           |b$r AS (SELECT CAST($r AS BIGINT) AS merge_rank, pr AS pair, cnt
-           |        FROM p$r ORDER BY cnt DESC, pr ASC LIMIT 1),
-           |w$r AS (
-           |  SELECT replace(seq,
-           |    ' ' || replace(pair, ' ', '  ') || ' ',
-           |    ' ' || replace(pair, ' ', '') || ' ') AS seq, freq
-           |  FROM w${r - 1}, b$r)""".stripMargin
-      }
-      val tail = (1 to m).map(r => s"SELECT merge_rank, pair, cnt FROM b$r")
-        .mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_rank")
-      (head +: rounds).mkString(",\n") + tail
-    },
+    "q114_bpe_merges" -> (BpeRoundsSql +
+      (1 to Curation.BpeMerges).map(r => s"SELECT merge_rank, pair, cnt FROM b$r")
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY merge_rank")),
+    // q114's rounds re-derive the merge table, the final w-round IS
+    // the encoded dictionary; corpus join-back with 1-token fallback
+    // for out-of-vocabulary (non-[a-z]+) words
+    "q118_bpe_encode" -> (BpeRoundsSql +
+      s""",
+         |dict AS (
+         |  SELECT w, CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_sym
+         |  FROM w${Curation.BpeMerges}),
+         |docw AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |  FROM documents)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(COALESCE(d.n_sym, 1)) AS BIGINT) AS n_bpe_tokens
+         |FROM docw LEFT JOIN dict d USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // the naive sequential-pattern statement: support via three
     // self-joins + DISTINCT — independent of the Spark side's
     // running-set scan

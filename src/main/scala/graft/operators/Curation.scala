@@ -725,6 +725,66 @@ object Curation {
   def q114BpeMerges(s: SparkSession, d: String): DataFrame =
     bpeMerges(Tables.documents(s, d).select(col("text")))
 
+  /** BPE tokenizer APPLICATION — the companion of [[bpeMerges]]: encode
+    * the corpus with a trained merge table and report per-document
+    * token statistics, the "how many tokens is my corpus under this
+    * tokenizer" pass every training-data budget starts from.
+    *
+    * Scale shape: encoding happens on the DISTINCT-WORD dictionary
+    * (vocab-bounded), not the corpus — the merge chain is ONE column
+    * expression (merges.length nested `replace` calls over the
+    * `" sym "` block encoding, same greedy-leftmost semantics as
+    * training, codegen'd end to end), so the dict encodes in a single
+    * pass with zero per-row driver logic. The corpus then streams once
+    * against the broadcast word→symbol-count map. Words outside
+    * [a-z]+ are outside the trained vocabulary and are counted raw
+    * (1 word = 1 token), the standard byte-fallback accounting.
+    *
+    * @param merges ordered merge table (the `pair` column of
+    *               [[bpeMerges]]'s output), bounded by construction.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val words = docs.select(col("text")).as[String]
+      .flatMap(t => t.split(" ").iterator.filter(_.nonEmpty))
+      .toDF("w")
+      .groupBy(col("w")).agg(count(lit(1)).as("n_occ"))
+    val clean = words
+      .filter(col("w").rlike("^[a-z]+$"))
+      .as[(String, Long)]
+      .map { case (w, n) => (w, n, " " + w.map(_.toString).mkString("  ") + " ") }
+      .toDF("w", "n_occ", "seq")
+    // the whole merge chain as one nested-replace column expression
+    val encoded = merges.foldLeft(col("seq")) { (c, pair) =>
+      val Array(a, b) = pair.split(" ")
+      replace(c, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    val dict = clean.select(col("w"),
+      size(split(trim(encoded), "  ")).cast("long").as("n_sym"))
+
+    val docWords = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), " "), x => x =!= "")).as("w"))
+    docWords
+      .join(broadcast(dict), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_sym"), lit(1L))).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver binding (q118): train [[BpeMerges]] rounds (q114's loop),
+    * then encode the corpus with the learned table. Oracle: q114's
+    * unrolled rounds carried per-word, then the same join-back sum.
+    */
+  def q118BpeEncode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val merges = bpeMerges(docs.select(col("text")))
+      .orderBy(col("merge_rank"))
+      .collect().map(_.getAs[String]("pair")).toSeq // bounded: BpeMerges rows
+    bpeEncode(docs, merges)
+  }
+
   /** Minimum pair count for a [[pmiScores]] collocation (rare pairs
     * have unstable PMI; 5 is the classic collocation-stats floor).
     */

@@ -63,4 +63,24 @@ class BpeSpec extends SparkSpec {
     val got = run(docs, 5)
     assert(got == Seq((1L, "a b", 2L))) // one merge possible, then stop
   }
+
+  test("encoder applies the trained merges: token counts shrink, OOV falls back to 1") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low lower Mixed99"),
+      (2L, "newest newest"))
+    // train on the classic corpus, then encode these docs with the
+    // first-5 merge table: e s, es t, l o, lo w, e w (hand-computed)
+    val trainDocs = corpus(Seq(
+      "low low low low low", "lower lower",
+      "newest newest newest newest newest newest", "widest widest widest"))
+    val merges = Curation.bpeMerges(trainDocs, 5)
+      .collect().map(_.getAs[String]("pair")).toSeq
+    val got = Curation.bpeEncode(docs.toDF("doc_id", "text"), merges)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens"))).toSeq
+    // low -> "low" (1 sym: l o, lo w); lower -> "low e r" (3);
+    // Mixed99 is OOV -> 1. newest -> n ew es t -> with es t: n ew est (3)
+    assert(got == Seq((1L, 3L, 1L + 3L + 1L), (2L, 2L, 3L + 3L)))
+  }
 }
