@@ -138,6 +138,7 @@ object SparkEntry {
     "q117_stream_compaction" ->
       (graft.streaming.EventStream.q117StreamCompaction _),
     "q118_bpe_encode" -> (Curation.q118BpeEncode _),
+    "q119_apply_changelog" -> (Relational.q119ApplyChangelog _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -1782,5 +1783,33 @@ object SparkEntry {
         |  WHERE (e.ts < s.ts OR (e.ts = s.ts AND e.doc_id < s.doc_id))
         |    AND bit_count(xor(e.sim, s.sim)) <= 3)
         |ORDER BY doc_id""".stripMargin,
+    // latest-version-wins over base (version 0) + synthesized
+    // changelog; a winning 'D' removes the key
+    "q119_apply_changelog" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    CAST(0 AS BIGINT) AS version, 'U' AS op
+        |  FROM orders),
+        |chg AS (
+        |  SELECT o_orderkey, 'U7' AS o_orderstatus, price + 10 AS price,
+        |    CAST(1 AS BIGINT) AS version, 'U' AS op FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, price,
+        |    CAST(2 AS BIGINT), 'D' FROM base WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U21', price + 20,
+        |    CAST(3 AS BIGINT), 'U' FROM base WHERE o_orderkey % 21 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'I', price,
+        |    CAST(1 AS BIGINT), 'U' FROM base WHERE o_orderkey % 97 = 0),
+        |latest AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM chg))
+        |SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS o_totalprice,
+        |  version
+        |FROM latest WHERE rn = 1 AND op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

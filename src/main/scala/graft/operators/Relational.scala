@@ -565,6 +565,61 @@ object Relational {
     upd.unionByName(ins)
   }
 
+  /** Apply a changelog to a snapshot — upsert/merge compaction, the
+    * merge-on-read operator of lakehouse tables (Delta/Hudi/Iceberg
+    * compaction jobs; SQL MERGE's batch form) and q94's inverse: q94
+    * derives the change set between two snapshots, this REPLAYS one.
+    * The base rides along as version-0 upserts; per key the highest
+    * version wins; a key whose winning operation is a delete leaves
+    * the table (so delete-then-reinsert at a later version survives).
+    *
+    * Scale shape: ONE shuffle on the key (the window partitioning) —
+    * the standard daily-compaction job, AQE handling key skew; no
+    * broadcast assumption on either side, so a 100 TB base and a
+    * large changelog both stream through the same exchange.
+    * Determinism contract: versions must be unique per key (the
+    * changelog's ordering IS the semantics; ties would make the
+    * winner arrival-dependent).
+    *
+    * @param changelog base columns + `versionCol` (BIGINT > 0) +
+    *                  `opCol` ('U' upsert / 'D' delete).
+    */
+  def applyChangelog(
+      base: DataFrame, changelog: DataFrame, key: String,
+      versionCol: String = "version", opCol: String = "op"): DataFrame = {
+    val b = base.withColumn(versionCol, lit(0L)).withColumn(opCol, lit("U"))
+    val w = Window.partitionBy(col(key)).orderBy(col(versionCol).desc)
+    b.unionByName(changelog)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col(opCol) =!= "D")
+      .drop("_rn", opCol)
+  }
+
+  /** Driver binding (q119): [[applyChangelog]] over orders with a
+    * deterministic synthesized changelog — updates at version 1
+    * (keys % 7), deletes at version 2 (% 11), second updates at
+    * version 3 (% 21: keys divisible by 231 exercise
+    * delete-then-reinsert), inserts under shifted keys (% 97). Oracle:
+    * the same union + ROW_NUMBER latest-wins rule in SQL.
+    */
+  def q119ApplyChangelog(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    def leg(cond: Column, status: Column, price: Column, v: Long, op: String) =
+      base.filter(cond).select(col("o_orderkey"), status.as("o_orderstatus"),
+        price.as("price"), lit(v).as("version"), lit(op).as("op"))
+    val changelog = leg(col("o_orderkey") % 7 === 0, lit("U7"), col("price") + lit(10), 1L, "U")
+      .unionByName(leg(col("o_orderkey") % 11 === 0, col("o_orderstatus"), col("price"), 2L, "D"))
+      .unionByName(leg(col("o_orderkey") % 21 === 0, lit("U21"), col("price") + lit(20), 3L, "U"))
+      .unionByName(base.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"), lit("I").as("o_orderstatus"),
+          col("price"), lit(1L).as("version"), lit("U").as("op")))
+    applyChangelog(base, changelog, "o_orderkey")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("price").cast("double").as("o_totalprice"), col("version"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Driver binding for [[snapshotDiff]] over [[nextOrdersSnapshot]]. */
   def q94SnapshotDiff(s: SparkSession, d: String): DataFrame = {
     val cur = Tables.orders(s, d)

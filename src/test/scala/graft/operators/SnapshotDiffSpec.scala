@@ -37,6 +37,26 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(got("delete") + got("update") + got("unchanged") == total)
   }
 
+  test("applyChangelog: latest version wins, deletes remove, delete-then-reinsert survives") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "v")
+    val changelog = Seq(
+      (1L, "a1", 1L, "U"), (1L, "a2", 2L, "U"), // two updates: v2 wins
+      (2L, "b", 1L, "D"),                       // plain delete
+      (3L, "c", 1L, "D"), (3L, "c2", 2L, "U"),  // delete then reinsert
+      (5L, "e", 1L, "U"))                       // insert of a new key
+      .toDF("k", "v", "version", "op")
+    val got = Relational.applyChangelog(base, changelog, "k")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[Long]("version"))).toSet
+    assert(got == Set(
+      (1L, "a2", 2L), // latest update
+      (3L, "c2", 2L), // reinserted after delete
+      (4L, "d", 0L),  // untouched base row
+      (5L, "e", 1L))) // fresh insert; key 2 deleted
+  }
+
   test("profileTable counts nulls and distincts per column in one pass") {
     import spark.implicits._
     val df = Seq(
