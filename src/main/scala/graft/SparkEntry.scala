@@ -139,6 +139,8 @@ object SparkEntry {
       (graft.streaming.EventStream.q117StreamCompaction _),
     "q118_bpe_encode" -> (Curation.q118BpeEncode _),
     "q119_apply_changelog" -> (Relational.q119ApplyChangelog _),
+    "q120_importance_resample" -> (Curation.q120ImportanceResample _),
+    "q121_token_budget" -> (Curation.q121TokenBudget _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -1811,5 +1813,39 @@ object SparkEntry {
         |  version
         |FROM latest WHERE rn = 1 AND op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
+    // DSIR-flavored acceptance: exact-integer stopword weight, md5 of
+    // the doc id as a 32-bit uniform, one division/multiply/compare
+    "q120_importance_resample" ->
+      """WITH st AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(t) AS BIGINT) AS n_tok,
+        |    CAST(len(list_filter(t, x -> list_contains(['the','a','of','and'], x))) AS BIGINT) AS n_stop
+        |  FROM (SELECT doc_id, source,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |        FROM documents)),
+        |wt AS (
+        |  SELECT doc_id, source, n_tok,
+        |    LEAST(1.0, 4.0 * CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE)) AS weight,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS u
+        |  FROM st WHERE n_tok > 0)
+        |SELECT doc_id, source, n_tok, weight
+        |FROM wt WHERE u < weight
+        |ORDER BY doc_id""".stripMargin,
+    // greedy hash-order prefix fill per source, budget in tokens
+    "q121_token_budget" ->
+      """WITH rows_ AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok,
+        |    md5(text) AS h
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, source, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tok
+        |  FROM rows_)
+        |SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+        |FROM cum WHERE cum_tok <= 1000
+        |ORDER BY doc_id""".stripMargin,
   )
 }

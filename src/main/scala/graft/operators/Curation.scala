@@ -901,6 +901,122 @@ object Curation {
   def q67TemperatureResample(s: SparkSession, d: String): DataFrame =
     temperatureResample(Tables.documents(s, d).select(col("lang"), col("text")))
 
+  /** Weight multiplier for [[importanceResample]]: w = min(1, boost *
+    * stopword_fraction). 4.0 puts typical prose (~25% stopword mass
+    * over the q25 list) near certain acceptance while keyword-spam
+    * tails get down-sampled proportionally.
+    */
+  val DsirBoost = 4.0
+
+  /** Importance resampling (q120): keep each document with probability
+    * proportional to an importance weight — the DSIR move (Xie et al.
+    * NeurIPS '23, "Data Selection for Language Models via Importance
+    * Resampling"): instead of hard quality GATES (q68's filter
+    * stages), sample so the kept corpus's feature distribution TILTS
+    * toward the target domain while keeping tail mass. The weight
+    * here is the stopword-profile proxy w = min(1, [[DsirBoost]] *
+    * n_stop/n_tok) (natural prose carries stopword mass — the q25
+    * feature); real deployments swap in an n-gram importance ratio,
+    * same acceptance machinery.
+    *
+    * Acceptance is RNG-FREE: u(doc) = the first 8 md5 hex digits of
+    * the doc id as a 32-bit uniform, accept iff u < w — the q49/q67
+    * determinism contract (stable under repartitioning, retries and
+    * corpus growth), and the reason the kept SET is bit-reproducible
+    * in SQL: every input is exact-integer derived and the only IEEE
+    * ops are one division, one multiply, one compare, identical on
+    * both engines.
+    *
+    * Scale shape: ONE typed pass computes (n_tok, n_stop) per doc
+    * (q25's single-pass closure idiom — no per-row HOF lambdas), the
+    * accept predicate is a per-row expression, and nothing shuffles
+    * until the final output sort.
+    */
+  def importanceResample(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val stop = TextOps.Stopwords.toSet
+    val stats = docs.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, src, text0) =>
+        val text = if (text0 == null) "" else text0
+        var nTok = 0L
+        var nStop = 0L
+        text.split(" ").foreach { t =>
+          if (t.nonEmpty) { nTok += 1; if (stop(t)) nStop += 1 }
+        }
+        (id, src, nTok, nStop)
+      }
+      .toDF("doc_id", "source", "n_tok", "n_stop")
+    val w = least(lit(1.0),
+      lit(DsirBoost) * col("n_stop").cast("double") / col("n_tok").cast("double"))
+    val u = expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+      .cast("long").cast("double") / lit(4294967296.0)
+    stats.filter(col("n_tok") > 0)
+      .withColumn("weight", w)
+      .filter(u < col("weight"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver binding (q120). Oracle: the same exact-integer weight and
+    * md5-uniform acceptance in SQL.
+    */
+  def q120ImportanceResample(s: SparkSession, d: String): DataFrame =
+    importanceResample(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text")))
+
+  /** Per-source token budget for [[q121TokenBudget]]. */
+  val SourceTokenBudget = 1000L
+
+  /** Token-budget corpus selection (q121): fill each source's quota in
+    * deterministic hash order until the TOKEN budget is spent — q61's
+    * doc-count quota upgraded to the unit that actually prices a
+    * training mix. A doc is kept iff the running token sum UP TO AND
+    * INCLUDING it stays within budget; the first doc to overflow is
+    * cut and later (smaller) docs are NOT reconsidered — the strict
+    * prefix rule, which keeps the decision a pure window expression
+    * (greedy knapsack re-fitting would be order-dependent and
+    * window-inexpressible).
+    *
+    * Scale shape: one shuffle on source for the prefix-sum window;
+    * hash order (md5 of content, doc_id tie-break) makes the kept set
+    * a uniform-at-budget sample, stable under repartitioning — the
+    * q61 contract with a budget denominated in tokens.
+    */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long = SourceTokenBudget): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // one typed pass per doc: token count + content hash (one digest
+    // instance per partition, not per row — the q25 closure idiom)
+    val rows = docs.select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, src, text0) =>
+          val text = if (text0 == null) "" else text0
+          md.reset()
+          val h = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          (id, src, text.split(" ").count(_.nonEmpty).toLong, h)
+        }
+      }
+      .toDF("doc_id", "source", "n_tok", "h")
+    val cum = sum(col("n_tok")).over(
+      Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rows
+      .withColumn("cum_tok", cum)
+      .filter(col("cum_tok") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver binding (q121). Oracle: the same windowed prefix sum. */
+  def q121TokenBudget(s: SparkSession, d: String): DataFrame =
+    tokenBudgetSelect(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text")))
+
   /** End-to-end curation pipeline, composed from the library's own
     * stages in ONE declarative plan: token-length quality gate ->
     * exact dedup (keep the smallest doc_id per content hash) ->
