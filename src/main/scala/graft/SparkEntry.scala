@@ -141,6 +141,7 @@ object SparkEntry {
     "q119_apply_changelog" -> (Relational.q119ApplyChangelog _),
     "q120_importance_resample" -> (Curation.q120ImportanceResample _),
     "q121_token_budget" -> (Curation.q121TokenBudget _),
+    "q122_zorder_histogram" -> (Layout.q122ZOrderHistogram _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -1847,5 +1848,19 @@ object SparkEntry {
         |SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
         |FROM cum WHERE cum_tok <= 1000
         |ORDER BY doc_id""".stripMargin,
+    // the identical Morton interleave as generated bitwise SQL
+    "q122_zorder_histogram" -> {
+      val mask = (1L << Layout.ZBits) - 1
+      val terms = (0 until Layout.ZBits).flatMap { i =>
+        Seq(s"((((l_partkey & $mask) >> $i) & 1) << ${2 * i})",
+          s"((((l_suppkey & $mask) >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" | ")
+      s"""WITH z AS (SELECT $terms AS z FROM lineitem),
+         |mx AS (SELECT MAX(z) AS zmax FROM z)
+         |SELECT CAST(z * ${Layout.ZBuckets} // (zmax + 1) AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(MIN(z) AS BIGINT) AS z_min, CAST(MAX(z) AS BIGINT) AS z_max
+         |FROM z, mx GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
   )
 }

@@ -64,4 +64,20 @@ object Sources {
     */
   def textLines(s: SparkSession, path: String): DataFrame =
     s.read.text(path)
+
+  /** ORC source with explicit schema — the second columnar format a
+    * lakehouse ingests beside parquet (Hive-lineage warehouses emit
+    * it). Schema-explicit for the same reason as [[jsonl]]: no
+    * inference pass, loud drift. ORC is self-describing + typed, so
+    * there is no corrupt-record column; type mismatches fail the scan
+    * (the columnar contract), and predicate pushdown + column pruning
+    * work exactly as with parquet (SourcesSpec asserts the round-trip
+    * and the pruned ReadSchema).
+    */
+  def orc(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).orc(path)
+
+  /** ORC sink (round-trip partner of [[orc]]). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }

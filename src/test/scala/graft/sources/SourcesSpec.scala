@@ -42,6 +42,26 @@ class SourcesSpec extends SparkSpec {
     assert(bad.collect().map(_.getString(0)).toSeq == Seq("not_a_number,b"))
   }
 
+  test("orc: round-trip preserves rows; scans prune and push down like parquet") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("orcsrc").toString + "/t"
+    val rows = (1L to 100L).map(i => (i, s"name$i", i * 10L))
+    Sources.writeOrc(rows.toDF("id", "name", "score"), dir)
+    val schema3 = new StructType()
+      .add("id", LongType).add("name", StringType).add("score", LongType)
+    val back = Sources.orc(spark, dir, schema3)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      == rows.toSet)
+    // columnar contract: projection prunes the read schema, the
+    // filter reaches the ORC scan as a pushed predicate
+    val q = back.filter(col("id") > 90).select(col("name"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)]"), plan)
+    assert(plan.contains("ReadSchema: struct<id:bigint,name:string>"), plan)
+    assert(q.collect().length == 10)
+  }
+
   test("textLines reads the reference's native line-oriented shape") {
     val path = writeLines("graft_text_", ".txt", Seq("the quick", "brown fox"))
     import spark.implicits._
