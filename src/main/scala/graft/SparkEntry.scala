@@ -142,6 +142,7 @@ object SparkEntry {
     "q120_importance_resample" -> (Curation.q120ImportanceResample _),
     "q121_token_budget" -> (Curation.q121TokenBudget _),
     "q122_zorder_histogram" -> (Layout.q122ZOrderHistogram _),
+    "q123_entity_resolution" -> (Linkage.q123EntityResolution _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -1862,5 +1863,41 @@ object SparkEntry {
          |  CAST(MIN(z) AS BIGINT) AS z_min, CAST(MAX(z) AS BIGINT) AS z_max
          |FROM z, mx GROUP BY bucket ORDER BY bucket""".stripMargin
     },
+    // brute-force levenshtein edges + recursive-CTE reachability; the
+    // PassJoin-blocked edges + pointer-doubling CC plan must reproduce
+    // the same transitive entity partition bit-for-bit
+    "q123_entity_resolution" ->
+      """WITH RECURSIVE off AS (SELECT MAX(c_custkey) + 1 AS o FROM customer),
+        |p AS (
+        |  SELECT c_custkey AS pid,
+        |    CASE CAST(c_custkey % 3 AS INT)
+        |      WHEN 0 THEN substr(c_name, 1, CAST(9 + c_custkey % 9 AS INT))
+        |                  || substr(c_name, CAST(11 + c_custkey % 9 AS INT))
+        |      WHEN 1 THEN substr(c_name, 1, CAST(9 + c_custkey % 9 AS INT))
+        |                  || 'x' || substr(c_name, CAST(11 + c_custkey % 9 AS INT))
+        |      ELSE c_name END AS pname
+        |  FROM customer WHERE c_custkey < 25
+        |  UNION ALL
+        |  SELECT c_custkey, 'zzz-unmatched-' || c_custkey
+        |  FROM customer WHERE c_custkey >= 25 AND c_custkey < 30),
+        |m AS (
+        |  SELECT p.pid + off.o AS src, c.c_custkey AS dst
+        |  FROM p, off, customer c
+        |  WHERE levenshtein(p.pname, c.c_name) <= 2),
+        |e AS (SELECT src, dst FROM m UNION SELECT dst, src FROM m),
+        |nodes AS (
+        |  SELECT DISTINCT dst AS p FROM m
+        |  UNION SELECT pid + off.o FROM p, off),
+        |reach(p, lbl) AS (
+        |  SELECT p, p FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.p WHERE r.lbl < e.dst),
+        |cl AS (SELECT p, MIN(lbl) AS entity_id FROM reach GROUP BY p),
+        |sz AS (SELECT entity_id, COUNT(*) AS entity_size FROM cl GROUP BY 1)
+        |SELECT cl.p AS record_id,
+        |  CASE WHEN cl.p >= (SELECT o FROM off) THEN 'probe' ELSE 'master' END AS kind,
+        |  cl.entity_id, sz.entity_size
+        |FROM cl JOIN sz USING (entity_id)
+        |ORDER BY cl.entity_id, cl.p""".stripMargin,
   )
 }

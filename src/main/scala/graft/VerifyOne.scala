@@ -1,0 +1,36 @@
+package graft
+import java.nio.file.{Files, Paths}
+/** Dev harness: dump ONE driver query + its oracle SQL in the Verify
+  * layout, so `tools/compare.py <sfDir> <outDir> <name>` checks a single
+  * query without paying for the whole 100+-query suite.
+  *
+  * Usage: runMain graft.VerifyOne <query_name> [sfDir] [outDir]
+  */
+object VerifyOne {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: VerifyOne <query_name> [sfDir] [outDir]")
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 2) args(2) else "/tmp/verify_one"
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name'"))
+    val spark = GraftSession.local(GraftSession.envCpus())
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/$name")
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.get(name)
+      .map(sql => s"${q(name)}: ${q(sql)}").mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}

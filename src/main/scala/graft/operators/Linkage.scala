@@ -124,4 +124,95 @@ object Linkage {
         col("dist").cast("bigint").as("dist"))
       .orderBy(col("probe_id"), col("match_custkey"))
   }
+
+  /** End-to-end entity resolution: fuzzy-link a dirty record batch to a
+    * clean master, then collapse the match graph into entities — the
+    * full dedup-and-canonicalize pipeline a record-linkage user runs,
+    * not just the pairwise join. The reference would express this as
+    * two chained map/reduce tasks (blocking-key mapper + pairwise
+    * reducer, then a label-propagation loop the user writes by hand);
+    * here both halves are the operators this engine already proves
+    * exact: [[editDistanceJoin]] (PassJoin blocking) produces the
+    * bipartite probe-master edge set, and
+    * [[Corpus.connectedComponents]] (min-label + pointer doubling,
+    * O(log diameter) rounds) collapses it transitively — a probe
+    * within `tau` of two master records MERGES them into one entity,
+    * which is exactly the transitive semantics a pairwise join alone
+    * cannot express.
+    *
+    * Probes that match nothing surface as singleton entities
+    * (unresolved records a downstream triage step consumes); master
+    * records appear only when some probe links them (the master is
+    * assumed internally deduplicated — standard record-linkage
+    * framing, Fellegi & Sunter '69).
+    *
+    * Scale shape: the edge set is the PassJoin output (master never
+    * shuffles when the probe batch broadcasts), persisted ONCE because
+    * both the node set and the symmetric closure consume it; the CC
+    * loop then shuffles only the node-sized label frame per round.
+    * Entity ids are the smallest member record id — deterministic, no
+    * driver-side assignment.
+    *
+    * @param probes `(pid: Long, pname: String)` dirty batch.
+    * @param master `(mid: Long, mname: String)` clean master.
+    * @param probeIdOffset added to probe ids to disjoint them from
+    *        master ids in the shared node namespace; caller derives it
+    *        from the data (e.g. max master id + 1), never a fixed
+    *        constant that a grown fixture could collide with.
+    * @return `(record_id, kind 'probe'|'master', entity_id,
+    *         entity_size)` — one row per probe plus one per linked
+    *         master.
+    */
+  def resolveEntities(
+      probes: DataFrame, master: DataFrame, tau: Int,
+      probeIdOffset: Long): DataFrame = {
+    val matches = editDistanceJoin(probes, master, tau)
+      .select((col("pid") + lit(probeIdOffset)).as("src"),
+        col("mid").as("dst"))
+      .persist() // consumed by nodes AND the symmetric closure; freed below
+    val edges = matches.union(
+      matches.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = probes
+      .select((col("pid") + lit(probeIdOffset)).as("p"))
+      .union(matches.select(col("dst").as("p")))
+      .distinct()
+    val labels = Corpus.connectedComponents(nodes, edges)
+    matches.unpersist(blocking = false)
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("entity_size"))
+    labels.join(sizes, "lbl")
+      .select(col("p").as("record_id"),
+        when(col("p") >= probeIdOffset, lit("probe"))
+          .otherwise(lit("master")).as("kind"),
+        col("lbl").as("entity_id"), col("entity_size"))
+  }
+
+  /** Driver binding: resolve q84's perturbed customer batch against the
+    * clean master at tau=2, extended with five planted junk probes
+    * (names no customer is within distance 2 of) so the unresolved-
+    * singleton path is exercised. The probe-id offset is measured from
+    * the master (max custkey + 1), not a constant. Oracle: brute-force
+    * cross-join levenshtein edges + recursive-CTE reachability — the
+    * blocked join + pointer-doubling plan must reproduce its entity
+    * partition bit-for-bit.
+    */
+  def q123EntityResolution(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val off = cust.agg(max(col("c_custkey"))).head().getLong(0) + 1L
+    val perturbed = cust.filter(col("c_custkey") < 25)
+      .select(col("c_custkey").as("pid"),
+        expr("""CASE CAST(c_custkey % 3 AS INT)
+          WHEN 0 THEN concat(substring(c_name, 1, cast(9 + c_custkey % 9 as int)),
+                             substring(c_name, cast(11 + c_custkey % 9 as int), 1000))
+          WHEN 1 THEN concat(substring(c_name, 1, cast(9 + c_custkey % 9 as int)), 'x',
+                             substring(c_name, cast(11 + c_custkey % 9 as int), 1000))
+          ELSE c_name END""").as("pname"))
+    val junk = cust
+      .filter(col("c_custkey") >= 25 && col("c_custkey") < 30)
+      .select(col("c_custkey").as("pid"),
+        concat(lit("zzz-unmatched-"), col("c_custkey")).as("pname"))
+    val master = cust.select(col("c_custkey").as("mid"), col("c_name").as("mname"))
+    resolveEntities(perturbed.union(junk), master, tau = 2, probeIdOffset = off)
+      .orderBy(col("entity_id"), col("record_id"))
+  }
 }

@@ -18,7 +18,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only: str | None = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -30,6 +30,8 @@ def main(sf_dir: str, out_dir: str) -> int:
     # a query that crashed in Verify leaves no dump — that's a failure,
     # not a skip
     names = sorted(dumped | set(oracle.keys()))
+    if only:
+        names = [n for n in names if n == only]
     for name in names:
         if name not in dumped:
             print(f"{name}: MISSING DUMP (query failed in Verify)")
@@ -75,4 +77,5 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
