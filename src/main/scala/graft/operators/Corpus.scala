@@ -750,4 +750,83 @@ object Corpus {
       .orderBy(col("est_count").desc, col("tok"))
       .limit(10)
   }
+
+  /** Synchronous label propagation (Raghavan et al. '07): every node
+    * starts labelled with its own id; each round ALL nodes simultaneously
+    * adopt the most frequent label among their neighbours, ties broken
+    * toward the SMALLEST label. Round count is a parameter, not a
+    * fixpoint: synchronous LPA can oscillate on bipartite structure
+    * (the original paper's motivation for asynchronous updates), so
+    * "the labelling after exactly R synchronous rounds" is the only
+    * deterministic, engine-independent semantics — and the one an
+    * unrolled oracle can replay. Communities differ from
+    * [[connectedComponents]] (which ignores edge density) and from
+    * k-core (which thresholds degree): LPA splits a connected graph
+    * along sparse cuts, the usual first pass for community structure.
+    *
+    * Scale shape, per round: the symmetric edge frame is partitioned by
+    * `dst` ONCE at persist time; each round only the node-sized label
+    * frame shuffles to meet it. The vote argmax is a single
+    * `max(struct(cnt, -lbl))` aggregate — map-side partial, no window,
+    * no per-node row explosion beyond the vote counts themselves.
+    * Each round's labels are lineage-truncated (eager localCheckpoint,
+    * the [[kCorePeel]] discipline) so round R never replays rounds
+    * 1..R-1 and the plan stays constant-size; superseded label frames
+    * release their blocks immediately.
+    *
+    * @param edges symmetric `(src, dst)`, no self-loops.
+    * @return `(v, lbl)` after exactly `rounds` synchronous updates.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("dst")).persist()
+    var labels = e.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val next = e
+        .join(labels.select(col("v").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        // argmax with min-label tie-break: struct max orders by cnt
+        // first, then by -lbl (labels are non-negative node ids)
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("best"))
+        .select(col("src").as("v"), (-col("best.neg")).as("lbl"))
+        .localCheckpoint(eager = true)
+      freeCheckpoint(labels)
+      labels = next
+    }
+    e.unpersist(blocking = false)
+    labels
+  }
+
+  /** Synchronous LPA rounds of the driver binding — unroll depth of the
+    * q124 oracle; LpaSpec pins the per-round semantics so a change here
+    * fails a spec before the driver hash.
+    */
+  val Q124LpaRounds = 4
+
+  /** Driver binding: communities of the q53/q85/q112 co-purchase graph
+    * (parts bought together in a high-quantity order) after
+    * [[Q124LpaRounds]] synchronous LPA rounds, with community sizes.
+    * Oracle: the rounds unrolled as CTE legs — per round a vote count
+    * and a ROW_NUMBER argmax with the same (cnt DESC, lbl ASC) order.
+    */
+  def q124LabelProp(s: SparkSession, d: String): DataFrame = {
+    val hi = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = LshJoin.exactBucketPairs(hi, "l_partkey",
+      LshJoin.MaxBucket, "l_orderkey")
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val labels = labelPropagation(edges, Q124LpaRounds)
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lbl")
+      .select(col("v").as("l_partkey"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy(col("community"), col("l_partkey"))
+  }
 }
