@@ -1216,4 +1216,192 @@ object Curation {
       .unionByName(leg(q58Decontaminate(s, d), "ngram", "n_docs", "n_contaminated"))
       .orderBy(col("detector"))
   }
+
+  /** Sample count drawn by [[q125SystematicResample]]. */
+  val SystematicTarget = 500L
+
+  /** Hex digits of the content hash that name a prefix-scan bucket:
+    * 4 digits = 65536 equal-probability buckets, so at the 100 TB
+    * analogue each within-bucket window partition holds ~1/65536 of
+    * the corpus (~1.5 GB) — sized for one executor, skew-free by
+    * hash uniformity.
+    */
+  val ScanBucketHexDigits = 4
+
+  /** Weighted systematic resampling: draw `k` slots from the corpus
+    * with inclusion probability proportional to token count — the
+    * low-variance resampler from particle filtering (Kitagawa '96;
+    * Douc & Cappé '05 compare it to multinomial/residual schemes) and
+    * the standard way to materialize a token-weighted training mix.
+    * Conceptually: lay every document end-to-end on a token number
+    * line of total length T, then take `k` equally-spaced pointers
+    * (stride T/k); a document spanning `[W, W+w)` is drawn once per
+    * pointer it covers, i.e. `multiplicity = floor((W+w)k/T) -
+    * floor(Wk/T)` — large docs can be drawn multiple times, docs with
+    * `w >= T/k` are GUARANTEED a slot, and the total multiplicity is
+    * exactly `k` by telescoping. Document order on the line is content-
+    * hash order (md5, doc_id tie-break) — the q49/q67 determinism
+    * contract: the draw is RNG-free, stable under repartitioning, and
+    * bit-reproducible in SQL. All arithmetic is exact: BIGINT products
+    * (`T * k` fits: 10^13 tokens x 10^3 slots < 2^63) and integral
+    * division on both engines (`div` / `//`), so the drawn multiset is
+    * hash-identical, never ulp-dependent.
+    *
+    * Scale shape — the global prefix sum is the textbook two-phase
+    * scan (Blelloch '90), NOT a SinglePartition window: rows hash into
+    * 16^[[ScanBucketHexDigits]] equal-width buckets by hash prefix
+    * (bucket order IS hash order, fixed-width lowercase hex being
+    * lexicographic-numeric); each bucket computes its local exclusive
+    * running sum under a bucket-partitioned window, bucket TOTALS (one
+    * row each) fold into exclusive offsets driver-side, and a
+    * broadcast join adds offset to local sum. One data shuffle total;
+    * nothing global ever sorts on one machine.
+    *
+    * @return `(doc_id, n_tok, multiplicity)` for drawn docs
+    *         (multiplicity >= 1), ordered by doc_id.
+    */
+  def systematicResample(docs: DataFrame, k: Long = SystematicTarget): DataFrame = {
+    require(k >= 1, s"systematicResample: k must be >= 1, got $k")
+    val s = docs.sparkSession
+    import s.implicits._
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text0) =>
+          val text = if (text0 == null) "" else text0
+          md.reset()
+          val h = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          (id, text.split(" ").count(_.nonEmpty).toLong, h)
+        }
+      }
+      .toDF("doc_id", "n_tok", "h")
+      .withColumn("bucket",
+        expr(s"conv(substring(h, 1, $ScanBucketHexDigits), 16, 10)").cast("long"))
+    // phase 1: within-bucket exclusive running sum (one hash shuffle)
+    val local = rows.withColumn("w_local",
+      coalesce(
+        sum(col("n_tok")).over(Window.partitionBy(col("bucket"))
+          .orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    // phase 2: bucket totals -> exclusive offsets, folded driver-side
+    // (<= 65536 rows) and rejoined via broadcast
+    val totals = rows.groupBy(col("bucket")).agg(sum(col("n_tok")).as("bt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val total = totals.map(_._2).sum
+    require(total > 0, "systematicResample: corpus has no tokens")
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _))
+      .toSeq.toDF("bucket", "w_off")
+    local.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("w0", col("w_off") + col("w_local"))
+      .withColumn("multiplicity",
+        expr(s"((w0 + n_tok) * $k) div $total - (w0 * $k) div $total"))
+      .filter(col("multiplicity") >= 1)
+      .select(col("doc_id"), col("n_tok"), col("multiplicity"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver binding (q125). Oracle: the same exact-integer geometry
+    * with a plain global window — the two-phase scan must reproduce
+    * the single-window statement bit-for-bit.
+    */
+  def q125SystematicResample(s: SparkSession, d: String): DataFrame =
+    systematicResample(Tables.documents(s, d)
+      .select(col("doc_id"), col("text")))
+
+  /** Id-range width of one global-rank bucket: within-bucket window
+    * partitions hold at most this many rows, so a single hot value
+    * (billions of equal-length docs at the 100 TB analogue) still
+    * splits across executors instead of landing on one window
+    * partition.
+    */
+  val RankBucketWidth = 100000L
+
+  /** Global dense ordering rank over `(v, id)` without a
+    * SinglePartition window: rows bucket by `(v, id div
+    * [[RankBucketWidth]])` — a refinement of the total order, so
+    * bucket-count prefix offsets (folded driver-side from one
+    * small aggregate, ~N/width rows) plus a within-bucket
+    * `row_number` reconstruct the exact global rank. The same
+    * two-phase scan as [[systematicResample]]'s cumsum, specialized
+    * to counting.
+    *
+    * @param rows `(id: Long, v: Long)`, id unique.
+    * @return rows plus `rank_g` (1-based, ordered by `(v, id)`).
+    */
+  private[operators] def globalRank(rows: DataFrame): DataFrame = {
+    val b = rows.withColumn("gb", expr(s"id div $RankBucketWidth"))
+    val counts = b.groupBy(col("v"), col("gb")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val s = rows.sparkSession
+    import s.implicits._
+    val offsets = counts.map(t => (t._1, t._2))
+      .zip(counts.map(_._3).scanLeft(0L)(_ + _))
+      .map { case ((v, gb), off) => (v, gb, off) }
+      .toSeq.toDF("v", "gb", "off")
+    b.join(broadcast(offsets), Seq("v", "gb"))
+      .withColumn("rank_g", col("off") +
+        row_number().over(Window.partitionBy(col("v"), col("gb"))
+          .orderBy(col("id"))))
+      .select(col("id"), col("v"), col("rank_g"))
+  }
+
+  /** Quantile normalization of a per-document statistic across
+    * sources (q126): replace each document's value by the GLOBAL
+    * value at the same quantile position, so every source's marginal
+    * distribution becomes the pooled one — the microarray-era
+    * cross-batch alignment (Bolstad et al. '03) applied to corpus
+    * length profiles, the diagnostic step before mixing sources whose
+    * crawlers truncate differently. Deterministic integer semantics:
+    * within source `s` a doc has rank `r` of `ns` (ordered by value,
+    * doc_id tie-break); its normalized value is the global value at
+    * position `ceil(r*N/ns)` in the pooled `(value, doc_id)` order.
+    * Every quantity is a rank or count, so the map is exact on both
+    * engines — no interpolation, no floats. (`r*N` needs 128-bit
+    * intermediates past ~3e9 docs: DuckDB widens to HUGEINT
+    * automatically; the Spark side would swap the BIGINT product for
+    * DECIMAL(38,0) — same statement shape.)
+    *
+    * Scale shape: the pooled ranking uses [[globalRank]]'s two-phase
+    * bucketed scan (no SinglePartition window anywhere); per-source
+    * ranks are one source-partitioned window; position lookup is a
+    * plain equi-join on rank, shuffled, never broadcast (the rank
+    * table is corpus-sized).
+    *
+    * @return `(doc_id, source, n_tok, norm_tok)` ordered by doc_id.
+    */
+  def quantileNormalize(stats: DataFrame): DataFrame = {
+    val rows = stats.select(col("doc_id"), col("source"), col("n_tok"))
+      .persist() // consumed by the pooled ranking AND the per-source legs
+    val n = rows.count()
+    val pooled = globalRank(rows.select(col("doc_id").as("id"), col("n_tok").as("v")))
+      .select(col("rank_g").as("p"), col("v").as("norm_tok"))
+    val perSource = rows
+      .withColumn("r", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("n_tok"), col("doc_id"))).cast("long"))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("p", expr(s"(r * ${n}L + ns - 1) div ns"))
+    val out = perSource.join(pooled, Seq("p"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("norm_tok"))
+      .orderBy(col("doc_id"))
+    out.persist().count() // materialize eagerly before releasing the input
+    rows.unpersist(blocking = false)
+    out
+  }
+
+  /** Driver binding (q126): normalize token counts. */
+  def q126QuantileNormalize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    quantileNormalize(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, src, text0) =>
+        val text = if (text0 == null) "" else text0
+        (id, src, text.split(" ").count(_.nonEmpty).toLong)
+      }
+      .toDF("doc_id", "source", "n_tok"))
+  }
 }
