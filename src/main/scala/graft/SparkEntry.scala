@@ -143,6 +143,9 @@ object SparkEntry {
     "q121_token_budget" -> (Curation.q121TokenBudget _),
     "q122_zorder_histogram" -> (Layout.q122ZOrderHistogram _),
     "q123_entity_resolution" -> (Linkage.q123EntityResolution _),
+    "q124_label_prop" -> (Corpus.q124LabelProp _),
+    "q125_systematic_resample" -> (Curation.q125SystematicResample _),
+    "q126_quantile_normalize" -> (Curation.q126QuantileNormalize _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -1899,5 +1902,81 @@ object SparkEntry {
         |  cl.entity_id, sz.entity_size
         |FROM cl JOIN sz USING (entity_id)
         |ORDER BY cl.entity_id, cl.p""".stripMargin,
+    // synchronous LPA unrolled: one (vote-count, ROW_NUMBER argmax) CTE
+    // pair per round with the same (cnt DESC, lbl ASC) tie order as the
+    // Spark side's max(struct(cnt, -lbl)) aggregate
+    "q124_label_prop" -> {
+      val head =
+        """WITH hi AS (
+          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 49),
+          |p AS (
+          |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          |  FROM hi a JOIN hi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+          |e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p),
+          |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e)""".stripMargin
+      val legs = (1 to Corpus.Q124LpaRounds).map { i =>
+        s"""c$i AS (
+           |  SELECT e.src AS v, l.lbl, COUNT(*) AS cnt
+           |  FROM e JOIN l${i - 1} l ON e.dst = l.v GROUP BY 1, 2),
+           |l$i AS (
+           |  SELECT v, lbl FROM (
+           |    SELECT v, lbl,
+           |      ROW_NUMBER() OVER (PARTITION BY v ORDER BY cnt DESC, lbl ASC) AS rn
+           |    FROM c$i) WHERE rn = 1)""".stripMargin
+      }
+      val n = Corpus.Q124LpaRounds
+      val tail =
+        s"""sz AS (SELECT lbl, COUNT(*) AS community_size FROM l$n GROUP BY lbl)
+           |SELECT l$n.v AS l_partkey, l$n.lbl AS community,
+           |  CAST(sz.community_size AS BIGINT) AS community_size
+           |FROM l$n JOIN sz USING (lbl)
+           |ORDER BY community, l_partkey""".stripMargin
+      (head +: legs :+ tail).mkString(",\n")
+    },
+    // systematic-resampling geometry with a plain global window — the
+    // Spark side's two-phase bucketed scan must reproduce this
+    // single-window statement bit-for-bit (all-integer arithmetic,
+    // // and div both truncate on non-negative operands)
+    "q125_systematic_resample" -> {
+      val k = Curation.SystematicTarget
+      s"""WITH rows_ AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok,
+         |    md5(text) AS h
+         |  FROM documents),
+         |t AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tot FROM rows_),
+         |cum AS (
+         |  SELECT doc_id, n_tok,
+         |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS w0
+         |  FROM rows_)
+         |SELECT doc_id, n_tok,
+         |  CAST(((w0 + n_tok) * $k) // tot - (w0 * $k) // tot AS BIGINT) AS multiplicity
+         |FROM cum, t
+         |WHERE ((w0 + n_tok) * $k) // tot - (w0 * $k) // tot >= 1
+         |ORDER BY doc_id""".stripMargin
+    },
+    // rank-based quantile normalization: per-source rank r of ns maps
+    // to the pooled value at ceil(r*N/ns) — all-integer, so the
+    // two-phase bucketed ranking must match this plain-window form
+    "q126_quantile_normalize" ->
+      """WITH rows_ AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |n AS (SELECT COUNT(*) AS nn FROM rows_),
+        |g AS (
+        |  SELECT n_tok AS norm_tok,
+        |    ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) AS p
+        |  FROM rows_),
+        |s AS (
+        |  SELECT doc_id, source, n_tok,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY source) AS ns
+        |  FROM rows_)
+        |SELECT s.doc_id, s.source, s.n_tok, g.norm_tok
+        |FROM s CROSS JOIN n
+        |JOIN g ON g.p = (s.r * n.nn + s.ns - 1) // s.ns
+        |ORDER BY s.doc_id""".stripMargin,
   )
 }
