@@ -146,6 +146,8 @@ object SparkEntry {
     "q124_label_prop" -> (Corpus.q124LabelProp _),
     "q125_systematic_resample" -> (Curation.q125SystematicResample _),
     "q126_quantile_normalize" -> (Curation.q126QuantileNormalize _),
+    "q127_stream_sliding" -> (graft.streaming.EventStream.q127StreamSliding _),
+    "q128_incremental_agg" -> (Relational.q128IncrementalAgg _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -1978,5 +1980,24 @@ object SparkEntry {
         |FROM s CROSS JOIN n
         |JOIN g ON g.p = (s.r * n.nn + s.ns - 1) // s.ns
         |ORDER BY s.doc_id""".stripMargin,
+    // sliding windows enumerated explicitly: each event contributes to
+    // the two aligned 2-minute windows that contain it
+    "q127_stream_sliding" ->
+      """WITH t AS (
+        |  SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type FROM events),
+        |w AS (
+        |  SELECT ts_us - ts_us % 60000000 AS win_start_us, event_type FROM t
+        |  UNION ALL
+        |  SELECT ts_us - ts_us % 60000000 - 60000000, event_type FROM t)
+        |SELECT win_start_us, event_type, COUNT(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin,
+    // recompute-from-scratch: the incremental base+delta state merge
+    // must be indistinguishable from one flat GROUP BY
+    "q128_incremental_agg" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS first_order,
+        |  CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS last_order
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
   )
 }

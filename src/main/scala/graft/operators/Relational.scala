@@ -785,4 +785,64 @@ object Relational {
         sum(round(col("l_extendedprice")).cast("long")).as("sum_rounded"),
         max(floor(col("l_discount") * 100).cast("long")).as("max_disc_pct"))
       .orderBy(col("bucket"))
+
+  /** Merge two per-group partial aggregation states — incremental view
+    * maintenance for the distributive aggregates (Gray et al. '97's
+    * cube taxonomy: SUM/COUNT/MIN/MAX compose; AVG rides as SUM+COUNT).
+    * At the 100 TB analogue this is the move that turns a daily
+    * full-table rescan into scanning ONLY the delta: the stored
+    * summary and the delta's summary full-outer merge on the group
+    * key, groups present on one side pass through, groups on both
+    * sides combine state-wise. MIN/MAX merging is sound for
+    * INSERT-ONLY deltas (a delete can expose a new extremum that only
+    * the base rows know) — the append-only ingest contract; deletes
+    * route through [[q119ApplyChangelog]]-style key compaction
+    * instead.
+    *
+    * Both inputs carry `(key..., n, tot, dmin, dmax)` with `tot`
+    * DECIMAL — state merge must stay exact, a double re-sum would
+    * drift from the recompute-from-scratch oracle.
+    */
+  def mergeAggStates(stored: DataFrame, delta: DataFrame, key: Seq[String]): DataFrame = {
+    val d = delta.select(delta.columns.map(c =>
+      if (key.contains(c)) col(c) else col(c).as(s"d_$c")): _*)
+    stored.join(d, key, "full_outer")
+      .select(key.map(col) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
+        (coalesce(col("tot"), lit(0).cast(DecimalType(18, 2))) +
+          coalesce(col("d_tot"), lit(0).cast(DecimalType(18, 2)))).as("tot"),
+        least(col("dmin"), col("d_dmin")).as("dmin"), // least/greatest skip NULLs
+        greatest(col("dmax"), col("d_dmax")).as("dmax")): _*)
+  }
+
+  /** Orders at or after this date form q128's delta batch. */
+  val IncrementalCutoff = "1996-01-01"
+
+  /** Driver binding (q128): per-customer order summaries maintained
+    * incrementally — base rows before [[IncrementalCutoff]] stand in
+    * for the stored summary, the rest arrive as the delta batch, and
+    * [[mergeAggStates]] combines the two partial states. Oracle: one
+    * flat GROUP BY over the whole table — the merged state must be
+    * indistinguishable from recomputation, including customers who
+    * exist on only one side of the cutoff.
+    */
+  def q128IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    def summarize(df: DataFrame): DataFrame = df
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("tot"),
+        min(col("o_orderdate")).as("dmin"),
+        max(col("o_orderdate")).as("dmax"))
+    val orders = Tables.orders(s, d)
+    val cut = lit(IncrementalCutoff).cast("timestamp")
+    val merged = mergeAggStates(
+      summarize(orders.filter(col("o_orderdate") < cut)),
+      summarize(orders.filter(col("o_orderdate") >= cut)),
+      Seq("o_custkey"))
+    merged.select(col("o_custkey"), col("n"),
+        col("tot").cast("double").as("total_price"),
+        col("dmin").cast("date").cast("string").as("first_order"),
+        col("dmax").cast("date").cast("string").as("last_order"))
+      .orderBy(col("o_custkey"))
+  }
 }

@@ -29,6 +29,28 @@ object EventStream {
         col("window.start").as("win_start"),
         col("event_type"), col("n"))
 
+  /** Sliding-window event counts: windows of `windowLen` starting
+    * every `slide` — each event lands in windowLen/slide overlapping
+    * windows, the shape behind moving-average dashboards and rate
+    * alarms (a tumbling window [[windowedCounts]] cannot express: a
+    * spike straddling a tumble boundary splits across two windows and
+    * both read half-height). State cost scales by the overlap factor:
+    * watermark-horizon minutes of per-(window, key) rows times
+    * windowLen/slide.
+    */
+  def slidingCounts(
+      events: DataFrame,
+      windowLen: String = "2 minutes",
+      slide: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("n"))
+
   /** Streaming exact dedup on a key column, state bounded by watermark —
     * the streaming face of the batch dedup operators (graft.operators.Dedup).
     */
@@ -333,6 +355,32 @@ object EventStream {
       .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
     val counts = windowedCounts(stream)
     val qname = "q76_stream_windows"
+    val q = counts.writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname)
+      .select(unix_micros(col("win_start")).as("win_start_us"),
+        col("event_type"), col("n"))
+      .orderBy(col("win_start_us"), col("event_type"))
+  }
+
+  /** q127 — [[slidingCounts]] replayed over the bounded events table:
+    * the OVERLAPPING-window streaming shape (2-minute windows sliding
+    * by 1) under the driver oracle. Every event materializes in
+    * exactly two windows, which the SQL oracle reproduces by
+    * generating both aligned starts per event (`floor(ts)` and
+    * `floor(ts) - slide`) and re-counting — so the streaming window
+    * operator's multi-assignment must agree with the explicit
+    * enumeration bit-for-bit, the q76 replay-exactness contract over
+    * a shape tumbling windows cannot express.
+    */
+  def q127StreamSliding(s: SparkSession, d: String): DataFrame = {
+    val schema = graft.Tables.events(s, d).schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
+    val counts = slidingCounts(stream)
+    val qname = "q127_stream_sliding"
     val q = counts.writeStream.format("memory").queryName(qname)
       .outputMode(OutputMode.Complete).start()
     try q.processAllAvailable() finally q.stop()

@@ -128,4 +128,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"q110's vocabulary-bounded joins should broadcast:\n$p")
   }
+
+  test("q125: the prefix-scan window is bucket-partitioned, offsets broadcast") {
+    val p = plan("q125_systematic_resample")
+    assert(p.contains("hashpartitioning(bucket"),
+      s"q125's running-sum window must partition by hash bucket:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"q125 must not plan any SinglePartition exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q125's offset join should broadcast:\n$p")
+  }
+
+  test("q126: pooled ranking windows are bucket-partitioned, never global") {
+    val p = plan("q126_quantile_normalize")
+    // windows: (v, gb) for the pooled rank, source for the per-source
+    // rank — neither may collapse to a single global partition
+    assert(!p.contains("SinglePartition"),
+      s"q126 must not plan any SinglePartition exchange:\n$p")
+  }
 }

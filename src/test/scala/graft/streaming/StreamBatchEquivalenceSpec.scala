@@ -75,6 +75,23 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assert(rows(got) == rows(batch))
   }
 
+  test("q127 sliding replay assigns every event to BOTH covering windows") {
+    // explicit two-start enumeration (the oracle's shape): an event at
+    // t lands in the aligned windows starting floor(t) and floor(t)-1m,
+    // each at FULL height — the property a tumbling window can't give
+    val starts = events
+      .select((us - us % 60000000L).as("s1"), col("event_type"))
+      .select(explode(array(col("s1"), col("s1") - 60000000L)).as("win_start_us"),
+        col("event_type"))
+    val batch = starts.groupBy(col("win_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val got = EventStream.q127StreamSliding(spark, dir)
+    assert(got.count() > 0)
+    assert(rows(got) == rows(batch))
+    // overlap invariant: total mass is exactly twice the event count
+    assert(got.agg(sum(col("n"))).head().getLong(0) == 2L * events.count())
+  }
+
   test("q83 interval-join replay equals the batch range join") {
     val v = events.filter(col("event_type") === "view")
       .select(col("user_id"), us.as("click_us"))
