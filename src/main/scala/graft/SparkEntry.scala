@@ -148,6 +148,8 @@ object SparkEntry {
     "q126_quantile_normalize" -> (Curation.q126QuantileNormalize _),
     "q127_stream_sliding" -> (graft.streaming.EventStream.q127StreamSliding _),
     "q128_incremental_agg" -> (Relational.q128IncrementalAgg _),
+    "q129_survivorship" -> (Linkage.q129Survivorship _),
+    "q130_linear_attribution" -> (Temporal.q130LinearAttribution _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -1999,5 +2001,58 @@ object SparkEntry {
         |  CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS first_order,
         |  CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS last_order
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // per-field recency-wins survivorship: DuckDB's null-skipping
+    // max over a (version, value) struct mirrors the Spark aggregate
+    "q129_survivorship" ->
+      """WITH v AS (
+        |  SELECT c_custkey, CAST(1 AS BIGINT) AS version, c_name AS name,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal, c_mktsegment AS seg,
+        |    CAST(NULL AS VARCHAR) AS note FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 2, CASE WHEN c_custkey % 4 = 0 THEN upper(c_name) END,
+        |    CASE WHEN c_custkey % 3 <> 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) + 5 END,
+        |    NULL, CASE WHEN c_custkey % 7 = 0 THEN 'vip' END FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 3, NULL,
+        |    CASE WHEN c_custkey % 2 <> 0 THEN CAST(c_acctbal AS DECIMAL(18,2)) + 10 END,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'UPDATED' END, NULL FROM customer),
+        |m AS (
+        |  SELECT c_custkey,
+        |    max(CASE WHEN name IS NOT NULL THEN {'p': version, 'v': name} END) AS mn,
+        |    max(CASE WHEN acctbal IS NOT NULL THEN {'p': version, 'v': acctbal} END) AS mb,
+        |    max(CASE WHEN seg IS NOT NULL THEN {'p': version, 'v': seg} END) AS ms,
+        |    max(CASE WHEN note IS NOT NULL THEN {'p': version, 'v': note} END) AS mt
+        |  FROM v GROUP BY c_custkey)
+        |SELECT c_custkey, mn.v AS name, mn.p AS name_v,
+        |  CAST(mb.v AS DOUBLE) AS acctbal, mb.p AS acctbal_v,
+        |  ms.v AS seg, ms.p AS seg_v, mt.v AS note, mt.p AS note_v
+        |FROM m ORDER BY c_custkey""".stripMargin,
+    // linear attribution: credits are integer twelfths (12/n exact for
+    // n<=4), summed as BIGINT; the one double division comes last
+    "q130_linear_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us
+        |  FROM events WHERE event_type IN ('purchase', 'click', 'view', 'signup')),
+        |g AS (
+        |  SELECT *, SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC
+        |          ROWS UNBOUNDED PRECEDING) AS conv_g FROM e),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, conv_g
+        |                               ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM g WHERE conv_g >= 1),
+        |k AS (
+        |  SELECT *, SUM(CASE WHEN event_type <> 'purchase' AND rn <= 5
+        |                     THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id, conv_g) AS n_t FROM r),
+        |c AS (
+        |  SELECT event_type AS channel, 12 // n_t AS g FROM k
+        |  WHERE event_type <> 'purchase' AND rn <= 5
+        |  UNION ALL
+        |  SELECT 'direct', 12 FROM k WHERE event_type = 'purchase' AND n_t = 0)
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(g) AS BIGINT) AS credit_grains,
+        |  CAST(SUM(g) AS DOUBLE) / 12.0 AS credit
+        |FROM c GROUP BY channel ORDER BY channel""".stripMargin,
   )
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Fuzzy record linkage: exact edit-distance join via pigeonhole
@@ -214,5 +214,91 @@ object Linkage {
     val master = cust.select(col("c_custkey").as("mid"), col("c_name").as("mname"))
     resolveEntities(perturbed.union(junk), master, tau = 2, probeIdOffset = off)
       .orderBy(col("entity_id"), col("record_id"))
+  }
+
+  /** Survivorship merge (golden-record construction): collapse the
+    * per-key version stack a changelog or multi-source feed leaves
+    * behind into ONE record, field by field, under the recency-wins
+    * rule — for each field independently, the value from the HIGHEST
+    * version where that field is non-null survives (a newer record
+    * that leaves a field null does NOT erase the older value). This is
+    * the master-data-management step that follows entity resolution
+    * ([[resolveEntities]] decides which records are the same thing;
+    * this decides what the merged thing says), and differs from
+    * [[Relational.applyChangelog]]'s whole-row last-writer-wins:
+    * survivorship is PER-FIELD, so the golden record can interleave
+    * fields from several versions. The reference would push this into
+    * a user-written reducer over the key's sorted records
+    * (tinymr.py:92-114); here each field is one null-skipping
+    * `max(struct(version, value))` aggregate, so the whole merge is a
+    * SINGLE aggregate with map-side partials — one shuffle of partial
+    * maxima, no window, at any scale. (Catalyst plans struct max as
+    * SortAggregate — struct isn't a mutable-buffer hash-agg type — so
+    * partitions sort by key locally; the exchange still carries only
+    * one partial row per (partition, key).)
+    *
+    * Determinism: rows where the field is null map the WHOLE struct to
+    * null, which `max` skips; ties on version (contract: at most one
+    * row per (key, version), but the operator stays deterministic
+    * anyway) break by the field value itself. Each output field is
+    * paired with `<field>_v` — the version it came from (null when no
+    * version ever carried the field), the per-field lineage an MDM
+    * audit requires.
+    *
+    * @param records one row per (key, version) with the field columns
+    *                (any orderable types).
+    * @return one row per key: `key, f1, f1_v, f2, f2_v, ...`.
+    */
+  def survivorshipMerge(
+      records: DataFrame, key: String, version: String,
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "survivorshipMerge: no fields to merge")
+    val aggs = fields.map { f =>
+      max(when(col(f).isNotNull,
+        struct(col(version).as("p"), col(f).as("v")))).as(s"_m_$f")
+    }
+    val merged = records.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    fields.foldLeft(merged) { (df, f) =>
+      df.withColumn(f, col(s"_m_$f.v"))
+        .withColumn(s"${f}_v", col(s"_m_$f.p"))
+        .drop(s"_m_$f")
+    }
+  }
+
+  /** Driver binding (q129): a three-version customer stack with
+    * deterministic per-field nulls (version 2 renames every 4th
+    * customer and bumps balances except every 3rd; version 3 bumps
+    * balances except every 2nd and re-segments every 5th; a `note`
+    * field exists only on version 2 of every 7th customer, so the
+    * all-versions-null path is exercised on real data). Oracle: the
+    * identical stack in SQL with DuckDB's own null-skipping
+    * `max(ROW(version, field))` — engine-exact because every surviving
+    * value is a picked (never recomputed) cell and DECIMAL arithmetic
+    * produces the candidates on both sides.
+    */
+  def q129Survivorship(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .withColumn("bal", col("c_acctbal").cast("decimal(18,2)"))
+    def ver(v: Int, name: Column, bal: Column, seg: Column, note: Column) =
+      c.select(col("c_custkey"), lit(v.toLong).as("version"), name.as("name"),
+        bal.as("acctbal"), seg.as("seg"), note.as("note"))
+    val nullS = lit(null).cast("string")
+    val stack = ver(1, col("c_name"), col("bal"), col("c_mktsegment"), nullS)
+      .unionByName(ver(2,
+        when(col("c_custkey") % 4 === 0, upper(col("c_name"))),
+        when(col("c_custkey") % 3 =!= 0, col("bal") + lit(5)),
+        nullS,
+        when(col("c_custkey") % 7 === 0, lit("vip"))))
+      .unionByName(ver(3,
+        nullS,
+        when(col("c_custkey") % 2 =!= 0, col("bal") + lit(10)),
+        when(col("c_custkey") % 5 === 0, lit("UPDATED")),
+        nullS))
+    survivorshipMerge(stack, "c_custkey", "version",
+      Seq("name", "acctbal", "seg", "note"))
+      .select(col("c_custkey"), col("name"), col("name_v"),
+        col("acctbal").cast("double").as("acctbal"), col("acctbal_v"),
+        col("seg"), col("seg_v"), col("note"), col("note_v"))
+      .orderBy(col("c_custkey"))
   }
 }

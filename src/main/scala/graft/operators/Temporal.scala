@@ -365,4 +365,82 @@ object Temporal {
   def q115PathMining(s: SparkSession, d: String): DataFrame =
     pathMining(Tables.events(s, d)
       .select(col("user_id"), tsUs.as("us"), col("event_id"), col("event_type")))
+
+  /** Multi-touch linear attribution (q130): split each conversion's
+    * credit EQUALLY across the user's last `maxTouches` touch events
+    * preceding it in the event timeline — the standard position-free
+    * marketing-attribution model between the two extremes q83's
+    * stream attribution covers (last-touch) and a full Shapley run.
+    * Conversions with no preceding touch route their full credit to
+    * the `direct` channel, so total credit is conserved: SUM(credit)
+    * == number of conversions, an invariant the spec pins.
+    *
+    * Exactness: credits are integer multiples of 1/L where L =
+    * lcm(1..maxTouches) — each touch in a size-n window earns L/n
+    * "grains" (exact BIGINT because n divides L), grains sum as
+    * integers, and the only floating-point step is ONE final division
+    * by L — so the result is bit-identical across engines, unlike the
+    * usual SUM(1.0/n) whose value depends on accumulation order.
+    *
+    * Scale shape: two event-sized hash exchanges, no self-join. Pass
+    * 1 (user partition): a DESCENDING running count of conversions
+    * assigns every event the id of the next conversion at-or-after
+    * it. Pass 2 ((user, conversion) partition): row_number ranks the
+    * window's touches by recency and an unordered window count sizes
+    * it — Catalyst evaluates both on one exchange+sort. The naive
+    * formulation (touches join conversions on user + ts inequality)
+    * explodes quadratically on power users; this stays linear.
+    *
+    * @param events `(user_id, us, event_id, event_type)`.
+    * @return per channel: event count, exact credit grains, credit.
+    */
+  def linearAttribution(
+      events: DataFrame, conversionType: String, touchTypes: Seq[String],
+      maxTouches: Int = 4): DataFrame = {
+    require(maxTouches >= 1 && maxTouches <= 12,
+      s"maxTouches must be in [1,12], got $maxTouches")
+    val grains = (1 to maxTouches).foldLeft(1L) { (l, n) =>
+      val g = java.math.BigInteger.valueOf(l)
+        .gcd(java.math.BigInteger.valueOf(n.toLong)).longValueExact()
+      l / g * n
+    }
+    val isConv = col("event_type") === conversionType
+    val desc = Seq(col("us").desc, col("event_id").desc)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(desc: _*).rowsBetween(Window.unboundedPreceding, 0)
+    val byConv = Window.partitionBy(col("user_id"), col("conv_g"))
+    val credits = events
+      .filter(isConv || col("event_type").isInCollection(touchTypes))
+      .withColumn("conv_g", sum(when(isConv, 1L).otherwise(0L)).over(byUser))
+      .filter(col("conv_g") >= 1)
+      .withColumn("rn", row_number().over(byConv.orderBy(desc: _*)))
+      .withColumn("n_t",
+        sum(when(!isConv && col("rn") <= maxTouches + 1, 1L).otherwise(0L))
+          .over(byConv))
+    val touchCredit = credits
+      .filter(!isConv && col("rn") <= maxTouches + 1)
+      .select(col("event_type").as("channel"),
+        expr(s"${grains}L div n_t").as("g"))
+    val directCredit = credits.filter(isConv && col("n_t") === 0)
+      .select(lit("direct").as("channel"), lit(grains).as("g"))
+    touchCredit.unionByName(directCredit)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("g")).as("credit_grains"))
+      .withColumn("credit",
+        col("credit_grains").cast("double") / lit(grains.toDouble))
+      .orderBy(col("channel"))
+  }
+
+  /** Driver binding (q130): purchases attributed over click/view/
+    * signup touches, last-4 window. Oracle: the identical two-window
+    * SQL with `12 // n` integer grains.
+    */
+  def q130LinearAttribution(s: SparkSession, d: String): DataFrame =
+    linearAttribution(
+      Tables.events(s, d)
+        .select(col("user_id"), tsUs.as("us"), col("event_id"), col("event_type")),
+      conversionType = "purchase",
+      touchTypes = Seq("click", "view", "signup"),
+      maxTouches = 4)
 }
