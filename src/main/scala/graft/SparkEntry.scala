@@ -150,6 +150,8 @@ object SparkEntry {
     "q128_incremental_agg" -> (Relational.q128IncrementalAgg _),
     "q129_survivorship" -> (Linkage.q129Survivorship _),
     "q130_linear_attribution" -> (Temporal.q130LinearAttribution _),
+    "q131_concurrency" -> (Temporal.q131Concurrency _),
+    "q132_scd2" -> (Relational.q132Scd2 _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2054,5 +2056,59 @@ object SparkEntry {
         |  CAST(SUM(g) AS BIGINT) AS credit_grains,
         |  CAST(SUM(g) AS DOUBLE) / 12.0 AS credit
         |FROM c GROUP BY channel ORDER BY channel""".stripMargin,
+    // sweep-line concurrency: the bucketed two-phase scan must match
+    // one plain global running sum over session boundaries
+    "q131_concurrency" ->
+      """WITH sess AS (
+        |  SELECT MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+        |  FROM (
+        |    SELECT user_id, ts_us,
+        |      CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id
+        |    FROM (
+        |      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |        CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |             OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |      FROM events) t1) t2
+        |  GROUP BY user_id, session_id),
+        |d AS (
+        |  SELECT start_us AS ts, 1 AS delta FROM sess
+        |  UNION ALL SELECT end_us + 1, -1 FROM sess),
+        |r AS (
+        |  SELECT ts, delta,
+        |    SUM(delta) OVER (ORDER BY ts, delta ROWS UNBOUNDED PRECEDING) AS level,
+        |    LEAD(ts) OVER (ORDER BY ts, delta) AS nxt
+        |  FROM d)
+        |SELECT CAST(level AS BIGINT) AS level,
+        |  CAST(SUM(COALESCE(nxt - ts, 0)) AS BIGINT) AS total_us
+        |FROM r GROUP BY level ORDER BY level""".stripMargin,
+    // SCD2: no-op versions collapse (null-safe attr compare), then
+    // lead over survivors stitches validity intervals
+    "q132_scd2" ->
+      """WITH v AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price, CAST(0 AS BIGINT) AS version FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U7', CAST(o_totalprice AS DECIMAL(18,2)) + 10, 1
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)), 2
+        |  FROM orders WHERE o_orderkey % 11 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U21', CAST(o_totalprice AS DECIMAL(18,2)) + 20, 3
+        |  FROM orders WHERE o_orderkey % 21 = 0),
+        |k AS (
+        |  SELECT *,
+        |    lag(version) OVER (PARTITION BY o_orderkey ORDER BY version) IS NULL
+        |    OR status IS DISTINCT FROM lag(status) OVER (PARTITION BY o_orderkey ORDER BY version)
+        |    OR price IS DISTINCT FROM lag(price) OVER (PARTITION BY o_orderkey ORDER BY version) AS keep
+        |  FROM v),
+        |o AS (
+        |  SELECT o_orderkey, status, CAST(price AS DOUBLE) AS price, version AS valid_from,
+        |    lead(version) OVER (PARTITION BY o_orderkey ORDER BY version) AS valid_to
+        |  FROM k WHERE keep)
+        |SELECT o_orderkey, status, price, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM o ORDER BY o_orderkey, valid_from""".stripMargin,
   )
 }

@@ -620,6 +620,77 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** SCD Type-2 dimension build (q132): turn a per-key version stack
+    * into validity intervals — the slowly-changing-dimension shape
+    * every warehouse keeps for "what did this row say WHEN". Two
+    * rules: (1) change detection — a version whose tracked attributes
+    * are null-safely identical to the previous version is a NO-OP and
+    * does NOT open a new interval (re-stating a value must not
+    * fragment history); (2) interval stitching — each surviving
+    * version is valid from its own version number until the next
+    * surviving version's (`valid_to` null = current, flagged).
+    * [[applyChangelog]] keeps only the final state (SCD-1); this keeps
+    * the whole history, which is why it cannot be a groupBy — order
+    * along the version axis is the semantics.
+    *
+    * Scale shape: ONE shuffle — change detection (lag), interval
+    * stitching (lead), and the current flag are three window
+    * functions over the SAME key partitioning, so Catalyst plans a
+    * single exchange+sort and evaluates the cascade in place. The
+    * naive two-step (self-join each version to its successor) would
+    * shuffle the stack twice and explode on hot keys.
+    *
+    * @param changelog one row per (key, version) carrying `attrs`;
+    *                  versions unique per key (ties would make
+    *                  precedence arrival-dependent).
+    * @return per surviving version: key, attrs, `valid_from`,
+    *         `valid_to` (null = open), `is_current`.
+    */
+  def scd2Build(
+      changelog: DataFrame, key: String, version: String,
+      attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "scd2Build: no tracked attributes")
+    val byKey = Window.partitionBy(col(key)).orderBy(col(version))
+    val changed = attrs
+      .map(a => !(col(a) <=> lag(col(a), 1).over(byKey)))
+      .reduce(_ || _)
+    val first = lag(col(version), 1).over(byKey).isNull
+    changelog
+      .withColumn("_keep", first || changed)
+      .filter(col("_keep"))
+      // second window over the SAME partitioning: lead sees only
+      // surviving rows, which is exactly the stitching rule
+      .withColumn("valid_to", lead(col(version), 1).over(byKey))
+      .withColumn("is_current", col("valid_to").isNull)
+      .withColumn("valid_from", col(version))
+      .drop("_keep", version)
+  }
+
+  /** Driver binding (q132): rebuild order-status history from a
+    * four-version synthetic changelog (base snapshot as version 0,
+    * then q119's U7/U21 mutation legs plus a DELIBERATE no-op leg
+    * re-stating base values at version 2 — collapsed unless version 1
+    * changed the row first, in which case version 2 is a genuine
+    * revert interval). Oracle: identical lag/lead SQL.
+    */
+  def q132Scd2(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderstatus").as("status"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    def leg(cond: Column, status: Column, price: Column, v: Long) =
+      base.filter(cond).select(col("o_orderkey"), status.as("status"),
+        price.as("price"), lit(v).as("version"))
+    val changelog = leg(lit(true), col("status"), col("price"), 0L)
+      .unionByName(leg(col("o_orderkey") % 7 === 0, lit("U7"), col("price") + lit(10), 1L))
+      .unionByName(leg(col("o_orderkey") % 11 === 0, col("status"), col("price"), 2L))
+      .unionByName(leg(col("o_orderkey") % 21 === 0, lit("U21"), col("price") + lit(20), 3L))
+    scd2Build(changelog, "o_orderkey", "version", Seq("status", "price"))
+      .select(col("o_orderkey"), col("status"),
+        col("price").cast("double").as("price"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("o_orderkey"), col("valid_from"))
+  }
+
   /** Driver binding for [[snapshotDiff]] over [[nextOrdersSnapshot]]. */
   def q94SnapshotDiff(s: SparkSession, d: String): DataFrame = {
     val cur = Tables.orders(s, d)

@@ -443,4 +443,72 @@ object Temporal {
       conversionType = "purchase",
       touchTypes = Seq("click", "view", "signup"),
       maxTouches = 4)
+
+  /** Concurrency histogram (q131): the classic sweep-line over a set
+    * of `[start_us, end_us]` intervals — how much wall-clock time was
+    * spent at each concurrency level (0 = idle gaps inside the
+    * observed span, peak level = max simultaneous intervals). The
+    * capacity-planning primitive behind "how many sessions were open
+    * at once": each interval contributes `+1` at its start and `-1`
+    * just past its inclusive end, and the running delta sum ordered by
+    * `(ts, delta)` (departures before arrivals on ties, so touching
+    * intervals never stack) IS the concurrency level after that
+    * boundary; the level holds until the next boundary.
+    *
+    * Scale shape: the global running sum is [[graft.operators.Curation]]'s
+    * two-phase scan specialized to TIME buckets — boundaries land in
+    * `bucketUs`-wide buckets (bucket order = time order by
+    * construction), each bucket computes its local running sum and
+    * local LEAD under one bucket-partitioned window, and the
+    * driver folds per-bucket delta totals into exclusive level
+    * offsets plus each bucket's successor start time (the LEAD of a
+    * bucket-final boundary), rejoined via one broadcast. One data
+    * shuffle; no SinglePartition window; bucket row counts are bounded
+    * by arrival rate x bucketUs, not corpus size.
+    *
+    * @param intervals `(start_us, end_us)`, end inclusive,
+    *                  end >= start.
+    * @return `(level, total_us)` ordered by level; Σ total_us spans
+    *         min(start) to max(end)+1 exactly.
+    */
+  def concurrencyHistogram(
+      intervals: DataFrame, bucketUs: Long = 3600L * 1000 * 1000): DataFrame = {
+    require(bucketUs >= 1, s"bucketUs must be positive, got $bucketUs")
+    val s = intervals.sparkSession
+    import s.implicits._
+    val deltas = intervals.select(col("start_us").as("ts"), lit(1L).as("delta"))
+      .unionByName(intervals.select((col("end_us") + 1).as("ts"), lit(-1L).as("delta")))
+      .withColumn("bucket", expr(s"ts div ${bucketUs}L"))
+    // driver fold: per-bucket delta totals -> exclusive level offsets,
+    // plus the next non-empty bucket's first boundary (for cross-bucket
+    // LEAD); boundary count is ~2 rows per interval / bucketUs window
+    val stats = deltas.groupBy(col("bucket"))
+      .agg(sum(col("delta")).as("bt"), min(col("ts")).as("t0"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val offs = stats.map(_._1).zip(stats.map(_._2).scanLeft(0L)(_ + _))
+    val succ = stats.drop(1).map(t => Option(t._3)) :+ None
+    val aux = offs.zip(succ)
+      .map { case ((b, off), nxt) => (b, off, nxt) }
+      .toSeq.toDF("bucket", "off", "nxt0")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("ts"), col("delta"))
+    deltas
+      .withColumn("lvl_local",
+        sum(col("delta")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("lead_local", lead(col("ts"), 1).over(w))
+      .join(broadcast(aux), Seq("bucket"))
+      .withColumn("level", col("off") + col("lvl_local"))
+      .withColumn("dur", coalesce(col("lead_local"), col("nxt0")) - col("ts"))
+      .groupBy(col("level"))
+      .agg(sum(coalesce(col("dur"), lit(0L))).as("total_us"))
+      .orderBy(col("level"))
+  }
+
+  /** Driver binding (q131): concurrency profile of q36's 30-minute-gap
+    * user sessions. Oracle: the same sweep with one plain global
+    * window — the bucketed two-phase scan must reproduce it
+    * bit-for-bit.
+    */
+  def q131Concurrency(s: SparkSession, d: String): DataFrame =
+    concurrencyHistogram(q36Sessionize(s, d).select(col("start_us"), col("end_us")))
 }
