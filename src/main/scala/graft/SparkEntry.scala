@@ -152,6 +152,8 @@ object SparkEntry {
     "q130_linear_attribution" -> (Temporal.q130LinearAttribution _),
     "q131_concurrency" -> (Temporal.q131Concurrency _),
     "q132_scd2" -> (Relational.q132Scd2 _),
+    "q133_corr_matrix" -> (Relational.q133CorrMatrix _),
+    "q134_expectations" -> (Expectations.q134Expectations _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2110,5 +2112,80 @@ object SparkEntry {
         |SELECT o_orderkey, status, price, valid_from, valid_to,
         |  valid_to IS NULL AS is_current
         |FROM o ORDER BY o_orderkey, valid_from""".stripMargin,
+    // correlation via DECIMAL moments: the double formula runs on
+    // engine-exact sums, so r is bit-identical (q91 recipe)
+    "q133_corr_matrix" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s2,
+        |    SUM(CAST(l_discount AS DECIMAL(18,2))) AS s3,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS s11,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS s22,
+        |    SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS s33,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS s12,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS s13,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS s23
+        |  FROM lineitem GROUP BY 1),
+        |p AS (
+        |  SELECT l_returnflag, n, 'l_quantity' AS var_x, 'l_extendedprice' AS var_y,
+        |    CAST(s1 AS DOUBLE) AS sx, CAST(s2 AS DOUBLE) AS sy, CAST(s11 AS DOUBLE) AS sxx,
+        |    CAST(s22 AS DOUBLE) AS syy, CAST(s12 AS DOUBLE) AS sxy FROM m
+        |  UNION ALL
+        |  SELECT l_returnflag, n, 'l_quantity', 'l_discount',
+        |    CAST(s1 AS DOUBLE), CAST(s3 AS DOUBLE), CAST(s11 AS DOUBLE),
+        |    CAST(s33 AS DOUBLE), CAST(s13 AS DOUBLE) FROM m
+        |  UNION ALL
+        |  SELECT l_returnflag, n, 'l_extendedprice', 'l_discount',
+        |    CAST(s2 AS DOUBLE), CAST(s3 AS DOUBLE), CAST(s22 AS DOUBLE),
+        |    CAST(s33 AS DOUBLE), CAST(s23 AS DOUBLE) FROM m)
+        |SELECT l_returnflag, var_x, var_y, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <= 0
+        |         OR CAST(n AS DOUBLE) * syy - sy * sy <= 0 THEN NULL
+        |       ELSE (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |            / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |               * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) END AS corr
+        |FROM p ORDER BY l_returnflag, var_x, var_y""".stripMargin,
+    // expectation audit: every rule restated in plain SQL; violation =
+    // predicate false OR null (conservative gate)
+    "q134_expectations" ->
+      """WITH o AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice <= 500000.0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v3
+        |  FROM orders),
+        |l AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(l_quantity >= 1 AND l_quantity <= 50, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(l_discount <= 0.05, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v2
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1
+        |  FROM events),
+        |c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(*) - (SELECT COUNT(*) FROM (SELECT 1 FROM customer GROUP BY c_custkey)) AS BIGINT) AS v1
+        |  FROM customer),
+        |fo AS (
+        |  SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n,
+        |    CAST((SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+        |          AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT) AS v1),
+        |fl AS (
+        |  SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n,
+        |    CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT) AS v1)
+        |SELECT * FROM (
+        |  SELECT 'orders' AS table_name, 'o_totalprice_positive' AS rule, n AS n_checked, v1 AS n_violations, v1 = 0 AS pass FROM o
+        |  UNION ALL SELECT 'orders', 'o_totalprice_under_500k', n, v2, v2 = 0 FROM o
+        |  UNION ALL SELECT 'orders', 'o_orderstatus_domain', n, v3, v3 = 0 FROM o
+        |  UNION ALL SELECT 'lineitem', 'l_quantity_range', n, v1, v1 = 0 FROM l
+        |  UNION ALL SELECT 'lineitem', 'l_discount_cap', n, v2, v2 = 0 FROM l
+        |  UNION ALL SELECT 'events', 'props_has_k', n, v1, v1 = 0 FROM e
+        |  UNION ALL SELECT 'customer', 'c_custkey_unique', n, v1, v1 = 0 FROM c
+        |  UNION ALL SELECT 'orders', 'o_custkey_fk', n, v1, v1 = 0 FROM fo
+        |  UNION ALL SELECT 'lineitem', 'l_orderkey_fk', n, v1, v1 = 0 FROM fl)
+        |ORDER BY table_name, rule""".stripMargin,
   )
 }

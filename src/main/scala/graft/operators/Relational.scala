@@ -528,6 +528,66 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Pairwise Pearson correlation matrix (q133) over DECIMAL moments —
+    * the q91 exactness recipe generalized to covariances: ONE
+    * aggregation pass computes per-group count plus every first and
+    * second moment (`Σx`, `Σx²`, `Σxy` for each pair) as DECIMAL sums,
+    * which are order-free and engine-exact, and the correlation
+    *   r = (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))
+    * is then a FIXED sequence of correctly-rounded double ops on those
+    * exact inputs — so the result is bit-identical across engines,
+    * unlike built-in `corr()` whose double accumulation is
+    * order-dependent (and unlike naive two-pass mean-centered sums,
+    * which shuffle twice). Zero-variance columns yield null (guarded
+    * on the SAME double comparison both sides).
+    *
+    * Scale shape: one shuffle (the groupBy), k(k+3)/2 + 1 map-side
+    * partial sums; the pair explosion happens AFTER aggregation on the
+    * group-sized frame via one `explode` — the input is never
+    * re-scanned per pair.
+    */
+  def correlationMatrix(
+      df: DataFrame, grp: String, cols: Seq[String],
+      scale: Int = 2): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix: need at least two columns")
+    val d = (c: String) => col(c).cast(DecimalType(18, scale))
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val moments = cols.map(c => sum(d(c)).as(s"s_$c")) ++
+      cols.map(c => sum(d(c) * d(c)).as(s"s_${c}_$c")) ++
+      pairs.map { case (x, y) => sum(d(x) * d(y)).as(s"s_${x}_$y") }
+    val m = df.groupBy(col(grp))
+      .agg(count(lit(1)).as("n"), moments: _*)
+    val pairStructs = array(pairs.map { case (x, y) =>
+      struct(lit(x).as("var_x"), lit(y).as("var_y"),
+        col(s"s_$x").cast("double").as("sx"),
+        col(s"s_$y").cast("double").as("sy"),
+        col(s"s_${x}_$x").cast("double").as("sxx"),
+        col(s"s_${y}_$y").cast("double").as("syy"),
+        col(s"s_${x}_$y").cast("double").as("sxy"))
+    }: _*)
+    val nD = col("n").cast("double")
+    val vx = nD * col("p.sxx") - col("p.sx") * col("p.sx")
+    val vy = nD * col("p.syy") - col("p.sy") * col("p.sy")
+    m.select(col(grp), col("n"), explode(pairStructs).as("p"))
+      .withColumn("corr",
+        when(vx <= 0 || vy <= 0, lit(null).cast("double"))
+          .otherwise((nD * col("p.sxy") - col("p.sx") * col("p.sy")) /
+            (sqrt(vx) * sqrt(vy))))
+      .select(col(grp), col("p.var_x").as("var_x"),
+        col("p.var_y").as("var_y"), col("n"), col("corr"))
+      .orderBy(col(grp), col("var_x"), col("var_y"))
+  }
+
+  /** Driver binding (q133): quantity/extendedprice/discount
+    * correlations per return flag. Oracle: the identical moment sums
+    * and double formula in SQL.
+    */
+  def q133CorrMatrix(s: SparkSession, d: String): DataFrame =
+    correlationMatrix(Tables.lineitem(s, d), "l_returnflag",
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+
   /** Snapshot diff (change-data-capture audit): classify every key of
     * two table versions as insert / delete / update / unchanged via ONE
     * full-outer join on the key with the compared attributes carried as
