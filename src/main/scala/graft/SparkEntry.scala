@@ -154,6 +154,7 @@ object SparkEntry {
     "q132_scd2" -> (Relational.q132Scd2 _),
     "q133_corr_matrix" -> (Relational.q133CorrMatrix _),
     "q134_expectations" -> (Expectations.q134Expectations _),
+    "q135_bfs_hops" -> (Corpus.q135BfsHops _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2187,5 +2188,19 @@ object SparkEntry {
         |  UNION ALL SELECT 'orders', 'o_custkey_fk', n, v1, v1 = 0 FROM fo
         |  UNION ALL SELECT 'lineitem', 'l_orderkey_fk', n, v1, v1 = 0 FROM fl)
         |ORDER BY table_name, rule""".stripMargin,
+    // BFS min-hop: fixed-depth recursion enumerates every walk <= 4,
+    // MIN(hop) over walks = BFS distance
+    "q135_bfs_hops" ->
+      """WITH RECURSIVE hi AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 49),
+        |pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM hi a JOIN hi b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |b(v, hop) AS (
+        |  SELECT DISTINCT l_partkey, CAST(0 AS BIGINT) FROM hi WHERE l_partkey % 50 = 0
+        |  UNION
+        |  SELECT p.dst, b.hop + 1 FROM b JOIN pairs p ON p.src = b.v WHERE b.hop < 4)
+        |SELECT v AS l_partkey, CAST(MIN(hop) AS BIGINT) AS hop
+        |FROM b GROUP BY v ORDER BY l_partkey""".stripMargin,
   )
 }

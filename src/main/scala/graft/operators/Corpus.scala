@@ -829,4 +829,70 @@ object Corpus {
         col("community_size"))
       .orderBy(col("community"), col("l_partkey"))
   }
+
+  /** Multi-source BFS (q135): exact minimum hop distance from a seed
+    * SET to every node within `maxHops` — blast-radius / closeness
+    * queries ("everything within 3 links of the recalled parts") that
+    * [[connectedComponents]]' reachability and [[pageRank]]'s scores
+    * can't answer: CC says WHETHER connected, BFS says HOW FAR. The
+    * textbook Pregel frontier algorithm (Malewicz '10), expressed as
+    * per-round DataFrame joins.
+    *
+    * Scale shape — per round, only the FRONTIER moves: frontier ⋈
+    * edges (edge frame repartitioned by src once and persisted, the
+    * [[connectedComponents]] layout, so the big frame never
+    * re-shuffles), anti-join against the settled set drops
+    * already-visited nodes, and the new frontier is eagerly
+    * `localCheckpoint`'d — the r9 lineage-truncation rule for every
+    * loop, so round N's plan never replays rounds 1..N-1. Early exit
+    * on an empty frontier makes `maxHops` a bound, not a cost: a
+    * converged BFS is bit-identical to any deeper unroll, which is
+    * what lets a fixed-depth SQL recursion oracle it.
+    *
+    * @param seeds `(v: Long)`; `edges(src, dst)` symmetric.
+    * @return `(v, hop)` for every node within maxHops of a seed
+    *         (seeds at hop 0).
+    */
+  def bfsHops(seeds: DataFrame, edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.repartition(col("src")).persist()
+    var dist = seeds.select(col("v"), lit(0L).as("hop")).localCheckpoint(true)
+    var frontier = dist.select(col("v"))
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val nxt = frontier.join(e, col("v") === col("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(dist, Seq("v"), "left_anti")
+        .withColumn("hop", lit(hop.toLong))
+        .localCheckpoint(true)
+      val settled = dist.union(nxt).localCheckpoint(true)
+      freeCheckpoint(dist)
+      dist = settled
+      frontier = nxt.select(col("v"))
+    }
+    e.unpersist(blocking = false)
+    dist
+  }
+
+  /** Driver binding (q135): hop distance from the recall seed set
+    * (every 50th part) over the co-purchase graph, 4 hops. Oracle:
+    * fixed-depth recursive SQL taking MIN(hop) over all enumerated
+    * walks — equal to BFS distance because every shortest path of
+    * length <= 4 is among the walks.
+    */
+  def q135BfsHops(s: SparkSession, d: String): DataFrame = {
+    val hi = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = LshJoin.exactBucketPairs(hi, "l_partkey",
+      LshJoin.MaxBucket, "l_orderkey")
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val seeds = hi.select(col("l_partkey").as("v")).distinct()
+      .filter(col("v") % 50 === 0)
+    bfsHops(seeds, edges, maxHops = 4)
+      .select(col("v").as("l_partkey"), col("hop"))
+      .orderBy(col("l_partkey"))
+  }
 }
