@@ -155,6 +155,7 @@ object SparkEntry {
     "q133_corr_matrix" -> (Relational.q133CorrMatrix _),
     "q134_expectations" -> (Expectations.q134Expectations _),
     "q135_bfs_hops" -> (Corpus.q135BfsHops _),
+    "q136_ols_trend" -> (Relational.q136OlsTrend _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2202,5 +2203,41 @@ object SparkEntry {
         |  SELECT p.dst, b.hop + 1 FROM b JOIN pairs p ON p.src = b.v WHERE b.hop < 4)
         |SELECT v AS l_partkey, CAST(MIN(hop) AS BIGINT) AS hop
         |FROM b GROUP BY v ORDER BY l_partkey""".stripMargin,
+    // OLS on DECIMAL moments; slope/intercept/r2 are fixed double
+    // expressions over engine-exact sums (q133 recipe). DuckDB's
+    // direct DECIMAL->DOUBLE cast double-rounds (int128->double, then
+    // /10^scale) and can be off by an ulp on big moments like syy;
+    // the floor-split below (integer part exact below 2^53, fraction
+    // exact, one IEEE add) reproduces Spark's correctly-rounded cast.
+    "q136_ols_trend" ->
+      """WITH raw AS (
+        |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DECIMAL(18,2))) AS dsx,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS dsy,
+        |    SUM(CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DECIMAL(18,2))
+        |        * CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DECIMAL(18,2))) AS dsxx,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS dsyy,
+        |    SUM(CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DECIMAL(18,2))
+        |        * CAST(o_totalprice AS DECIMAL(18,2))) AS dsxy
+        |  FROM orders GROUP BY 1),
+        |m AS (
+        |  SELECT o_orderpriority, n,
+        |    CAST(FLOOR(dsx) AS DOUBLE) + CAST(dsx - FLOOR(dsx) AS DOUBLE) AS sx,
+        |    CAST(FLOOR(dsy) AS DOUBLE) + CAST(dsy - FLOOR(dsy) AS DOUBLE) AS sy,
+        |    CAST(FLOOR(dsxx) AS DOUBLE) + CAST(dsxx - FLOOR(dsxx) AS DOUBLE) AS sxx,
+        |    CAST(FLOOR(dsyy) AS DOUBLE) + CAST(dsyy - FLOOR(dsyy) AS DOUBLE) AS syy,
+        |    CAST(FLOOR(dsxy) AS DOUBLE) + CAST(dsxy - FLOOR(dsxy) AS DOUBLE) AS sxy
+        |  FROM raw)
+        |SELECT o_orderpriority, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <= 0 THEN NULL
+        |       ELSE (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+        |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <= 0 THEN NULL
+        |       ELSE (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+        |            / CAST(n AS DOUBLE) END AS intercept,
+        |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <= 0
+        |         OR CAST(n AS DOUBLE) * syy - sy * sy <= 0 THEN NULL
+        |       ELSE ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy))
+        |            / ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
+        |FROM m ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -588,6 +588,61 @@ object Relational {
     correlationMatrix(Tables.lineitem(s, d), "l_returnflag",
       Seq("l_quantity", "l_extendedprice", "l_discount"))
 
+  /** Grouped least-squares trend (q136): per group, the OLS line
+    * y = slope·x + intercept and its r² — the "is this segment
+    * growing and how fast" primitive (per-source token drift, per-
+    * priority price trend) that [[correlationMatrix]]'s r alone
+    * doesn't give. Same exactness recipe: one aggregation pass of
+    * DECIMAL moments (order-free, engine-exact), then a FIXED
+    * sequence of correctly-rounded double ops —
+    *   slope = (n·Σxy − ΣxΣy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / n
+    *   r² = (n·Σxy − ΣxΣy)² / ((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))
+    * — so results are bit-identical across engines. Zero x-variance
+    * gives null slope/intercept/r²; zero y-variance gives null r²
+    * (guards compare the same doubles both sides).
+    *
+    * Scale shape: one shuffle (the groupBy) carrying five partial
+    * sums + count; nothing per-pair, nothing iterative.
+    */
+  def groupedOls(
+      df: DataFrame, grp: String, x: String, y: String,
+      scale: Int = 2): DataFrame = {
+    val dx = col(x).cast(DecimalType(18, scale))
+    val dy = col(y).cast(DecimalType(18, scale))
+    val m = df.groupBy(col(grp)).agg(
+      count(lit(1)).as("n"),
+      sum(dx).cast("double").as("sx"),
+      sum(dy).cast("double").as("sy"),
+      sum(dx * dx).cast("double").as("sxx"),
+      sum(dy * dy).cast("double").as("syy"),
+      sum(dx * dy).cast("double").as("sxy"))
+    val nD = col("n").cast("double")
+    val vx = nD * col("sxx") - col("sx") * col("sx")
+    val vy = nD * col("syy") - col("sy") * col("sy")
+    val cov = nD * col("sxy") - col("sx") * col("sy")
+    m.withColumn("slope",
+        when(vx <= 0, lit(null).cast("double")).otherwise(cov / vx))
+      .withColumn("intercept",
+        when(vx <= 0, lit(null).cast("double"))
+          .otherwise((col("sy") - (cov / vx) * col("sx")) / nD))
+      .withColumn("r2",
+        when(vx <= 0 || vy <= 0, lit(null).cast("double"))
+          .otherwise((cov * cov) / (vx * vy)))
+      .select(col(grp), col("n"), col("slope"), col("intercept"), col("r2"))
+      .orderBy(col(grp))
+  }
+
+  /** Driver binding (q136): order-value trend per priority class, x =
+    * integer days since epoch. Oracle: identical moments and double
+    * formula in SQL.
+    */
+  def q136OlsTrend(s: SparkSession, d: String): DataFrame =
+    groupedOls(
+      Tables.orders(s, d)
+        .withColumn("xd", datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")),
+      "o_orderpriority", "xd", "o_totalprice")
+
   /** Snapshot diff (change-data-capture audit): classify every key of
     * two table versions as insert / delete / update / unchanged via ONE
     * full-outer join on the key with the compared attributes carried as
