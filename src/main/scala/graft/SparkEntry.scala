@@ -156,6 +156,7 @@ object SparkEntry {
     "q134_expectations" -> (Expectations.q134Expectations _),
     "q135_bfs_hops" -> (Corpus.q135BfsHops _),
     "q136_ols_trend" -> (Relational.q136OlsTrend _),
+    "q137_stream_outer_attribution" -> (graft.streaming.EventStream.q137StreamOuterAttribution _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2239,5 +2240,22 @@ object SparkEntry {
         |       ELSE ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy))
         |            / ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
         |FROM m ORDER BY o_orderpriority""".stripMargin,
+    // batch LEFT JOIN over the interval condition: the streaming
+    // replay's watermark-evicted null rows must reproduce exactly the
+    // purchases with no preceding same-user view
+    "q137_stream_outer_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_type, value FROM events),
+        |r AS (
+        |  SELECT p.user_id, v.us AS view_us, p.value
+        |  FROM e p LEFT JOIN e v ON v.user_id = p.user_id
+        |    AND v.event_type = 'view'
+        |    AND v.us <= p.us AND v.us >= p.us - 600000000
+        |  WHERE p.event_type = 'purchase')
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(view_us) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(CASE WHEN view_us IS NULL THEN 1 END) AS BIGINT) AS n_unattributed,
+        |  CAST(SUM(CASE WHEN view_us IS NULL THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS unattributed_value
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

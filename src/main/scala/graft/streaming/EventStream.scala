@@ -266,6 +266,108 @@ object EventStream {
         col("purchase_ts"), col("value"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: every purchase emits —
+    * paired with each same-user click inside the attribution window,
+    * or as a single null-click row when no click precedes it (the
+    * "unattributed conversion" signal an inner join [[attributionJoin]]
+    * silently drops). The outer side makes this the hardest streaming
+    * join shape: a null row can only be emitted once the engine PROVES
+    * no future click can match, i.e. when BOTH watermarks have passed
+    * the purchase's join window — so unmatched rows surface with
+    * watermark latency, driven by state eviction, not by arrival. Both
+    * watermarks plus the interval bound keep each buffer at
+    * watermark-horizon rows, exactly as in the inner form; at 100 TB/
+    * day the state store holds minutes, and the null rows stream out
+    * continuously as the watermark advances.
+    */
+  def attributionJoinOuter(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      withinMinutes: Int = 10): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", s"$withinMinutes minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val p = purchases
+      .withWatermark("ts", s"$withinMinutes minutes")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+    p.join(c, expr(
+      s"""c_user = p_user
+         |AND click_ts <= purchase_ts
+         |AND click_ts >= purchase_ts - INTERVAL $withinMinutes MINUTES
+         |""".stripMargin), "left_outer")
+      .select(col("p_user").as("user_id"), col("click_ts"),
+        col("purchase_ts"), col("value"))
+  }
+
+  /** q137 — [[attributionJoinOuter]] replayed over the bounded events
+    * table under the batch LEFT JOIN oracle: per user, matched
+    * (purchase, view) pairs plus the purchases NO view preceded — the
+    * eighth streaming shape under driver hash-match, and the first
+    * whose correctness depends on watermark-driven STATE EVICTION
+    * (null rows only exist because the engine evicted an unmatched
+    * purchase), not just on buffered matching.
+    *
+    * Replay mechanics: a purchase's null row is emitted only when both
+    * watermarks pass its join window, and the watermark trails max
+    * event time by the join delay — so purchases near the end of a
+    * bounded table would stay in state forever and the drain would
+    * lose their null rows. A SENTINEL pair (user -1, one view + one
+    * purchase, 1 hour past the table's max event time, written to a
+    * temp dir and unioned into both sides as a second file source)
+    * pushes both watermarks past every real purchase; the
+    * watermark-advance no-data micro-batch (numInputRows == 0) then
+    * flushes every unmatched row, and the replay waits for that batch
+    * before reading the sink. The sentinel joins itself and is
+    * filtered from the rollup.
+    */
+  def q137StreamOuterAttribution(s: SparkSession, d: String): DataFrame = {
+    val maxUs = graft.Tables.events(s, d)
+      .agg(max(expr("ts div 1000"))).head().getLong(0)
+    val sentDir = java.nio.file.Files
+      .createTempDirectory("graft_q137_sentinel").toString
+    import s.implicits._
+    Seq(("view", maxUs + 3600L * 1000000L), ("purchase", maxUs + 3600L * 1000000L))
+      .toDF("event_type", "us")
+      .select(lit(-1L).as("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_type"), lit(0.0).as("value"))
+      .write.mode("overwrite").parquet(sentDir)
+    val schema = graft.Tables.events(s, d).schema
+    val sentSchema = s.read.parquet(sentDir).schema
+    def src = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_type"), col("value"))
+      .unionByName(s.readStream.schema(sentSchema).parquet(sentDir))
+    val joined = attributionJoinOuter(
+      src.filter(col("event_type") === "view"),
+      src.filter(col("event_type") === "purchase"))
+    val qname = "q137_stream_outer_attribution"
+    val q = joined.writeStream.format("memory").queryName(qname)
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // the outer-null flush rides the watermark-advance NO-DATA batch,
+      // which processAllAvailable does not wait for — poll for it
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (!q.recentProgress.exists(_.numInputRows == 0) &&
+             System.nanoTime() < deadline)
+        Thread.sleep(50)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(qname)
+      .filter(col("user_id") =!= -1L)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("click_ts")).as("n_pairs"),
+        count(when(col("click_ts").isNull, lit(1))).as("n_unattributed"),
+        sum(when(col("click_ts").isNull, col("value").cast("decimal(18,6)")))
+          .cast("double").as("unattributed_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Session-window aggregation with the BUILT-IN `session_window`
     * (dynamic-gap windows merged by the engine) — the declarative
     * counterpart of [[sessionize]]'s explicit state: when per-session

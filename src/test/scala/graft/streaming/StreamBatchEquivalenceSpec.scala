@@ -5,8 +5,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Pins the five driver-oracled stream==batch equivalences (q70 / q76 /
-  * q83 / q93 / q103) on a PERTURBED copy of the events fixture — not
+/** Pins the driver-oracled stream==batch equivalences (q70 / q76 / q83 /
+  * q93 / q103 / q108 / q127 / q137) on a PERTURBED copy of the events fixture — not
   * the driver corpus — so the boundary contracts they encode (micros
   * `div` truncation, the +1us session gap, one-micro-batch replay
   * exactness, planted-redelivery invisibility, stateless dim join)
@@ -106,6 +106,31 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
         min(col("click_us")).as("first_click_us"))
     val got = EventStream.q83StreamAttribution(spark, dir)
     assert(got.count() > 0)
+    assert(rows(got) == rows(batch))
+  }
+
+  test("q137 outer-join replay evicts and emits every unmatched purchase") {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), us.as("view_us"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), us.as("p_us"), col("value"))
+    val joined = p.join(v,
+      p("user_id") === v("user_id") &&
+        col("view_us") <= col("p_us") &&
+        col("view_us") >= col("p_us") - 600000000L,
+      "left_outer")
+    val batch = joined
+      .groupBy(p("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("view_us")).as("n_pairs"),
+        count(when(col("view_us").isNull, lit(1))).as("n_unattributed"),
+        sum(when(col("view_us").isNull, col("value").cast("decimal(18,6)")))
+          .cast("double").as("unattributed_value"))
+    val got = EventStream.q137StreamOuterAttribution(spark, dir)
+    assert(got.count() > 0)
+    // the outer path must actually run: the fixture has purchases with
+    // no preceding view, and every one must surface as a null row
+    assert(got.agg(sum(col("n_unattributed"))).head().getLong(0) > 0)
     assert(rows(got) == rows(batch))
   }
 
