@@ -157,6 +157,7 @@ object SparkEntry {
     "q135_bfs_hops" -> (Corpus.q135BfsHops _),
     "q136_ols_trend" -> (Relational.q136OlsTrend _),
     "q137_stream_outer_attribution" -> (graft.streaming.EventStream.q137StreamOuterAttribution _),
+    "q138_mad_outliers" -> (Relational.q138MadOutliers _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2257,5 +2258,20 @@ object SparkEntry {
         |  CAST(COUNT(CASE WHEN view_us IS NULL THEN 1 END) AS BIGINT) AS n_unattributed,
         |  CAST(SUM(CASE WHEN view_us IS NULL THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS unattributed_value
         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // two-pass exact median/MAD (quantile_cont == Spark percentile),
+    // threshold and z in the same fixed double-op order
+    "q138_mad_outliers" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, CAST(len($TokList) AS BIGINT) AS n_tok FROM documents),
+         |med AS (SELECT source, quantile_cont(n_tok, 0.5) AS med FROM t GROUP BY source),
+         |dv AS (
+         |  SELECT t.source, t.doc_id, t.n_tok, med.med, ABS(t.n_tok - med.med) AS dev
+         |  FROM t JOIN med USING (source)),
+         |md AS (SELECT source, quantile_cont(dev, 0.5) AS mad FROM dv GROUP BY source)
+         |SELECT dv.source, dv.doc_id, dv.n_tok, dv.med, md.mad,
+         |  CASE WHEN md.mad > 0 THEN dv.dev / (1.4826 * md.mad) END AS z
+         |FROM dv JOIN md USING (source)
+         |WHERE dv.dev > (1.5 * 1.4826) * md.mad
+         |ORDER BY source, doc_id""".stripMargin,
   )
 }

@@ -958,6 +958,63 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Robust outlier rows via the median/MAD rule (the Hampel filter;
+    * Leys '13): per group, median m and MAD = median(|x − m|); a row
+    * is an outlier when |x − m| > k · 1.4826 · MAD (1.4826 rescales
+    * MAD to σ under normality, k = 3 is the usual Hampel cut). The
+    * median/MAD pair has a 50% breakdown point — resistant to the
+    * very tails it flags — where the q91 moment z-score's mean/σ are
+    * dragged by them and q95's winsorized mean bounds influence but
+    * doesn't FLAG rows. MAD = 0 (at least half the group sits at the
+    * median) degenerates to flagging every row off the median — the
+    * documented Hampel behavior; z is null then, never NaN/Infinity.
+    *
+    * Exactness: `percentile` is Spark's exact sort-based aggregate,
+    * bit-identical to DuckDB's quantile_cont (the q74/q95 contract);
+    * deviation, threshold, and z are a FIXED sequence of double ops,
+    * so flags and z hash-match across engines.
+    *
+    * Scale shape: two map-side-combined aggregation passes (medians,
+    * then MADs over deviations) plus one filter pass — the price of
+    * EXACT medians (q37's approx_percentile sketch collapses this to
+    * one pass when tolerance allows; this operator is the exact end
+    * of that dial). Both stats frames are group-count rows and
+    * broadcast; exact-percentile state is one counter per distinct
+    * value per group.
+    */
+  def madOutliers(
+      df: DataFrame, grp: String, value: String,
+      k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(grp))
+      .agg(percentile(col(value), lit(0.5)).as("med"))
+    val withDev = df.join(broadcast(med), grp)
+      .withColumn("dev", abs(col(value) - col("med")))
+    val mad = withDev.groupBy(col(grp))
+      .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+    withDev.join(broadcast(mad), grp)
+      .filter(col("dev") > lit(k * 1.4826) * col("mad"))
+      .withColumn("z",
+        when(col("mad") > 0, col("dev") / (lit(1.4826) * col("mad")))
+          .otherwise(lit(null).cast("double")))
+  }
+
+  /** Driver binding (q138): per-source document-length outliers — the
+    * "this document's length is anomalous for its source" curation
+    * flag, robust to the junk it detects. k = 1.5 rather than the
+    * Hampel 3.0 default because the synthetic corpus has tight length
+    * spread (3σ-equivalent flags nothing at test scale; the cut is a
+    * binding choice, the operator keeps the standard default). Oracle:
+    * identical two-pass median/MAD SQL.
+    */
+  def q138MadOutliers(s: SparkSession, d: String): DataFrame =
+    madOutliers(
+      Tables.documents(s, d).select(col("source"), col("doc_id"),
+        size(filter(split(col("text"), " "), x => x =!= "")).cast("long").as("n_tok")),
+      "source", "n_tok", k = 1.5)
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        col("med"), col("mad"), col("z"))
+      .orderBy(col("source"), col("doc_id"))
+
   /** CASE/math scalar functions feeding an aggregation. */
   def q16CaseMath(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
