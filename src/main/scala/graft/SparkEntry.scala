@@ -158,6 +158,7 @@ object SparkEntry {
     "q136_ols_trend" -> (Relational.q136OlsTrend _),
     "q137_stream_outer_attribution" -> (graft.streaming.EventStream.q137StreamOuterAttribution _),
     "q138_mad_outliers" -> (Relational.q138MadOutliers _),
+    "q139_rrf_fusion" -> (Similarity.q139RrfFusion _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2273,5 +2274,77 @@ object SparkEntry {
          |FROM dv JOIN md USING (source)
          |WHERE dv.dev > (1.5 * 1.4826) * md.mad
          |ORDER BY source, doc_id""".stripMargin,
+    // q107's BM25 SQL (probe set doc_id < 10, depth 20) + q23's
+    // fixed-point cosine SQL (depth 20), fused by rank:
+    // 1/(60+lex_rnk) + 1/(60+cos_rnk), missing list -> 0
+    "q139_rrf_fusion" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM tok) GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |    (SELECT CAST(SUM(tf) AS BIGINT) FROM tf) AS l_total),
+        |qr AS (
+        |  SELECT DISTINCT query_id, tok FROM (
+        |    SELECT doc_id AS query_id, unnest(t[1:8]) AS tok
+        |    FROM tok WHERE doc_id < 10)),
+        |hits AS (
+        |  SELECT qr.query_id, tf.doc_id, tf.tf, dfq.df, dl.dl, tot.n_docs, tot.l_total
+        |  FROM qr JOIN tf USING (tok) JOIN dfq USING (tok)
+        |  JOIN dl ON dl.doc_id = tf.doc_id, tot),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    SUM(CAST(
+        |      (CAST(2 * (n_docs - df) + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE)) *
+        |      ((CAST(tf AS DOUBLE) * 2.2) /
+        |        (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |          (CAST(dl * n_docs AS DOUBLE) / CAST(l_total AS DOUBLE)))))
+        |      AS DECIMAL(20,9))) AS score_dec
+        |  FROM hits GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, doc_id, rnk AS lex_rnk FROM (
+        |    SELECT query_id, doc_id,
+        |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY score_dec DESC, doc_id) AS BIGINT) AS rnk
+        |    FROM sc WHERE doc_id <> query_id) z
+        |  WHERE rnk <= 20),
+        |qv AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, CAST(SUM(v[i] * v[i]) AS BIGINT) AS nrm
+        |  FROM qv, range(1, 65) t(i) GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT p.vec_id AS query_id, e.vec_id AS doc_id,
+        |    CAST(SUM(p.v[i] * e.v[i]) AS BIGINT) AS dot
+        |  FROM qv p, qv e, range(1, 65) t(i)
+        |  WHERE p.vec_id < 10 AND e.vec_id <> p.vec_id
+        |  GROUP BY p.vec_id, e.vec_id),
+        |sem AS (
+        |  SELECT query_id, doc_id, rnk AS cos_rnk FROM (
+        |    SELECT pr.query_id, pr.doc_id,
+        |      CAST(ROW_NUMBER() OVER (PARTITION BY pr.query_id ORDER BY
+        |        CAST(dot AS DOUBLE) / sqrt(CAST(np.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)) DESC,
+        |        pr.doc_id) AS BIGINT) AS rnk
+        |    FROM pairs pr
+        |    JOIN norms np ON np.vec_id = pr.query_id
+        |    JOIN norms ne ON ne.vec_id = pr.doc_id) z
+        |  WHERE rnk <= 20),
+        |fused AS (
+        |  SELECT query_id, doc_id, lex.lex_rnk, sem.cos_rnk,
+        |    COALESCE(1.0 / CAST(60 + lex.lex_rnk AS DOUBLE), 0.0) +
+        |    COALESCE(1.0 / CAST(60 + sem.cos_rnk AS DOUBLE), 0.0) AS rrf
+        |  FROM lex FULL OUTER JOIN sem USING (query_id, doc_id))
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf, lex_rnk, cos_rnk
+        |FROM (
+        |  SELECT query_id, doc_id, rrf, lex_rnk, cos_rnk,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+        |  FROM fused) z
+        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
   )
 }

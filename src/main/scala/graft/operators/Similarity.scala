@@ -210,6 +210,57 @@ object Similarity {
       .orderBy(col("dropped_id"))
   }
 
+  /** Per-list depth and fused output depth for [[q139RrfFusion]]. */
+  val RrfListK = 20
+  val RrfTopK = 10
+  /** The standard RRF smoothing constant (Cormack '09 uses 60). */
+  val RrfC = 60
+
+  /** Reciprocal rank fusion (q139): fuse a BM25 lexical ranking and a
+    * brute-cosine semantic ranking for the SAME probe documents by
+    * RANK, not score — rrf(d) = Σ_lists 1/(C + rank_list(d)) with
+    * C = [[RrfC]] (Cormack, Clarke & Buettcher SIGIR '09). Rank-based
+    * fusion is the production default over q81's weighted score mix
+    * precisely because BM25 scores and cosines live on incomparable
+    * scales: RRF needs no per-list normalization, is immune to score
+    * calibration drift between index rebuilds, and a document missing
+    * from one list simply contributes nothing from it.
+    *
+    * Exactness: ranks are integers (each list deterministically
+    * tie-broken by doc_id); the fused score is a FIXED two-term double
+    * expression — 1/(C+lex_rank) then + 1/(C+cos_rank), each a single
+    * IEEE op — so it hash-matches the SQL oracle bit-for-bit. Final
+    * order by (fused desc, doc_id), top [[RrfTopK]].
+    *
+    * Scale shape: the two input rankers keep their own contracts (BM25:
+    * corpus never re-shuffles, probe slate broadcast, max-score
+    * pruning; cosine: probes broadcast, corpus streams once); the
+    * fusion itself touches only the two probes × [[RrfListK]] slates —
+    * a full-outer join and a window over broadcast-sized frames. At
+    * 100 TB the fusion cost is unchanged: it never sees the corpus.
+    */
+  def q139RrfFusion(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FingerprintFunctions.register(s)
+    val lex = TextOps.bm25Build(s, d, forcePrune = None,
+        probeFilter = col("doc_id") < 10, topK = RrfListK)
+      .ranked.select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val sem = knnBruteOf(Tables.embeddings(s, d), RrfListK)
+      .select(col("probe_id").as("query_id"), col("vec_id").as("doc_id"),
+        col("rnk").as("cos_rnk"))
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfC) + col("lex_rnk")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + col("cos_rnk")).cast("double"), lit(0.0)))
+    fused
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .filter(col("rnk") <= RrfTopK)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("rrf"), col("lex_rnk"), col("cos_rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Lexical candidate slate width for [[q81HybridSearch]]'s re-rank. */
   val HybridLexK = 20
 

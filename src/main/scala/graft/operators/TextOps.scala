@@ -376,7 +376,9 @@ object TextOps {
       essential: DataFrame, candidates: DataFrame, ranked: DataFrame)
 
   private[operators] def bm25Build(
-      s: SparkSession, d: String, forcePrune: Option[Boolean]): Bm25Parts = {
+      s: SparkSession, d: String, forcePrune: Option[Boolean],
+      probeFilter: Column = col("doc_id") % Bm25ProbeMod === 0,
+      topK: Int = Bm25TopK): Bm25Parts = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -391,7 +393,7 @@ object TextOps {
     val totals = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(tf.agg(sum(col("tf")).as("l_total")))
 
-    val qterms = docs.filter(col("doc_id") % Bm25ProbeMod === 0)
+    val qterms = docs.filter(probeFilter)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(
           slice(tokens(col("text")), 1, Bm25QueryTerms))).as("tok"))
@@ -452,7 +454,7 @@ object TextOps {
         .select(col("query_id"), col("sterm").cast("decimal(20,9)").as("sdec"))
         .withColumn("_r", row_number().over(
           Window.partitionBy(col("query_id")).orderBy(col("sdec").desc)))
-        .filter(col("_r") === lit(Bm25TopK))
+        .filter(col("_r") === lit(topK))
         .select(col("query_id"), col("sdec").cast("double").as("theta"))
 
       // max-score partition: ub-ascending prefix whose sum cannot
@@ -482,7 +484,7 @@ object TextOps {
         count(lit(1)).as("n_terms"))
       .filter(col("doc_id") =!= col("query_id"))
       .withColumn("rnk", row_number().over(byScore).cast("long"))
-      .filter(col("rnk") <= Bm25TopK)
+      .filter(col("rnk") <= topK)
       .select(col("query_id"), col("rnk"), col("doc_id"),
         col("score_dec").cast("double").as("score"), col("n_terms"))
       .orderBy(col("query_id"), col("rnk"))
