@@ -159,6 +159,7 @@ object SparkEntry {
     "q137_stream_outer_attribution" -> (graft.streaming.EventStream.q137StreamOuterAttribution _),
     "q138_mad_outliers" -> (Relational.q138MadOutliers _),
     "q139_rrf_fusion" -> (Similarity.q139RrfFusion _),
+    "q140_unpivot" -> (Relational.q140Unpivot _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2346,5 +2347,15 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
         |  FROM fused) z
         |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // melt of the zero-filled pivot == users x types grid with counts
+    "q140_unpivot" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |t(event_type) AS (VALUES ('click'), ('error'), ('purchase'), ('signup'), ('view')),
+        |c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n
+        |FROM u CROSS JOIN t
+        |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+        |ORDER BY u.user_id, t.event_type""".stripMargin,
   )
 }

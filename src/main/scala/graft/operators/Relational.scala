@@ -315,17 +315,45 @@ object Relational {
   /** Pivot: per-user event-type counts as columns (explicit value list —
     * at scale an implicit pivot would need a distinct-scan first).
     */
-  def q41Pivot(s: SparkSession, d: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+  private val PivotEventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** The wide zero-filled per-user event-type counts, UNSORTED — shared
+    * by q41 (which orders it for output) and q140 (which melts it; an
+    * orderBy here would cost the melt a wasted range exchange).
+    */
+  private def pivotWide(s: SparkSession, d: String): DataFrame = {
     val pivoted = Tables.events(s, d)
       .groupBy(col("user_id"))
-      .pivot("event_type", types)
+      .pivot("event_type", PivotEventTypes)
       .agg(count(lit(1)))
-    types.foldLeft(pivoted) { (df, t) =>
-        df.withColumn(t, coalesce(col(t), lit(0L)))
-      }
-      .orderBy(col("user_id"))
+    PivotEventTypes.foldLeft(pivoted) { (df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L)))
+    }
   }
+
+  def q41Pivot(s: SparkSession, d: String): DataFrame =
+    pivotWide(s, d).orderBy(col("user_id"))
+
+  /** Unpivot / melt (q140): the inverse of [[q41Pivot]] — the wide
+    * zero-filled per-user event-type counts back to long
+    * (user_id, event_type, n) via the native `Dataset.unpivot`
+    * (SQL melt). Wide-to-long is the missing half of the reshape
+    * surface: pivot for reporting, melt for feeding long-format
+    * consumers (plotting, ML feature stores, the q99-style profilers).
+    *
+    * Scale shape: unpivot is an Expand over the wide frame — row count
+    * multiplies by the measure-column count but NO exchange is added;
+    * the only shuffles in the composed plan are the pivot's own
+    * two-phase aggregate and the output sort (the melt reads the
+    * UNSORTED wide frame — composing over q41's sorted output would
+    * pay a wasted range exchange). The oracle rebuilds the same long
+    * frame relationally (users x types, zero-filled left join).
+    */
+  def q140Unpivot(s: SparkSession, d: String): DataFrame =
+    pivotWide(s, d)
+      .unpivot(Array(col("user_id")), PivotEventTypes.map(col).toArray,
+        "event_type", "n")
+      .orderBy(col("user_id"), col("event_type"))
 
   /** Sketch-based approximate aggregates — the 100 TB path where exact
     * distinct counts/quantiles would shuffle full key sets: HLL++ and
