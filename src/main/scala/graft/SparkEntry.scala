@@ -160,6 +160,7 @@ object SparkEntry {
     "q138_mad_outliers" -> (Relational.q138MadOutliers _),
     "q139_rrf_fusion" -> (Similarity.q139RrfFusion _),
     "q140_unpivot" -> (Relational.q140Unpivot _),
+    "q141_link_prediction" -> (Corpus.q141LinkPrediction _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2357,5 +2358,22 @@ object SparkEntry {
         |FROM u CROSS JOIN t
         |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
         |ORDER BY u.user_id, t.event_type""".stripMargin,
+    // wedge self-join on the middle vertex counts common neighbors;
+    // existing edges removed; integer statistic, total-order top-25
+    "q141_link_prediction" ->
+      """WITH hi AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 49),
+        |e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM hi x JOIN hi y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |nbr AS (SELECT a AS z, b AS n FROM e UNION ALL SELECT b AS z, a AS n FROM e),
+        |w AS (
+        |  SELECT n1.n AS a, n2.n AS b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+        |  FROM nbr n1 JOIN nbr n2 ON n1.z = n2.z AND n1.n < n2.n
+        |  GROUP BY 1, 2)
+        |SELECT a, b, common_neighbors FROM w
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.b)
+        |ORDER BY common_neighbors DESC, a, b LIMIT 25""".stripMargin,
   )
 }

@@ -895,4 +895,49 @@ object Corpus {
       .select(col("v").as("l_partkey"), col("hop"))
       .orderBy(col("l_partkey"))
   }
+
+  /** Link prediction by common-neighbor count: for NON-adjacent vertex
+    * pairs, cn(a,b) = |N(a) ∩ N(b)| — the classic link-prediction
+    * baseline (Liben-Nowell & Kleinberg CIKM '03), top `topK` by
+    * (cn desc, a, b). The INTEGER statistic is chosen deliberately:
+    * Adamic-Adar's Σ 1/log deg(z) would sum doubles in reduction order
+    * and could never hash-match an oracle (the q91 rule); preferential
+    * attachment and Jaccard variants derive from the same wedge frame.
+    *
+    * Scale shape: wedges enumerate from the MIDDLE vertex — one
+    * self-join of the symmetric (z, neighbor) frame on z with n < n2 —
+    * so cost is Σ_z deg(z)², q85's triangle-wedge budget (hub-degree
+    * capping is the documented mitigation there; co-purchase degrees
+    * are order-size-bounded). Known edges leave via one LEFT ANTI
+    * join; the top-k is a TakeOrderedAndProject, never a global sort.
+    * `edges` must be DISTINCT undirected pairs with a < b.
+    */
+  def linkPrediction(edges: DataFrame, topK: Int): DataFrame = {
+    val nbr = edges.select(col("a").as("z"), col("b").as("n"))
+      .union(edges.select(col("b").as("z"), col("a").as("n")))
+    val wedges = nbr.join(
+      nbr.select(col("z"), col("n").as("n2")), "z")
+      .filter(col("n") < col("n2"))
+    wedges
+      .groupBy(col("n").as("a"), col("n2").as("b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .join(edges, Seq("a", "b"), "left_anti")
+      .orderBy(col("common_neighbors").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  /** Driver binding (q141): predicted next co-purchase links over the
+    * q85 graph (parts sharing a high-quantity order). `exactBucketPairs`
+    * emits per-order pairs, so the same pair from two orders repeats —
+    * distinct() first, or every wedge double-counts. Oracle: the same
+    * wedge self-join + NOT EXISTS in SQL.
+    */
+  def q141LinkPrediction(s: SparkSession, d: String): DataFrame = {
+    val hi = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = LshJoin.exactBucketPairs(hi, "l_partkey",
+      LshJoin.MaxBucket, "l_orderkey").select(col("a"), col("b")).distinct()
+    linkPrediction(edges, topK = 25)
+  }
 }
