@@ -9,6 +9,19 @@ object Verify {
     val spark = GraftSession.local(GraftSession.envCpus())
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // pre-flight schema canary: print every table's PHYSICAL schema so a
+    // testdata vintage change (e.g. int64-nanos ts → TIMESTAMP_NTZ, the
+    // round-9 breaker) is visible in the verify log the moment it lands,
+    // not 20 crashed queries later
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      try {
+        val phys = spark.read.parquet(s"$sfDir/$t.parquet").schema
+        System.err.println(s"[verify] schema $t: ${phys.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] schema $t: UNREADABLE ${e.getMessage}")
+      }
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -13,6 +13,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** Bounded-replay file-stream over the events table, `ts` normalized
+    * to the canonical int64-nanos contract ([[graft.Tables.normalizeEventTime]])
+    * so the replay sources are as schema-drift-proof as the batch
+    * loaders. The source's `.schema(...)` must match the files on disk,
+    * hence the RAW physical schema; normalization is a stateless
+    * projection on top. The file-stream source wants a DIRECTORY; the
+    * glob filter keeps the scan to the events table inside the shared
+    * SF directory.
+    */
+  private def eventsStream(s: SparkSession, d: String): DataFrame =
+    graft.Tables.normalizeEventTime(
+      s.readStream.schema(graft.Tables.eventsRaw(s, d).schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+
   /** Tumbling-window event counts per type with late-data eviction.
     * On a batch frame `withWatermark` is a no-op and this is an ordinary
     * windowed aggregation — one code path, two execution modes.
@@ -332,10 +346,8 @@ object EventStream {
       .select(lit(-1L).as("user_id"), timestamp_micros(col("us")).as("ts"),
         col("event_type"), lit(0.0).as("value"))
       .write.mode("overwrite").parquet(sentDir)
-    val schema = graft.Tables.events(s, d).schema
     val sentSchema = s.read.parquet(sentDir).schema
-    def src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    def src = eventsStream(s, d)
       .select(col("user_id"),
         timestamp_micros(expr("ts div 1000")).as("ts"),
         col("event_type"), col("value"))
@@ -410,12 +422,7 @@ object EventStream {
     * per-session) sink table, not part of the streaming query.
     */
   def q70StreamSessionize(s: SparkSession, d: String): DataFrame = {
-    val schema = graft.Tables.events(s, d).schema
-    // the file-stream source wants a DIRECTORY; the glob filter keeps
-    // the scan to the events table inside the shared SF directory
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-    val sessions = stream
+    val sessions = eventsStream(s, d)
       .select(col("user_id"),
         // integer `div`, not `/`: Long / Int is DOUBLE division in
         // Spark and at nanos-since-epoch magnitude the mantissa rounds
@@ -451,9 +458,7 @@ object EventStream {
     * hash-match rather than spec-only.
     */
   def q76StreamWindowCounts(s: SparkSession, d: String): DataFrame = {
-    val schema = graft.Tables.events(s, d).schema
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val stream = eventsStream(s, d)
       .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
     val counts = windowedCounts(stream)
     val qname = "q76_stream_windows"
@@ -477,9 +482,7 @@ object EventStream {
     * a shape tumbling windows cannot express.
     */
   def q127StreamSliding(s: SparkSession, d: String): DataFrame = {
-    val schema = graft.Tables.events(s, d).schema
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val stream = eventsStream(s, d)
       .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
     val counts = slidingCounts(stream)
     val qname = "q127_stream_sliding"
@@ -510,9 +513,7 @@ object EventStream {
     * the DECIMAL(18,6) value-sum contract shared with q08/q36.
     */
   def q83StreamAttribution(s: SparkSession, d: String): DataFrame = {
-    val schema = graft.Tables.events(s, d).schema
-    def src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    def src = eventsStream(s, d)
       .select(col("user_id"),
         timestamp_micros(expr("ts div 1000")).as("ts"),
         col("event_type"), col("value"))
@@ -550,9 +551,7 @@ object EventStream {
     * dedup.
     */
   def q93StreamDedup(s: SparkSession, d: String): DataFrame = {
-    val schema = graft.Tables.events(s, d).schema
-    def src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    def src = eventsStream(s, d)
       .select(col("event_id"),
         timestamp_micros(expr("ts div 1000")).as("ts"),
         col("event_type"), col("user_id"))
@@ -579,9 +578,7 @@ object EventStream {
     * the fifth streaming shape under driver hash-match.
     */
   def q103StreamEnrich(s: SparkSession, d: String): DataFrame = {
-    val schema = graft.Tables.events(s, d).schema
-    val src = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val src = eventsStream(s, d)
       .select(col("user_id"), col("value"))
     val dim = graft.Tables.customer(s, d)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
@@ -615,9 +612,7 @@ object EventStream {
     */
   def q108StreamCustomSessions(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val schema = graft.Tables.events(s, d).schema
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val stream = eventsStream(s, d)
       .select(col("user_id"), expr("ts div 1000").as("ts_ns")).as[SessionEvent]
     val sessions = sessionize(stream, 30L * 60 * 1000000L) // gap in MICROS
     val qname = "q108_stream_custom_sessions"
