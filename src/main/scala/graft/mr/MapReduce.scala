@@ -258,7 +258,7 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
       },
       preservesPartitioning = true)
 
-  protected def mapPhase(rdd: RDD[I])(
+  protected def mapPhase(rdd: RDD[I], mapPar: Int = mapParallelism)(
       implicit kt: ClassTag[K], vt: ClassTag[V]): RDD[(K, List[V])] =
     combiner match {
       case Some(op) if !sortMapWithValue =>
@@ -269,14 +269,14 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
             (e.key, e.value)
           }))
         val combined =
-          if (mapParallelism > 0) mapped.reduceByKey(op, mapParallelism)
+          if (mapPar > 0) mapped.reduceByKey(op, mapPar)
           else mapped.reduceByKey(op)
         combined.mapValues(List(_))
       case _ =>
         val mapped: RDD[(K, SV)] =
           rdd.mapPartitions(part => instrumented(part)(i =>
             mapper(i).iterator.map(e => (e.key, (e.sortOpt, e.value)))))
-        partitionAndSort(mapped, sortMapWithValue, sortMapReverse, mapParallelism)
+        partitionAndSort(mapped, sortMapWithValue, sortMapReverse, mapPar)
     }
 
   // ---- Dataset (Tungsten) execution path ----------------------------
@@ -379,7 +379,7 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
       m.iterator.map { case (k, buf) => (k, sortValues(buf, withValue, reverse): Seq[V]) }
     }
 
-  protected def dsMapPhase(ds: Dataset[I])(
+  protected def dsMapPhase(ds: Dataset[I], mapPar: Int = mapParallelism)(
       implicit ek: Encoder[K], esv: Encoder[(K, SV)],
       eout: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
     combiner match {
@@ -391,7 +391,7 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
             (e.key, (e.sortOpt, e.value))
           })
         }
-        if (mapParallelism > 0)
+        if (mapPar > 0)
           // sized variant keeps the map-side combine reduceGroups would
           // have provided: fold each scan partition locally first, so
           // the pinned-width exchange carries one row per (partition,
@@ -403,7 +403,7 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
                 m.update(k, m.get(k).fold(v)(op(_, v)))
               }
               m.iterator.map { case (k, v) => (k, (None: Option[S], v)) }
-            }, mapParallelism) { (k, buf) =>
+            }, mapPar) { (k, buf) =>
             (k, Seq(buf.view.map(_._2).reduce(op)): Seq[V])
           }
         else
@@ -415,7 +415,7 @@ abstract class MapReduceBase[I, K, S, V] extends Serializable {
         dsPartitionAndSort(
           ds.mapPartitions(part => instrumented(part)(i =>
             mapper(i).iterator.map(e => (e.key, (e.sortOpt, e.value))))),
-          sortMapWithValue, sortMapReverse, mapParallelism)
+          sortMapWithValue, sortMapReverse, mapPar)
     }
 }
 
@@ -429,13 +429,29 @@ abstract class MapReduce[I, K, S, V] extends MapReduceBase[I, K, S, V] {
   def reducer(key: K, values: Seq[V]): IterableOnce[Emit[K, S, V]]
 
   final def run(rdd: RDD[I])(
+      implicit kt: ClassTag[K], vt: ClassTag[V]): RDD[(K, List[V])] =
+    run(rdd, mapParallelism, reduceParallelism)
+
+  /** Per-invocation pool sizing — the reference's `map=` call parameter
+    * (`__call__(sequence, map=None, mapper_map=None, reducer_map=None)`,
+    * tinymr.py:156-173, where `map` is the DEFAULT for both phase
+    * pools): one call-site value sizes BOTH shuffles for this run only,
+    * without touching the task's own [[MapReduceBase.numPartitions]]
+    * overrides. The two-arg form mirrors passing `mapper_map` and
+    * `reducer_map` separately.
+    */
+  final def run(rdd: RDD[I], parallelism: Int)(
+      implicit kt: ClassTag[K], vt: ClassTag[V]): RDD[(K, List[V])] =
+    run(rdd, parallelism, parallelism)
+
+  final def run(rdd: RDD[I], mapPar: Int, reducePar: Int)(
       implicit kt: ClassTag[K], vt: ClassTag[V]): RDD[(K, List[V])] = {
-    val reduced: RDD[(K, SV)] = mapPhase(rdd).mapPartitions(part =>
+    val reduced: RDD[(K, SV)] = mapPhase(rdd, mapPar).mapPartitions(part =>
       instrumented(part) { case (k, vs) =>
         reducer(k, vs).iterator.map(e => (e.key, (e.sortOpt, e.value)))
       })
     if (keyPreserving) groupLocally(reduced, sortReduceWithValue, sortReduceReverse)
-    else partitionAndSort(reduced, sortReduceWithValue, sortReduceReverse, reduceParallelism)
+    else partitionAndSort(reduced, sortReduceWithValue, sortReduceReverse, reducePar)
   }
 
   /** Small-result driver adapter — the reference's in-memory result dict
@@ -445,6 +461,11 @@ abstract class MapReduce[I, K, S, V] extends MapReduceBase[I, K, S, V] {
   final def runToMap(rdd: RDD[I])(
       implicit kt: ClassTag[K], vt: ClassTag[V]): Map[K, List[V]] =
     run(rdd).collect().toMap
+
+  /** [[runToMap]] with the `map=`-style per-invocation pool size. */
+  final def runToMap(rdd: RDD[I], parallelism: Int)(
+      implicit kt: ClassTag[K], vt: ClassTag[V]): Map[K, List[V]] =
+    run(rdd, parallelism).collect().toMap
 
   /** The reference's user-overridable finalizer hook (`output(self,
     * mapping)`, tinymr.py:93-114, called at tinymr.py:229-230): identity
@@ -465,20 +486,38 @@ abstract class MapReduce[I, K, S, V] extends MapReduceBase[I, K, S, V] {
       implicit kt: ClassTag[K], vt: ClassTag[V]): Any =
     output(runToMap(rdd))
 
+  /** The reference's full `__call__(sequence, map=p)` form: lifecycle +
+    * finalizer with one pool size defaulting both phases.
+    */
+  final def runOutput(rdd: RDD[I], parallelism: Int)(
+      implicit kt: ClassTag[K], vt: ClassTag[V]): Any =
+    output(runToMap(rdd, parallelism))
+
   /** Tungsten-encoded execution of the same lifecycle (see
     * [[MapReduceBase]] Dataset path). Requires Encoders for the key and
     * record tuples — i.e. product/primitive K, S, V.
     */
   final def runDataset(ds: Dataset[I])(
       implicit ek: Encoder[K], esv: Encoder[(K, SV)],
+      eout: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
+    runDataset(ds, mapParallelism, reduceParallelism)
+
+  /** Dataset form of the `map=` per-invocation pool size. */
+  final def runDataset(ds: Dataset[I], parallelism: Int)(
+      implicit ek: Encoder[K], esv: Encoder[(K, SV)],
+      eout: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
+    runDataset(ds, parallelism, parallelism)
+
+  final def runDataset(ds: Dataset[I], mapPar: Int, reducePar: Int)(
+      implicit ek: Encoder[K], esv: Encoder[(K, SV)],
       eout: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] = {
-    val reduced = dsMapPhase(ds).mapPartitions(part =>
+    val reduced = dsMapPhase(ds, mapPar).mapPartitions(part =>
       instrumented(part) { case (k, vs) =>
         reducer(k, vs).iterator.map(e => (e.key, (e.sortOpt, e.value)))
       })
     if (keyPreserving) dsGroupLocally(reduced, sortReduceWithValue, sortReduceReverse)
     else dsPartitionAndSort(reduced, sortReduceWithValue, sortReduceReverse,
-      reduceParallelism)
+      reducePar)
   }
 }
 
@@ -492,8 +531,20 @@ abstract class MapReduce1[I, K, S, V] extends MapReduceBase[I, K, S, V] {
   def reducer(key: K, values: Seq[V]): Emit[K, S, V]
 
   final def run(rdd: RDD[I])(
+      implicit kt: ClassTag[K], vt: ClassTag[V]): RDD[(K, V)] =
+    run(rdd, mapParallelism, reduceParallelism)
+
+  /** Per-invocation pool sizing — the reference's `map=` call parameter
+    * defaulting both phases (tinymr.py:156-173); same contract as the
+    * yield-mode `MapReduce.run(rdd, parallelism)` overload.
+    */
+  final def run(rdd: RDD[I], parallelism: Int)(
+      implicit kt: ClassTag[K], vt: ClassTag[V]): RDD[(K, V)] =
+    run(rdd, parallelism, parallelism)
+
+  final def run(rdd: RDD[I], mapPar: Int, reducePar: Int)(
       implicit kt: ClassTag[K], vt: ClassTag[V]): RDD[(K, V)] = {
-    val reduced: RDD[(K, SV)] = mapPhase(rdd).mapPartitions(part =>
+    val reduced: RDD[(K, SV)] = mapPhase(rdd, mapPar).mapPartitions(part =>
       instrumented(part) { case (k, vs) =>
         val e = reducer(k, vs)
         Iterator.single((e.key, (e.sortOpt, e.value)))
@@ -503,13 +554,18 @@ abstract class MapReduce1[I, K, S, V] extends MapReduceBase[I, K, S, V] {
       // and no regroup is possible — straight projection.
       reduced.map { case (k, (_, v)) => (k, v) }
     else
-      partitionAndSort(reduced, sortReduceWithValue, sortReduceReverse, reduceParallelism)
+      partitionAndSort(reduced, sortReduceWithValue, sortReduceReverse, reducePar)
         .mapValues(_.head)
   }
 
   final def runToMap(rdd: RDD[I])(
       implicit kt: ClassTag[K], vt: ClassTag[V]): Map[K, V] =
     run(rdd).collect().toMap
+
+  /** [[runToMap]] with the `map=`-style per-invocation pool size. */
+  final def runToMap(rdd: RDD[I], parallelism: Int)(
+      implicit kt: ClassTag[K], vt: ClassTag[V]): Map[K, V] =
+    run(rdd, parallelism).collect().toMap
 
   /** Return-mode form of the [[MapReduce.output]] finalizer hook
     * (tinymr.py:93-114; the reference collapses to single values first,
@@ -522,11 +578,27 @@ abstract class MapReduce1[I, K, S, V] extends MapReduceBase[I, K, S, V] {
       implicit kt: ClassTag[K], vt: ClassTag[V]): Any =
     output(runToMap(rdd))
 
+  /** The reference's full `__call__(sequence, map=p)` form. */
+  final def runOutput(rdd: RDD[I], parallelism: Int)(
+      implicit kt: ClassTag[K], vt: ClassTag[V]): Any =
+    output(runToMap(rdd, parallelism))
+
   /** Tungsten-encoded execution; see [[MapReduceBase]] Dataset path. */
   final def runDataset(ds: Dataset[I])(
       implicit ek: Encoder[K], esv: Encoder[(K, SV)],
+      eseq: Encoder[(K, Seq[V])], ekv: Encoder[(K, V)]): Dataset[(K, V)] =
+    runDataset(ds, mapParallelism, reduceParallelism)
+
+  /** Dataset form of the `map=` per-invocation pool size. */
+  final def runDataset(ds: Dataset[I], parallelism: Int)(
+      implicit ek: Encoder[K], esv: Encoder[(K, SV)],
+      eseq: Encoder[(K, Seq[V])], ekv: Encoder[(K, V)]): Dataset[(K, V)] =
+    runDataset(ds, parallelism, parallelism)
+
+  final def runDataset(ds: Dataset[I], mapPar: Int, reducePar: Int)(
+      implicit ek: Encoder[K], esv: Encoder[(K, SV)],
       eseq: Encoder[(K, Seq[V])], ekv: Encoder[(K, V)]): Dataset[(K, V)] = {
-    val singles = dsMapPhase(ds).mapPartitions(part =>
+    val singles = dsMapPhase(ds, mapPar).mapPartitions(part =>
       instrumented(part) { case (k, vs) =>
         val e = reducer(k, vs)
         Iterator.single((e.key, (e.sortOpt, e.value)))
@@ -535,7 +607,7 @@ abstract class MapReduce1[I, K, S, V] extends MapReduceBase[I, K, S, V] {
       singles.map(p => (p._1, p._2._2))
     else
       dsPartitionAndSort(singles, sortReduceWithValue, sortReduceReverse,
-        reduceParallelism)
+        reducePar)
         .map(p => (p._1, p._2.head))
   }
 }

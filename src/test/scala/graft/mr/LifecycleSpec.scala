@@ -95,6 +95,44 @@ class LifecycleSpec extends SparkSpec {
     assert(got == Map("collide" -> 9))
   }
 
+  test("per-invocation parallelism (reference `map=`) sizes BOTH shuffles for one run") {
+    // the reference's __call__(sequence, map=p) defaults mapper_map AND
+    // reducer_map from one value (tinymr.py:156-173) — here one call-site
+    // int pins both shuffle widths without touching the task's overrides
+    val task = new RekeyByParity()
+    val data = sc.parallelize(1 to 10 map (_ * 7), 3)
+    val out = task.run(data, 5)
+    assert(out.getNumPartitions == 5)
+    assert(task.runToMap(data, 5) == task.runToMap(data))
+  }
+
+  test("per-invocation two-arg form = passing mapper_map and reducer_map separately") {
+    val task = new RekeyByParity()
+    val data = sc.parallelize(1 to 10 map (_ * 7), 3)
+    val out = task.run(data, 7, 2)
+    assert(out.getNumPartitions == 2) // reduce shuffle width wins the output
+    assert(out.collect().toMap == task.runToMap(data))
+  }
+
+  test("per-invocation parallelism does not mutate the task's own configuration") {
+    val task = new RekeyByParity()
+    val data = sc.parallelize(1 to 10 map (_ * 7), 3)
+    task.run(data, 5).count()
+    assert(task.mapParallelism == 0 && task.reduceParallelism == 0)
+    // a later default run still uses the Spark-default widths
+    assert(task.runToMap(data) == task.runToMap(data, 5))
+  }
+
+  test("version surface mirrors the reference packaging contract") {
+    // tinymr.__version__: package metadata when installed, '0.0' for the
+    // single-file-copy case (tinymr.py:16-24, test_packaging.py:6-13).
+    // Tests run from unpacked classes = the un-installed case.
+    val manifest = Option(classOf[graft.BuildInfo.type].getPackage)
+      .flatMap(p => Option(p.getImplementationVersion))
+    assert(graft.BuildInfo.version == manifest.getOrElse("0.0"))
+    assert(graft.BuildInfo.version.nonEmpty)
+  }
+
   test("keyPreserving elision produces identical results to the full lifecycle") {
     val data = sc.parallelize(1 to 1000, 8)
     assert(new SumTask(kp = true).runToMap(data) == new SumTask(kp = false).runToMap(data))
