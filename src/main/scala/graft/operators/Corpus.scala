@@ -324,8 +324,13 @@ object Corpus {
     * iteration; only the small rank frame shuffles per round). Each
     * iteration is one join + one partial-aggregated sum. The final
     * frame is materialized eagerly so the edge cache can be released
-    * before returning. Lineage depth is `iterations` (fixed, small) —
-    * no checkpointing needed, unlike the data-dependent CC loop.
+    * before returning. The rank frame's lineage is TRUNCATED each
+    * round (eager localCheckpoint + immediate release of the
+    * superseded checkpoint, the q96/q124 pattern): without it the plan
+    * doubles in depth per iteration and a 50-iteration run pays
+    * quadratic planning; with it the per-round plan is constant-size
+    * and the checkpoint being materialized is only the node-sized rank
+    * frame, never the edges.
     */
   def pageRank(
       nodes: DataFrame, edges: DataFrame,
@@ -345,10 +350,13 @@ object Corpus {
       val contrib = e.join(ranks, col("src") === col("p"))
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
-      ranks = n
+      val next = n
         .join(contrib, col("p") === col("dst"), "left")
         .select(col("p"),
           (lit(base) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("r"))
+        .localCheckpoint(eager = true) // truncate: constant-depth plans
+      freeCheckpoint(ranks) // no-op on the non-checkpoint seed frame
+      ranks = next
     }
     // per-node degree read back from the PERSISTED edge frame (one row
     // per (src, dst), deg constant per src) — deriving it from `deg`

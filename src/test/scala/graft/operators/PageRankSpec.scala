@@ -65,6 +65,26 @@ class PageRankSpec extends SparkSpec {
     assert(a == ref(nodes, edges, Corpus.PageRankIterations))
   }
 
+  test("deep runs still match the reference (lineage truncation is semantics-free)") {
+    val nodes = (1L to 12L)
+    val edges = (1L until 12L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val got = Corpus.pageRank(nodesDF(nodes), edgesDF(edges), iterations = 30)
+      .collect().map(r => r.getAs[Long]("p") -> r.getAs[Long]("rank_fp")).toMap
+    assert(got == ref(nodes, edges, 30))
+  }
+
+  test("plan size is independent of iteration count (per-round truncation)") {
+    // without the in-loop localCheckpoint the rank plan deepens every
+    // round and a long run pays quadratic planning; truncation makes the
+    // returned frame's plan the same size whatever the depth
+    val nodes = (1L to 8L)
+    val edges = (1L until 8L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    def planSize(iters: Int): Int =
+      Corpus.pageRank(nodesDF(nodes), edgesDF(edges), iterations = iters)
+        .queryExecution.analyzed.collect { case n => n }.size
+    assert(planSize(2) == planSize(20))
+  }
+
   test("q73 runs on the test data with sane shape") {
     val rows = Corpus.q73PageRank(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
