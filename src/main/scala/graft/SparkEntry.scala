@@ -479,6 +479,38 @@ object SparkEntry {
          |      ${langScore(Seq("shi", "bu", "wo", "zhe", "ren"))} AS s_zh
          |    FROM documents) t1) t2
          |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+    // ALGORITHMIC-REPLAY oracle: the engine's Karp-Rabin fingerprints
+    // (Fingerprints.scala — h = (h*1000003 + charCode) mod 2^61-1, and
+    // the min 16-gram window hash) are seedless integer arithmetic, so
+    // DuckDB can replay them EXACTLY with HUGEINT mod arithmetic: a
+    // recursive CTE builds per-doc prefix hashes (one recursion step
+    // per character position, all docs in parallel), the full hash is
+    // the prefix at n, and window(p..p+15) = (pref(p+15) -
+    // pref(p-1)*B^16) mod M. 1305711183126764677 = 1000003^16 mod
+    // (2^61-1). Valid because the corpus is pure ASCII (ord == Java
+    // charAt, length == Java length — both verified per SF).
+    "q28_fingerprint" ->
+      """WITH RECURSIVE pref AS (
+        |  SELECT doc_id, 0 AS i, CAST(0 AS HUGEINT) AS h, text, length(text) AS n
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, i + 1,
+        |    (h * 1000003 + ord(substring(text, i + 1, 1))) % 2305843009213693951, text, n
+        |  FROM pref WHERE i < n
+        |),
+        |fullh AS (SELECT doc_id, n, h FROM pref WHERE i = n),
+        |winh AS (
+        |  SELECT a.doc_id,
+        |    min(((a.h - (b.h * 1305711183126764677::HUGEINT) % 2305843009213693951)
+        |         % 2305843009213693951 + 2305843009213693951) % 2305843009213693951) AS mw
+        |  FROM pref a JOIN pref b ON b.doc_id = a.doc_id AND b.i = a.i - 16
+        |  WHERE a.i >= 16
+        |  GROUP BY a.doc_id)
+        |SELECT f.doc_id,
+        |  CAST(f.h AS BIGINT) AS fingerprint,
+        |  CAST(CASE WHEN f.n < 16 THEN f.h ELSE w.mw END AS BIGINT) AS min_window_fp
+        |FROM fullh f LEFT JOIN winh w ON w.doc_id = f.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
     "q30_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rflag, COALESCE(l_linestatus, 'ALL') AS lstatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
@@ -729,6 +761,31 @@ object SparkEntry {
         |SELECT doc_id, src_w, src_h, dst_w, dst_h,
         |  CAST(dst_w * dst_h * 3 AS BIGINT) AS out_bytes
         |FROM r ORDER BY doc_id""".stripMargin,
+    // ANALYTIC oracle: the driver corpus carries zero digits and zero
+    // PII shapes anywhere in `text` (verified per SF), so every match
+    // the engine's regex chain can produce comes from the suffix q63
+    // plants deterministically from doc_id — one email
+    // (user{d}@example.com -> 16+len(d) chars, token 7), one IPv4
+    // (10.{d%250}.0.{d%199+1} -> 6+len(a)+len(b) chars, token 4), one
+    // phone (+1-555-xxx-yyyy, fixed 15 chars, token 7), and a date the
+    // guard must NOT match. Deriving the expected counts and removed
+    // chars from that arithmetic is an INDEPENDENT derivation (the
+    // regexes never run here), so a drift in either the planting or the
+    // regex semantics hash-mismatches. Not a regex replay: the chain
+    // needs lookbehind AND lookahead, and DuckDB's RE2 has neither.
+    "q63_pii_redact" ->
+      """SELECT source,
+        |  count(*) AS n_docs,
+        |  count(*) AS n_emails,
+        |  count(*) AS n_ips,
+        |  count(*) AS n_phones,
+        |  CAST(sum(19
+        |    + length(CAST(doc_id AS VARCHAR))
+        |    + length(CAST(doc_id % 250 AS VARCHAR))
+        |    + length(CAST(doc_id % 199 + 1 AS VARCHAR))) AS BIGINT) AS chars_removed
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "q64_span_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),

@@ -232,6 +232,9 @@ object TextOps {
     * hash plus the minimum 16-gram window hash (winnowing-style local
     * fingerprint for containment detection). Deterministic, seedless,
     * and fully inside whole-stage codegen — no typed-map barrier.
+    * Hash-matched: being plain mod-2^61-1 integer arithmetic, the
+    * DuckDB oracle replays the exact algorithm with HUGEINT prefix
+    * hashes (see the q28 oracle SQL) — no approximation gap.
     */
   def q28Fingerprint(s: SparkSession, d: String): DataFrame = {
     graft.functions.FingerprintFunctions.register(s)
