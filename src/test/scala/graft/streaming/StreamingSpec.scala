@@ -313,6 +313,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("ts normalization is pruned out of stream scans that never read ts") {
+    // the canonical-ts projection (Tables.normalizeEventTime inside the
+    // shared eventsStream helper) must stay FREE for consumers that
+    // drop ts — Catalyst prunes the column before the parquet scan. A
+    // regression here re-reads and re-converts ts on every micro-batch
+    // of every ts-free stream (q103's whole cost profile).
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.streaming.OutputMode
+    val d = "/root/testdata/sf0.001"
+    val src = graft.Tables.normalizeEventTime(
+      spark.readStream.schema(graft.Tables.eventsRaw(spark, d).schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
+      .select(col("user_id"), col("value"))
+    val dim = graft.Tables.customer(spark, d)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val q = src.join(broadcast(dim), "user_id")
+      .writeStream.format("memory").queryName("prune_probe")
+      .outputMode(OutputMode.Append).start()
+    val plan = try {
+      q.processAllAvailable()
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos)) { q.explain() }
+      bos.toString
+    } finally q.stop()
+    val eventsScan = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("events.parquet"))
+      .mkString("\n")
+    assert(eventsScan.nonEmpty, s"no events FileScan found in:\n$plan")
+    assert(eventsScan.contains("ReadSchema: struct<user_id:bigint,value:double>"),
+      s"events scan reads more than (user_id, value):\n$eventsScan")
+  }
+
   test("q76: streaming windowed counts over the bounded events table equal batch buckets") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val d = "/root/testdata/sf0.001"
