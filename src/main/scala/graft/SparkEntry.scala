@@ -161,6 +161,10 @@ object SparkEntry {
     "q139_rrf_fusion" -> (Similarity.q139RrfFusion _),
     "q140_unpivot" -> (Relational.q140Unpivot _),
     "q141_link_prediction" -> (Corpus.q141LinkPrediction _),
+    "q142_label_centroids" -> (Similarity.q142LabelCentroids _),
+    "q143_knn_classify" -> (Similarity.q143KnnClassify _),
+    "q144_source_overlap" -> (TextOps.q144SourceGramOverlap _),
+    "q145_curriculum" -> (Curation.q145CurriculumSchedule _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2432,5 +2436,108 @@ object SparkEntry {
         |SELECT a, b, common_neighbors FROM w
         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.b)
         |ORDER BY common_neighbors DESC, a, b LIMIT 25""".stripMargin,
+    // fixed-point centroids: per-dim truncating integer division of the
+    // quantized sums (the CASE emulates Spark's truncation `div` under
+    // DuckDB's flooring `//`), integer squared-L2 argmin with the same
+    // (dist, label) tie-break
+    "q142_label_centroids" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |sums AS (
+        |  SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS s, COUNT(*) AS n
+        |  FROM q, range(1, 65) t(i) GROUP BY label, i),
+        |cent AS (
+        |  SELECT label AS clabel, i,
+        |    CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END AS c
+        |  FROM sums),
+        |dist AS (
+        |  SELECT q.vec_id, q.label, c.clabel,
+        |    CAST(SUM((qv[c.i] - c.c) * (qv[c.i] - c.c)) AS BIGINT) AS d2
+        |  FROM q, cent c
+        |  GROUP BY q.vec_id, q.label, c.clabel),
+        |pred AS (
+        |  SELECT vec_id, label, clabel,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+        |  FROM dist)
+        |SELECT label, clabel AS pred_label, COUNT(*) AS n
+        |FROM pred WHERE rn = 1
+        |GROUP BY label, clabel ORDER BY label, pred_label""".stripMargin,
+    // the q23 exact-cosine top-5 extended with neighbor-label majority
+    // vote; ties break on more votes then smaller label
+    "q143_knn_classify" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nrm
+        |  FROM q, range(1, 65) t(i) GROUP BY vec_id),
+        |pairs AS (
+        |  SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+        |    CAST(SUM(p.qv[i] * e.qv[i]) AS BIGINT) AS dot
+        |  FROM q p, q e, range(1, 65) t(i)
+        |  WHERE p.vec_id < 10 AND e.vec_id <> p.vec_id
+        |  GROUP BY p.vec_id, e.vec_id),
+        |top AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT pr.probe_id, pr.vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY pr.probe_id
+        |        ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(np.nrm AS DOUBLE) * CAST(ne.nrm AS DOUBLE)) DESC,
+        |          pr.vec_id) AS rnk
+        |    FROM pairs pr
+        |    JOIN norms np ON np.vec_id = pr.probe_id
+        |    JOIN norms ne ON ne.vec_id = pr.vec_id) z
+        |  WHERE rnk <= 5),
+        |votes AS (
+        |  SELECT t.probe_id, e.label, COUNT(*) AS votes
+        |  FROM top t JOIN embeddings e ON e.vec_id = t.vec_id
+        |  GROUP BY t.probe_id, e.label),
+        |pred AS (
+        |  SELECT probe_id, label, votes,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) AS rn
+        |  FROM votes)
+        |SELECT p.probe_id, pe.label AS true_label, p.label AS pred_label,
+        |  CAST(p.votes AS BIGINT) AS n_votes
+        |FROM pred p JOIN embeddings pe ON pe.vec_id = p.probe_id
+        |WHERE p.rn = 1 ORDER BY p.probe_id""".stripMargin,
+    // distinct (source, gram) first; gram identity is substr(md5,1,16)
+    // = the engine's gramHash64 bytes, so distinct counts agree even
+    // under a (vanishingly unlikely) truncated-md5 collision
+    "q144_source_overlap" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id,
+        |    list_filter(string_split(lower(COALESCE(text, '')), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source, substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 16) AS k
+        |  FROM tok, unnest(range(1, len(t) - 1)) u(i)),
+        |sz AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+        |sh AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+        |  FROM g a JOIN g b ON a.k = b.k AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sh.source_a, sh.source_b, CAST(sh.n_shared AS BIGINT) AS n_shared,
+        |  CAST(sh.n_shared AS DOUBLE) / CAST(sa.n + sb.n - sh.n_shared AS DOUBLE) AS gram_jaccard
+        |FROM sh
+        |JOIN sz sa ON sa.source = sh.source_a
+        |JOIN sz sb ON sb.source = sh.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
+    // same single-space tokenization as q126; ntile bucket assignment
+    // is deterministic under the (n_tok, doc_id) total order
+    "q145_curriculum" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, n_tok,
+        |    CAST(ntile(10) OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS BIGINT) AS bucket
+        |  FROM r)
+        |SELECT source, bucket, COUNT(*) AS n_docs,
+        |  MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+        |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
   )
 }

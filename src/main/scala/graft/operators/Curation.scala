@@ -1404,4 +1404,46 @@ object Curation {
       }
       .toDF("doc_id", "source", "n_tok"))
   }
+
+  /** Curriculum buckets for [[q145CurriculumSchedule]]. */
+  val CurriculumBuckets = 10
+
+  /** Length-curriculum schedule (q145): per source, documents are split
+    * into [[CurriculumBuckets]] ntile buckets by token count (short →
+    * long, the classic sequence-length curriculum), and the schedule
+    * table reports each (source, bucket)'s document count, token-count
+    * range, and token sum — what a trainer consumes to draw epoch
+    * mixtures that advance the curriculum uniformly across sources.
+    * Ordering inside a source is total (n_tok, then doc_id), so the
+    * bucket assignment — and therefore every output cell — is
+    * deterministic and replayable by the oracle's identical ntile.
+    *
+    * Scale shape: one typed pass computes token counts, one
+    * source-partitioned window assigns buckets (each source's rows
+    * sort within their own partitions — never a global sort), and the
+    * schedule aggregate is |sources|·buckets rows with map-side
+    * combine. Nothing corpus-sized shuffles twice.
+    */
+  def q145CurriculumSchedule(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, src, text0) =>
+        val text = if (text0 == null) "" else text0
+        (id, src, text.split(" ").count(_.nonEmpty).toLong)
+      }
+      .toDF("doc_id", "source", "n_tok")
+    rows
+      .withColumn("bucket", ntile(CurriculumBuckets).over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_tok"), col("doc_id"))).cast("long"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_tok")).as("min_tok"),
+        max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+      .orderBy(col("source"), col("bucket"))
+  }
 }

@@ -763,4 +763,92 @@ object Similarity {
       .orderBy(col("probe_id"), col("rnk"))
     IvfPqParts(encoded, ranked)
   }
+
+  /** Embedding dimensionality of the driver corpus (TESTDATA.md). The
+    * centroid aggregate builds one sum column per dimension, so the
+    * width is a compile-time constant rather than data-inferred.
+    */
+  val EmbedDims = 64
+
+  /** Label-centroid diagnostics (q142): per-label FIXED-POINT centroid
+    * (per-dimension truncating integer division of the quantized sums
+    * by the label count — order-independent, bit-reproducible), then
+    * every vector re-assigned to its nearest centroid by integer
+    * squared-L2, rolled up as the label-vs-assigned confusion matrix.
+    * The standard embedding-space label-noise screen: off-diagonal
+    * mass = vectors sitting in another label's region.
+    *
+    * Determinism: all distance arithmetic is BIGINT (quantized values
+    * |q| <= ~2e6, so a per-dim squared delta <= ~1.6e13 and the
+    * 64-dim sum <= ~1e15 — far inside Long range); the argmin
+    * tie-breaks on the smaller label via lexicographic struct-min.
+    *
+    * Scale shape: centroids are ONE map-side-combined aggregation to
+    * |labels| rows (the wide per-dim sum column set keeps it a single
+    * pass — no posexplode shuffle of rows x dims), then broadcast; the
+    * corpus streams once through |labels| fused fixed_dot kernels per
+    * row; the argmin is a lexicographic struct-min groupBy (map-side
+    * combinable, no window); the confusion rollup is ~|labels|² rows.
+    * Zero corpus-sized shuffles except the vec_id argmin combine.
+    */
+  def q142LabelCentroids(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FingerprintFunctions.register(s)
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), quantized.as("q"))
+    val cent = q.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        array((0 until EmbedDims).map(i => sum(col("q")(i))): _*).as("sums"))
+      .select(col("label").as("clabel"),
+        expr("transform(sums, s -> s div n)").as("c"))
+      .withColumn("cn", dot(col("c"), col("c")))
+    val scored = q
+      .withColumn("qn", dot(col("q"), col("q")))
+      .crossJoin(broadcast(cent))
+      // |q - c|² = q·q - 2 q·c + c·c, all in the fused BIGINT kernel
+      .select(col("vec_id"), col("label"),
+        struct(
+          (col("qn") - lit(2L) * dot(col("q"), col("c")) + col("cn")).as("dist"),
+          col("clabel")).as("dc"))
+    scored.groupBy(col("vec_id"), col("label"))
+      .agg(min(col("dc")).as("best")) // lexicographic: min dist, then min label
+      .groupBy(col("label"), col("best.clabel").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pred_label"))
+  }
+
+  /** Vote count for the q143 k-NN classifier. */
+  val KnnClassifyK = 5
+
+  /** k-NN label prediction (q143): each probe (vec_id < 10) takes its
+    * [[KnnClassifyK]] nearest corpus neighbors by exact fixed-point
+    * cosine (the q23 kernel) and predicts the majority neighbor label —
+    * ties break toward more votes, then the smaller label. The
+    * label-agreement probe of embedding quality: a probe whose
+    * neighbors disagree with its own label marks boundary or mislabeled
+    * regions.
+    *
+    * Scale shape: identical to [[q23KnnBrute]] — probes broadcast, the
+    * corpus streams once, per-probe state is k rows; the vote rollup
+    * acts on k·|probes| rows. The corpus is never re-shuffled.
+    */
+  def q143KnnClassify(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FingerprintFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val probeLabels = labels.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("label").as("true_label"))
+    // the k·|probes| neighbor frame is the tiny side everywhere: it
+    // broadcasts into the corpus-sized label frame, never the reverse
+    val neigh = labels.join(
+      broadcast(knnBruteOf(emb, KnnClassifyK).join(broadcast(probeLabels), "probe_id")),
+      "vec_id")
+    neigh
+      .groupBy(col("probe_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("probe_id"), col("true_label"))
+      .agg(min(struct((-col("votes")).as("neg"), col("label"))).as("w"))
+      .select(col("probe_id"), col("true_label"),
+        col("w.label").as("pred_label"), (-col("w.neg")).as("n_votes"))
+      .orderBy(col("probe_id"))
+  }
 }

@@ -493,4 +493,53 @@ object TextOps {
       .orderBy(col("query_id"), col("rnk"))
     Bm25Parts(essential, candidates, ranked)
   }
+
+  /** Source-overlap matrix (q144): for every unordered source pair the
+    * number of DISTINCT word trigrams both corpora contain, plus the
+    * gram-set Jaccard — the corpus-level view of lexical overlap that
+    * q98's doc-pair flow can't see when no document pair clears a
+    * similarity threshold (shared boilerplate/phrases spread across
+    * many dissimilar documents). Gram identity is the 64-bit md5
+    * truncation (Dedup.gramHash64), same as the oracle's
+    * substr(md5, 1, 16) — bilateral hashing keeps distinct counts
+    * bit-equal.
+    *
+    * Scale shape: the corpus collapses FIRST to distinct
+    * (source, gram) — one map-side-combined exchange on the gram key —
+    * after which every row count is bounded by |sources| per gram, so
+    * the pair self-join fans out at most |sources|²/2 per gram and the
+    * rollup is |sources|² rows. The per-source gram-set sizes ride the
+    * same distinct frame; nothing corpus-sized is ever joined twice.
+    */
+  def q144SourceGramOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sg = Tables.documents(s, d)
+      .select(col("source"), col("text")).as[(String, String)]
+      .flatMap { case (src, text0) =>
+        val text = if (text0 == null) "" else text0
+        val toks = text.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty)
+        toks.sliding(3).filter(_.length == 3)
+          .map(g => (src, graft.operators.Dedup.gramHash64(g.mkString(" "))))
+      }
+      .toDF("source", "gram")
+      .distinct()
+      .persist() // sizes + both self-join sides read this one exchange
+    val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = sg.as("a").join(sg.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val out = shared
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")).cast("double")).as("gram_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+      .persist()
+    out.count() // materialize so the gram frame can be released now
+    sg.unpersist(blocking = false)
+    out
+  }
 }
