@@ -146,4 +146,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"q126 must not plan any SinglePartition exchange:\n$p")
   }
+
+  test("q142: centroids broadcast into the corpus; every aggregate is partial+final") {
+    val p = plan("q142_label_centroids")
+    // the |labels|-row centroid frame must be the broadcast side of the
+    // scoring cross join — the corpus never shuffles to meet it
+    assert(p.contains("BroadcastNestedLoopJoin"), s"centroid join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no shuffled cartesian allowed:\n$p")
+    // argmin (struct-min) and both groupBys keep map-side partials:
+    // each Exchange is fed by an aggregate, never by a bare projection
+    assert(!p.contains("SinglePartition"), s"no global-partition exchange:\n$p")
+  }
+
+  test("q145: curriculum windows are source-partitioned, never global") {
+    val p = plan("q145_curriculum")
+    assert(!p.contains("SinglePartition"),
+      s"q145 must not plan any SinglePartition exchange:\n$p")
+  }
 }
