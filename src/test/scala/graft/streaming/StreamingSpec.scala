@@ -313,6 +313,70 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("RocksDB state store: session aggregation equals the default backend") {
+    // the production state backend at 100 TB/day: state spills to disk
+    // instead of living on the JVM heap, so watermark-horizon state is
+    // bounded by SSD, not executor memory. Must be semantics-free.
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val rocks = try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      EventStream.q70StreamSessionize(spark, d).collect().map(_.toString).sorted.toSeq
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    val default = EventStream.q70StreamSessionize(spark, d)
+      .collect().map(_.toString).sorted.toSeq
+    assert(rocks.nonEmpty)
+    assert(rocks == default)
+  }
+
+  test("checkpoint recovery: a restarted query resumes exactly-once from its checkpoint") {
+    // the exactly-once contract that makes streaming restartable at
+    // scale: stop after batch 1, add data, restart on the SAME
+    // checkpoint — already-committed files must not be re-counted and
+    // new files must be picked up
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("ckpt_src_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_dir_").toString
+    import spark.implicits._
+    def write(part: Int, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("us", "event_type")
+        .select(timestamp_micros(col("us")).as("ts"), col("event_type"))
+        .coalesce(1).write.mode("append").parquet(base)
+    val t0 = 1700000000000000L // fixed epoch micros
+    write(0, Seq((t0, "a"), (t0 + 1000000, "a"), (t0 + 61000000, "b")))
+    val schema = spark.read.parquet(base).schema
+    def counts = EventStream.windowedCounts(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(base))
+    def start(qname: String) = counts.writeStream.format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt).outputMode("complete").start()
+    val q1 = start("ckpt_a")
+    try q1.processAllAvailable() finally q1.stop()
+    val afterFirst = spark.table("ckpt_a")
+      .select(col("win_start"), col("event_type"), col("n"))
+      .collect().map(_.toSeq).toSet
+    // second vintage lands while no query is running
+    write(1, Seq((t0 + 2000000, "a"), (t0 + 62000000, "b")))
+    val q2 = start("ckpt_b")
+    try q2.processAllAvailable() finally q2.stop()
+    val afterRestart = spark.table("ckpt_b")
+      .select(col("win_start"), col("event_type"), col("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(afterFirst.nonEmpty)
+    // exactly-once: counts reflect BOTH files exactly once each
+    val batch = spark.read.parquet(base)
+      .select(window(col("ts"), "1 minute")("start").as("win_start"), col("event_type"))
+      .groupBy(col("win_start"), col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(afterRestart == batch,
+      s"restarted totals $afterRestart != batch truth $batch")
+  }
+
   test("ts normalization is pruned out of stream scans that never read ts") {
     // the canonical-ts projection (Tables.normalizeEventTime inside the
     // shared eventsStream helper) must stay FREE for consumers that
