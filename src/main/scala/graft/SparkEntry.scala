@@ -165,6 +165,7 @@ object SparkEntry {
     "q143_knn_classify" -> (Similarity.q143KnnClassify _),
     "q144_source_overlap" -> (TextOps.q144SourceGramOverlap _),
     "q145_curriculum" -> (Curation.q145CurriculumSchedule _),
+    "q146_fixed_k_sample" -> (Curation.q146FixedKSample _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2539,5 +2540,15 @@ object SparkEntry {
         |  MIN(n_tok) AS min_tok, MAX(n_tok) AS max_tok,
         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok
         |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+    // same md5-ordered deterministic membership; ROW_NUMBER under the
+    // (hash, doc_id) total order replays the engine's window exactly
+    "q146_fixed_k_sample" ->
+      """SELECT doc_id, lang, source, rk FROM (
+        |  SELECT doc_id, lang, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+        |      ORDER BY md5(text), doc_id) AS BIGINT) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10
+        |ORDER BY lang, source, rk""".stripMargin,
   )
 }

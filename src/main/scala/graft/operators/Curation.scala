@@ -1405,6 +1405,34 @@ object Curation {
       .toDF("doc_id", "source", "n_tok"))
   }
 
+  /** Per-stratum sample size for [[q146FixedKSample]]. */
+  val FixedKPerStratum = 10
+
+  /** Fixed-k per-stratum sampling (q146): exactly [[FixedKPerStratum]]
+    * documents per (lang, source) stratum — the EVAL-SET construction
+    * primitive, where the product needs a balanced panel, not the
+    * proportional slice q57's rate sampling draws. Selection order is
+    * the md5 content hash (doc_id as tie-break), so membership is
+    * RNG-free and stable under repartitioning and retries, and — unlike
+    * a LIMIT per group — fully deterministic and oracle-replayable.
+    * Strata smaller than k keep everything.
+    *
+    * Scale shape: one stratum-partitioned window (rows sort within
+    * their stratum's partitions — never a global sort) and a filter;
+    * no collect, no per-stratum driver loop, output ~k·|strata| rows.
+    */
+  def q146FixedKSample(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("text").cast("binary"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), h.as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"), col("source"))
+          .orderBy(col("h"), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= FixedKPerStratum)
+      .select(col("doc_id"), col("lang"), col("source"), col("rk"))
+      .orderBy(col("lang"), col("source"), col("rk"))
+  }
+
   /** Curriculum buckets for [[q145CurriculumSchedule]]. */
   val CurriculumBuckets = 10
 
