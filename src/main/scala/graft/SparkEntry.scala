@@ -166,6 +166,8 @@ object SparkEntry {
     "q144_source_overlap" -> (TextOps.q144SourceGramOverlap _),
     "q145_curriculum" -> (Curation.q145CurriculumSchedule _),
     "q146_fixed_k_sample" -> (Curation.q146FixedKSample _),
+    "q147_tws_sessions" ->
+      (graft.streaming.EventStream.q147TwsSessions _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2550,5 +2552,30 @@ object SparkEntry {
         |  FROM documents) t
         |WHERE rk <= 10
         |ORDER BY lang, source, rk""".stripMargin,
+    // q108's closed-sessions rule verbatim: the transformWithState
+    // replay must reproduce the flatMapGroupsWithState one bit-for-bit
+    "q147_tws_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |o AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN LAG(us) OVER w IS NULL
+        |      OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS fresh
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s2 AS (
+        |  SELECT user_id, us, SUM(fresh) OVER (
+        |    PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us,
+        |    COUNT(*) AS n_events
+        |  FROM s2 GROUP BY 1, 2),
+        |closed AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY user_id ORDER BY sid DESC) AS rr FROM sess)
+        |  WHERE rr > 1)
+        |SELECT user_id, start_us, end_us, CAST(n_events AS BIGINT) AS n_events
+        |FROM closed ORDER BY user_id, start_us""".stripMargin,
   )
 }

@@ -101,6 +101,89 @@ object EventStream {
       }
   }
 
+  /** Open-session state for [[GapSessionProcessor]] — a case class so
+    * the ValueState encoder is plain `Encoders.product` (public API).
+    */
+  final case class OpenSession(ts: Array[Long])
+
+  /** [[sessionize]]'s rule on Spark 4's `transformWithState` API
+    * (arbitrary stateful processing v2) — the designated successor of
+    * `flatMapGroupsWithState`, with composable typed state slots
+    * (Value/List/Map), timers decoupled from data arrival, and state
+    * backed by RocksDB (disk-bounded, not heap-bounded — the backend
+    * the 100 TB/day deployment runs). The open session lives in ONE
+    * ValueState value rather than a ListState: the session is
+    * gap-window-bounded and always read whole, so per-element list ops
+    * would only add RocksDB round trips.
+    */
+  final class GapSessionProcessor(gapNs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, SessionSummary] {
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionSummary] = {
+      val prior: List[Long] = if (open.exists()) open.get().ts.toList else Nil
+      val all = (prior ++ rows.map(_.ts_ns)).sorted
+      val sessions = all.foldLeft(List.empty[List[Long]]) {
+        case (Nil, t) => List(List(t))
+        case (cur :: done, t) if t - cur.head <= gapNs => (t :: cur) :: done
+        case (acc, t) => List(t) :: acc
+      }.map(_.reverse).reverse
+      val (closed, openSess) = (sessions.dropRight(1), sessions.lastOption.getOrElse(Nil))
+      if (openSess.isEmpty) open.clear() else open.update(OpenSession(openSess.toArray))
+      closed.iterator.map(sess =>
+        SessionSummary(user, sess.head, sess.last, sess.length.toLong))
+    }
+  }
+
+  /** [[sessionize]] via [[GapSessionProcessor]] — identical semantics,
+    * new engine surface; StreamingSpec pins the equivalence.
+    */
+  def sessionizeTws(events: Dataset[SessionEvent], gapNs: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new GapSessionProcessor(gapNs),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** q147 — [[q108StreamCustomSessions]]'s bounded replay with the
+    * session state machine on [[sessionizeTws]] (transformWithState +
+    * mandatory RocksDB backend) instead of flatMapGroupsWithState: the
+    * ninth streaming shape under driver hash-match, sharing q108's
+    * closed-sessions oracle — so the NEW state API is end-to-end
+    * oracle-checked, not just spec-pinned. The provider override is
+    * scoped to this replay and restored after.
+    */
+  def q147TwsSessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    try {
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val stream = eventsStream(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("ts_ns")).as[SessionEvent]
+      val sessions = sessionizeTws(stream, 30L * 60 * 1000000L) // gap in MICROS
+      val qname = "q147_tws_sessions"
+      val q = sessions.toDF().writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qname)
+        .select(col("user_id"), col("start_ns").as("start_us"),
+          col("end_ns").as("end_us"), col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionSummaryMs(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
 

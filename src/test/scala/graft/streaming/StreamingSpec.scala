@@ -313,6 +313,69 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("transformWithState sessionizer equals flatMapGroupsWithState (bounded replay)") {
+    // the Spark 4 arbitrary-state API v2 must reproduce the v1 operator
+    // bit-for-bit on the same bounded stream; tws requires the RocksDB
+    // state backend, which doubles as coverage of that pairing
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val gapNs = 30L * 60 * 1000000L // micros ("ns" naming is the q108 contract)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    def replay(f: org.apache.spark.sql.Dataset[EventStream.SessionEvent] => org.apache.spark.sql.Dataset[EventStream.SessionSummary],
+        qname: String): Seq[String] = {
+      val stream = spark.readStream.schema(graft.Tables.eventsRaw(spark, d).schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val src = graft.Tables.normalizeEventTime(stream)
+        .select(col("user_id"), expr("ts div 1000").as("ts_ns")).as[EventStream.SessionEvent]
+      val q = f(src).toDF().writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = spark.table(qname).collect().map(_.toString).sorted.toSeq
+      spark.catalog.dropTempView(qname)
+      out
+    }
+    val (tws, v1) = try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      (replay(EventStream.sessionizeTws(_, gapNs), "tws_probe"),
+        replay(EventStream.sessionize(_, gapNs), "fmgws_probe"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    assert(tws.nonEmpty)
+    assert(tws == v1)
+  }
+
+  test("state-store reader: a checkpoint's keyed state is inspectable offline") {
+    // the operational debugging surface: spark.read.format(\"statestore\")
+    // opens a stopped query's checkpoint and exposes per-key state rows
+    // — at 100 TB this is how you answer \"what is stuck in state\"
+    // without replaying the job
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val ckpt = java.nio.file.Files.createTempDirectory("state_read_").toString
+    val stream = spark.readStream.schema(graft.Tables.eventsRaw(spark, d).schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("user_id"), col("event_type"))
+    val counts = stream.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.format("memory").queryName("state_read_probe")
+      .option("checkpointLocation", ckpt).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val state = spark.read.format("statestore").load(ckpt)
+    // the value struct carries the AGGREGATION BUFFER (internal field
+    // name `count`), not the output alias — the reader shows the
+    // operator's state as stored, which is the point
+    val rows = state.select(col("key.event_type"), col("value.count")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = graft.Tables.events(spark, d).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == truth, s"state $rows != batch truth $truth")
+  }
+
   test("RocksDB state store: session aggregation equals the default backend") {
     // the production state backend at 100 TB/day: state spills to disk
     // instead of living on the JVM heap, so watermark-horizon state is
