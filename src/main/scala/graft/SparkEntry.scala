@@ -168,6 +168,7 @@ object SparkEntry {
     "q146_fixed_k_sample" -> (Curation.q146FixedKSample _),
     "q147_tws_sessions" ->
       (graft.streaming.EventStream.q147TwsSessions _),
+    "q148_range_window" -> (Relational.q148RangeWindow _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2577,5 +2578,15 @@ object SparkEntry {
         |  WHERE rr > 1)
         |SELECT user_id, start_us, end_us, CAST(n_events AS BIGINT) AS n_events
         |FROM closed ORDER BY user_id, start_us""".stripMargin,
+    // RANGE frame over the micros key: peers share one frame on both
+    // engines, so no row-order tie-break is needed
+    "q148_range_window" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS trail_sum,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS trail_n
+        |FROM (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us, value FROM events) e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
   )
 }

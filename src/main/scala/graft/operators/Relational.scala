@@ -136,6 +136,32 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Trailing event-time interval aggregate (q148): per event, the
+    * DECIMAL-exact value sum and event count over the user's trailing
+    * 10 minutes of EVENT TIME — a RANGE frame over the micros key, the
+    * window family q08's ROWS frames can't express (a burst of events
+    * inside one minute all share nearly the same trailing window; a
+    * rows-based frame would see fixed row counts instead of a time
+    * horizon). This is the rolling-exposure shape behind rate limits
+    * and spend caps.
+    *
+    * Determinism: RANGE frames are defined by the ORDER BY VALUE (the
+    * micros key), not row position, so peers (equal timestamps) share
+    * one frame on both engines and no row-order tie-break is needed.
+    * Scale: one user-partitioned window — never a global sort.
+    */
+  def q148RangeWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-600000000L, 0L) // trailing 10 minutes, inclusive
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"), col("value"))
+      .withColumn("trail_sum",
+        sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double"))
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .select(col("user_id"), col("event_id"), col("trail_sum"), col("trail_n"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** lag(): per-user delta between consecutive event values. */
   def q9WindowLag(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(expr("ts div 1000"), col("event_id"))
