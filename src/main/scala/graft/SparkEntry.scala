@@ -169,6 +169,7 @@ object SparkEntry {
     "q147_tws_sessions" ->
       (graft.streaming.EventStream.q147TwsSessions _),
     "q148_range_window" -> (Relational.q148RangeWindow _),
+    "q149_sql_entry" -> (Relational.q149SqlEntry _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2588,5 +2589,17 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY us
         |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q149_sql_entry" ->
+      """SELECT r_name AS region, n_name AS nation,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY region, nation""".stripMargin,
   )
 }

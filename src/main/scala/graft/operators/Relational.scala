@@ -136,6 +136,35 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** SQL front door (q149): the five-table TPC-H-ish revenue rollup
+    * expressed as ONE ANSI SQL string through `spark.sql(...)` over
+    * registered temp views — the entry path a shared-cluster SQL user
+    * takes (the DataFrame bindings everywhere else are the library
+    * path). Catalyst sees the identical logical plan either way:
+    * SqlEntrySpec pins optimized-plan equality against the DataFrame
+    * twin, so this is proven to be the same engine, not a parallel
+    * implementation. DECIMAL money conventions as in q03.
+    */
+  def q149SqlEntry(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("v_orders")
+    Tables.customer(s, d).createOrReplaceTempView("v_customer")
+    Tables.nation(s, d).createOrReplaceTempView("v_nation")
+    Tables.region(s, d).createOrReplaceTempView("v_region")
+    s.sql("""
+      SELECT r_name AS region, n_name AS nation,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+          * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM v_lineitem
+      JOIN v_orders ON l_orderkey = o_orderkey
+      JOIN v_customer ON o_custkey = c_custkey
+      JOIN v_nation ON c_nationkey = n_nationkey
+      JOIN v_region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY region, nation""")
+  }
+
   /** Trailing event-time interval aggregate (q148): per event, the
     * DECIMAL-exact value sum and event count over the user's trailing
     * 10 minutes of EVENT TIME — a RANGE frame over the micros key, the
