@@ -170,6 +170,8 @@ object SparkEntry {
       (graft.streaming.EventStream.q147TwsSessions _),
     "q148_range_window" -> (Relational.q148RangeWindow _),
     "q149_sql_entry" -> (Relational.q149SqlEntry _),
+    "q150_recursive_cte" -> (Relational.q150RecursiveCte _),
+    "q151_lateral_topn" -> (Relational.q151LateralTopN _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2601,5 +2603,29 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name
         |ORDER BY region, nation""".stripMargin,
+    "q150_recursive_cte" ->
+      """WITH RECURSIVE hi AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 49),
+        |e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM hi a JOIN hi b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |reach(p, hop) AS (
+        |  SELECT DISTINCT l_partkey AS p, 0 AS hop FROM hi WHERE l_partkey < 100
+        |  UNION ALL
+        |  SELECT e.dst AS p, r.hop + 1 AS hop
+        |  FROM reach r JOIN e ON e.src = r.p
+        |  WHERE r.hop < 2)
+        |SELECT p AS l_partkey, CAST(MIN(hop) AS BIGINT) AS min_hops
+        |FROM reach GROUP BY p
+        |ORDER BY l_partkey""".stripMargin,
+    "q151_lateral_topn" ->
+      """SELECT n_name AS nation, c.c_name AS customer, c.c_acctbal AS acctbal
+        |FROM nation,
+        |LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY nation, acctbal DESC, customer""".stripMargin,
   )
 }

@@ -165,6 +165,56 @@ object Relational {
       ORDER BY region, nation""")
   }
 
+  /** Recursive CTE (q150) — new SQL surface in Spark 4 (SPARK-24497):
+    * bounded-hop reachability over the q53 co-purchase edge set from
+    * the seed parts (partkey < 100 among high-quantity items), hop
+    * count as the recursion depth, UNION-ALL body with an explicit
+    * hop bound and a min(hop) rollup — the BOM/lineage-walk shape that
+    * previously required driver-side iteration (the q53/q73 loops).
+    * The iterative operators stay the scale path (per-round lineage
+    * truncation, persisted edges); this pins the SQL front door on the
+    * same semantics. Deterministic: min(hop) per reachable part.
+    */
+  def q150RecursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    s.sql("""
+      WITH RECURSIVE hi AS (
+        SELECT l_orderkey, l_partkey FROM v_lineitem WHERE l_quantity >= 49),
+      e AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM hi a JOIN hi b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      reach(p, hop) AS (
+        SELECT DISTINCT l_partkey AS p, 0 AS hop FROM hi WHERE l_partkey < 100
+        UNION ALL
+        SELECT e.dst AS p, r.hop + 1 AS hop
+        FROM reach r JOIN e ON e.src = r.p
+        WHERE r.hop < 2)
+      SELECT p AS l_partkey, CAST(MIN(hop) AS BIGINT) AS min_hops
+      FROM reach GROUP BY p
+      ORDER BY l_partkey""")
+  }
+
+  /** LATERAL correlated subquery (q151): per nation, the top-2
+    * customers by account balance through a LATERAL ORDER BY/LIMIT —
+    * the per-group top-k expressed the way a SQL user writes it (the
+    * engine plans the same WindowGroupLimit family as the q07
+    * DataFrame form). Deterministic via the (acctbal DESC, custkey)
+    * tie-break.
+    */
+  def q151LateralTopN(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("v_nation")
+    Tables.customer(s, d).createOrReplaceTempView("v_customer")
+    s.sql("""
+      SELECT n_name AS nation, c.c_name AS customer, c.c_acctbal AS acctbal
+      FROM v_nation,
+      LATERAL (
+        SELECT c_name, c_acctbal FROM v_customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+      ORDER BY nation, acctbal DESC, customer""")
+  }
+
   /** Trailing event-time interval aggregate (q148): per event, the
     * DECIMAL-exact value sum and event count over the user's trailing
     * 10 minutes of EVENT TIME — a RANGE frame over the micros key, the
