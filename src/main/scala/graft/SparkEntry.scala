@@ -172,6 +172,7 @@ object SparkEntry {
     "q149_sql_entry" -> (Relational.q149SqlEntry _),
     "q150_recursive_cte" -> (Relational.q150RecursiveCte _),
     "q151_lateral_topn" -> (Relational.q151LateralTopN _),
+    "q152_variant_shred" -> (Relational.q152VariantShred _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2627,5 +2628,15 @@ object SparkEntry {
         |  WHERE c_nationkey = n_nationkey
         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
         |ORDER BY nation, acctbal DESC, customer""".stripMargin,
+    // different decoder, same typed values: DuckDB's JSON accessors
+    // must agree with Spark's variant shredding field-for-field
+    "q152_variant_shred" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

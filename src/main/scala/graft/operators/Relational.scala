@@ -215,6 +215,28 @@ object Relational {
       ORDER BY nation, acctbal DESC, customer""")
   }
 
+  /** VARIANT semi-structured shredding (q152) — Spark 4's open VARIANT
+    * type: `parse_json` once into a binary variant, typed
+    * `variant_get` extraction in the aggregate. At 100 TB this is the
+    * semi-structured path that beats per-access JSON string re-parsing
+    * (the q39 `get_json_object` family): one parse, many typed reads,
+    * and engines can shred the variant columnar. The oracle reads the
+    * same fields through DuckDB's JSON accessors — different decoder,
+    * same typed values, so a shredding bug on either side mismatches.
+    */
+  def q152VariantShred(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        countDistinct(col("k")).as("n_distinct_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   /** Trailing event-time interval aggregate (q148): per event, the
     * DECIMAL-exact value sum and event count over the user's trailing
     * 10 minutes of EVENT TIME — a RANGE frame over the micros key, the
