@@ -14,6 +14,25 @@ class ExpectationsSpec extends SparkSpec {
     df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
       r.getLong(3), r.getBoolean(4))).toList
 
+  test("observed rules ride the consumer's job and equal the dedicated pass") {
+    // Dataset.observe: the audit counters attach to whatever action the
+    // consumer runs — verdicts with ZERO extra scans. Must agree with
+    // the dedicated rowRules aggregate on the same data + rules.
+    val d = "/root/testdata/sf0.001"
+    val events = graft.Tables.events(spark, d)
+    val rules = Seq(
+      "value_non_null" -> col("value").isNotNull,
+      "user_positive" -> (col("user_id") > 0L),
+      "type_known" -> col("event_type").isin("click", "view", "purchase", "signup", "error"))
+    val (instrumented, obs) = Expectations.observedRowRules(events, rules)
+    val consumed = instrumented.filter(col("value") >= 0.0).count() // the "real" job
+    assert(consumed > 0)
+    val observed = rowsOf(Expectations.observedVerdicts(
+      spark, obs, "events", rules.map(_._1)))
+    val dedicated = rowsOf(Expectations.rowRules(events, "events", rules))
+    assert(observed.toSet == dedicated.toSet)
+  }
+
   test("row rules: false and null predicate outcomes both count as violations") {
     import spark.implicits._
     val df = Seq[(java.lang.Double, String)]((1.0, "a"), (-2.0, "b"), (null, "c"))

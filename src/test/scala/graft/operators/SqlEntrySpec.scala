@@ -44,6 +44,27 @@ class SqlEntrySpec extends SparkSpec {
     assert(r.getAs[Long]("dp") == 31L)
   }
 
+  test("parameterized SQL: named parameters bind without string splicing") {
+    // the injection-safe front door for templated jobs
+    graft.Tables.nation(spark, d).createOrReplaceTempView("v_nation")
+    val r = spark.sql(
+      "SELECT count(*) AS n FROM v_nation WHERE n_regionkey = :rk",
+      Map("rk" -> 0)).head()
+    val want = graft.Tables.nation(spark, d).filter(col("n_regionkey") === 0).count()
+    assert(r.getAs[Long]("n") == want && want > 0)
+  }
+
+  test("_metadata file columns give row-level file lineage on any parquet scan") {
+    // the "which file did this bad row come from" debugging surface —
+    // free on every scan, no layout change
+    val r = graft.Tables.eventsRaw(spark, d)
+      .select(col("_metadata.file_name"), col("_metadata.row_index"))
+      .limit(3).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getString(0) == "events.parquet"))
+    assert(r.map(_.getLong(1)).distinct.length == r.length)
+  }
+
   test("q149 values: revenue per (region, nation) is DECIMAL-exact") {
     val rows = Relational.q149SqlEntry(spark, d).collect()
     assert(rows.nonEmpty)
