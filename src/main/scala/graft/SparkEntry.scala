@@ -173,6 +173,7 @@ object SparkEntry {
     "q150_recursive_cte" -> (Relational.q150RecursiveCte _),
     "q151_lateral_topn" -> (Relational.q151LateralTopN _),
     "q152_variant_shred" -> (Relational.q152VariantShred _),
+    "q153_observed_audit" -> (Expectations.q153ObservedAudit _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2638,5 +2639,28 @@ object SparkEntry {
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the q134 rule-restatement pattern for the three observed rules;
+    // violation = predicate false OR null (the conservative gate)
+    "q153_observed_audit" ->
+      """WITH n AS (SELECT COUNT(*) AS n_checked FROM events)
+        |SELECT 'events' AS table_name, 'props_has_k' AS rule, n.n_checked,
+        |  (SELECT COUNT(*) FROM events
+        |   WHERE json_extract_string(props, '$.k') IS NULL) AS n_violations,
+        |  (SELECT COUNT(*) FROM events
+        |   WHERE json_extract_string(props, '$.k') IS NULL) = 0 AS pass
+        |FROM n
+        |UNION ALL
+        |SELECT 'events', 'user_positive', n.n_checked,
+        |  (SELECT COUNT(*) FROM events
+        |   WHERE NOT COALESCE(user_id > 0, FALSE)),
+        |  (SELECT COUNT(*) FROM events
+        |   WHERE NOT COALESCE(user_id > 0, FALSE)) = 0
+        |FROM n
+        |UNION ALL
+        |SELECT 'events', 'value_non_null', n.n_checked,
+        |  (SELECT COUNT(*) FROM events WHERE value IS NULL),
+        |  (SELECT COUNT(*) FROM events WHERE value IS NULL) = 0
+        |FROM n
+        |ORDER BY rule""".stripMargin,
   )
 }

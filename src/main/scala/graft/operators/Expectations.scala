@@ -151,4 +151,23 @@ object Expectations {
         orders, "o_orderkey"))
       .orderBy(col("table_name"), col("rule"))
   }
+
+  /** Driver binding (q153): the observe-based audit end-to-end — the
+    * q134 events rules attached via [[observedRowRules]], the consumer
+    * job is a (driver-side, single-number) count over the instrumented
+    * frame, and the returned frame is the rendered verdicts. Oracled by
+    * the same per-rule SQL counts as q134, proving `Dataset.observe`'s
+    * counters are exactly the dedicated aggregate's — the zero-extra-
+    * scan audit is not an approximation.
+    */
+  def q153ObservedAudit(s: SparkSession, d: String): DataFrame = {
+    val rules = Seq(
+      "value_non_null" -> col("value").isNotNull,
+      "user_positive" -> (col("user_id") > 0L),
+      "props_has_k" -> get_json_object(col("props"), "$.k").isNotNull)
+    val (instrumented, obs) = observedRowRules(Tables.events(s, d), rules)
+    instrumented.count() // the consumer job the metrics ride on
+    observedVerdicts(s, obs, "events", rules.map(_._1))
+      .orderBy(col("rule"))
+  }
 }
