@@ -174,6 +174,7 @@ object SparkEntry {
     "q151_lateral_topn" -> (Relational.q151LateralTopN _),
     "q152_variant_shred" -> (Relational.q152VariantShred _),
     "q153_observed_audit" -> (Expectations.q153ObservedAudit _),
+    "q154_collation_group" -> (Relational.q154CollationGroup _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2662,5 +2663,16 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM events WHERE value IS NULL) = 0
         |FROM n
         |ORDER BY rule""".stripMargin,
+    // lower() grouping: for ASCII it provably coincides with Spark's
+    // UTF8_LCASE collation semantics — that coincidence IS the check
+    "q154_collation_group" ->
+      """WITH v AS (
+        |  SELECT CASE WHEN event_id % 3 = 0 THEN upper(event_type)
+        |              ELSE event_type END AS et
+        |  FROM events)
+        |SELECT lower(et) AS event_type_ci,
+        |  COUNT(*) AS n_events,
+        |  CAST(COUNT(DISTINCT et) AS BIGINT) AS n_spellings
+        |FROM v GROUP BY lower(et) ORDER BY event_type_ci""".stripMargin,
   )
 }

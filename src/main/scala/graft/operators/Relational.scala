@@ -237,6 +237,28 @@ object Relational {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Collation-aware grouping (q154) — Spark 4 collations: group under
+    * UTF8_LCASE so case variants land in one group WITHOUT rewriting
+    * the data, and report the per-group raw-spelling count — the
+    * dirty-categorical normalization audit. Case variation is planted
+    * deterministically (event_id % 3 → UPPER), since the corpus itself
+    * is clean; the output representative is `lower(...)` re-collated to
+    * binary, so it is deterministic and parquet-plain. The oracle
+    * groups by `lower(v)` — for ASCII the two semantics provably
+    * coincide, which is exactly the cross-check.
+    */
+  def q154CollationGroup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        when(col("event_id") % 3 === 0, upper(col("event_type")))
+          .otherwise(col("event_type")).as("et"))
+      .groupBy(expr("collate(et, 'UTF8_LCASE')").as("k"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("et")).as("n_spellings"))
+      .select(expr("collate(lower(k), 'UTF8_BINARY')").as("event_type_ci"),
+        col("n_events"), col("n_spellings"))
+      .orderBy(col("event_type_ci"))
+
   /** Trailing event-time interval aggregate (q148): per event, the
     * DECIMAL-exact value sum and event count over the user's trailing
     * 10 minutes of EVENT TIME — a RANGE frame over the micros key, the
