@@ -175,6 +175,7 @@ object SparkEntry {
     "q152_variant_shred" -> (Relational.q152VariantShred _),
     "q153_observed_audit" -> (Expectations.q153ObservedAudit _),
     "q154_collation_group" -> (Relational.q154CollationGroup _),
+    "q155_label_kappa" -> (Similarity.q155LabelKappa _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2674,5 +2675,40 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(COUNT(DISTINCT et) AS BIGINT) AS n_spellings
         |FROM v GROUP BY lower(et) ORDER BY event_type_ci""".stripMargin,
+    // the q142 assignment CTEs + Cohen's kappa as ONE double division
+    // of two exact BIGINTs: (N*A - S) / (N^2 - S)
+    "q155_label_kappa" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |sums AS (
+        |  SELECT label, i, CAST(SUM(qv[i]) AS BIGINT) AS s, COUNT(*) AS n
+        |  FROM q, range(1, 65) t(i) GROUP BY label, i),
+        |cent AS (
+        |  SELECT label AS clabel, i,
+        |    CASE WHEN s < 0 THEN -((-s) // n) ELSE s // n END AS c
+        |  FROM sums),
+        |dist AS (
+        |  SELECT q.vec_id, q.label, c.clabel,
+        |    CAST(SUM((qv[c.i] - c.c) * (qv[c.i] - c.c)) AS BIGINT) AS d2
+        |  FROM q, cent c
+        |  GROUP BY q.vec_id, q.label, c.clabel),
+        |asg AS (
+        |  SELECT vec_id, label, clabel AS pred_label FROM (
+        |    SELECT vec_id, label, clabel,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+        |    FROM dist) z WHERE rn = 1),
+        |cells AS (SELECT label, pred_label, COUNT(*) AS n FROM asg GROUP BY 1, 2),
+        |t AS (SELECT label, CAST(SUM(n) AS BIGINT) AS n_true FROM cells GROUP BY 1),
+        |p AS (SELECT pred_label AS label, CAST(SUM(n) AS BIGINT) AS n_pred FROM cells GROUP BY 1),
+        |sc AS (SELECT CAST(SUM(COALESCE(n_true, 0) * COALESCE(n_pred, 0)) AS BIGINT) AS s
+        |       FROM t FULL JOIN p USING (label)),
+        |ag AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS a
+        |       FROM cells WHERE label = pred_label),
+        |nn AS (SELECT COUNT(*) AS n FROM asg)
+        |SELECT nn.n, ag.a AS n_agree, sc.s AS s_chance,
+        |  CAST(nn.n * ag.a - sc.s AS DOUBLE) / CAST(nn.n * nn.n - sc.s AS DOUBLE) AS kappa
+        |FROM nn, ag, sc""".stripMargin,
   )
 }

@@ -791,7 +791,11 @@ object Similarity {
     * combinable, no window); the confusion rollup is ~|labels|² rows.
     * Zero corpus-sized shuffles except the vec_id argmin combine.
     */
-  def q142LabelCentroids(s: SparkSession, d: String): DataFrame = {
+  /** Shared q142/q155 core: per-vector (label, predicted centroid
+    * label) assignments — see [[q142LabelCentroids]] for the arithmetic
+    * and scale analysis.
+    */
+  private def centroidAssignments(s: SparkSession, d: String): DataFrame = {
     graft.functions.FingerprintFunctions.register(s)
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), quantized.as("q"))
@@ -811,9 +815,49 @@ object Similarity {
           col("clabel")).as("dc"))
     scored.groupBy(col("vec_id"), col("label"))
       .agg(min(col("dc")).as("best")) // lexicographic: min dist, then min label
-      .groupBy(col("label"), col("best.clabel").as("pred_label"))
+      .select(col("vec_id"), col("label"), col("best.clabel").as("pred_label"))
+  }
+
+  def q142LabelCentroids(s: SparkSession, d: String): DataFrame =
+    centroidAssignments(s, d)
+      .groupBy(col("label"), col("pred_label"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("pred_label"))
+
+  /** Cohen's kappa over the q142 assignment (q155): chance-corrected
+    * agreement between true labels and centroid-assigned labels — the
+    * single-number label-quality gate (Cohen '60). Kept EXACT until the
+    * last step: with N = vectors, A = agreements (diagonal), and
+    * S = Σ_label n_true(l)·n_pred(l) (the chance-agreement mass), kappa
+    * = (N·A − S) / (N² − S) — ONE double division of two exact BIGINTs,
+    * so the oracle reproduces it bit-for-bit with no summation-order
+    * concerns. Scale: the contingency table is |labels|² rows; the
+    * kappa fold is driver-free (a 1-row aggregate).
+    */
+  def q155LabelKappa(s: SparkSession, d: String): DataFrame = {
+    val asg = centroidAssignments(s, d).persist()
+    val cells = asg.groupBy(col("label"), col("pred_label"))
+      .agg(count(lit(1)).as("n")).persist()
+    val marg = cells.groupBy(col("label")).agg(sum(col("n")).as("n_true"))
+      .join(
+        cells.groupBy(col("pred_label")).agg(sum(col("n")).as("n_pred"))
+          .withColumnRenamed("pred_label", "label"),
+        Seq("label"), "full")
+      .select(
+        (coalesce(col("n_true"), lit(0L)) * coalesce(col("n_pred"), lit(0L))).as("rc"))
+      .agg(sum(col("rc")).as("s"))
+    val agree = cells.filter(col("label") === col("pred_label"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("a"))
+    val n = asg.agg(count(lit(1)).as("n"))
+    val out = n.crossJoin(agree).crossJoin(marg)
+      .select(col("n"), col("a").as("n_agree"), col("s").as("s_chance"),
+        ((col("n") * col("a") - col("s")).cast("double") /
+          (col("n") * col("n") - col("s")).cast("double")).as("kappa"))
+      .persist()
+    out.count()
+    asg.unpersist(blocking = false)
+    cells.unpersist(blocking = false)
+    out
   }
 
   /** Vote count for the q143 k-NN classifier. */

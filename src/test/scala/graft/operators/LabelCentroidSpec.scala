@@ -88,6 +88,35 @@ class LabelCentroidSpec extends SparkSpec {
     assert(cent(1L) == Seq(600000L, -600000L, 200000L, -900000L))
   }
 
+  test("kappa is exactly 1.0 when every vector sits in its own label's cluster") {
+    // write a clean two-cluster corpus through the dir-bound binding
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kappa_perfect_").toString
+    val rows = Seq[(Long, Long, Array[Float])](
+      (1L, 0L, Array.tabulate(64)(i => if (i == 0) 1f else 0f)),
+      (2L, 0L, Array.tabulate(64)(i => if (i == 0) 0.9f else 0f)),
+      (3L, 1L, Array.tabulate(64)(i => if (i == 1) 1f else 0f)),
+      (4L, 1L, Array.tabulate(64)(i => if (i == 1) 0.9f else 0f)))
+    rows.toDF("vec_id", "label", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_e")
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "_e"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    java.nio.file.Files.copy(part, java.nio.file.Paths.get(dir, "embeddings.parquet"))
+    val r = Similarity.q155LabelKappa(spark, dir).head()
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_agree") == 4L)
+    assert(r.getAs[Double]("kappa") == 1.0)
+  }
+
+  test("q155 on the test data: kappa in [-1, 1], components consistent") {
+    val r = Similarity.q155LabelKappa(spark, "/root/testdata/sf0.001").head()
+    val (n, a, s) = (r.getAs[Long]("n"), r.getAs[Long]("n_agree"), r.getAs[Long]("s_chance"))
+    assert(a <= n && s <= n * n && s > 0)
+    val k = r.getAs[Double]("kappa")
+    assert(k >= -1.0 && k <= 1.0)
+    assert(k == (n * a - s).toDouble / (n * n - s).toDouble)
+  }
+
   test("q142 runs on the test data: counts cover the corpus, labels sane") {
     val rows = Similarity.q142LabelCentroids(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
