@@ -2049,7 +2049,7 @@ object SparkEntry {
     "q126_quantile_normalize" ->
       """WITH rows_ AS (
         |  SELECT doc_id, source,
-        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |    CAST(len(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS BIGINT) AS n_tok
         |  FROM documents),
         |n AS (SELECT COUNT(*) AS nn FROM rows_),
         |g AS (
@@ -2540,7 +2540,7 @@ object SparkEntry {
     "q145_curriculum" ->
       """WITH r AS (
         |  SELECT doc_id, source,
-        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |    CAST(len(list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '')) AS BIGINT) AS n_tok
         |  FROM documents),
         |b AS (
         |  SELECT source, n_tok,

@@ -372,6 +372,10 @@ object Corpus {
     out.count() // materialize so the edge/node caches can be dropped now
     e.unpersist(blocking = false)
     n.unpersist(blocking = false)
+    // the LAST iteration's checkpoint outlived the loop's free chain;
+    // `out` is materialized above, so release it here rather than
+    // pinning node-sized RDD blocks until the context cleaner runs
+    freeCheckpoint(ranks)
     out
   }
 

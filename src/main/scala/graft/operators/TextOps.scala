@@ -517,8 +517,11 @@ object TextOps {
       .select(col("source"), col("text")).as[(String, String)]
       .flatMap { case (src, text0) =>
         val text = if (text0 == null) "" else text0
+        // single-space split, the q126/q145 corpus convention and the
+        // oracle's string_split(…, ' ') — NOT \s+, so engine/oracle
+        // parity survives a corpus with tabs/newlines
         val toks = text.toLowerCase(java.util.Locale.ROOT)
-          .split("\\s+").filter(_.nonEmpty)
+          .split(" ").filter(_.nonEmpty)
         toks.sliding(3).filter(_.length == 3)
           .map(g => (src, graft.operators.Dedup.gramHash64(g.mkString(" "))))
       }
