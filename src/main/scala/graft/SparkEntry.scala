@@ -176,6 +176,8 @@ object SparkEntry {
     "q153_observed_audit" -> (Expectations.q153ObservedAudit _),
     "q154_collation_group" -> (Relational.q154CollationGroup _),
     "q155_label_kappa" -> (Similarity.q155LabelKappa _),
+    "q156_stream_radius_dedup" ->
+      (graft.streaming.EventStream.q156StreamRadiusDedup _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -2710,5 +2712,34 @@ object SparkEntry {
         |SELECT nn.n, ag.a AS n_agree, sc.s AS s_chance,
         |  CAST(nn.n * ag.a - sc.s AS DOUBLE) / CAST(nn.n * nn.n - sc.s AS DOUBLE) AS kappa
         |FROM nn, ag, sc""".stripMargin,
+    // q117's fixture and quadratic NOT-EXISTS radius rule, verbatim:
+    // q156 runs the SAME single-rule dedup in-stream (chunk-LSH keyed
+    // state, exact for radius <= 3), so the survivors must be
+    // identical — oracle-sharing per the q108/q147 precedent
+    "q156_stream_radius_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(u AS HUGEINT) - CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+        |      THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS sim
+        |  FROM (SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 16)) AS UBIGINT) AS u
+        |        FROM documents)),
+        |mx AS (SELECT MAX(doc_id) + 1 AS shift FROM documents),
+        |store AS (
+        |  SELECT doc_id AS ts, doc_id, sim FROM fp
+        |  UNION ALL
+        |  SELECT doc_id + shift, doc_id + shift,
+        |    xor(sim, CAST(1 AS BIGINT) << CAST(doc_id % 63 AS INTEGER))
+        |  FROM fp, mx WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2 * shift, doc_id + 2 * shift,
+        |    xor(sim, CAST(255 AS BIGINT) << CAST((doc_id % 7) * 8 AS INTEGER))
+        |  FROM fp, mx WHERE doc_id % 29 = 0)
+        |SELECT CAST(s.ts AS BIGINT) AS arrival, CAST(s.doc_id AS BIGINT) AS doc_id
+        |FROM store s
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM store e
+        |  WHERE (e.ts < s.ts OR (e.ts = s.ts AND e.doc_id < s.doc_id))
+        |    AND bit_count(xor(e.sim, s.sim)) <= 3)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

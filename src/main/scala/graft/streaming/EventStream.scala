@@ -721,4 +721,295 @@ object EventStream {
       .groupBy(window(col("ts"), windowLen), col("user_id"))
       .agg(sum(col("value")).as("sum_value"))
       .select(col("window.start").as("win_start"), col("user_id"), col("sum_value"))
+
+  // ---- in-stream radius near-dup (transformWithState) ----------------
+
+  /** One fingerprinted arrival for [[radiusDedupStream]]. */
+  final case class RadiusFp(ts: java.sql.Timestamp, doc_id: Long, simhash: Long)
+
+  /** [[RadiusFp]] fanned out to one of its 4 chunk-LSH buckets. */
+  final case class RadiusChunk(
+      ck: Long, ts: java.sql.Timestamp, doc_id: Long, simhash: Long)
+
+  /** Per-(doc, chunk) shadowing verdict; `ts` is re-emitted so the
+    * downstream per-doc combine can ride the propagated watermark.
+    */
+  final case class RadiusVerdict(
+      ts: java.sql.Timestamp, doc_id: Long, shadowed: Boolean)
+
+  /** A fingerprint held in chunk-bucket state. */
+  final case class StoredFp(tsMs: Long, docId: Long, simhash: Long)
+
+  /** Keyed state for ONE 16-bit chunk bucket: every fingerprint whose
+    * chunk landed here inside the horizon, SHADOWED ONES INCLUDED —
+    * the single-rule semantics ([[compactNearDupStore]]: a doc is
+    * dropped iff an earlier doc sits within radius, evaluated against
+    * the full store, not iteratively), so a bucket must keep shadowed
+    * fingerprints as potential shadowers of later arrivals.
+    *
+    * Ordering: "earlier" is (event-time ms, doc_id) — the arrival
+    * order the batch compaction pass and the q117/q156 oracle both
+    * use. Within a micro-batch the rows are sorted into that order
+    * before state comparison, so batch boundaries are invisible to the
+    * verdict: replaying the same rows in 1 batch or 50 yields
+    * identical output (the stream==batch spec pins this).
+    *
+    * State bound: entries older than `horizonMs` behind the watermark
+    * are trimmed on every visit, and an event-time timer at
+    * (newest entry + horizon) sweeps buckets that stop receiving
+    * traffic — the idle bucket does NOT live forever (the
+    * GapSessionProcessor critique, fixed here from the start). Per
+    * bucket the state is O(arrivals in horizon / 2^16 buckets).
+    */
+  final class RadiusDedupProcessor(radius: Int, horizonMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, RadiusChunk, RadiusVerdict] {
+    @transient private var seen: org.apache.spark.sql.streaming.ListState[StoredFp] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getListState[StoredFp]("seen",
+        org.apache.spark.sql.Encoders.product[StoredFp],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def resetTimer(maxTsMs: Long): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      // saturating add: a "never evict" horizon must not overflow into
+      // a timer in the past
+      val expiry = maxTsMs + horizonMs
+      if (expiry > maxTsMs) getHandle.registerTimer(expiry)
+    }
+
+    override def handleInputRows(ck: Long, rows: Iterator[RadiusChunk],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[RadiusVerdict] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      val buf = scala.collection.mutable.ArrayBuffer.empty[StoredFp]
+      seen.get().foreach(e => if (e.tsMs + horizonMs >= wm) buf += e)
+      val out = rows.toArray.sortBy(r => (r.ts.getTime, r.doc_id)).map { r =>
+        val tMs = r.ts.getTime
+        val shadowed = buf.exists(e =>
+          (e.tsMs < tMs || (e.tsMs == tMs && e.docId < r.doc_id)) &&
+            java.lang.Long.bitCount(e.simhash ^ r.simhash) <= radius)
+        buf += StoredFp(tMs, r.doc_id, r.simhash)
+        RadiusVerdict(r.ts, r.doc_id, shadowed)
+      }
+      seen.put(buf.toArray)
+      resetTimer(buf.iterator.map(_.tsMs).max)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(ck: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[RadiusVerdict] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      val keep = seen.get().filter(_.tsMs + horizonMs >= wm).toArray
+      if (keep.isEmpty) seen.clear()
+      else { seen.put(keep); resetTimer(keep.iterator.map(_.tsMs).max) }
+      Iterator.empty
+    }
+  }
+
+  /** In-STREAM Hamming-radius near-dup dedup — the operator
+    * [[nearDupDedupStream]]'s scaladoc used to defer to the batch
+    * compaction pass, now expressed with bounded streaming state:
+    * q21's 4x16-bit chunk LSH keys the state (exact for radius <= 3 by
+    * pigeonhole: at most 3 differing bits leave at least one of 4
+    * chunks identical), each chunk bucket holds the horizon's
+    * fingerprints, and a document survives iff NO bucket finds an
+    * earlier within-radius neighbor. Three stages, all streaming:
+    *
+    *  1. stateless 4-way chunk fan-out (doc -> 4 keyed rows);
+    *  2. [[RadiusDedupProcessor]] per chunk bucket (transformWithState,
+    *     event-time mode; emits per-chunk verdicts carrying the event
+    *     time forward via the `eventTimeColumnName` overload — what
+    *     lets a SECOND stateful operator run downstream);
+    *  3. per-doc combine: a windowed ANY over the 4 chunk verdicts
+    *     (append mode — a doc's verdict is final once the watermark
+    *     passes it, because late chunks are impossible: all 4 ride the
+    *     same input row).
+    *
+    * Same single-rule semantics as [[compactNearDupStore]] — a
+    * shadowed doc still shadows later docs — so stream output ==
+    * batch compaction output on the same rows (spec-pinned), and the
+    * q156 driver replay hash-matches the q117 quadratic NOT-EXISTS
+    * oracle. State per bucket is horizon-bounded; there is no
+    * all-pairs anything: a doc is compared only against its 4 buckets'
+    * residents, exactly the batch operator's candidate volume.
+    */
+  def radiusDedupStream(
+      docs: Dataset[RadiusFp], radius: Int = 3,
+      horizonMs: Long = Long.MaxValue / 4,
+      watermarkDelay: String = "0 seconds"): DataFrame = {
+    require(radius >= 0 && radius <= 3,
+      "4x16 chunk LSH candidate generation is complete only for radius <= 3")
+    val s = docs.sparkSession
+    import s.implicits._
+    val chunks = docs
+      .withWatermark("ts", watermarkDelay)
+      .flatMap { fp =>
+        (0 until 4).iterator.map { c =>
+          RadiusChunk((c.toLong << 16) | ((fp.simhash >>> (c * 16)) & 0xffffL),
+            fp.ts, fp.doc_id, fp.simhash)
+        }
+      }
+    val verdicts = chunks
+      .groupByKey(_.ck)
+      .transformWithState(new RadiusDedupProcessor(radius, horizonMs),
+        "ts", OutputMode.Append())
+    // the combine groups on the event-time WINDOW (what lets append
+    // mode finalize a doc) plus an untagged copy of ts for the output
+    // — two watermark-tagged columns in one grouping is rejected by
+    // the stateful planner, so the copy is aliased with empty metadata
+    verdicts.toDF()
+      .select(col("ts"), col("doc_id"), col("shadowed"),
+        col("ts").as("ts_plain", org.apache.spark.sql.types.Metadata.empty))
+      .groupBy(window(col("ts"), "1 second"), col("ts_plain"), col("doc_id"))
+      .agg(max(col("shadowed").cast("int")).as("n_shadowed"))
+      .filter(col("n_shadowed") === 0)
+      .select(col("ts_plain").as("ts"), col("doc_id"))
+  }
+
+  /** q156 — the q117 planted fixture (gramHash64 base corpus + 1-bit
+    * "near" and 8-bit "far" copies at later arrivals) pushed through
+    * [[radiusDedupStream]] as a bounded file-stream replay: the radius
+    * decision happens IN the stream's keyed state, not in a batch
+    * compaction afterwards, and the survivors hash-match the same
+    * quadratic NOT-EXISTS DuckDB oracle (radius semantics provably
+    * equal: chunk pigeonhole is exact for radius <= 3). Arrival order
+    * is encoded in event time (base epoch + arrival seconds); a
+    * sentinel row past everything (doc_id -1, the q137 trick) drags
+    * the watermark over the last real doc so the final per-doc windows
+    * flush, and is filtered from the output.
+    */
+  def q156StreamRadiusDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    try {
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val shift = docs.agg(max(col("doc_id")) + lit(1L)).head().getLong(0)
+      val fp = docs.as[(Long, String)]
+        .map { case (id, t) => (id, id, graft.operators.Dedup.gramHash64(t)) }
+        .toDF("arrival", "doc_id", "simhash")
+        .persist() // base + two planted legs; LRU lifetime
+      val near = fp.filter(col("doc_id") % 13 === 0)
+        .select((col("arrival") + shift).as("arrival"),
+          (col("doc_id") + shift).as("doc_id"),
+          col("simhash").bitwiseXOR(
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 63 AS INT))")).as("simhash"))
+      val far = fp.filter(col("doc_id") % 29 === 0)
+        .select((col("arrival") + lit(2L) * shift).as("arrival"),
+          (col("doc_id") + lit(2L) * shift).as("doc_id"),
+          col("simhash").bitwiseXOR(
+            expr("shiftleft(CAST(255 AS BIGINT), CAST((doc_id % 7) * 8 AS INT))")).as("simhash"))
+      val baseSec = 1704096000L // 2024-01-01 08:00:00 UTC
+      val store = fp.unionByName(near).unionByName(far)
+      val maxArrival = 3L * shift // arrivals are < 3*shift by construction
+      val fixtureDir = java.nio.file.Files
+        .createTempDirectory("graft_q156_fixture").toString
+      store
+        .unionByName(Seq((maxArrival + 3600L, -1L, 0L))
+          .toDF("arrival", "doc_id", "simhash"))
+        .select(timestamp_micros((col("arrival") + baseSec) * 1000000L).as("ts"),
+          col("doc_id"), col("simhash"))
+        .write.mode("overwrite").parquet(fixtureDir)
+      fp.unpersist(blocking = false)
+      val src = s.readStream
+        .schema(s.read.parquet(fixtureDir).schema)
+        .parquet(fixtureDir)
+        .as[RadiusFp]
+      val survivors = radiusDedupStream(src)
+      val qname = "q156_stream_radius_dedup"
+      val q = survivors.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Append).start()
+      try {
+        q.processAllAvailable()
+        // the final windows flush on the watermark-advance NO-DATA
+        // batch, which processAllAvailable does not wait for — poll
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (!q.recentProgress.exists(_.numInputRows == 0) &&
+               System.nanoTime() < deadline)
+          Thread.sleep(50)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qname)
+        .filter(col("doc_id") >= 0L)
+        .select(
+          expr(s"CAST(unix_micros(ts) div 1000000 - $baseSec AS BIGINT)").as("arrival"),
+          col("doc_id"))
+        .orderBy(col("doc_id"))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  // ---- timer-flushed tws sessionization ------------------------------
+
+  /** [[GapSessionProcessor]] plus the missing deployment piece: an
+    * EVENT-TIME TIMER closes the open session once the watermark
+    * passes its last event + gap, so a user who goes quiet still gets
+    * their session emitted and their state cleared — in a continuous
+    * deployment [[sessionizeTws]]'s state otherwise grows by one
+    * permanently-open session per idle user. The in-gap state machine
+    * is byte-identical to [[GapSessionProcessor]]; only the flush path
+    * is new ([[sessionizeWithTimeout]]'s contract, on the
+    * transformWithState API). Times are epoch MILLIS
+    * ([[SessionSummaryMs]]), the timer clock's unit.
+    */
+  final class GapSessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TimedEvent, SessionSummaryMs] {
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[TimedEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionSummaryMs] = {
+      val prior: List[Long] = if (open.exists()) open.get().ts.toList else Nil
+      val all = (prior ++ rows.map(_.ts.getTime)).sorted
+      val sessions = all.foldLeft(List.empty[List[Long]]) {
+        case (Nil, t) => List(List(t))
+        case (cur :: done, t) if t - cur.head <= gapMs => (t :: cur) :: done
+        case (acc, t) => List(t) :: acc
+      }.map(_.reverse).reverse
+      val (closed, openSess) = (sessions.dropRight(1), sessions.lastOption.getOrElse(Nil))
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (openSess.isEmpty) open.clear()
+      else {
+        open.update(OpenSession(openSess.toArray))
+        getHandle.registerTimer(openSess.last + gapMs)
+      }
+      closed.iterator.map(sess =>
+        SessionSummaryMs(user, sess.head, sess.last, sess.length.toLong))
+    }
+
+    override def handleExpiredTimer(user: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionSummaryMs] = {
+      // the timer is deleted+re-registered on every input batch, so an
+      // expiry always refers to the CURRENT open session
+      val sess: List[Long] = if (open.exists()) open.get().ts.toList else Nil
+      open.clear()
+      if (sess.isEmpty) Iterator.empty
+      else Iterator.single(
+        SessionSummaryMs(user, sess.head, sess.last, sess.length.toLong))
+    }
+  }
+
+  /** [[sessionizeWithTimeout]] on the transformWithState API —
+    * identical flush semantics, new engine surface; the caller sets
+    * the watermark on `ts` before `.as[TimedEvent]`, same contract.
+    */
+  def sessionizeTwsTimeout(
+      events: Dataset[TimedEvent], gapMs: Long): Dataset[SessionSummaryMs] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new GapSessionTimerProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -520,4 +520,132 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  /** Run `body` with the RocksDB state store provider (required by
+    * transformWithState), restoring the previous provider after.
+    */
+  private def withRocksDB[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      body
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("radiusDedupStream equals single-rule batch radius dedup across batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // random sigs + later jittered copies (0-3 flipped bits = dup,
+    // exact included), arrival times strictly increasing so multi-batch
+    // feeding never races the 0-second watermark
+    val rnd = new scala.util.Random(11)
+    val bases = (0 until 30).map(i => (ts(i / 6, (i % 6) * 10), i.toLong, rnd.nextLong()))
+    val extras = bases.take(12).zipWithIndex.map { case ((_, _, sig), j) =>
+      val flips = rnd.nextInt(4)
+      val jittered = (0 until flips).foldLeft(sig)((s, _) => s ^ (1L << rnd.nextInt(64)))
+      (ts(10 + j / 6, (j % 6) * 10), 100L + j, jittered)
+    }
+    val all = (bases ++ extras).sortBy(r => (r._1.getTime, r._2))
+    // single-rule reference: drop iff ANY earlier row sits within r=3
+    val wantKept = all.filter { case (t, id, sig) =>
+      !all.exists { case (t2, id2, sig2) =>
+        (t2.getTime < t.getTime || (t2.getTime == t.getTime && id2 < id)) &&
+          java.lang.Long.bitCount(sig ^ sig2) <= 3
+      }
+    }.map(_._2).toSet
+    val got = withRocksDB {
+      val input = MemoryStream[(Timestamp, Long, Long)]
+      val survivors = EventStream.radiusDedupStream(
+        input.toDF().toDF("ts", "doc_id", "simhash").as[EventStream.RadiusFp])
+      val q = survivors.writeStream.format("memory").queryName("rds")
+        .outputMode("append").start()
+      try {
+        // three data batches + two ever-later sentinels: the second
+        // sentinel's batch runs with a watermark past the first, which
+        // flushes every real doc's window
+        all.grouped(15).foreach { chunk => input.addData(chunk: _*); q.processAllAvailable() }
+        input.addData((ts(50), -1L, 0L)); q.processAllAvailable()
+        input.addData((ts(55), -2L, -1L)); q.processAllAvailable()
+        spark.table("rds").filter(org.apache.spark.sql.functions.col("doc_id") >= 0)
+          .select("doc_id").as[Long].collect().toSet
+      } finally { q.stop(); spark.catalog.dropTempView("rds") }
+    }
+    assert(got == wantKept, s"stream kept $got, batch rule keeps $wantKept")
+    // and the batch compaction operator agrees on the same store
+    val batchGot = EventStream.compactNearDupStore(
+      all.toDF("ts", "doc_id", "simhash")).select("doc_id").as[Long].collect().toSet
+    assert(got == batchGot)
+  }
+
+  test("radiusDedupStream horizon: shadows age out of state, bounded by the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sig = 0x5a5a5a5aL
+    // A(id 1) and an EXACT copy B(id 3) ten minutes later; a far-off
+    // mid row (id 2) advances the watermark past A + horizon first
+    val feed = Seq(
+      Seq((ts(0), 1L, sig)),
+      Seq((ts(5), 2L, ~sig)),
+      Seq((ts(10), 3L, sig)),
+      Seq((ts(50), -1L, 0L)),
+      Seq((ts(55), -2L, -1L)))
+    def run(qname: String, horizonMs: Long): Set[Long] = withRocksDB {
+      val input = MemoryStream[(Timestamp, Long, Long)]
+      val survivors = EventStream.radiusDedupStream(
+        input.toDF().toDF("ts", "doc_id", "simhash").as[EventStream.RadiusFp],
+        horizonMs = horizonMs)
+      val q = survivors.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        feed.foreach { chunk => input.addData(chunk: _*); q.processAllAvailable() }
+        spark.table(qname).filter(org.apache.spark.sql.functions.col("doc_id") >= 0)
+          .select("doc_id").as[Long].collect().toSet
+      } finally { q.stop(); spark.catalog.dropTempView(qname) }
+    }
+    // 1-minute horizon: A has aged out of the bucket when B arrives
+    assert(run("rdh_short", 60L * 1000) == Set(1L, 2L, 3L))
+    // unbounded horizon: B is an exact dup of A and is dropped
+    assert(run("rdh_long", Long.MaxValue / 4) == Set(1L, 2L))
+  }
+
+  test("sessionizeTwsTimeout flushes idle sessions like sessionizeWithTimeout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val gapMs = 60L * 1000
+    def run(qname: String,
+        f: org.apache.spark.sql.Dataset[EventStream.TimedEvent] =>
+          org.apache.spark.sql.Dataset[EventStream.SessionSummaryMs]): Seq[EventStream.SessionSummaryMs] = {
+      val input = MemoryStream[(Long, Timestamp)]
+      val events = input.toDF().toDF("user_id", "ts")
+        .withWatermark("ts", "0 seconds")
+        .as[EventStream.TimedEvent]
+      val q = f(events).writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        input.addData((1L, ts(0, 10)), (1L, ts(0, 30)))
+        q.processAllAvailable()
+        assert(spark.table(qname).count() == 0) // session still open
+        // advance the watermark past user 1's end + gap, then one more
+        // batch to fire the timer
+        input.addData((2L, ts(10)))
+        q.processAllAvailable()
+        input.addData((2L, ts(11)))
+        q.processAllAvailable()
+        spark.table(qname).as[EventStream.SessionSummaryMs].collect().toSeq
+          .sortBy(s => (s.user_id, s.start_ms))
+      } finally { q.stop(); spark.catalog.dropTempView(qname) }
+    }
+    val tws = withRocksDB { run("tws_timer", EventStream.sessionizeTwsTimeout(_, gapMs)) }
+    assert(tws.contains(
+      EventStream.SessionSummaryMs(1L, ts(0, 10).getTime, ts(0, 30).getTime, 2L)), tws.toString)
+    // parity with the flatMapGroupsWithState timeout operator on the
+    // same bounded feed
+    val v1 = run("fmgws_timer", EventStream.sessionizeWithTimeout(_, gapMs))
+    assert(tws == v1, s"tws $tws != fmgws $v1")
+  }
 }
