@@ -53,12 +53,16 @@ object Curation {
       sb.toString
     }
 
-  /** Hard ceiling on the collected benchmark gram set. A real eval
+  /** Ceiling on the collected benchmark gram set. A real eval
     * suite is thousands of documents — a few million distinct grams at
     * most — so hitting this means the caller passed something
     * corpus-sized as `benchmark`, and the driver collect that would
     * follow is exactly the unbounded-at-100-TB failure this operator is
-    * designed to avoid. Failing fast beats OOMing the driver.
+    * designed to avoid. Past the ceiling the operator FALLS BACK to a
+    * distributed gram-join plan with identical output (the q69
+    * guarded-broadcast contract: the guard swaps plans, never
+    * answers) — the job degrades to a bounded shuffle instead of a
+    * driver OOM.
     */
   val MaxBenchmarkGrams = 5000000
 
@@ -80,58 +84,96 @@ object Curation {
     * Scale shape: the benchmark side is an eval suite — thousands of
     * documents regardless of corpus size — so its distinct gram set is
     * collected and broadcast (the ONLY collect; bounded by benchmark
-    * size, not corpus size, and guarded by `maxBenchmarkGrams` so a
-    * corpus-sized frame passed by mistake fails fast instead of
-    * OOMing the driver), and the 100 TB corpus side then streams once
+    * size, not corpus size, and guarded by `maxBenchmarkGrams`), and
+    * the 100 TB corpus side then streams once
     * through a single typed pass probing the in-memory set: no join,
     * no shuffle except the final ~20-row per-source aggregate. The
     * gram probe keys are exact strings (no hashing), so a flag here is
     * a true overlap, never a hash-collision false positive.
+    *
+    * Guard FALLBACK (never fail, never OOM): past either ceiling the
+    * collect is skipped and the same answer is computed as a
+    * distributed gram join — the corpus collapses to distinct
+    * (source, text) content first (mass-duplicated boilerplate
+    * gram-explodes once, the q69 exact-collapse trick), each
+    * representative's distinct grams semi-join the benchmark gram
+    * frame, and hit representatives fan their copy counts back into
+    * the per-source rollup. Output is identical to the broadcast path
+    * (CurationSpec pins it via `forceJoinPath` both ways on the same
+    * fixture); the guard swaps PLANS, never answers — the q69
+    * guarded-broadcast contract.
     */
   def decontaminateStats(
       corpus: DataFrame, benchmark: DataFrame, n: Int = DecontamN,
       maxBenchmarkGrams: Int = MaxBenchmarkGrams,
-      maxBenchmarkGramBytes: Long = MaxBenchmarkGramBytes): DataFrame = {
+      maxBenchmarkGramBytes: Long = MaxBenchmarkGramBytes,
+      forceJoinPath: Option[Boolean] = None): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
-    // limit() bounds the candidate set BEFORE any driver transfer; the
-    // gram frame is persisted so the guard aggregate and the collect
-    // share one tokenization pass (benchmark-bounded by contract).
+    // the gram frame is persisted so the guard aggregate and its
+    // consumer (the collect OR the semi join) share one tokenization
+    // pass
     val bgFrame = benchmark
       .select(col("text")).as[String]
       .flatMap(t => grams(tokenize(t), n))
       .distinct()
-      .limit(maxBenchmarkGrams + 1)
       .persist()
-    // both gates run DISTRIBUTED: an over-sized benchmark fails fast
-    // here and its gram bytes never ship to the driver
+    // both gates run DISTRIBUTED over a LIMITed view: O(ceiling) rows
+    // probed, never the full gram set. When the count gate passes, the
+    // limit covers the whole set, so the byte sum is exact exactly
+    // where it is load-bearing; past the count gate the byte figure is
+    // moot (already on the join path).
     val (nGrams, gramBytes) = bgFrame
+      .limit(maxBenchmarkGrams + 1)
       .select(count(lit(1)), coalesce(sum(octet_length(col("value"))), lit(0L)))
       .as[(Long, Long)].head()
-    require(nGrams <= maxBenchmarkGrams,
-      s"benchmark n-gram set exceeds $maxBenchmarkGrams distinct grams - " +
-        "this frame is corpus-sized, not an eval suite; pass the held-out " +
-        "benchmark split only (or raise maxBenchmarkGrams deliberately)")
-    require(gramBytes <= maxBenchmarkGramBytes,
-      s"benchmark n-gram set is $gramBytes bytes (> $maxBenchmarkGramBytes) - " +
-        "collecting it would exhaust driver memory; pass the held-out " +
-        "benchmark split only (or raise maxBenchmarkGramBytes deliberately)")
-    val benchGrams = bgFrame.collect()
-    bgFrame.unpersist()
-    val bc = s.sparkContext.broadcast(benchGrams.toSet)
+    val joinPath = forceJoinPath.getOrElse(
+      nGrams > maxBenchmarkGrams || gramBytes > maxBenchmarkGramBytes)
 
-    corpus
-      .select(col("source"), col("text")).as[(String, String)]
-      .map { case (src, text) =>
-        val contaminated = grams(tokenize(text), n).exists(bc.value.contains)
-        (src, if (contaminated) 1L else 0L)
-      }
-      .toDF("source", "contam")
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("contam")).as("n_contaminated"),
-        sum(lit(1L) - col("contam")).as("n_clean"))
+    val perSource: DataFrame = if (!joinPath) {
+      val benchGrams = bgFrame.collect()
+      bgFrame.unpersist()
+      val bc = s.sparkContext.broadcast(benchGrams.toSet)
+      corpus
+        .select(col("source"), col("text")).as[(String, String)]
+        .map { case (src, text) =>
+          val contaminated = grams(tokenize(text), n).exists(bc.value.contains)
+          (src, if (contaminated) 1L else 0L)
+        }
+        .toDF("source", "contam")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("contam")).as("n_hit"))
+    } else {
+      // distinct-content collapse: identical docs gram-explode once and
+      // share one verdict, weighted back by their copy count. Identity
+      // is the (source, text) VALUE (hashed to 16 bytes for the hit
+      // shuffle), so the plan is deterministic under task retry or
+      // recomputation — no monotonically_increasing_id hazard.
+      val byContent = corpus
+        .select(col("source"), coalesce(col("text"), lit("")).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("n_copies"))
+        .withColumn("cid", md5(concat_ws("\u0000", col("source"), col("t"))))
+      val cg = byContent.select(col("cid"), col("t")).as[(String, String)]
+        .flatMap { case (cid, t) =>
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          grams(tokenize(t), n).filter(seen.add).map(g => (cid, g))
+        }
+        .toDF("cid", "g")
+      val hits = cg
+        .join(bgFrame.toDF("g"), Seq("g"), "left_semi")
+        .select(col("cid")).distinct()
+        .withColumn("hit", lit(1L))
+      byContent
+        .join(hits, Seq("cid"), "left")
+        .groupBy(col("source"))
+        .agg(
+          sum(col("n_copies")).as("n_docs"),
+          sum(col("n_copies") * coalesce(col("hit"), lit(0L))).as("n_hit"))
+    }
+    perSource
+      .select(col("source"), col("n_docs"),
+        col("n_hit").as("n_contaminated"),
+        (col("n_docs") - col("n_hit")).as("n_clean"))
       .orderBy(col("source"))
   }
 
@@ -1086,8 +1128,10 @@ object Curation {
     * doc's sorted gram array against the doc's hash set — no joins, no
     * shuffle except the ~20-row per-source aggregate. Cost per corpus
     * row is |total bench grams| set probes; with an eval-suite-sized
-    * benchmark that is bounded, and the inverted (gram-join) shape
-    * remains the right tool if the benchmark ever grows corpus-sized.
+    * benchmark that is bounded, and past the guard the operator FALLS
+    * BACK to exactly that inverted (gram-join) shape — identical
+    * output, bounded shuffle instead of a driver collect; the guard
+    * swaps plans, never answers (CurationSpec pins both paths equal).
     * Gram keys are [[Dedup.gramHash64]] (md5-derived), so the DuckDB
     * oracle rebuilds identical keys.
     */
@@ -1116,13 +1160,15 @@ object Curation {
   def containmentStats(
       corpus: DataFrame, benchmark: DataFrame, n: Int = ContainN,
       threshold: Double = ContainThreshold,
-      maxBenchmarkGrams: Int = MaxBenchmarkGrams): DataFrame = {
+      maxBenchmarkGrams: Int = MaxBenchmarkGrams,
+      forceJoinPath: Option[Boolean] = None): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
-    // the gram-set frame is persisted so the size gate and the collect
-    // share one tokenization pass; the gate runs DISTRIBUTED (same
-    // shape as decontaminateStats') — an over-sized "benchmark" fails
-    // fast here and its gram sets never ship to the driver
+    // the gram-set frame is persisted so the size gate and its
+    // consumer (the collect OR the inverted join) share one
+    // tokenization pass; the gate runs DISTRIBUTED (same shape as
+    // decontaminateStats') — gram sets never ship to the driver
+    // unless they fit
     val bsFrame = benchmark
       .select(col("text")).as[String]
       .map(t => Curation.containGramSet(t, n))
@@ -1130,41 +1176,92 @@ object Curation {
       .persist()
     val totalGrams = bsFrame.select(
       coalesce(sum(size(col("value"))), lit(0L))).as[Long].head()
-    require(totalGrams <= maxBenchmarkGrams,
-      s"benchmark gram total $totalGrams exceeds $maxBenchmarkGrams - this " +
-        "frame is corpus-sized, not an eval suite (or raise " +
-        "maxBenchmarkGrams deliberately)")
-    val benchSets: Array[Array[Long]] = bsFrame.collect()
-    bsFrame.unpersist()
-    val bc = s.sparkContext.broadcast(benchSets)
+    val joinPath = forceJoinPath.getOrElse(totalGrams > maxBenchmarkGrams)
 
-    corpus
-      .select(col("source"), col("text")).as[(String, String)]
-      .map { case (src, text) =>
-        val doc = Curation.containGramSet(text, n)
-        var best = 0.0
-        val bs = bc.value
-        var b = 0
-        while (b < bs.length) {
-          val bg = bs(b)
-          var inter = 0
-          var i = 0
-          while (i < bg.length) {
-            if (java.util.Arrays.binarySearch(doc, bg(i)) >= 0) inter += 1
-            i += 1
+    val perDoc: DataFrame = if (!joinPath) {
+      val benchSets: Array[Array[Long]] = bsFrame.collect()
+      bsFrame.unpersist()
+      val bc = s.sparkContext.broadcast(benchSets)
+      corpus
+        .select(col("source"), col("text")).as[(String, String)]
+        .map { case (src, text) =>
+          val doc = Curation.containGramSet(text, n)
+          var best = 0.0
+          val bs = bc.value
+          var b = 0
+          while (b < bs.length) {
+            val bg = bs(b)
+            var inter = 0
+            var i = 0
+            while (i < bg.length) {
+              if (java.util.Arrays.binarySearch(doc, bg(i)) >= 0) inter += 1
+              i += 1
+            }
+            val c = inter.toDouble / bg.length.toDouble
+            if (c > best) best = c
+            b += 1
           }
-          val c = inter.toDouble / bg.length.toDouble
-          if (c > best) best = c
-          b += 1
+          (src, 1L, best)
         }
-        (src, best)
-      }
-      .toDF("source", "best_containment")
+        .toDF("source", "n_copies", "best_containment")
+    } else {
+      // GUARD FALLBACK — the inverted gram-join shape the broadcast
+      // path's scaladoc promises for a corpus-sized "benchmark": both
+      // sides explode to (id, gram-hash) postings, the join counts
+      // |doc ∩ bench| per pair exactly, and best containment is the
+      // max over joined pairs (absent pairs have containment 0 and
+      // can never win — max starts at 0 on the broadcast path too).
+      // The per-pair score is the SAME single IEEE division
+      // inter/|bench|, so flags and max_containment match the
+      // broadcast path bit-for-bit (CurationSpec pins both paths on
+      // one fixture). Identity on each side is the text VALUE
+      // (content hash), never monotonically_increasing_id, so the
+      // plan is deterministic under recomputation; identical corpus
+      // docs score once and weight back by copy count.
+      val bg = benchmark
+        .select(coalesce(col("text"), lit("")).as("t")).distinct()
+        .as[String]
+        .flatMap { t =>
+          val gs = Curation.containGramSet(t, n)
+          if (gs.isEmpty) Iterator.empty
+          else {
+            val bid = java.util.UUID.nameUUIDFromBytes(
+              t.getBytes("UTF-8")).toString
+            gs.iterator.map(g => (bid, g, gs.length))
+          }
+        }
+        .toDF("bid", "g", "blen")
+      val byContent = corpus
+        .select(col("source"), coalesce(col("text"), lit("")).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("n_copies"))
+        .withColumn("cid", md5(concat_ws("\u0000", col("source"), col("t"))))
+        .persist()
+      val cg = byContent.select(col("cid"), col("t")).as[(String, String)]
+        .flatMap { case (cid, t) =>
+          Curation.containGramSet(t, n).iterator.map(g => (cid, g))
+        }
+        .toDF("cid", "g")
+      // containGramSet output is distinct on both sides, so the join
+      // count IS the exact intersection size
+      val best = cg.join(bg, Seq("g"))
+        .groupBy(col("cid"), col("bid"), col("blen"))
+        .agg(count(lit(1)).as("inter"))
+        .select(col("cid"),
+          (col("inter").cast("double") / col("blen").cast("double")).as("c"))
+        .groupBy(col("cid")).agg(max(col("c")).as("best"))
+      byContent
+        .join(best, Seq("cid"), "left")
+        .select(col("source"), col("n_copies"),
+          coalesce(col("best"), lit(0.0)).as("best_containment"))
+    }
+    perDoc
       .groupBy(col("source"))
       .agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("best_containment") >= threshold, 1L).otherwise(0L)).as("n_flagged"),
-        sum(when(col("best_containment") >= threshold, 0L).otherwise(1L)).as("n_clean"),
+        sum(col("n_copies")).as("n_docs"),
+        sum(when(col("best_containment") >= threshold, col("n_copies"))
+          .otherwise(0L)).as("n_flagged"),
+        sum(when(col("best_containment") >= threshold, 0L)
+          .otherwise(col("n_copies"))).as("n_clean"),
         max(col("best_containment")).as("max_containment"))
       .orderBy(col("source"))
   }

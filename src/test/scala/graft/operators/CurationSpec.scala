@@ -46,29 +46,44 @@ class CurationSpec extends SparkSpec {
     assert(got == Map("s1" -> (2L, 0L, 2L)))
   }
 
-  test("decontaminateStats fails fast on a corpus-sized benchmark frame") {
-    // 10 distinct 4-grams against a ceiling of 3: the guard must trip
-    // BEFORE an unbounded driver collect, with an actionable message
-    val corpus = docsDF(Seq((1L, "s1", "alpha beta gamma delta")))
-    val bigBench = docsDF(
-      (0L until 10L).map(i => (i, "bench", s"a$i b$i c$i d$i")))
-    val e = intercept[IllegalArgumentException](
-      Curation.decontaminateStats(corpus, bigBench, maxBenchmarkGrams = 3))
-    assert(e.getMessage.contains("corpus-sized"))
+  test("decontaminateStats guard trip falls back to the join path with identical output") {
+    // a planted mix — contaminated dup pair, clean docs, a null text —
+    // run three ways: broadcast (default at this size), count-gate
+    // tripped (ceiling 3 < 10 distinct bench grams), byte-gate tripped.
+    // All three must agree row-for-row: the guard swaps plans, never
+    // answers.
+    val bench = docsDF(
+      (0L until 10L).map(i => (i, "bench", s"a$i b$i c$i d$i")) :+
+        (99L, "bench", "alpha beta gamma delta epsilon"))
+    val corpus = docsDF(Seq(
+      (1L, "s1", "noise one beta gamma delta epsilon noise two"),
+      (2L, "s1", "noise one beta gamma delta epsilon noise two"), // exact dup: collapse must re-weight
+      (3L, "s1", "zzz beta gamma delta qqq rrr sss ttt"),
+      (4L, "s2", "beta gamma delta"),
+      (5L, "s2", null)))
+    val viaBroadcast = decollect(Curation.decontaminateStats(corpus, bench))
+    val viaCountTrip = decollect(
+      Curation.decontaminateStats(corpus, bench, maxBenchmarkGrams = 3))
+    val viaByteTrip = decollect(
+      Curation.decontaminateStats(corpus, bench, maxBenchmarkGramBytes = 8L))
+    assert(viaBroadcast == Map("s1" -> (3L, 2L, 1L), "s2" -> (2L, 0L, 2L)))
+    assert(viaCountTrip == viaBroadcast)
+    assert(viaByteTrip == viaBroadcast)
   }
 
-  test("decontaminateStats fails fast on few-but-huge benchmark grams (byte gate)") {
-    // two grams but each token is ~1 KB: the count gate passes, the
-    // byte gate must trip before the driver collect
-    val corpus = docsDF(Seq((1L, "s1", "alpha beta gamma delta")))
-    val fat = (0 until 5).map(i => ("tok" + i) * 250).mkString(" ")
-    val fatBench = docsDF(Seq((0L, "bench", fat)))
-    val e = intercept[IllegalArgumentException](
-      Curation.decontaminateStats(corpus, fatBench, maxBenchmarkGramBytes = 1024L))
-    assert(e.getMessage.contains("driver memory"))
-    // the same benchmark passes when the ceiling accommodates it
-    assert(Curation.decontaminateStats(
-      corpus, fatBench, maxBenchmarkGramBytes = 1L << 20).count() >= 1L)
+  test("decontaminateStats forced paths agree on the sf0.001 corpus") {
+    // the real q58 split, both plans forced explicitly — fallback
+    // equivalence at data scale, not just on a planted fixture
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val corpus = docs.filter(col("doc_id") % Curation.BenchmarkMod =!= 0)
+    val bench = docs.filter(col("doc_id") % Curation.BenchmarkMod === 0)
+    val viaB = decollect(Curation.decontaminateStats(
+      corpus, bench, forceJoinPath = Some(false)))
+    val viaJ = decollect(Curation.decontaminateStats(
+      corpus, bench, forceJoinPath = Some(true)))
+    assert(viaB == viaJ)
+    assert(viaB.values.map(_._1).sum > 0)
   }
 
   test("pmiScores ranks exclusive collocations above frequent-token pairs") {
@@ -126,13 +141,33 @@ class CurationSpec extends SparkSpec {
     assert(none.getAs[Double]("max_containment") == 0.0)
   }
 
-  test("containmentStats guard trips on a corpus-sized benchmark") {
-    val corpus = docsDF(Seq((1L, "s1", "a b c d e")))
-    val bigBench = docsDF((0L until 5L).map(i =>
-      (i, "bench", s"t${i}a t${i}b t${i}c t${i}d t${i}e t${i}f")))
-    val e = intercept[IllegalArgumentException](
-      Curation.containmentStats(corpus, bigBench, maxBenchmarkGrams = 3))
-    assert(e.getMessage.contains("corpus-sized"))
+  test("containmentStats guard trip falls back to the inverted join with identical output") {
+    // mixed fixture — full quote (containment 1.0), partial overlap,
+    // no overlap, an exact dup pair, a null — scored by the broadcast
+    // path, the tripped guard (ceiling 3), and both forced paths; all
+    // must agree including the DOUBLE max_containment (same single
+    // IEEE division on both plans)
+    val bench = docsDF(Seq(
+      (0L, "bench", "alpha beta gamma delta epsilon"),
+      (1L, "bench", "one two three four five six seven")))
+    val corpus = docsDF(Seq(
+      (1L, "s1", "pre alpha beta gamma delta epsilon post"), // quotes all of bench 0
+      (2L, "s1", "pre alpha beta gamma delta epsilon post"), // exact dup: weight 2
+      (3L, "s1", "one two three unrelated tail words here xx"), // partial vs bench 1
+      (4L, "s2", "totally disjoint text with no overlap at all"),
+      (5L, "s2", null)))
+    def run(maxGrams: Int, force: Option[Boolean]) =
+      Curation.containmentStats(corpus, bench,
+        maxBenchmarkGrams = maxGrams, forceJoinPath = force)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+    val viaBroadcast = run(Curation.MaxBenchmarkGrams, None)
+    assert(viaBroadcast.map(t => (t._1, t._2, t._3, t._4)) ==
+      Seq(("s1", 3L, 2L, 1L), ("s2", 2L, 0L, 2L)))
+    assert(viaBroadcast.head._5 == 1.0) // the full quote
+    assert(run(3, None) == viaBroadcast) // tripped guard
+    assert(run(Curation.MaxBenchmarkGrams, Some(true)) == viaBroadcast)
+    assert(run(Curation.MaxBenchmarkGrams, Some(false)) == viaBroadcast)
   }
 
   test("q75 plants data-dependent quotes: flagged and clean both non-empty") {
