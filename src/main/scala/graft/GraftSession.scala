@@ -32,11 +32,17 @@ object GraftSession {
       // bloom_might_contain, fingerprints) for every session
       .config("spark.sql.extensions", "graft.GraftExtensions")
 
-  /** Local harness session: `local[cpus]` with shuffle partitions = cpus. */
-  def local(cpus: Int, ui: Boolean = false): SparkSession = {
+  /** Local harness session: `local[cpus]` with shuffle partitions = cpus.
+    * `extraConf` lets a harness layer experiment knobs (e.g. Bench's
+    * periodic-GC probe) on top of the standard config.
+    */
+  def local(cpus: Int, ui: Boolean = false,
+            extraConf: Map[String, String] = Map.empty): SparkSession = {
     val b = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.ui.enabled", ui.toString)
-    configure(b, cpus).getOrCreate()
+    val configured = configure(b, cpus)
+    extraConf.foldLeft(configured) { case (bb, (k, v)) => bb.config(k, v) }
+      .getOrCreate()
   }
 
   /** Harness cpu count from the driver contract env var. */

@@ -362,11 +362,15 @@ object TextOps {
   def q107Bm25Search(s: SparkSession, d: String): DataFrame =
     bm25Build(s, d, forcePrune = None).ranked
 
-  /** Matched-posting volume (Σ df over query terms) above which
-    * max-score pruning pays for its extra broadcast rounds. ~50M
-    * postings ~ a few GB through the score aggregate — the regime
-    * where dropping nonessential-only docs dominates three extra
-    * ~100ms scheduling rounds.
+  /** Matched-row volume (Σ over terms of df(t)·nq(t), the exact row
+    * count of the unpruned tf⋈qterms frame) above which max-score
+    * pruning pays for its extra broadcast rounds. ~50M rows ~ a few GB
+    * through the score aggregate — the regime where skipping
+    * nonessential postings dominates three extra ~100ms scheduling
+    * rounds. Priced with the query multiplicity nq(t) because probes
+    * sharing a common term each re-pay its postings — Σ df alone
+    * under-priced the sf1 canary's workload ~10x and left the unpruned
+    * plan running ~50x super-linear.
     */
   val Bm25PruneMinPostings = 50000000L
 
@@ -385,14 +389,18 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    // one explode pass, pre-aggregated to (tok, doc) counts: tf, df and
-    // dl all derive from this frame. Lifetime: LRU/clearCache (lazily
+    // one explode pass, pre-aggregated to (tok, doc) counts with the
+    // document length dl attached IN the frame (one doc_id window at
+    // build time replaces a per-consumer doc-sized dl join in the θ
+    // seed, the unpruned matched frame AND the candidate scoring —
+    // three corpus-keyed shuffles saved per call). tf, df and dl all
+    // derive from this frame. Lifetime: LRU/clearCache (lazily
     // returned frame, same contract as q52's perDoc)
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
       .persist()
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val totals = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(tf.agg(sum(col("tf")).as("l_total")))
 
@@ -412,7 +420,15 @@ object TextOps {
       .join(broadcast(qterms.select(col("tok")).distinct()), Seq("tok"), "left_semi")
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val matchedVolume = dfqRows.map(_._2).sum
+    // guard pricing: the matched frame has Σ_t df(t)·nq(t) ROWS (each
+    // query sharing a term pays that term's postings again), so the
+    // volume is priced on exactly that — Σ df alone under-prices by up
+    // to the query count when probes share common terms, which is the
+    // sf1-canary regime where the unpruned plan went 50x super-linear.
+    // nq comes off the slate-sized qterms aggregate, one tiny job.
+    val nqByTok = qterms.groupBy(col("tok")).agg(count(lit(1)).as("nq"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val matchedVolume = dfqRows.map { case (t, df) => df * nqByTok.getOrElse(t, 0L) }.sum
     val prune = forcePrune.getOrElse(matchedVolume >= Bm25PruneMinPostings)
     val dfq = dfqRows.toDF("tok", "df")
 
@@ -424,22 +440,23 @@ object TextOps {
     val sterm = idf * ((col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * norm)))
 
-    // matched postings — the ONLY corpus-wide pass: tf restricted to
-    // query terms with sterm precomputed, persisted so the θ seed, the
-    // candidate pass and the final scoring all read this (query-term-
-    // bounded) frame instead of re-scanning the corpus tf. Lifetime:
-    // LRU/clearCache, the tf contract above.
-    val matched = tf
+    // matched postings for the UNPRUNED path — tf restricted to query
+    // terms with sterm precomputed. On the pruned path this frame is
+    // NEVER built: at sf1 the canary measured it going ~50x
+    // super-linear (queries x postings both grow with the corpus), so
+    // the pruned path probes the persisted tf with slate-sized
+    // broadcasts instead and materializes only candidate-bounded
+    // frames. Lifetime: LRU/clearCache, the tf contract above.
+    def matchedAll: DataFrame = tf
       .join(broadcast(qterms), "tok") // probe side tiny: corpus tf never re-shuffles
       .join(broadcast(dfq), "tok")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(totals))
       .withColumn("sterm", sterm)
-      .persist()
 
-    val (essential, candidates, hits) = if (!prune)
+    val (essential, candidates, hits) = if (!prune) {
+      val matched = matchedAll.persist()
       (qterms.limit(0), matched.select(col("query_id"), col("doc_id")).limit(0), matched)
-    else {
+    } else {
       // per-term stats slate: (query_id, tok, ub) — slate-sized
       val ub = (idf * lit(2.2) * lit(1.0 + 1e-9)).as("ub")
       val terms = qterms.join(broadcast(dfq), "tok")
@@ -447,12 +464,18 @@ object TextOps {
         .select(col("query_id"), col("tok"), ub)
 
       // θ floor: exact single-term scores over ONLY the top-ub term's
-      // postings (self excluded, same decimal space as final scores)
+      // postings (self excluded, same decimal space as final scores).
+      // tf is probed directly with the per-query top-term slate — the
+      // top-ub term is the rarest, so this reads the SHORTEST posting
+      // list per query, never the full matched frame.
       val topTerm = terms
         .withColumn("_r", row_number().over(
           Window.partitionBy(col("query_id")).orderBy(col("ub").desc, col("tok"))))
         .filter(col("_r") === 1).select(col("query_id"), col("tok"))
-      val theta = matched.join(broadcast(topTerm), Seq("query_id", "tok"), "left_semi")
+      val theta = tf.join(broadcast(topTerm), "tok")
+        .join(broadcast(dfq), "tok")
+        .crossJoin(broadcast(totals))
+        .withColumn("sterm", sterm)
         .filter(col("doc_id") =!= col("query_id"))
         .select(col("query_id"), col("sterm").cast("decimal(20,9)").as("sdec"))
         .withColumn("_r", row_number().over(
@@ -471,12 +494,33 @@ object TextOps {
         .filter(col("theta").isNull || (col("_cum") + lit(1e-6) >= col("theta")))
         .select(col("query_id"), col("tok"))
 
-      // candidates: docs matching >= 1 essential term of that query;
-      // bounded by the essential (high-idf, short) posting volume
-      val cand = matched.join(broadcast(ess), Seq("query_id", "tok"), "left_semi")
+      // candidates: docs matching >= 1 essential term of that query —
+      // essential postings read straight off tf (high-idf terms =
+      // short posting lists, the whole point of max-score); persisted
+      // because both the doc restriction and the final semi read it
+      val cand = tf.join(broadcast(ess), "tok")
         .select(col("query_id"), col("doc_id")).distinct()
+        .persist()
 
-      (ess, cand, matched.join(broadcast(cand), Seq("query_id", "doc_id"), "left_semi"))
+      // final scoring input: each candidate PAIR expanded with its
+      // query's terms (a broadcast of the slate), then one shuffle
+      // join against tf on (doc_id, tok) keeps exactly the matched
+      // postings of candidate pairs — volume bounded by |cand| x
+      // query width, NEVER corpus x queries (the candidate-DOC
+      // restriction tried first degenerated to the full matched frame
+      // on corpora where candidates span most documents — the sf1
+      // canary's regime). Each surviving row is the same
+      // (tf, df, dl, totals) tuple the unpruned path feeds sterm, so
+      // surviving scores stay bit-identical.
+      val candTerms = cand
+        .join(broadcast(qterms), "query_id")
+        .select(col("query_id"), col("doc_id"), col("tok"))
+      val scored = tf.join(candTerms, Seq("doc_id", "tok"))
+        .join(broadcast(dfq), "tok")
+        .crossJoin(broadcast(totals))
+        .withColumn("sterm", sterm)
+
+      (ess, cand, scored)
     }
 
     val byScore = Window.partitionBy(col("query_id"))

@@ -22,10 +22,23 @@ object EventStream {
     * glob filter keeps the scan to the events table inside the shared
     * SF directory.
     */
-  private def eventsStream(s: SparkSession, d: String): DataFrame =
-    graft.Tables.normalizeEventTime(
-      s.readStream.schema(graft.Tables.eventsRaw(s, d).schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d))
+  /** Streaming events source, layout-tolerant like the batch reader:
+    * the driver testdata ships `events.parquet` as a single FILE (so
+    * the stream lists the sf dir with a leaf-name glob), while
+    * Spark-written data (MakeScale's synthesized scale factors, any
+    * production lake) has `events.parquet/` as a DIRECTORY of part
+    * files — listed directly, since pathGlobFilter matches leaf file
+    * names and would match nothing. Both paths share the same schema
+    * pin and ts normalization.
+    */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val reader = s.readStream.schema(graft.Tables.eventsRaw(s, d).schema)
+    val asDir = new java.io.File(s"$d/events.parquet")
+    val src =
+      if (asDir.isDirectory) reader.parquet(asDir.getPath)
+      else reader.option("pathGlobFilter", "events.parquet").parquet(d)
+    graft.Tables.normalizeEventTime(src)
+  }
 
   /** Tumbling-window event counts per type with late-data eviction.
     * On a batch frame `withWatermark` is a no-op and this is an ordinary
