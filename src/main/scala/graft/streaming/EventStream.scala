@@ -40,6 +40,38 @@ object EventStream {
     graft.Tables.normalizeEventTime(src)
   }
 
+  /** State-exchange width cap for the bounded replay harness. A
+    * stateful micro-batch pays a FIXED per-partition cost every
+    * trigger — task scheduling plus state-store open/commit for every
+    * store instance — so running a bounded replay at the session's
+    * cluster-sized `spark.sql.shuffle.partitions` multiplies pure
+    * overhead: measured 2.7x on the stream-stream interval joins
+    * (q83: 6.1 s at width 32 vs 2.2 s at width 4, same query, same
+    * host — the round-10 "in-bench inflation" in full; it reproduced
+    * at bench slots 1-2, killing the heap-accretion theory). Results
+    * are width-independent (state is hash-partitioned by key), so the
+    * cap is a plan choice, not semantics. A PRODUCTION stream sizes
+    * this to state volume (distinct keys in the watermark horizon) —
+    * stateful queries pin the width from session conf at their first
+    * batch, so set it before starting a real job and leave it alone
+    * thereafter.
+    */
+  val ReplayStateWidth = 8
+
+  /** Run `body` (a replay start+drain) with the state width capped at
+    * [[ReplayStateWidth]]; restores the session's width after the
+    * query STOPS — the width is read at first-batch planning, which
+    * happens asynchronously after start(), so the conf must stay
+    * lowered for the query's whole lifetime, not just across start().
+    */
+  private def withReplayStateWidth[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key,
+      math.max(1, math.min(ReplayStateWidth, prev.toInt)).toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Tumbling-window event counts per type with late-data eviction.
     * On a batch frame `withWatermark` is a no-op and this is an ordinary
     * windowed aggregation — one code path, two execution modes.
@@ -184,9 +216,11 @@ object EventStream {
         .select(col("user_id"), expr("ts div 1000").as("ts_ns")).as[SessionEvent]
       val sessions = sessionizeTws(stream, 30L * 60 * 1000000L) // gap in MICROS
       val qname = "q147_tws_sessions"
-      val q = sessions.toDF().writeStream.format("memory").queryName(qname)
-        .outputMode(OutputMode.Append).start()
-      try q.processAllAvailable() finally q.stop()
+      withReplayStateWidth(s) {
+        val q = sessions.toDF().writeStream.format("memory").queryName(qname)
+          .outputMode(OutputMode.Append).start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(qname)
         .select(col("user_id"), col("start_ns").as("start_us"),
           col("end_ns").as("end_us"), col("n_events"))
@@ -452,18 +486,20 @@ object EventStream {
       src.filter(col("event_type") === "view"),
       src.filter(col("event_type") === "purchase"))
     val qname = "q137_stream_outer_attribution"
-    val q = joined.writeStream.format("memory").queryName(qname)
-      .outputMode(OutputMode.Append).start()
-    try {
-      q.processAllAvailable()
-      // the outer-null flush rides the watermark-advance NO-DATA batch,
-      // which processAllAvailable does not wait for — poll for it
-      val deadline = System.nanoTime() + 120L * 1000000000L
-      while (!q.recentProgress.exists(_.numInputRows == 0) &&
-             System.nanoTime() < deadline)
-        Thread.sleep(50)
-      q.processAllAvailable()
-    } finally q.stop()
+    withReplayStateWidth(s) {
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Append).start()
+      try {
+        q.processAllAvailable()
+        // the outer-null flush rides the watermark-advance NO-DATA batch,
+        // which processAllAvailable does not wait for — poll for it
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (!q.recentProgress.exists(_.numInputRows == 0) &&
+               System.nanoTime() < deadline)
+          Thread.sleep(50)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
     s.table(qname)
       .filter(col("user_id") =!= -1L)
       .groupBy(col("user_id"))
@@ -530,9 +566,11 @@ object EventStream {
         max(unix_micros(col("tts"))).as("end_us"))
       .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
     val qname = "q70_stream_sessions"
-    val q = sessions.writeStream.format("memory").queryName(qname)
-      .outputMode(OutputMode.Complete).start()
-    try q.processAllAvailable() finally q.stop()
+    withReplayStateWidth(s) {
+      val q = sessions.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Complete).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("start_us"))
     s.table(qname)
@@ -558,9 +596,11 @@ object EventStream {
       .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
     val counts = windowedCounts(stream)
     val qname = "q76_stream_windows"
-    val q = counts.writeStream.format("memory").queryName(qname)
-      .outputMode(OutputMode.Complete).start()
-    try q.processAllAvailable() finally q.stop()
+    withReplayStateWidth(s) {
+      val q = counts.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Complete).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(qname)
       .select(unix_micros(col("win_start")).as("win_start_us"),
         col("event_type"), col("n"))
@@ -582,9 +622,11 @@ object EventStream {
       .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
     val counts = slidingCounts(stream)
     val qname = "q127_stream_sliding"
-    val q = counts.writeStream.format("memory").queryName(qname)
-      .outputMode(OutputMode.Complete).start()
-    try q.processAllAvailable() finally q.stop()
+    withReplayStateWidth(s) {
+      val q = counts.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Complete).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(qname)
       .select(unix_micros(col("win_start")).as("win_start_us"),
         col("event_type"), col("n"))
@@ -617,9 +659,11 @@ object EventStream {
       src.filter(col("event_type") === "view"),
       src.filter(col("event_type") === "purchase"))
     val qname = "q83_stream_attribution"
-    val q = joined.writeStream.format("memory").queryName(qname)
-      .outputMode(OutputMode.Append).start()
-    try q.processAllAvailable() finally q.stop()
+    withReplayStateWidth(s) {
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(qname)
       .groupBy(col("user_id"))
       .agg(
@@ -654,9 +698,11 @@ object EventStream {
     val redelivered = src.union(src.filter(col("event_id") % 37 === 0))
     val deduped = dedupStream(redelivered, "event_id")
     val qname = "q93_stream_dedup"
-    val q = deduped.writeStream.format("memory").queryName(qname)
-      .outputMode(OutputMode.Append).start()
-    try q.processAllAvailable() finally q.stop()
+    withReplayStateWidth(s) {
+      val q = deduped.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(qname)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -680,9 +726,11 @@ object EventStream {
       .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
     val enriched = src.join(broadcast(dim), "user_id")
     val qname = "q103_stream_enrich"
-    val q = enriched.writeStream.format("memory").queryName(qname)
-      .outputMode(OutputMode.Append).start()
-    try q.processAllAvailable() finally q.stop()
+    withReplayStateWidth(s) {
+      val q = enriched.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(qname)
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n_events"),
@@ -712,9 +760,11 @@ object EventStream {
       .select(col("user_id"), expr("ts div 1000").as("ts_ns")).as[SessionEvent]
     val sessions = sessionize(stream, 30L * 60 * 1000000L) // gap in MICROS
     val qname = "q108_stream_custom_sessions"
-    val q = sessions.toDF().writeStream.format("memory").queryName(qname)
-      .outputMode(OutputMode.Append).start()
-    try q.processAllAvailable() finally q.stop()
+    withReplayStateWidth(s) {
+      val q = sessions.toDF().writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(qname)
       .select(col("user_id"), col("start_ns").as("start_us"),
         col("end_ns").as("end_us"), col("n_events"))
@@ -934,18 +984,20 @@ object EventStream {
         .as[RadiusFp]
       val survivors = radiusDedupStream(src)
       val qname = "q156_stream_radius_dedup"
-      val q = survivors.writeStream.format("memory").queryName(qname)
-        .outputMode(OutputMode.Append).start()
-      try {
-        q.processAllAvailable()
-        // the final windows flush on the watermark-advance NO-DATA
-        // batch, which processAllAvailable does not wait for — poll
-        val deadline = System.nanoTime() + 120L * 1000000000L
-        while (!q.recentProgress.exists(_.numInputRows == 0) &&
-               System.nanoTime() < deadline)
-          Thread.sleep(50)
-        q.processAllAvailable()
-      } finally q.stop()
+      withReplayStateWidth(s) {
+        val q = survivors.writeStream.format("memory").queryName(qname)
+          .outputMode(OutputMode.Append).start()
+        try {
+          q.processAllAvailable()
+          // the final windows flush on the watermark-advance NO-DATA
+          // batch, which processAllAvailable does not wait for — poll
+          val deadline = System.nanoTime() + 120L * 1000000000L
+          while (!q.recentProgress.exists(_.numInputRows == 0) &&
+                 System.nanoTime() < deadline)
+            Thread.sleep(50)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table(qname)
         .filter(col("doc_id") >= 0L)
         .select(
