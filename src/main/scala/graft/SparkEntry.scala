@@ -411,6 +411,127 @@ object SparkEntry {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q19_dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+    // full MinHash+LSH replay: shingle hashes are Karp-Rabin mod 2^61-1
+    // (left-fold replayed by list_reduce over HUGEINT char codes), the
+    // 64 permutations are published (a,b) literals pasted from
+    // Dedup.permA/permB, band hashes replay the 31-multiplier fold mod
+    // 2^64, the distinct-member bucket cap (> 64 dropped, with stats)
+    // and the exact-Jaccard verify complete the pipeline — rows-only
+    // to hash-matched, the q22/q28 replayable-hash program
+    "q20_dedup_minhash" ->
+      s"""WITH tok AS (SELECT doc_id, lower(COALESCE(text, '')) AS t FROM documents),
+        |win AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) < 5 THEN t ELSE substr(t, CAST(i AS INTEGER), 5) END AS w
+        |  FROM tok, unnest(range(1, GREATEST(length(t) - 3, 2))) u(i)),
+        |shd AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN length(w) = 0 THEN CAST(0 AS HUGEINT)
+        |      ELSE list_reduce(
+        |        list_transform(range(1, length(w) + 1),
+        |          k -> CAST(ord(substr(w, CAST(k AS INTEGER), 1)) AS HUGEINT)),
+        |        (h, c) -> (h * 1000003 + c) % 2305843009213693951)
+        |    END AS x
+        |  FROM win),
+        |perm(j, a, b) AS (SELECT * FROM (VALUES ${graft.operators.Dedup.permSeedValuesSql}) v),
+        |sig AS (
+        |  SELECT doc_id, j, MIN((CAST(a AS HUGEINT) * x + b) % 2305843009213693951) AS v
+        |  FROM shd, perm GROUP BY 1, 2),
+        |bnd AS (
+        |  SELECT doc_id, j // 4 AS band, list(v ORDER BY j) AS vs
+        |  FROM sig GROUP BY doc_id, j // 4),
+        |bh AS (
+        |  SELECT doc_id, band,
+        |    ((((((CAST(1125899906842597 AS HUGEINT) * 31 + vs[1])
+        |      % 18446744073709551616 * 31 + vs[2])
+        |      % 18446744073709551616 * 31 + vs[3])
+        |      % 18446744073709551616 * 31 + vs[4])
+        |      % 18446744073709551616)) AS h
+        |  FROM bnd),
+        |hot AS (
+        |  SELECT band, h, COUNT(DISTINCT doc_id) AS hn FROM bh GROUP BY 1, 2
+        |  HAVING COUNT(DISTINCT doc_id) > 64),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_dropped_buckets,
+        |    CAST(COALESCE(SUM(hn), 0) AS BIGINT) AS n_dropped_members FROM hot),
+        |ok AS (
+        |  SELECT b.doc_id, b.band, b.h FROM bh b
+        |  LEFT JOIN hot t ON t.band = b.band AND t.h = b.h WHERE t.hn IS NULL),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM ok x JOIN ok y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+        |ix AS (
+        |  SELECT c.a, c.b, COUNT(sb.x) AS inter
+        |  FROM cand c
+        |  JOIN shd sa ON sa.doc_id = c.a
+        |  LEFT JOIN shd sb ON sb.doc_id = c.b AND sb.x = sa.x
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT i.a, i.b,
+        |    CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE) AS jaccard
+        |  FROM ix i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b),
+        |perdoc AS (
+        |  SELECT doc_id, COUNT(*) AS n_candidates, MAX(jaccard) AS best_jaccard FROM (
+        |    SELECT a AS doc_id, jaccard FROM jac
+        |    UNION ALL SELECT b AS doc_id, jaccard FROM jac) u GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+        |  COALESCE(p.best_jaccard, 0.0) AS best_jaccard,
+        |  st.n_dropped_buckets, st.n_dropped_members
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id), stats st
+        |ORDER BY d.doc_id""".stripMargin,
+    // full SimHash replay: the md5 token hash (simhash64's gramHash64
+    // base) lets DuckDB rebuild the identical 64-bit signature bit by
+    // bit, then replays the 4x16 chunk LSH, the distinct-member bucket
+    // cap (> 64 dropped, with stats), and the Hamming<=3 verify — the
+    // whole q21 pipeline, converting it from rows-only to hash-matched
+    "q21_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS u FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b, SUM(CASE WHEN (u >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM th, range(64) r(b) GROUP BY 1, 2),
+        |usig0 AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN cnt > 0 THEN CAST(CAST(1 AS UBIGINT) << CAST(b AS INTEGER) AS HUGEINT) ELSE 0 END) AS HUGEINT) AS husig
+        |  FROM bits GROUP BY 1),
+        |sig AS (
+        |  SELECT d.doc_id,
+        |    CAST(COALESCE(u.husig, 0) AS UBIGINT) AS usig,
+        |    CAST(COALESCE(u.husig, 0) - CASE WHEN COALESCE(u.husig, 0) >= CAST(9223372036854775808 AS HUGEINT)
+        |      THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END AS BIGINT) AS simhash
+        |  FROM documents d LEFT JOIN usig0 u USING (doc_id)),
+        |chunks AS (
+        |  SELECT doc_id, c, (usig >> CAST(c * 16 AS INTEGER)) & CAST(65535 AS UBIGINT) AS ck
+        |  FROM sig, range(4) r(c)),
+        |hot AS (
+        |  SELECT c, ck, COUNT(DISTINCT doc_id) AS hn FROM chunks GROUP BY 1, 2
+        |  HAVING COUNT(DISTINCT doc_id) > 64),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_dropped_buckets,
+        |    CAST(COALESCE(SUM(hn), 0) AS BIGINT) AS n_dropped_members FROM hot),
+        |ok AS (
+        |  SELECT ch.doc_id, ch.c, ch.ck FROM chunks ch
+        |  LEFT JOIN hot h ON h.c = ch.c AND h.ck = ch.ck WHERE h.hn IS NULL),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM ok x JOIN ok y ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id),
+        |near AS (
+        |  SELECT cand.a, cand.b FROM cand
+        |  JOIN sig sa ON sa.doc_id = cand.a
+        |  JOIN sig sb ON sb.doc_id = cand.b
+        |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
+        |perdoc AS (
+        |  SELECT doc_id, COUNT(*) AS n_near FROM (
+        |    SELECT a AS doc_id FROM near UNION ALL SELECT b AS doc_id FROM near) u GROUP BY 1)
+        |SELECT s.doc_id, s.simhash, CAST(COALESCE(p.n_near, 0) AS BIGINT) AS n_near,
+        |  st.n_dropped_buckets, st.n_dropped_members
+        |FROM sig s LEFT JOIN perdoc p USING (doc_id), stats st
+        |ORDER BY s.doc_id""".stripMargin,
     // rebuilds gramHash64's exact keys — substr(md5(gram),1,16) IS the
     // Spark-side 64-bit key — so membership, the df-cap, and every
     // jaccard division agree bit-for-bit with the typed-map pipeline

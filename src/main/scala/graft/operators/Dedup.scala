@@ -4,7 +4,6 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import scala.util.hashing.MurmurHash3
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -42,31 +41,74 @@ object Dedup {
   val Bands = 16 // 16 bands x 4 rows
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** Deterministic per-permutation seeds from a fixed-seed LCG. The
-    * permutation family is splitmix64(x ^ seed_j) — a full 64-bit
-    * mixer per slot (3 multiplies) instead of the (a*x+b) mod 2^61-1
-    * universal family (multiplyHigh chains): ~3x cheaper in the
-    * signature loop that dominates the q20 map, with the same
-    * min-agreement estimator behavior for hashed-shingle inputs.
+  /** Mersenne prime 2^61 - 1: modulus of the shingle and permutation
+    * hash arithmetic. Chosen over a 64-bit mixer for ORACLE
+    * REPLAYABILITY — (a*x+b) mod p with p < 2^61 keeps every product
+    * under 2^122, which DuckDB's 128-bit HUGEINT computes exactly, so
+    * the q20 driver oracle rebuilds bit-identical signatures, band
+    * buckets, and candidate pairs (converting q20 from rows-only to
+    * hash-matched, the q22/q28 replayable-hash precedent). An earlier
+    * splitmix64 family was ~2x cheaper per slot but irreproducible in
+    * SQL; with Mersenne folding (no division) the universal family
+    * costs ~2 multiplies per slot — the same cost class.
     */
-  private val seeds: Array[Long] = {
+  val MersenneP: Long = (1L << 61) - 1
+
+  /** Karp-Rabin radix for shingle hashing (> any UTF-16 code unit). */
+  val KrBase: Long = 1000003L
+
+  /** (a * b) mod 2^61-1 for 0 <= a, b < 2^61: 128-bit product via
+    * Math.multiplyHigh, then two Mersenne folds — no division, no
+    * BigInteger.
+    */
+  private[operators] def mulmodP(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = ((hi << 3) | (lo >>> 61)) + (lo & MersenneP)
+    r = (r >>> 61) + (r & MersenneP)
+    if (r >= MersenneP) r - MersenneP else r
+  }
+
+  /** Per-permutation universal-hash coefficients (a_j nonzero, b_j),
+    * from the same fixed-seed LCG as ever but reduced into the field —
+    * and PUBLISHED via [[permSeedValuesSql]]: the q20 oracle pastes
+    * them as literals and replays v_j = (a_j x + b_j) mod p.
+    */
+  private[graft] val permA: Array[Long] = new Array[Long](NumHashes)
+  private[graft] val permB: Array[Long] = new Array[Long](NumHashes)
+  locally {
     var state = 42L
-    Array.fill(NumHashes) {
+    def next(): Long = {
       state = state * 6364136223846793005L + 1442695040888963407L
       state
     }
+    var j = 0
+    while (j < NumHashes) {
+      permA(j) = java.lang.Long.remainderUnsigned(next(), MersenneP - 1) + 1
+      permB(j) = java.lang.Long.remainderUnsigned(next(), MersenneP)
+      j += 1
+    }
   }
 
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  /** The q20 oracle's literal `(j, a, b)` VALUES rows — generated from
+    * [[permA]]/[[permB]] so engine and oracle can never drift.
+    */
+  private[graft] def permSeedValuesSql: String =
+    permA.indices.map(j => s"(${j}, ${permA(j)}, ${permB(j)})").mkString(", ")
 
-  private def shingleHash(sh: CharSequence): Long = {
-    val h = MurmurHash3.stringHash(sh.toString, 0x9747b28c)
-    (h.toLong & 0xffffffffL) + 1
+  /** Karp-Rabin polynomial hash of `t[from, until)` mod 2^61-1 —
+    * left-fold h = (h * KrBase + char) mod p, which DuckDB replays as a
+    * `list_reduce` over HUGEINT char codes. Empty range hashes to 0.
+    */
+  private def windowHash(t: CharSequence, from: Int, until: Int): Long = {
+    var h = 0L
+    var i = from
+    while (i < until) {
+      h = mulmodP(h, KrBase) + t.charAt(i) // < p + 2^16, one conditional fold
+      if (h >= MersenneP) h -= MersenneP
+      i += 1
+    }
+    h
   }
 
   /** Character 5-gram shingle hash set of the normalized text, as a
@@ -77,20 +119,13 @@ object Dedup {
     */
   private[operators] def shingles(text: String, k: Int = 5): Array[Long] = {
     val t = text.toLowerCase(java.util.Locale.ROOT)
-    if (t.length < k) Array(shingleHash(t))
+    if (t.length < k) Array(windowHash(t, 0, t.length))
     else {
       val n = t.length - k + 1
       val arr = new Array[Long](n)
       var i = 0
       while (i < n) {
-        // FNV-1a over the k chars then a splitmix finalizer — same
-        // uniformity class as the previous string murmur, zero allocs
-        var h = 0xcbf29ce484222325L
-        var j = 0
-        while (j < k) { h = (h ^ t.charAt(i + j)) * 0x100000001b3L; j += 1 }
-        h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
-        h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
-        arr(i) = ((h ^ (h >>> 31)) & 0xffffffffL) + 1
+        arr(i) = windowHash(t, i, i + k)
         i += 1
       }
       java.util.Arrays.sort(arr)
@@ -112,7 +147,8 @@ object Dedup {
       val x = sh(i)
       var j = 0
       while (j < NumHashes) {
-        val v = mix64(x ^ seeds(j))
+        var v = mulmodP(permA(j), x) + permB(j)
+        if (v >= MersenneP) v -= MersenneP
         if (v < sig(j)) sig(j) = v
         j += 1
       }
@@ -189,7 +225,12 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate detection. Output: one row per document
     * with its LSH candidate count and best exact-Jaccard score (0 when no
-    * candidate shares a band). Non-SQL-expressible -> rows-only oracle.
+    * candidate shares a band). Hash-matched oracle: the Karp-Rabin
+    * shingle hash and (a,b)-published universal permutations (both mod
+    * 2^61-1, see [[MersenneP]]) make the whole pipeline — signatures,
+    * band buckets (including the 31-multiplier band hash mod 2^64),
+    * the distinct-member bucket cap with drop stats, and the exact
+    * Jaccard verify — DuckDB-replayable in HUGEINT arithmetic.
     */
   def q20DedupMinhash(s: SparkSession, d: String): DataFrame = {
     val (withSh, pairs, lshStats) = minhashPairs(s, d)
@@ -621,14 +662,23 @@ object Dedup {
 
   // ---- SimHash ------------------------------------------------------
 
+  /** 64-bit SimHash (Charikar '02) with an ORACLE-REPRODUCIBLE token
+    * hash: each token contributes the 64 bits of [[gramHash64]] (the
+    * first 8 bytes of md5, the q22 key trick) rather than a murmur
+    * pair, so DuckDB can rebuild the identical signature with
+    * `('0x' || substr(md5(tok), 1, 16))::UBIGINT` and the q21 driver
+    * check hash-matches the full output instead of rows-only. md5 is
+    * ~2x a murmur per token, but the q21 map is tokenization-dominated
+    * and checkability at the driver outranks the micro-cost (the same
+    * trade [[gramHash64]] documents). Repeated tokens vote repeatedly —
+    * the classic frequency-weighted formulation.
+    */
   private[graft] def simhash64(text0: String): Long = {
     val text = if (text0 == null) "" else text0 // crash-free on null docs
     val counts = new Array[Int](64)
     text.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { tok =>
       if (tok.nonEmpty) {
-        val h1 = MurmurHash3.stringHash(tok, 0x1b873593)
-        val h2 = MurmurHash3.stringHash(tok, 0xe6546b64)
-        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        val h = gramHash64(tok)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -643,7 +693,9 @@ object Dedup {
   }
 
   /** SimHash near-dup: 64-bit signature, 4x16-bit chunk LSH, Hamming<=3
-    * verification via bit_count(xor). Rows-only oracle.
+    * verification via bit_count(xor). Hash-matched oracle: the md5
+    * token hash makes the whole pipeline (signature -> chunk buckets ->
+    * bounded pairs -> Hamming verify) DuckDB-replayable.
     */
   def q21DedupSimhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
