@@ -584,6 +584,54 @@ object SparkEntry {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
         |  FROM scored) z
         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+    // full hyperplane-LSH replay (rows-only -> hash-matched, r11): the
+    // 4x6x64 murmur-derived plane table is FIXED, so it rides the SQL
+    // as literals (planeValuesSql); the signature's per-bit accumulator
+    // is a fixed-order left fold of double products that list_reduce
+    // reproduces IEEE-bit-identically; multiprobe (exact sig + every
+    // 1-bit flip), candidate join, and exact fixed-point cosine top-3
+    // complete the pipeline
+    "q24_knn_lsh" ->
+      s"""WITH planes(tbl, pb, ks) AS (SELECT * FROM (VALUES ${graft.operators.Similarity.planeValuesSql}) v),
+        |bits AS (
+        |  SELECT e.vec_id, p.tbl, p.pb,
+        |    CASE WHEN len(e.embedding) = 0 THEN 1
+        |      WHEN list_reduce(
+        |        list_transform(range(1, LEAST(len(e.embedding), 64) + 1),
+        |          i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) * (ks[CAST(i AS INTEGER)] / 1000.0)),
+        |        (a, c) -> a + c) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM embeddings e, planes p),
+        |sigs AS (
+        |  SELECT vec_id, tbl, CAST(SUM(bit * (1 << pb)) AS INTEGER) AS sig
+        |  FROM bits GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT vec_id AS probe_id, tbl, sig FROM sigs WHERE vec_id < 10
+        |  UNION
+        |  SELECT vec_id AS probe_id, tbl, CAST(xor(sig, (1 << CAST(f AS INTEGER))) AS INTEGER) AS sig
+        |  FROM sigs, range(6) r(f) WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT p.probe_id, s.vec_id
+        |  FROM probes p JOIN sigs s ON s.tbl = p.tbl AND s.sig = p.sig
+        |  WHERE s.vec_id <> p.probe_id),
+        |q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |nrm AS (
+        |  SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nrm
+        |  FROM q, range(1, 65) t(i) GROUP BY 1),
+        |dotp AS (
+        |  SELECT c.probe_id, c.vec_id, CAST(SUM(pq.qv[i] * cq.qv[i]) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN q pq ON pq.vec_id = c.probe_id
+        |  JOIN q cq ON cq.vec_id = c.vec_id, range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.probe_id, d.vec_id,
+        |    CAST(d.dot AS DOUBLE) / sqrt(CAST(np.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
+        |  FROM dotp d JOIN nrm np ON np.vec_id = d.probe_id JOIN nrm nc ON nc.vec_id = d.vec_id)
+        |SELECT probe_id, vec_id, cosine,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+        |FROM scored QUALIFY rnk <= 3 ORDER BY probe_id, rnk""".stripMargin,
     "q25_text_quality" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          |  CAST(SUM(len($TokList)) AS BIGINT) AS sum_tokens,
@@ -727,6 +775,61 @@ object SparkEntry {
         |  FROM documents d JOIN surv USING (doc_id) WHERE d.lang = 'en')
         |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
         |FROM tok WHERE n_tok >= 40 GROUP BY source ORDER BY source""".stripMargin,
+    // embedding near-dup via the same replayed hyperplane signatures as
+    // q24, plus the distinct-member bucket cap with drop stats and the
+    // exact fixed-point cosine verify (rows-only -> hash-matched, r11)
+    "q44_dedup_embed" ->
+      s"""WITH planes(tbl, pb, ks) AS (SELECT * FROM (VALUES ${graft.operators.Similarity.planeValuesSql}) v),
+        |bits AS (
+        |  SELECT e.vec_id, p.tbl, p.pb,
+        |    CASE WHEN len(e.embedding) = 0 THEN 1
+        |      WHEN list_reduce(
+        |        list_transform(range(1, LEAST(len(e.embedding), 64) + 1),
+        |          i -> CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) * (ks[CAST(i AS INTEGER)] / 1000.0)),
+        |        (a, c) -> a + c) >= 0 THEN 1 ELSE 0 END AS bit
+        |  FROM embeddings e, planes p),
+        |sigs AS (
+        |  SELECT vec_id, tbl, CAST(SUM(bit * (1 << pb)) AS INTEGER) AS sig
+        |  FROM bits GROUP BY 1, 2),
+        |hot AS (
+        |  SELECT tbl, sig, COUNT(DISTINCT vec_id) AS hn FROM sigs GROUP BY 1, 2
+        |  HAVING COUNT(DISTINCT vec_id) > 64),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_dropped_buckets,
+        |    CAST(COALESCE(SUM(hn), 0) AS BIGINT) AS n_dropped_members FROM hot),
+        |ok AS (
+        |  SELECT s.vec_id, s.tbl, s.sig FROM sigs s
+        |  LEFT JOIN hot h ON h.tbl = s.tbl AND h.sig = s.sig WHERE h.hn IS NULL),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM ok x JOIN ok y ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id < y.vec_id),
+        |q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |nrm AS (
+        |  SELECT vec_id, CAST(SUM(qv[i] * qv[i]) AS BIGINT) AS nrm
+        |  FROM q, range(1, 65) t(i) GROUP BY 1),
+        |dotp AS (
+        |  SELECT c.a, c.b, CAST(SUM(qa.qv[i] * qb.qv[i]) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN q qa ON qa.vec_id = c.a
+        |  JOIN q qb ON qb.vec_id = c.b, range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.a, d.b,
+        |    CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+        |  FROM dotp d JOIN nrm na ON na.vec_id = d.a JOIN nrm nb ON nb.vec_id = d.b),
+        |pervec AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN cosine >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |    MAX(cosine) AS best_cosine
+        |  FROM (SELECT a AS vec_id, cosine FROM scored
+        |    UNION ALL SELECT b AS vec_id, cosine FROM scored) u GROUP BY 1)
+        |SELECT e.vec_id, COALESCE(p.n_dups, 0) AS n_dups,
+        |  COALESCE(p.best_cosine, -1.0) AS best_cosine,
+        |  st.n_dropped_buckets, st.n_dropped_members
+        |FROM embeddings e LEFT JOIN pervec p USING (vec_id), stats st
+        |ORDER BY e.vec_id""".stripMargin,
     "q45_multimodal_frames" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(i * 4096 AS BIGINT) AS frame_off,
         |  CAST(greatest(least(4096, n - i * 4096), 0) AS BIGINT) AS frame_len
@@ -992,6 +1095,92 @@ object SparkEntry {
         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
         |FROM rk WHERE rk <= 10 GROUP BY source ORDER BY source""".stripMargin,
+    // full cross-corpus MinHash replay (unlocked by the q20 hash-family
+    // conversion — the old "sub-threshold candidates are not replayable"
+    // argument dissolved when shingles/permutations moved to mod 2^61-1):
+    // exact md5 collapse of the corpus side, rep + benchmark signatures,
+    // band buckets, the probe-side distinct-rep bucket cap with stats,
+    // and the exact-Jaccard verify, rolled up per source
+    "q69_cross_contamination" ->
+      s"""WITH tok AS (SELECT doc_id, lower(COALESCE(text, '')) AS t FROM documents),
+        |win AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(t) < 5 THEN t ELSE substr(t, CAST(i AS INTEGER), 5) END AS w
+        |  FROM tok, unnest(range(1, GREATEST(length(t) - 3, 2))) u(i)),
+        |shd AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN length(w) = 0 THEN CAST(0 AS HUGEINT)
+        |      ELSE list_reduce(
+        |        list_transform(range(1, length(w) + 1),
+        |          k -> CAST(ord(substr(w, CAST(k AS INTEGER), 1)) AS HUGEINT)),
+        |        (h, c) -> (h * 1000003 + c) % 2305843009213693951)
+        |    END AS x
+        |  FROM win),
+        |perm(j, a, b) AS (SELECT * FROM (VALUES ${graft.operators.Dedup.permSeedValuesSql}) v),
+        |sig AS (
+        |  SELECT doc_id, j, MIN((CAST(a AS HUGEINT) * x + b) % 2305843009213693951) AS v
+        |  FROM shd, perm GROUP BY 1, 2),
+        |bnd AS (
+        |  SELECT doc_id, j // 4 AS band, list(v ORDER BY j) AS vs
+        |  FROM sig GROUP BY doc_id, j // 4),
+        |bh0 AS (
+        |  SELECT doc_id, band,
+        |    ((((((CAST(1125899906842597 AS HUGEINT) * 31 + vs[1])
+        |      % 18446744073709551616 * 31 + vs[2])
+        |      % 18446744073709551616 * 31 + vs[3])
+        |      % 18446744073709551616 * 31 + vs[4])
+        |      % 18446744073709551616)) AS h
+        |  FROM bnd),
+        |rep AS (
+        |  SELECT h, MIN(doc_id) AS rep FROM (
+        |    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 97 <> 0) z
+        |  GROUP BY h),
+        |docrep AS (
+        |  SELECT d.doc_id, d.source, r.rep
+        |  FROM documents d JOIN rep r ON md5(d.text) = r.h
+        |  WHERE d.doc_id % 97 <> 0),
+        |reps AS (SELECT DISTINCT rep FROM docrep),
+        |bkeys AS (
+        |  SELECT DISTINCT band, h FROM bh0 WHERE doc_id % 97 = 0),
+        |probe AS (
+        |  SELECT b.doc_id AS rep, b.band, b.h
+        |  FROM bh0 b JOIN reps ON reps.rep = b.doc_id
+        |  JOIN bkeys k ON k.band = b.band AND k.h = b.h),
+        |hot AS (
+        |  SELECT band, h, COUNT(DISTINCT rep) AS hn FROM probe GROUP BY 1, 2
+        |  HAVING COUNT(DISTINCT rep) > 64),
+        |stats AS (
+        |  SELECT COUNT(*) AS n_dropped_buckets,
+        |    CAST(COALESCE(SUM(hn), 0) AS BIGINT) AS n_dropped_members FROM hot),
+        |okp AS (
+        |  SELECT p.rep, p.band, p.h FROM probe p
+        |  LEFT JOIN hot t ON t.band = p.band AND t.h = p.h WHERE t.hn IS NULL),
+        |cand AS (
+        |  SELECT DISTINCT o.rep, bb.doc_id AS bench_id
+        |  FROM okp o JOIN bh0 bb ON bb.band = o.band AND bb.h = o.h
+        |  WHERE bb.doc_id % 97 = 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY 1),
+        |ix AS (
+        |  SELECT c.rep, c.bench_id, COUNT(sb.x) AS inter
+        |  FROM cand c
+        |  JOIN shd sa ON sa.doc_id = c.rep
+        |  LEFT JOIN shd sb ON sb.doc_id = c.bench_id AND sb.x = sa.x
+        |  GROUP BY 1, 2),
+        |ver AS (
+        |  SELECT i.rep,
+        |    MAX(CAST(i.inter AS DOUBLE) / CAST(sa.n + sb.n - i.inter AS DOUBLE)) AS best_j
+        |  FROM ix i JOIN sizes sa ON sa.doc_id = i.rep
+        |  JOIN sizes sb ON sb.doc_id = i.bench_id GROUP BY 1),
+        |roll AS (
+        |  SELECT dr.source,
+        |    COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN v.best_j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |    CAST(SUM(CASE WHEN v.best_j >= 0.5 THEN 0 ELSE 1 END) AS BIGINT) AS n_clean,
+        |    MAX(COALESCE(v.best_j, 0.0)) AS max_jaccard
+        |  FROM docrep dr LEFT JOIN ver v ON v.rep = dr.rep GROUP BY 1)
+        |SELECT r.source, r.n_docs, r.n_contaminated, r.n_clean, r.max_jaccard,
+        |  st.n_dropped_buckets, st.n_dropped_members
+        |FROM roll r, stats st ORDER BY r.source""".stripMargin,
     // identical to q36's oracle: the streaming sessionizer on a bounded
     // source must reproduce the batch answer exactly
     "q70_stream_sessionize" ->

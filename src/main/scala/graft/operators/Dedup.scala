@@ -415,17 +415,18 @@ object Dedup {
   }
 
   /** Driver binding for [[crossCorpusNearDups]]: the q58 stand-in eval
-    * split (`doc_id % 97 == 0`) as the benchmark frame. Rows-only BY
-    * NECESSITY, not laziness: `max_jaccard` is the best VERIFIED
-    * jaccard over LSH-surfaced candidates, and below the threshold the
-    * candidate set is a function of the minhash band collisions
-    * (FNV/splitmix/banding — deterministic given the seeds, but not
-    * replayable in DuckDB SQL). On the driver corpus no cross-split
-    * pair reaches 0.5 (verified: best exact all-pairs 5-gram jaccard
-    * is ~0.29), so every contamination count is exactly mirrorable but
-    * the sub-threshold `max_jaccard` diagnostics are not — an exact
-    * oracle would have to drop that column. The semantics are pinned
-    * by `CrossCorpusSpec` planted fixtures instead.
+    * split (`doc_id % 97 == 0`) as the benchmark frame. HASH-MATCHED
+    * since round 11: this was rows-only while the minhash family was
+    * FNV/splitmix (sub-threshold `max_jaccard` depends on exactly which
+    * candidates the seeded banding surfaces, and those hashes had no
+    * SQL replay); the move to Karp-Rabin shingles + published (a,b)
+    * permutations mod 2^61-1 ([[MersenneP]]) made the candidate set
+    * itself DuckDB-replayable, so the oracle now reproduces the full
+    * pipeline — exact md5 collapse, rep/benchmark signatures and band
+    * buckets, the probe-side distinct-rep bucket cap with drop stats,
+    * and the exact-Jaccard verify — including every sub-threshold
+    * diagnostic. `CrossCorpusSpec` still pins the planted-fixture
+    * semantics and the broadcast-vs-shuffle fallback equivalence.
     */
   def q69CrossContamination(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)

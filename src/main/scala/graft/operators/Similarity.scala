@@ -319,12 +319,29 @@ object Similarity {
   val Dim = 64
 
   /** Deterministic pseudo-random hyperplanes: component (t, b, i) from
-    * murmur of the index — seedless and reproducible.
+    * murmur of the index — seedless and reproducible. The murmur isn't
+    * SQL-replayable, but the table is FIXED (4 tables x 6 bits x 64
+    * dims = 1536 ints), so the q24/q44 oracles paste it as literals via
+    * [[planeValuesSql]] and replay the signature fold exactly: the
+    * engine's per-bit accumulation is a fixed-order left fold of
+    * double products, which DuckDB's `list_reduce` reproduces
+    * IEEE-bit-identically.
     */
-  private[operators] def plane(t: Int, b: Int, i: Int): Double = {
-    val h = MurmurHash3.stringHash(s"$t:$b:$i")
-    (h % 1000) / 1000.0
-  }
+  private[operators] def planeScaled(t: Int, b: Int, i: Int): Int =
+    MurmurHash3.stringHash(s"$t:$b:$i") % 1000
+
+  private[operators] def plane(t: Int, b: Int, i: Int): Double =
+    planeScaled(t, b, i) / 1000.0
+
+  /** The q24/q44 oracle's literal hyperplane rows `(tbl, pb, ks)` —
+    * `ks` holds the 64 scaled (x1000) components of plane (t, b, ·),
+    * generated from [[planeScaled]] so engine and oracle never drift.
+    */
+  private[graft] def planeValuesSql: String =
+    (for { t <- 0 until Tables_; b <- 0 until BitsPerTable } yield {
+      val ks = (0 until Dim).map(i => planeScaled(t, b, i))
+      s"($t, $b, [${ks.mkString(", ")}])"
+    }).mkString(", ")
 
   private[operators] def signature(vec: Array[Float], t: Int): Int = {
     var sig = 0
@@ -348,8 +365,11 @@ object Similarity {
     * for near-uniform embeddings it takes candidate recall per table
     * from p^b to P(hamming<=1), measured 0.10 -> ~0.6 recall@3 at
     * sf0.01. Exact fixed-point cosine on candidates only; top-3.
-    * Recall < 1 by design — rows-only oracle; AnnRecallSpec pins the
-    * floor.
+    * Recall < 1 by design, but the output is HASH-MATCHED (r11): the
+    * fixed murmur plane table rides the oracle as literals and the
+    * signature fold replays IEEE-exactly in list_reduce, so DuckDB
+    * reproduces the exact candidate set; AnnRecallSpec still pins the
+    * recall floor.
     */
   def q24KnnLsh(s: SparkSession, d: String): DataFrame = {
     graft.functions.FingerprintFunctions.register(s)
@@ -492,7 +512,9 @@ object Similarity {
     * exact fixed-point cosine verification, per-vector dup stats
     * (n_candidates over threshold 0.9, best cosine). On this synthetic
     * corpus no pair exceeds the threshold — the contract is the stats
-    * themselves, verified deterministic. Rows-only oracle.
+    * themselves. Hash-matched oracle (r11): same literal-plane
+    * signature replay as [[q24KnnLsh]], plus the bucket-cap stats and
+    * the fixed-point cosine, all DuckDB-reproducible.
     */
   def q44DedupEmbed(s: SparkSession, d: String): DataFrame = {
     graft.functions.FingerprintFunctions.register(s)
