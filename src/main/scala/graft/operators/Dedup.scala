@@ -111,11 +111,20 @@ object Dedup {
     h
   }
 
+  /** KrBase^4 mod p — the weight the oldest char of a 5-gram carries,
+    * precomputed for the rolling recurrence in [[shingles]].
+    */
+  private val KrBase4: Long =
+    mulmodP(mulmodP(KrBase, KrBase), mulmodP(KrBase, KrBase))
+
   /** Character 5-gram shingle hash set of the normalized text, as a
     * sorted distinct primitive array. Hot path of the signature map
     * (profiled at ~60% of q20's cold time): no boxed set and no
-    * per-shingle String allocation — hash each window position-wise and
-    * sort/dedup the primitive array in place.
+    * per-shingle String allocation — the Karp-Rabin window hash is
+    * computed ROLLING (h' = (h - c_old*B^4)*B + c_new, algebraically
+    * identical mod p to the per-window fold the oracle replays), so
+    * each position costs 2 mulmods instead of 5; sort/dedup the
+    * primitive array in place.
     */
   private[operators] def shingles(text: String, k: Int = 5): Array[Long] = {
     val t = text.toLowerCase(java.util.Locale.ROOT)
@@ -123,9 +132,16 @@ object Dedup {
     else {
       val n = t.length - k + 1
       val arr = new Array[Long](n)
-      var i = 0
+      var h = windowHash(t, 0, k)
+      arr(0) = h
+      var i = 1
       while (i < n) {
-        arr(i) = windowHash(t, i, i + k)
+        var x = h - mulmodP(t.charAt(i - 1), KrBase4)
+        if (x < 0) x += MersenneP
+        x = mulmodP(x, KrBase) + t.charAt(i + k - 1)
+        if (x >= MersenneP) x -= MersenneP
+        h = x
+        arr(i) = h
         i += 1
       }
       java.util.Arrays.sort(arr)
@@ -677,14 +693,19 @@ object Dedup {
   private[graft] def simhash64(text0: String): Long = {
     val text = if (text0 == null) "" else text0 // crash-free on null docs
     val counts = new Array[Int](64)
+    // hash each DISTINCT token once and vote with its multiplicity —
+    // identical to per-occurrence voting (votes are additive), but the
+    // md5 cost drops by the repeated-token factor of natural text
+    val tokCounts = new java.util.HashMap[String, Int]()
     text.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { tok =>
-      if (tok.nonEmpty) {
-        val h = gramHash64(tok)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
+      if (tok.nonEmpty) tokCounts.merge(tok, 1, Integer.sum _)
+    }
+    tokCounts.forEach { (tok, c) =>
+      val h = gramHash64(tok)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += c else counts(b) -= c
+        b += 1
       }
     }
     var sig = 0L
