@@ -178,6 +178,8 @@ object SparkEntry {
     "q155_label_kappa" -> (Similarity.q155LabelKappa _),
     "q156_stream_radius_dedup" ->
       (graft.streaming.EventStream.q156StreamRadiusDedup _),
+    "q157_pca_project" -> (Similarity.q157PcaProject _),
+    "q158_cms_freq" -> (Corpus.q158CmsFreq _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -3051,5 +3053,80 @@ object SparkEntry {
         |  WHERE (e.ts < s.ts OR (e.ts = s.ts AND e.doc_id < s.doc_id))
         |    AND bit_count(xor(e.sim, s.sim)) <= 3)
         |ORDER BY doc_id""".stripMargin,
+    // full power-iteration replay (ALGORITHMIC-REPLAY family): same
+    // fixed-point quantization, exact HUGEINT Gram sums, the same
+    // PcaIters bounded iterations with truncating renormalization
+    // (HUGEINT // truncates toward zero exactly like BigInt /), same
+    // first-nonzero-positive sign pin — the unrolled-CTE q73 pattern
+    "q157_pca_project" -> {
+      val s = graft.operators.Similarity.PcaScale
+      val head =
+        """WITH qv AS (
+          |  SELECT vec_id, label,
+          |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+          |  FROM embeddings),
+          |el AS (
+          |  SELECT vec_id, CAST(i - 1 AS BIGINT) AS i, q[CAST(i AS INTEGER)] AS qi
+          |  FROM qv, unnest(range(1, len(q) + 1)) u(i)),
+          |g AS (
+          |  SELECT a.i AS i, b.i AS j, SUM(CAST(a.qi AS HUGEINT) * b.qi) AS g
+          |  FROM el a JOIN el b ON a.vec_id = b.vec_id GROUP BY 1, 2),""".stripMargin +
+        s"""
+          |v0 AS (SELECT DISTINCT i, CAST($s AS HUGEINT) AS v FROM el)""".stripMargin
+      // each CTE is referenced EXACTLY once (renorm max via a window
+      // function, not a scalar subquery): DuckDB inlines CTEs, so a
+      // double reference per iteration would expand 2^PcaIters copies
+      // of the whole chain
+      val iters = (1 to graft.operators.Similarity.PcaIters).map { k =>
+        s""",
+           |w$k AS (SELECT g.i, SUM(g.g * v.v) AS w FROM g JOIN v${k - 1} v ON v.i = g.j GROUP BY 1),
+           |v$k AS (SELECT i, (w * $s) // MAX(abs(w)) OVER () AS v FROM w$k)""".stripMargin
+      }.mkString
+      val last = s"v${graft.operators.Similarity.PcaIters}"
+      val tail =
+        s""",
+          |sg AS (SELECT CASE WHEN COALESCE(
+          |  (SELECT v FROM $last WHERE v <> 0 ORDER BY i LIMIT 1), 1) < 0
+          |  THEN -1 ELSE 1 END AS s),
+          |fin AS (
+          |  SELECT el.vec_id, SUM(CAST(el.qi AS HUGEINT) * vf.v) AS raw
+          |  FROM el JOIN $last vf ON vf.i = el.i GROUP BY 1)
+          |SELECT f.vec_id, CAST(q2.label AS BIGINT) AS label,
+          |  CAST(f.raw * sg.s AS BIGINT) AS proj1
+          |FROM fin f JOIN qv q2 USING (vec_id), sg
+          |ORDER BY vec_id""".stripMargin
+      head + iters + tail
+    },
+    // full count-min replay (ALGORITHMIC-REPLAY family): the published
+    // (a, b, c) hash rows ride the SQL as literals, the 60-bit md5 key
+    // and its 30-bit split are bilateral, cells are plain GROUP BY
+    // counts, estimates the MIN over each probe token's cells — the
+    // q55 sketch surface with every value driver-checkable
+    "q158_cms_freq" ->
+      s"""WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '')) AS tok
+        |  FROM documents),
+        |seeds(j, a, b, c) AS (SELECT * FROM (VALUES ${graft.operators.Corpus.cmsSeedValuesSql}) v),
+        |keyed AS (
+        |  SELECT tok, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS x FROM toks),
+        |cells AS (
+        |  SELECT j, ((a * (x >> 30) + b * (x & 1073741823) + c) % 2147483647) % 512 AS bkt,
+        |    COUNT(*) AS cell_cnt
+        |  FROM keyed, seeds GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY tok
+        |  ORDER BY exact_cnt DESC, tok LIMIT 10),
+        |pb AS (
+        |  SELECT p.tok, p.exact_cnt, s.j,
+        |    ((s.a * (k.x >> 30) + s.b * (k.x & 1073741823) + s.c) % 2147483647) % 512 AS bkt
+        |  FROM pr p, seeds s,
+        |    (SELECT tok, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS x
+        |     FROM (SELECT DISTINCT tok FROM toks)) k
+        |  WHERE k.tok = p.tok)
+        |SELECT p.tok, p.exact_cnt, MIN(c.cell_cnt) AS est_cnt,
+        |  MIN(c.cell_cnt) - p.exact_cnt AS over_err
+        |FROM pb p JOIN cells c ON c.j = p.j AND c.bkt = p.bkt
+        |GROUP BY p.tok, p.exact_cnt
+        |ORDER BY p.exact_cnt DESC, p.tok""".stripMargin,
   )
 }

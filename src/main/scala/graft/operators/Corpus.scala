@@ -763,6 +763,124 @@ object Corpus {
       .limit(10)
   }
 
+  /** Depth (hash rows) and width (buckets per row) of the REPLAYABLE
+    * count-min sketch (q158) — q55's structure, but with a published
+    * hash family instead of Spark's internal murmur seeds, so the
+    * DuckDB oracle rebuilds every cell and estimate exactly.
+    */
+  val CmsReplayDepth = 4
+  val CmsReplayWidth = 512
+
+  /** Field prime for the replayable CMS hash rows (2^31 - 1). */
+  val CmsReplayP = 2147483647L
+
+  /** Half-split mask/shift of the 60-bit md5 key: the row hash is
+    * h_j(x) = (a_j·hi(x) + b_j·lo(x) + c_j) mod p with hi/lo the two
+    * 30-bit halves — every product stays under 2^61, so plain BIGINT
+    * arithmetic replays it with no 128-bit detour on either engine.
+    */
+  val CmsReplayHalfBits = 30
+
+  private[operators] val cmsA = new Array[Long](CmsReplayDepth)
+  private[operators] val cmsB = new Array[Long](CmsReplayDepth)
+  private[operators] val cmsC = new Array[Long](CmsReplayDepth)
+  locally {
+    // the Dedup.permA discipline: fixed-seed LCG reduced into the field,
+    // published to the oracle via cmsSeedValuesSql
+    var state = 4242L
+    def next(): Long = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      state
+    }
+    var j = 0
+    while (j < CmsReplayDepth) {
+      cmsA(j) = java.lang.Long.remainderUnsigned(next(), CmsReplayP - 1) + 1
+      cmsB(j) = java.lang.Long.remainderUnsigned(next(), CmsReplayP - 1) + 1
+      cmsC(j) = java.lang.Long.remainderUnsigned(next(), CmsReplayP)
+      j += 1
+    }
+  }
+
+  /** The q158 oracle's literal `(j, a, b, c)` VALUES rows — generated
+    * from the arrays above so engine and oracle can never drift.
+    */
+  private[graft] def cmsSeedValuesSql: String =
+    cmsA.indices.map(j => s"(${j}, ${cmsA(j)}, ${cmsB(j)}, ${cmsC(j)})")
+      .mkString(", ")
+
+  /** The 60-bit md5-prefix token key (15 hex chars — nonnegative in a
+    * signed BIGINT on both engines), split-hashed into a CMS row.
+    */
+  private def cmsBucket(tok: org.apache.spark.sql.Column, a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val x = conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+    val hi = shiftright(x, CmsReplayHalfBits)
+    val lo = x.bitwiseAND(lit((1L << CmsReplayHalfBits) - 1))
+    ((a * hi + b * lo + c) % lit(CmsReplayP)) % lit(CmsReplayWidth.toLong)
+  }
+
+  /** Replayable count-min frequency estimation (q158): q55's sketched
+    * heavy hitters re-seated on a PUBLISHED hash family so the driver
+    * hash-matches every estimate instead of a rows-only check —
+    * the count-min structure itself (Cormode & Muthukrishnan '05),
+    * not a vendored black box: cells are `count(*) group by (row,
+    * bucket)`, which IS the distributed sketch build (map-side partial
+    * aggregation = per-partition sketches, the shuffle's merge = the
+    * sketch's cell-wise sum; state is O(depth·width) = 2048 cells
+    * regardless of vocabulary). Estimates are `min` over the probe
+    * token's `depth` cells — ≥ the exact count by construction (the
+    * one-sided CMS guarantee, pinned per-token in the output's
+    * `over_err` column and corpus-wide by CmsReplaySpec).
+    *
+    * The probe slate is the exact top-10 (the q55 convention: exact
+    * distinct-token counts are affordable at bench SF and double as the
+    * ground truth the error column reports; at true scale the slate
+    * comes from a per-partition top-k pre-pass, same probe shape).
+    */
+  def q158CmsFreq(s: SparkSession, d: String): DataFrame =
+    cmsFreqOf(s, Tables.documents(s, d), 10)
+
+  /** [[q158CmsFreq]] over any `(text)` frame with a caller-chosen slate
+    * size (CmsReplaySpec sets it to the whole vocabulary to assert the
+    * one-sided guarantee on EVERY token, not just the top-10).
+    */
+  private[operators] def cmsFreqOf(s: SparkSession, docs: DataFrame,
+      topK: Int): DataFrame = {
+    val toks = docs
+      .select(explode(filter(split(coalesce(col("text"), lit("")), " "),
+        t => t =!= "")).as("tok"))
+      .persist()
+    val seeds = s.createDataFrame(
+      cmsA.indices.map(j => (j.toLong, cmsA(j), cmsB(j), cmsC(j))))
+      .toDF("j", "a", "b", "c")
+
+    // the sketch: one corpus pass, fixed 2048-cell state after the
+    // map-side combine, shuffle volume = cells x partitions
+    val cells = toks.crossJoin(broadcast(seeds))
+      .groupBy(col("j"),
+        cmsBucket(col("tok"), col("a"), col("b"), col("c")).as("bkt"))
+      .agg(count(lit(1)).as("cell_cnt"))
+
+    val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(topK)
+
+    // probe-side lookup: 10 tokens x depth rows join the 2048-cell
+    // sketch — estimate = min over the token's cells
+    val out = probes.crossJoin(broadcast(seeds))
+      .select(col("tok"), col("exact_cnt"), col("j"),
+        cmsBucket(col("tok"), col("a"), col("b"), col("c")).as("bkt"))
+      .join(cells, Seq("j", "bkt"))
+      .groupBy(col("tok"), col("exact_cnt"))
+      .agg(min(col("cell_cnt")).as("est_cnt"))
+      .select(col("tok"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("exact_cnt")).as("over_err"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+      .persist()
+    out.count()
+    toks.unpersist(blocking = false)
+    out
+  }
+
   /** Synchronous label propagation (Raghavan et al. '07): every node
     * starts labelled with its own id; each round ALL nodes simultaneously
     * adopt the most frequent label among their neighbours, ties broken

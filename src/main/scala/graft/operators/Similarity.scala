@@ -917,4 +917,118 @@ object Similarity {
         col("w.label").as("pred_label"), (-col("w.neg")).as("n_votes"))
       .orderBy(col("probe_id"))
   }
+
+  /** Power-iteration count for [[q157PcaProject]]. Convergence quality
+    * is irrelevant to correctness — engine and oracle run the SAME
+    * bounded iteration, so any fixed count hash-matches; 12 is enough
+    * for the direction to stabilize on this corpus's spectrum.
+    */
+  val PcaIters = 12
+
+  /** Fixed-point scale of the iterated eigenvector (2^20): after each
+    * matrix-vector product the vector renormalizes so its largest
+    * |component| is exactly this value — bounded magnitudes with ~20
+    * bits of direction precision, in integers both engines replay.
+    */
+  val PcaScale: Long = 1L << 20
+
+  /** Top-principal-direction PCA projection (q157): the leading
+    * right-singular direction of the (uncentered) quantized embedding
+    * matrix via power iteration on its Gram matrix, then every vector's
+    * fixed-point projection onto it — the 1-D structure view that
+    * embedding-space curation (SemDeDup-style pruning, anisotropy
+    * checks, coarse curricula over semantic space) starts from.
+    *
+    * Entirely integer, so the DuckDB oracle replays it exactly
+    * (ALGORITHMIC-REPLAY family): Gram entries are exact HUGEINT/
+    * DECIMAL(38,0) sums of fixed-point products; each iteration is
+    * w = G·v followed by renormalization v' = w·S / max|w| with
+    * truncating division (BigInt `/` here, `//` there — both truncate
+    * toward zero); the final sign convention (first nonzero component
+    * positive) kills the eigenvector's ± ambiguity.
+    *
+    * Scale shape: ONE corpus pass builds the Gram matrix — each row
+    * explodes to its dim·(dim+1)/2 upper-triangle products, which the
+    * partial hash aggregate collapses to ≤2080 cells per partition
+    * before the (tiny, fixed-width) shuffle; the power iteration runs
+    * on the driver over a dim×dim matrix (64×64 here — BOUNDED by
+    * dimension, not data); the winning direction broadcasts back as a
+    * literal and projection is a second single pass. No step's state
+    * grows with corpus size, so the shape survives 100 TB unchanged.
+    * Products fit comfortably: |q| ≤ ~2e6 ⇒ cell increments ≤ 4e12,
+    * DECIMAL(38,0) cell sums overflow only past ~10^25 rows.
+    */
+  def q157PcaProject(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FingerprintFunctions.register(s)
+    pcaProjectOf(Tables.embeddings(s, d))
+  }
+
+  /** [[PcaIters]] bounded power iterations on a symmetric integer
+    * matrix at [[PcaScale]] fixed point, sign pinned so the first
+    * nonzero component is positive. Exact BigInt arithmetic with
+    * truncating renormalization — the arithmetic the oracle replays
+    * verbatim in HUGEINT, and what PcaSpec unit-tests on matrices with
+    * known eigenstructure.
+    */
+  private[operators] def powerIterate(mat: Array[Array[BigInt]]): Array[BigInt] = {
+    val dim = mat.length
+    var v = Array.fill(dim)(BigInt(PcaScale))
+    var it = 0
+    while (it < PcaIters) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = BigInt(0)
+        var j = 0
+        while (j < dim) { acc += mat(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val m = w.iterator.map(_.abs).max
+      // m == 0 only for an all-zero corpus; keep v (any direction is an
+      // eigenvector of the zero matrix) rather than divide by zero
+      if (m > 0) v = w.map(x => x * PcaScale / m)
+      it += 1
+    }
+    // the eigenproblem only fixes the direction up to sign: pin it by
+    // making the first nonzero component positive (oracle mirrors this)
+    if (v.find(_ != 0).exists(_ < 0)) v.map(x => -x) else v
+  }
+
+  /** [[q157PcaProject]] over any `(vec_id, label, embedding)` frame
+    * (PcaSpec plants directional corpora through this).
+    */
+  private[operators] def pcaProjectOf(emb: DataFrame): DataFrame = {
+    val q = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      quantized.as("q")).persist()
+    val dim = q.select(size(col("q")).as("n")).head().getInt(0)
+
+    // Gram upper triangle: per-row outer products, partial-aggregated
+    // map-side to <= dim*(dim+1)/2 cells before any shuffle
+    val tri = q.select(
+        explode(expr(
+          """flatten(transform(q, (qi, i) ->
+            |  transform(slice(q, i + 1, size(q) - i), (qj, k) ->
+            |    struct(i AS i, i + k AS j, qi * qj AS p))))""".stripMargin)).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(sum(col("c.p").cast("decimal(38,0)")).as("g"))
+
+    // bounded driver fold: dim*(dim+1)/2 cells (2080 at dim=64),
+    // independent of corpus size
+    val mat = Array.fill(dim, dim)(BigInt(0))
+    tri.collect().foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val g = BigInt(r.getDecimal(2).toBigInteger)
+      mat(i)(j) = g
+      mat(j)(i) = g
+    }
+
+    val v = powerIterate(mat)
+
+    val vLit = typedLit(v.map(_.toLong).toSeq)
+    val out = q.select(col("vec_id"), col("label"),
+        dot(col("q"), vLit).as("proj1"))
+      .orderBy(col("vec_id"))
+      .persist()
+    out.count()
+    q.unpersist(blocking = false)
+    out
+  }
 }
