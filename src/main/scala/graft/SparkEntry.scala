@@ -180,6 +180,7 @@ object SparkEntry {
       (graft.streaming.EventStream.q156StreamRadiusDedup _),
     "q157_pca_project" -> (Similarity.q157PcaProject _),
     "q158_cms_freq" -> (Corpus.q158CmsFreq _),
+    "q159_hll_distinct" -> (Corpus.q159HllDistinct _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -3128,5 +3129,41 @@ object SparkEntry {
         |FROM pb p JOIN cells c ON c.j = p.j AND c.bkt = p.bkt
         |GROUP BY p.tok, p.exact_cnt
         |ORDER BY p.exact_cnt DESC, p.tok""".stripMargin,
+    // full HyperLogLog replay (ALGORITHMIC-REPLAY family): same 60-bit
+    // md5 key, register index = top 9 bits, rho = 52 - bitlength of
+    // the 51-bit suffix (bin() = Spark's conv(_,10,2)), registers as
+    // MAX per bucket, the register sum as the EXACT integer
+    // sum(2^(52-rho)), and the raw estimate as one literal-scaled
+    // divide. The ln-based small-range correction is engine-side only
+    // (1-ulp ln divergence, measured) — the oracle pins its PREDICATE
+    "q159_hll_distinct" ->
+      s"""WITH t AS (
+        |  SELECT source, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM t, unnest(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
+        |k AS (
+        |  SELECT source, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS x FROM g),
+        |r AS (
+        |  SELECT source, x >> 51 AS bkt,
+        |    MAX(CASE WHEN (x & 2251799813685247) = 0 THEN 52
+        |        ELSE 52 - length(bin(x & 2251799813685247)) END) AS rho
+        |  FROM k GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT source, COUNT(*) AS n_hit,
+        |    CAST(SUM(CAST(1 AS BIGINT) << CAST(52 - rho AS INTEGER)) AS BIGINT) AS s_hit
+        |  FROM r GROUP BY 1),
+        |ex AS (SELECT source, COUNT(DISTINCT g) AS n_distinct_exact FROM g GROUP BY 1)
+        |SELECT a.source, ex.n_distinct_exact,
+        |  CAST(512 - a.n_hit AS BIGINT) AS v_empty,
+        |  CAST(a.s_hit + (512 - a.n_hit) * 4503599627370496 AS BIGINT) AS s_reg,
+        |  CAST('${graft.operators.Corpus.HllAlphaMM}' AS DOUBLE) * (CAST(4503599627370496 AS DOUBLE) /
+        |    CAST(a.s_hit + (512 - a.n_hit) * 4503599627370496 AS DOUBLE)) AS est_raw,
+        |  (CAST('${graft.operators.Corpus.HllAlphaMM}' AS DOUBLE) * (CAST(4503599627370496 AS DOUBLE) /
+        |    CAST(a.s_hit + (512 - a.n_hit) * 4503599627370496 AS DOUBLE)) <= 1280.0
+        |   AND 512 - a.n_hit > 0) AS small_range
+        |FROM agg a JOIN ex ON ex.source = a.source
+        |ORDER BY a.source""".stripMargin,
   )
 }

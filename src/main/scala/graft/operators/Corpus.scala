@@ -881,6 +881,107 @@ object Corpus {
     out
   }
 
+  /** Register-index bits / register count of the replayable HLL (q159). */
+  val HllBits = 9
+  val HllM = 512
+
+  /** Rho ceiling: the 60-bit md5 key spends [[HllBits]] on the register
+    * index, leaving 51 suffix bits — an all-zero suffix counts as
+    * rho = 52 (the "reached the end" convention).
+    */
+  val HllMaxRho = 52
+
+  /** alpha_m · m² for m = 512 (Flajolet et al. '07 §4's bias constant),
+    * evaluated HERE once and pasted into the oracle as a literal —
+    * Scala's shortest-round-trip double printing re-parses to the same
+    * bits in DuckDB, so both engines scale by the identical double.
+    */
+  val HllAlphaMM: Double = 0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0
+
+  /** 2^52 — the register-sum radix: a register value r contributes
+    * 2^(52 − r), so the classic Σ 2^(−M_j) becomes the EXACT integer
+    * Σ 2^(52 − M_j) (≤ 512·2^52 < 2^62) and the only floating step
+    * left is one final scale-and-divide. Double-summing 2^(−M_j)
+    * directly would need >53 mantissa bits and go order-dependent.
+    */
+  val HllRadix = 4503599627370496L
+
+  /** Replayable HyperLogLog distinct-trigram estimation per source
+    * (q159): [[q158CmsFreq]]'s program applied to the CARDINALITY
+    * sketch — q37/q113's `approx_count_distinct` surface re-seated on
+    * the published 60-bit md5 key so the driver hash-matches the whole
+    * register state and the raw estimate instead of a rows-only check.
+    *
+    * Register build IS the distributed sketch: rho = 52 − bitlength of
+    * the 51-bit hash suffix, `groupBy(source, bucket).max(rho)` — the
+    * map-side partial max is the per-partition sketch and the shuffle
+    * merge is the register-wise max, state O(m) per source regardless
+    * of cardinality, NO distinct shuffle anywhere in the sketch path
+    * (the exact count rides along as report-only ground truth, the
+    * q55/q158 convention). The estimate column is the raw Flajolet
+    * formula only (multiply/divide — bit-identical cross-engine);
+    * the ln-based small-range (linear-counting) correction is
+    * deliberately NOT in the matched output: Java's and DuckDB's ln
+    * disagree by 1 ulp on 2 of the 512 possible inputs (measured), so
+    * the oracle pins `small_range` (the branch predicate) and
+    * [[hllCorrected]] + HllReplaySpec pin the corrected estimator
+    * engine-side.
+    */
+  def q159HllDistinct(s: SparkSession, d: String): DataFrame =
+    hllDistinctOf(Tables.documents(s, d))
+
+  /** [[q159HllDistinct]] over any `(source, text)` frame. */
+  private[operators] def hllDistinctOf(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("source"),
+        filter(split(coalesce(col("text"), lit("")), " "), t => t =!= "").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("g"))
+      .persist()
+    val x = conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+    val suffix = x.bitwiseAND(lit((1L << 51) - 1))
+    val rho = when(suffix === 0, lit(HllMaxRho))
+      .otherwise(lit(HllMaxRho) - length(conv(suffix, 10, 2)))
+    val regs = grams
+      .select(col("source"), shiftright(x, 51).as("bkt"), rho.cast("long").as("rho"))
+      .groupBy(col("source"), col("bkt")).agg(max(col("rho")).as("r"))
+    val agg = regs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_hit"),
+        // shiftleft's Scala binding takes only a literal shift — the
+        // SQL form accepts a column
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllMaxRho - r AS INT))"))
+          .as("s_hit"))
+    val exact = grams.groupBy(col("source"))
+      .agg(countDistinct(col("g")).as("n_distinct_exact"))
+    val out = agg.join(exact, "source")
+      .withColumn("v_empty", lit(HllM.toLong) - col("n_hit"))
+      .withColumn("s_reg", col("s_hit") + col("v_empty") * lit(HllRadix))
+      .withColumn("est_raw",
+        lit(HllAlphaMM) * (lit(HllRadix.toDouble) / col("s_reg").cast("double")))
+      .withColumn("small_range",
+        col("est_raw") <= lit(2.5 * HllM) && col("v_empty") > 0)
+      .select(col("source"), col("n_distinct_exact"), col("v_empty"),
+        col("s_reg"), col("est_raw"), col("small_range"))
+      .orderBy(col("source"))
+      .persist()
+    out.count()
+    grams.unpersist(blocking = false)
+    out
+  }
+
+  /** The full HLL estimator including the ln-based linear-counting
+    * correction (Flajolet et al. '07 §4) — the production read-out of
+    * the q159 register state. Engine-side only (ln is not bit-portable
+    * cross-engine); HllReplaySpec pins its accuracy.
+    */
+  private[graft] def hllCorrected(sReg: Long, vEmpty: Long): Double = {
+    val raw = HllAlphaMM * (HllRadix.toDouble / sReg.toDouble)
+    if (raw <= 2.5 * HllM && vEmpty > 0) HllM * math.log(HllM.toDouble / vEmpty)
+    else raw
+  }
+
   /** Synchronous label propagation (Raghavan et al. '07): every node
     * starts labelled with its own id; each round ALL nodes simultaneously
     * adopt the most frequent label among their neighbours, ties broken

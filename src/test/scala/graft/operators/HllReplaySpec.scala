@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.mr.SparkSpec
+
+/** Replayable HyperLogLog (q159). The driver hash-matches the register
+  * state and raw estimate; these fixtures pin what the sketch is FOR —
+  * the corrected estimator's accuracy against known cardinalities (the
+  * ln correction is engine-side only, so this spec is its gate), the
+  * small-range branch, and merge-order invariance.
+  */
+class HllReplaySpec extends SparkSpec {
+
+  /** `n` docs of 3 distinct tokens each, all trigrams globally distinct
+    * => exactly n distinct trigrams in one source.
+    */
+  private def corpus(n: Int, parts: Int) = {
+    import spark.implicits._
+    (0 until n).map(i => ("s0", s"a$i b$i c$i")).toDF("source", "text")
+      .repartition(parts)
+  }
+
+  private def state(n: Int, parts: Int = 4): (Long, Long, Long, Double) = {
+    val r = Corpus.hllDistinctOf(corpus(n, parts)).collect()
+    assert(r.length == 1)
+    val row = r.head
+    (row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4))
+  }
+
+  test("corrected estimate lands within HLL's error envelope (raw branch)") {
+    // 5000 distinct trigrams >> 2.5m = 1280: the raw-formula regime.
+    // Standard error is 1.04/sqrt(512) ~ 4.6%; 3 sigma ~ 14%
+    val (exact, vEmpty, sReg, _) = state(5000)
+    assert(exact == 5000L)
+    val est = Corpus.hllCorrected(sReg, vEmpty)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.14, s"est $est")
+  }
+
+  test("small-range branch: linear counting kicks in and is tight") {
+    // 100 distinct trigrams << 1280: est_raw must flag small_range and
+    // the corrected (linear-counting) estimate is within a few percent
+    val (exact, vEmpty, sReg, raw) = state(100)
+    assert(exact == 100L)
+    assert(raw <= 2.5 * Corpus.HllM && vEmpty > 0)
+    val est = Corpus.hllCorrected(sReg, vEmpty)
+    // linear counting's own sampling error at n=100, m=512 is ~3.2%;
+    // the fixed-hash draw here lands at +5.1% (~1.6 sigma)
+    assert(math.abs(est - 100.0) / 100.0 < 0.10, s"est $est")
+  }
+
+  test("register state is merge-order invariant: stable under repartitioning") {
+    assert(state(800, parts = 1) == state(800, parts = 7))
+  }
+
+  test("registers are monotone: a superset corpus never lowers the estimate") {
+    val (_, _, sSmall, _) = state(400)
+    val (_, _, sBig, _) = state(1200) // first 400 docs identical
+    // more distinct keys can only raise registers, so the integer
+    // register sum can only fall, and the estimate only rise
+    assert(sBig <= sSmall)
+  }
+}
