@@ -181,6 +181,7 @@ object SparkEntry {
     "q157_pca_project" -> (Similarity.q157PcaProject _),
     "q158_cms_freq" -> (Corpus.q158CmsFreq _),
     "q159_hll_distinct" -> (Corpus.q159HllDistinct _),
+    "q160_hist_quantiles" -> (Relational.q160HistQuantiles _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -3165,5 +3166,37 @@ object SparkEntry {
         |   AND 512 - a.n_hit > 0) AS small_range
         |FROM agg a JOIN ex ON ex.source = a.source
         |ORDER BY a.source""".stripMargin,
+    // full histogram replay (ALGORITHMIC-REPLAY family): same two-pass
+    // bounds+bins, identical IEEE bin/edge arithmetic (every numeric
+    // literal CAST AS DOUBLE — bare decimal literals are DECIMAL in
+    // DuckDB), integer ceil-rank comparison, conditional-MIN pick
+    "q160_hist_quantiles" ->
+      """WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+        |b AS (
+        |  SELECT event_type, MIN(v) AS vmin, MAX(v) AS vmax, COUNT(*) AS n
+        |  FROM ev GROUP BY 1),
+        |binned AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN b.vmax = b.vmin THEN CAST(0 AS BIGINT)
+        |      ELSE LEAST(CAST(floor((e.v - b.vmin) * CAST(64 AS DOUBLE)
+        |        / (b.vmax - b.vmin)) AS BIGINT), 63) END AS bin
+        |  FROM ev e JOIN b USING (event_type)),
+        |cells AS (SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bin,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+        |  FROM cells),
+        |picks AS (
+        |  SELECT c.event_type, b.n, b.vmin, b.vmax,
+        |    MIN(CASE WHEN cum >= (b.n * 50 + 99) // 100 THEN bin END) AS b50,
+        |    MIN(CASE WHEN cum >= (b.n * 95 + 99) // 100 THEN bin END) AS b95,
+        |    MIN(CASE WHEN cum >= (b.n * 99 + 99) // 100 THEN bin END) AS b99
+        |  FROM cum c JOIN b USING (event_type)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, n, vmin, vmax,
+        |  vmin + CAST(b50 + 1 AS DOUBLE) * ((vmax - vmin) / CAST(64 AS DOUBLE)) AS p50_est,
+        |  vmin + CAST(b95 + 1 AS DOUBLE) * ((vmax - vmin) / CAST(64 AS DOUBLE)) AS p95_est,
+        |  vmin + CAST(b99 + 1 AS DOUBLE) * ((vmax - vmin) / CAST(64 AS DOUBLE)) AS p99_est
+        |FROM picks ORDER BY event_type""".stripMargin,
   )
 }

@@ -518,6 +518,67 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Bin count of the replayable histogram-quantile sketch (q160). */
+  val HistBins = 64
+
+  /** Replayable histogram quantile sketch (q160): q37's
+    * `percentile_approx` surface re-seated on a transparent structure —
+    * per-group fixed-bin histograms over the [min, max] value domain,
+    * quantiles read off as bin upper edges. Completes the replayable
+    * sketch trio (q158 count-min = frequency, q159 HLL = cardinality,
+    * this = quantiles): exact percentiles need a full sort per group;
+    * this needs TWO map-side-combinable passes (bounds+count, then bin
+    * counts) with O(bins) state per group, merge = cell-wise sum —
+    * the shape that survives when the per-group row count stops
+    * fitting a sort. The estimate's guarantee is value-domain: the
+    * true q-quantile lies inside the reported bin, so the edge is
+    * within one bin width (max−min)/64 of it — HistQuantileSpec pins
+    * the bound against exact percentiles; the driver hash-matches
+    * every bin/edge/count because binning and edges are plain IEEE
+    * arithmetic both engines execute identically (ranks are computed
+    * in INTEGER arithmetic — ceil(q·n) = (n·q% + 99) div 100 — to keep
+    * floats out of the comparison path).
+    */
+  def q160HistQuantiles(s: SparkSession, d: String): DataFrame =
+    histQuantilesOf(Tables.events(s, d)
+      .select(col("event_type"), col("value").cast("double").as("v")))
+
+  /** [[q160HistQuantiles]] over any `(event_type, v: double)` frame
+    * (HistQuantileSpec drives randomized and degenerate groups through
+    * this).
+    */
+  private[operators] def histQuantilesOf(ev: DataFrame): DataFrame = {
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        count(lit(1)).as("n"))
+    val b = lit(HistBins.toDouble)
+    val binned = ev.join(broadcast(bounds), "event_type")
+      // constant groups (vmax == vmin) pin to bin 0 rather than 0/0
+      .withColumn("bin", when(col("vmax") === col("vmin"), lit(0L))
+        .otherwise(least(
+          floor((col("v") - col("vmin")) * b / (col("vmax") - col("vmin")))
+            .cast("long"),
+          lit(HistBins - 1L))))
+      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("c"))
+    // per-group cumulative over <= 64 rows, group-partitioned window
+    val cum = binned.withColumn("cum",
+        sum(col("c")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("bin"))))
+      .join(broadcast(bounds), "event_type")
+    def kq(pct: Int) = expr(s"CAST((n * $pct + 99) DIV 100 AS BIGINT)")
+    def pick(pct: Int, name: String) =
+      min(when(col("cum") >= kq(pct), col("bin"))).as(name)
+    val picks = cum
+      .groupBy(col("event_type"), col("n"), col("vmin"), col("vmax"))
+      .agg(pick(50, "b50"), pick(95, "b95"), pick(99, "b99"))
+    def edge(c: Column) =
+      col("vmin") + (c + lit(1L)).cast("double") * ((col("vmax") - col("vmin")) / b)
+    picks.select(col("event_type"), col("n"), col("vmin"), col("vmax"),
+        edge(col("b50")).as("p50_est"), edge(col("b95")).as("p95_est"),
+        edge(col("b99")).as("p99_est"))
+      .orderBy(col("event_type"))
+  }
+
   /** Correlated-style scalar-subquery filter: customers whose average
     * order value exceeds 1.2x the global average — per-group aggregate
     * joined against a broadcast global scalar (the decorrelated plan a
