@@ -182,6 +182,7 @@ object SparkEntry {
     "q158_cms_freq" -> (Corpus.q158CmsFreq _),
     "q159_hll_distinct" -> (Corpus.q159HllDistinct _),
     "q160_hist_quantiles" -> (Relational.q160HistQuantiles _),
+    "q161_stream_hll" -> (graft.streaming.EventStream.q161StreamHll _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -3198,5 +3199,41 @@ object SparkEntry {
         |  vmin + CAST(b95 + 1 AS DOUBLE) * ((vmax - vmin) / CAST(64 AS DOUBLE)) AS p95_est,
         |  vmin + CAST(b99 + 1 AS DOUBLE) * ((vmax - vmin) / CAST(64 AS DOUBLE)) AS p99_est
         |FROM picks ORDER BY event_type""".stripMargin,
+    // the streaming HLL's register state is order-independent, so the
+    // oracle replays the ENTIRE stream query from the batch events
+    // table: same epoch-aligned 10-minute windows, same q159 register
+    // arithmetic keyed by md5(user_id-as-string)
+    "q161_stream_hll" ->
+      s"""WITH ev AS (
+        |  SELECT CAST(epoch_us(ts) AS BIGINT)
+        |    - CAST(epoch_us(ts) AS BIGINT) % 600000000 AS win_start_us,
+        |    user_id
+        |  FROM events),
+        |k AS (
+        |  SELECT win_start_us, user_id,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS x
+        |  FROM ev),
+        |r AS (
+        |  SELECT win_start_us, x >> 51 AS bkt,
+        |    MAX(CASE WHEN (x & 2251799813685247) = 0 THEN 52
+        |        ELSE 52 - length(bin(x & 2251799813685247)) END) AS rho
+        |  FROM k GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT win_start_us, COUNT(*) AS n_hit,
+        |    CAST(SUM(CAST(1 AS BIGINT) << CAST(52 - rho AS INTEGER)) AS BIGINT) AS s_hit
+        |  FROM r GROUP BY 1),
+        |ex AS (
+        |  SELECT win_start_us, COUNT(DISTINCT user_id) AS n_distinct_exact
+        |  FROM ev GROUP BY 1)
+        |SELECT a.win_start_us, ex.n_distinct_exact,
+        |  CAST(512 - a.n_hit AS BIGINT) AS v_empty,
+        |  CAST(a.s_hit + (512 - a.n_hit) * 4503599627370496 AS BIGINT) AS s_reg,
+        |  CAST('${graft.operators.Corpus.HllAlphaMM}' AS DOUBLE) * (CAST(4503599627370496 AS DOUBLE) /
+        |    CAST(a.s_hit + (512 - a.n_hit) * 4503599627370496 AS DOUBLE)) AS est_raw,
+        |  (CAST('${graft.operators.Corpus.HllAlphaMM}' AS DOUBLE) * (CAST(4503599627370496 AS DOUBLE) /
+        |    CAST(a.s_hit + (512 - a.n_hit) * 4503599627370496 AS DOUBLE)) <= 1280.0
+        |   AND 512 - a.n_hit > 0) AS small_range
+        |FROM agg a JOIN ex ON ex.win_start_us = a.win_start_us
+        |ORDER BY a.win_start_us""".stripMargin,
   )
 }

@@ -931,6 +931,44 @@ object Corpus {
     hllDistinctOf(Tables.documents(s, d))
 
   /** [[q159HllDistinct]] over any `(source, text)` frame. */
+  /** The published 60-bit md5 key of any string column (the q158/q159
+    * convention): nonnegative in a signed BIGINT on both engines.
+    */
+  private[graft] def hllKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Register index: top [[HllBits]] bits of the 60-bit key. */
+  private[graft] def hllBucket(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shiftright(x, 60 - HllBits)
+
+  /** rho of the 51-bit suffix: 52 − bitlength (all-zero suffix = 52). */
+  private[graft] def hllRho(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val suffix = x.bitwiseAND(lit((1L << (60 - HllBits)) - 1))
+    when(suffix === 0, lit(HllMaxRho))
+      .otherwise(lit(HllMaxRho) - length(conv(suffix, 10, 2)))
+      .cast("long")
+  }
+
+  /** Fold a register frame `(groupCols..., bkt, r)` to the q159 output
+    * columns (v_empty, s_reg, est_raw, small_range) — shared by the
+    * batch (q159) and streaming (q161) sketch builds.
+    */
+  private[graft] def hllReadout(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
+    regs.groupBy(gs: _*)
+      .agg(count(lit(1)).as("n_hit"),
+        // shiftleft's Scala binding takes only a literal shift — the
+        // SQL form accepts a column
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllMaxRho - r AS INT))"))
+          .as("s_hit"))
+      .withColumn("v_empty", lit(HllM.toLong) - col("n_hit"))
+      .withColumn("s_reg", col("s_hit") + col("v_empty") * lit(HllRadix))
+      .withColumn("est_raw",
+        lit(HllAlphaMM) * (lit(HllRadix.toDouble) / col("s_reg").cast("double")))
+      .withColumn("small_range",
+        col("est_raw") <= lit(2.5 * HllM) && col("v_empty") > 0)
+  }
+
   private[operators] def hllDistinctOf(docs: DataFrame): DataFrame = {
     val grams = docs
       .select(col("source"),
@@ -940,28 +978,13 @@ object Corpus {
         "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
         .as("g"))
       .persist()
-    val x = conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
-    val suffix = x.bitwiseAND(lit((1L << 51) - 1))
-    val rho = when(suffix === 0, lit(HllMaxRho))
-      .otherwise(lit(HllMaxRho) - length(conv(suffix, 10, 2)))
+    val x = hllKey(col("g"))
     val regs = grams
-      .select(col("source"), shiftright(x, 51).as("bkt"), rho.cast("long").as("rho"))
+      .select(col("source"), hllBucket(x).as("bkt"), hllRho(x).as("rho"))
       .groupBy(col("source"), col("bkt")).agg(max(col("rho")).as("r"))
-    val agg = regs.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_hit"),
-        // shiftleft's Scala binding takes only a literal shift — the
-        // SQL form accepts a column
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllMaxRho - r AS INT))"))
-          .as("s_hit"))
     val exact = grams.groupBy(col("source"))
       .agg(countDistinct(col("g")).as("n_distinct_exact"))
-    val out = agg.join(exact, "source")
-      .withColumn("v_empty", lit(HllM.toLong) - col("n_hit"))
-      .withColumn("s_reg", col("s_hit") + col("v_empty") * lit(HllRadix))
-      .withColumn("est_raw",
-        lit(HllAlphaMM) * (lit(HllRadix.toDouble) / col("s_reg").cast("double")))
-      .withColumn("small_range",
-        col("est_raw") <= lit(2.5 * HllM) && col("v_empty") > 0)
+    val out = hllReadout(regs, Seq("source")).join(exact, "source")
       .select(col("source"), col("n_distinct_exact"), col("v_empty"),
         col("s_reg"), col("est_raw"), col("small_range"))
       .orderBy(col("source"))

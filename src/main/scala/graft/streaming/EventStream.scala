@@ -1077,4 +1077,64 @@ object EventStream {
       .transformWithState(new GapSessionTimerProcessor(gapMs),
         org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** Per-window HLL register build over a `(ts, user_id)` frame —
+    * batch/stream UNIFIED (the [[windowedCounts]] contract): the q159
+    * sketch's register update is `max` per (window, bucket), an
+    * algebraic aggregate, so the STREAMING incremental merge literally
+    * IS the sketch merge — no custom state processor, and state is
+    * O(m) registers per open window instead of one entry per distinct
+    * user (the whole point of sketching a cardinality monitor at
+    * 100 TB/day: `dropDuplicates`-then-count state grows with the key
+    * space; this is bounded by 512 longs x watermark-horizon windows).
+    */
+  def hllWindowRegisters(
+      events: DataFrame,
+      windowLen: String = "10 minutes",
+      watermark: String = "20 minutes"): DataFrame = {
+    val x = graft.operators.Corpus.hllKey(col("user_id").cast("string"))
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        graft.operators.Corpus.hllBucket(x).as("bkt"),
+        graft.operators.Corpus.hllRho(x).as("rho"))
+      .groupBy(window(col("ts"), windowLen), col("bkt"))
+      .agg(max(col("rho")).as("r"))
+      .select(col("window.start").as("win_start"), col("bkt"), col("r"))
+  }
+
+  /** q161 — the ELEVENTH streaming shape: a windowed distinct-user
+    * cardinality monitor via the replayable HLL ([[hllWindowRegisters]])
+    * replayed over the bounded events table, registers folded to
+    * estimates in batch by the SAME read-out as q159
+    * (Corpus.hllReadout), exact per-window distinct counts riding
+    * along as report-only ground truth. Because the register state is
+    * order-independent, the DuckDB oracle replays the whole thing from
+    * the batch events table — the sketch-in-stream pattern lands under
+    * a full hash-match, not a spec-only claim.
+    */
+  def q161StreamHll(s: SparkSession, d: String): DataFrame = {
+    val stream = eventsStream(s, d)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"))
+    val regs = hllWindowRegisters(stream)
+    val qname = "q161_stream_hll"
+    withReplayStateWidth(s) {
+      val q = regs.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Complete).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val sink = s.table(qname)
+      .select(unix_micros(col("win_start")).as("win_start_us"),
+        col("bkt"), col("r"))
+    val exact = graft.Tables.events(s, d)
+      .select((expr("ts div 1000") - expr("ts div 1000") % 600000000L)
+        .as("win_start_us"), col("user_id"))
+      .groupBy(col("win_start_us"))
+      .agg(countDistinct(col("user_id")).as("n_distinct_exact"))
+    graft.operators.Corpus.hllReadout(sink, Seq("win_start_us"))
+      .join(exact, "win_start_us")
+      .select(col("win_start_us"), col("n_distinct_exact"), col("v_empty"),
+        col("s_reg"), col("est_raw"), col("small_range"))
+      .orderBy(col("win_start_us"))
+  }
 }

@@ -38,6 +38,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hllWindowRegisters: streaming build across batches equals the batch build") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 3 windows x interleaved users, delivered in THREE micro-batches
+    // with repeats across batches — register max must merge exactly
+    val rows = (0 until 90).map(i => (ts(i % 30), (i * 7 % 25).toLong))
+    val input = MemoryStream[(Timestamp, Long)]
+    val regs = EventStream.hllWindowRegisters(input.toDF().toDF("ts", "user_id"))
+    val q = regs.writeStream.format("memory").queryName("hllregs")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(30).foreach { batch =>
+        input.addData(batch: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("hllregs")
+      .as[(Timestamp, Long, Long)].collect().toSet
+    val batch = EventStream.hllWindowRegisters(rows.toDF("ts", "user_id"))
+      .as[(Timestamp, Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("windowedCounts is batch/stream unified: same code on a batch frame") {
     import spark.implicits._
     val batch = Seq((ts(0, 10), "click"), (ts(0, 40), "click"), (ts(1, 5), "view"))
