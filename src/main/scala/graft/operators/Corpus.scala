@@ -808,16 +808,25 @@ object Corpus {
     cmsA.indices.map(j => s"(${j}, ${cmsA(j)}, ${cmsB(j)}, ${cmsC(j)})")
       .mkString(", ")
 
-  /** The 60-bit md5-prefix token key (15 hex chars — nonnegative in a
-    * signed BIGINT on both engines), split-hashed into a CMS row.
+  /** CMS row hash from a PRE-COMPUTED 60-bit key `x` — the key rides a
+    * column so the md5 is evaluated ONCE per token, not once per
+    * (token, seed) pair after the depth-way seed join (md5 dominates
+    * the bucket arithmetic; recomputing it 4x was measurable).
     */
-  private def cmsBucket(tok: org.apache.spark.sql.Column, a: org.apache.spark.sql.Column,
-      b: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val x = conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+  private def cmsBucketFromKey(x: org.apache.spark.sql.Column,
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val hi = shiftright(x, CmsReplayHalfBits)
     val lo = x.bitwiseAND(lit((1L << CmsReplayHalfBits) - 1))
     ((a * hi + b * lo + c) % lit(CmsReplayP)) % lit(CmsReplayWidth.toLong)
   }
+
+  /** The 60-bit md5-prefix token key (15 hex chars — nonnegative in a
+    * signed BIGINT on both engines), split-hashed into a CMS row.
+    */
+  private def cmsBucket(tok: org.apache.spark.sql.Column, a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    cmsBucketFromKey(conv(substring(md5(tok), 1, 15), 16, 10).cast("long"), a, b, c)
 
   /** Replayable count-min frequency estimation (q158): q55's sketched
     * heavy hitters re-seated on a PUBLISHED hash family so the driver
@@ -855,10 +864,14 @@ object Corpus {
       .toDF("j", "a", "b", "c")
 
     // the sketch: one corpus pass, fixed 2048-cell state after the
-    // map-side combine, shuffle volume = cells x partitions
-    val cells = toks.crossJoin(broadcast(seeds))
+    // map-side combine, shuffle volume = cells x partitions; the md5
+    // key is projected BEFORE the depth-way seed join so it is hashed
+    // once per token
+    val cells = toks
+      .select(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("x"))
+      .crossJoin(broadcast(seeds))
       .groupBy(col("j"),
-        cmsBucket(col("tok"), col("a"), col("b"), col("c")).as("bkt"))
+        cmsBucketFromKey(col("x"), col("a"), col("b"), col("c")).as("bkt"))
       .agg(count(lit(1)).as("cell_cnt"))
 
     val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
