@@ -183,6 +183,7 @@ object SparkEntry {
     "q159_hll_distinct" -> (Corpus.q159HllDistinct _),
     "q160_hist_quantiles" -> (Relational.q160HistQuantiles _),
     "q161_stream_hll" -> (graft.streaming.EventStream.q161StreamHll _),
+    "q162_hll_overlap" -> (Corpus.q162HllOverlap _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -3235,5 +3236,59 @@ object SparkEntry {
         |   AND 512 - a.n_hit > 0) AS small_range
         |FROM agg a JOIN ex ON ex.win_start_us = a.win_start_us
         |ORDER BY a.win_start_us""".stripMargin,
+    // register-union replay: the q159 register CTE, pair-tagged via
+    // UNION ALL, bucket-wise MAX, and the same raw read-out — the HLL
+    // merge algebra under a full hash-match; inclusion-exclusion is
+    // one replayable double expression
+    "q162_hll_overlap" -> {
+      val alpha = s"CAST('${graft.operators.Corpus.HllAlphaMM}' AS DOUBLE)"
+      def readout(from: String, keys: String) =
+        s"""SELECT $keys, $alpha * (CAST(4503599627370496 AS DOUBLE) /
+           |    CAST(s_hit + (512 - n_hit) * 4503599627370496 AS DOUBLE)) AS est_raw
+           |  FROM (SELECT $keys, COUNT(*) AS n_hit,
+           |    CAST(SUM(CAST(1 AS BIGINT) << CAST(52 - r AS INTEGER)) AS BIGINT) AS s_hit
+           |    FROM $from GROUP BY $keys) z""".stripMargin
+      s"""WITH t AS (
+        |  SELECT source, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM t, unnest(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
+        |k AS (
+        |  SELECT source, g, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS x FROM g),
+        |regs AS (
+        |  SELECT source, x >> 51 AS bkt,
+        |    MAX(CASE WHEN (x & 2251799813685247) = 0 THEN 52
+        |        ELSE 52 - length(bin(x & 2251799813685247)) END) AS r
+        |  FROM k GROUP BY 1, 2),
+        |per AS (
+        |  ${readout("regs", "source")}),
+        |srcs AS (SELECT DISTINCT source FROM regs),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |tagged AS (
+        |  SELECT p.src_a, p.src_b, r.bkt, r.r FROM pairs p JOIN regs r ON r.source = p.src_a
+        |  UNION ALL
+        |  SELECT p.src_a, p.src_b, r.bkt, r.r FROM pairs p JOIN regs r ON r.source = p.src_b),
+        |uregs AS (
+        |  SELECT src_a, src_b, bkt, MAX(r) AS r FROM tagged GROUP BY 1, 2, 3),
+        |uest AS (
+        |  ${readout("uregs", "src_a, src_b")}),
+        |sg AS (SELECT DISTINCT source, g FROM g),
+        |shared AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared_exact
+        |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT u.src_a, u.src_b,
+        |  CAST(COALESCE(sh.n_shared_exact, 0) AS BIGINT) AS n_shared_exact,
+        |  pa.est_raw AS est_a, pb.est_raw AS est_b, u.est_raw AS est_union,
+        |  pa.est_raw + pb.est_raw - u.est_raw AS est_overlap
+        |FROM uest u
+        |JOIN per pa ON pa.source = u.src_a
+        |JOIN per pb ON pb.source = u.src_b
+        |LEFT JOIN shared sh ON sh.src_a = u.src_a AND sh.src_b = u.src_b
+        |ORDER BY u.src_a, u.src_b""".stripMargin
+    },
   )
 }

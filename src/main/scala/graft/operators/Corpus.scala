@@ -1007,6 +1007,87 @@ object Corpus {
     out
   }
 
+  /** The per-(source, bucket) register frame q159 folds — factored out
+    * so q162 can UNION registers across sources (the mergeability that
+    * makes HLL an algebra, not just an estimator).
+    */
+  private[operators] def hllRegisters(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("source"),
+        filter(split(coalesce(col("text"), lit("")), " "), t => t =!= "").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("g"))
+    val x = hllKey(col("g"))
+    grams
+      .select(col("source"), hllBucket(x).as("bkt"), hllRho(x).as("rho"))
+      .groupBy(col("source"), col("bkt")).agg(max(col("rho")).as("r"))
+  }
+
+  /** Cross-source distinct-trigram overlap from HLL register UNIONS
+    * (q162): for every unordered source pair, |A∪B| is estimated from
+    * the bucket-wise MAX of the two sources' q159 registers — the
+    * union of two HLLs IS their register max, the algebraic property
+    * that lets 1000 shards sketch independently and merge after — and
+    * |A∩B| falls out by inclusion-exclusion
+    * (est_a + est_b − est_union). The corpus is touched ONCE (the q159
+    * register build); everything after operates on |sources|·512
+    * register rows, so pair enumeration costs sources², never data².
+    * Exact shared-gram counts ride along as report-only ground truth
+    * (the distinct (source, gram) collapse first, the q144
+    * discipline). Raw-formula estimates only (the q159 ln rule).
+    */
+  def q162HllOverlap(s: SparkSession, d: String): DataFrame =
+    hllOverlapOf(Tables.documents(s, d))
+
+  /** [[q162HllOverlap]] over any `(source, text)` frame. */
+  private[operators] def hllOverlapOf(docs: DataFrame): DataFrame = {
+    val regs = hllRegisters(docs).persist()
+    val per = hllReadout(regs, Seq("source"))
+      .select(col("source"), col("est_raw"))
+    val srcs = regs.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .crossJoin(srcs.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    // union registers: both sides' rows tagged with the pair, max per
+    // bucket — two broadcast joins of the tiny pairs frame
+    val tagged = pairs.join(regs, col("source") === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("bkt"), col("r"))
+      .unionByName(pairs.join(regs, col("source") === col("src_b"))
+        .select(col("src_a"), col("src_b"), col("bkt"), col("r")))
+    val unionRegs = tagged.groupBy(col("src_a"), col("src_b"), col("bkt"))
+      .agg(max(col("r")).as("r"))
+    val estU = hllReadout(unionRegs, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("est_raw").as("est_union"))
+    // exact shared grams: distinct (source, gram) collapse, gram join
+    val sg = docs
+      .select(col("source"),
+        filter(split(coalesce(col("text"), lit("")), " "), t => t =!= "").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+        .as("g"))
+      .distinct()
+    val shared = sg.as("a").join(sg.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_exact"))
+    val out = estU
+      .join(per.select(col("source").as("src_a"), col("est_raw").as("est_a")), "src_a")
+      .join(per.select(col("source").as("src_b"), col("est_raw").as("est_b")), "src_b")
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_shared_exact"), lit(0L)).as("n_shared_exact"),
+        col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"))
+      .orderBy(col("src_a"), col("src_b"))
+      .persist()
+    out.count()
+    regs.unpersist(blocking = false)
+    out
+  }
+
   /** The full HLL estimator including the ln-based linear-counting
     * correction (Flajolet et al. '07 §4) — the production read-out of
     * the q159 register state. Engine-side only (ln is not bit-portable

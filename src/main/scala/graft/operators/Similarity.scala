@@ -1000,15 +1000,52 @@ object Similarity {
       quantized.as("q")).persist()
     val dim = q.select(size(col("q")).as("n")).head().getInt(0)
 
-    // Gram upper triangle: per-row outer products, partial-aggregated
-    // map-side to <= dim*(dim+1)/2 cells before any shuffle
-    val tri = q.select(
-        explode(expr(
-          """flatten(transform(q, (qi, i) ->
-            |  transform(slice(q, i + 1, size(q) - i), (qj, k) ->
-            |    struct(i AS i, i + k AS j, qi * qj AS p))))""".stripMargin)).as("c"))
-      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
-      .agg(sum(col("c.p").cast("decimal(38,0)")).as("g"))
+    // Gram upper triangle: ONE tight per-partition accumulator loop
+    // over a dim*(dim+1)/2 Long array, emitting <= 2080 partial cells
+    // per partition (the explicit form of the map-side combine) — the
+    // HOF-lambda equivalent (explode(flatten(transform(...)))) is
+    // evaluated interpreted and pushed 10M struct rows through the
+    // aggregate at sf0.1, the measured 13x cost class (see q22's
+    // scaladoc). addExact makes a partition whose partial sums
+    // outgrow Long (~10^6 rows per partition at |q|<=1e6) fail
+    // loudly instead of corrupting the matrix; the cross-partition
+    // merge is exact DECIMAL(38,0).
+    import emb.sparkSession.implicits._
+    val tri = q.select(col("q")).as[Array[Long]]
+      .mapPartitions { it =>
+        var acc: Array[Long] = null
+        var d = 0
+        while (it.hasNext) {
+          val v = it.next()
+          if (acc == null) { d = v.length; acc = new Array[Long](d * (d + 1) / 2) }
+          var idx = 0
+          var i = 0
+          while (i < d) {
+            val vi = v(i)
+            var j = i
+            while (j < d) {
+              acc(idx) = Math.addExact(acc(idx), vi * v(j))
+              j += 1; idx += 1
+            }
+            i += 1
+          }
+        }
+        if (acc == null) Iterator.empty
+        else {
+          val out = collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+          var idx = 0
+          var i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) { out += ((i, j, acc(idx))); j += 1; idx += 1 }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("i", "j", "p")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p").cast("decimal(38,0)")).as("g"))
 
     // bounded driver fold: dim*(dim+1)/2 cells (2080 at dim=64),
     // independent of corpus size

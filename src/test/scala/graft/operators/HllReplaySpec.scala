@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.mr.SparkSpec
+import org.apache.spark.sql.functions.{col, lit, max}
 
 /** Replayable HyperLogLog (q159). The driver hash-matches the register
   * state and raw estimate; these fixtures pin what the sketch is FOR —
@@ -57,5 +58,39 @@ class HllReplaySpec extends SparkSpec {
     // more distinct keys can only raise registers, so the integer
     // register sum can only fall, and the estimate only rise
     assert(sBig <= sSmall)
+  }
+
+  /** Two sources with a PLANTED overlap: s1 = grams 0..2999,
+    * s2 = grams 2000..4999 ⟹ |A| = |B| = 3000, |A∩B| = 1000.
+    */
+  private def overlapCorpus = {
+    import spark.implicits._
+    val mk = (i: Int) => s"a$i b$i c$i"
+    ((0 until 3000).map(i => ("s1", mk(i))) ++
+      (2000 until 5000).map(i => ("s2", mk(i))))
+      .toDF("source", "text").repartition(5)
+  }
+
+  test("union-is-max law: merged registers equal the concatenated corpus's") {
+    import spark.implicits._
+    val docs = overlapCorpus
+    // registers of the concatenated corpus (both sources collapsed)
+    val concat = Corpus.hllRegisters(docs.withColumn("source", lit("all")))
+      .select(col("bkt"), col("r")).as[(Long, Long)].collect().toMap
+    // bucket-wise max of the two sources' separate registers
+    val merged = Corpus.hllRegisters(docs)
+      .groupBy(col("bkt")).agg(max(col("r")).as("r"))
+      .as[(Long, Long)].collect().toMap
+    assert(merged == concat && concat.nonEmpty)
+  }
+
+  test("inclusion-exclusion overlap estimate tracks the planted truth") {
+    val row = Corpus.hllOverlapOf(overlapCorpus).collect().head
+    assert(row.getString(0) == "s1" && row.getString(1) == "s2")
+    assert(row.getLong(2) == 1000L, s"exact shared = ${row.getLong(2)}")
+    val est = row.getDouble(6)
+    // three raw estimates' errors compound; 25% is the loose 3-sigma
+    // class for m=512 inclusion-exclusion at this overlap fraction
+    assert(math.abs(est - 1000.0) / 1000.0 < 0.25, s"est_overlap $est")
   }
 }
