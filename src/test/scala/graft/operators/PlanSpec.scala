@@ -163,4 +163,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"q145 must not plan any SinglePartition exchange:\n$p")
   }
+
+  test("q160: histogram passes are partial+final; windows group-partitioned") {
+    val p = plan("q160_hist_quantiles")
+    // pass 1 (bounds) and pass 2 (bin cells) both map-side combine
+    assert(p.contains("partial_min") && p.contains("partial_count"), p)
+    // the 64-row-per-group cumulative window is event_type-partitioned
+    assert(!p.contains("SinglePartition"),
+      s"q160 must not plan any SinglePartition exchange:\n$p")
+  }
+
+  test("hll register build: map-side partial max, key-partitioned merge") {
+    val docs = graft.Tables.documents(spark, d)
+    val p = Corpus.hllRegisters(docs).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // the per-partition sketch IS the partial aggregate; the one
+    // exchange carries <= 512 registers per source per partition
+    assert(p.contains("partial_max"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
