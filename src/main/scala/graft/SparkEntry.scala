@@ -184,6 +184,7 @@ object SparkEntry {
     "q160_hist_quantiles" -> (Relational.q160HistQuantiles _),
     "q161_stream_hll" -> (graft.streaming.EventStream.q161StreamHll _),
     "q162_hll_overlap" -> (Corpus.q162HllOverlap _),
+    "q163_cms_inner" -> (Corpus.q163CmsInner _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -3290,5 +3291,42 @@ object SparkEntry {
         |LEFT JOIN shared sh ON sh.src_a = u.src_a AND sh.src_b = u.src_b
         |ORDER BY u.src_a, u.src_b""".stripMargin
     },
+    // cell-wise inner-product replay: the q158 cells keyed by source,
+    // joined pairwise on (row, bucket), min over rows with the
+    // missing-row-means-zero rule mirrored
+    "q163_cms_inner" ->
+      s"""WITH toks AS (
+        |  SELECT source, unnest(list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '')) AS tok
+        |  FROM documents),
+        |seeds(j, a, b, c) AS (SELECT * FROM (VALUES ${graft.operators.Corpus.cmsSeedValuesSql}) v),
+        |keyed AS (
+        |  SELECT source, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS x FROM toks),
+        |cells AS (
+        |  SELECT source, j,
+        |    ((a * (x >> 30) + b * (x & 1073741823) + c) % 2147483647) % 512 AS bkt,
+        |    COUNT(*) AS c
+        |  FROM keyed, seeds GROUP BY 1, 2, 3),
+        |perj AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, a.j,
+        |    SUM(CAST(a.c AS HUGEINT) * b.c) AS s
+        |  FROM cells a JOIN cells b
+        |    ON a.j = b.j AND a.bkt = b.bkt AND a.source < b.source
+        |  GROUP BY 1, 2, 3),
+        |est AS (
+        |  SELECT src_a, src_b,
+        |    CASE WHEN COUNT(*) < 4 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(MIN(s) AS BIGINT) END AS ip_est
+        |  FROM perj GROUP BY 1, 2),
+        |cnt AS (SELECT source, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(SUM(CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS ip_exact
+        |  FROM cnt a JOIN cnt b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT e.src_a, e.src_b,
+        |  CAST(COALESCE(x.ip_exact, 0) AS BIGINT) AS ip_exact, e.ip_est,
+        |  e.ip_est - CAST(COALESCE(x.ip_exact, 0) AS BIGINT) AS over_err
+        |FROM est e LEFT JOIN ex x ON x.src_a = e.src_a AND x.src_b = e.src_b
+        |ORDER BY e.src_a, e.src_b""".stripMargin,
   )
 }

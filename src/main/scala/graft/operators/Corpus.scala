@@ -894,6 +894,81 @@ object Corpus {
     out
   }
 
+  /** Per-(source, row, bucket) CMS cell counts — the q158 sketch keyed
+    * by source, factored out so q163 can take cell-wise inner products
+    * across sources (the CMS algebra: cells are a linear map of the
+    * frequency vector, so sketches add, subtract, and inner-product).
+    */
+  private[operators] def cmsSourceCells(s: SparkSession, docs: DataFrame): DataFrame = {
+    val seeds = s.createDataFrame(
+      cmsA.indices.map(j => (j.toLong, cmsA(j), cmsB(j), cmsC(j))))
+      .toDF("j", "a", "b", "c")
+    docs
+      .select(col("source"),
+        explode(filter(split(coalesce(col("text"), lit("")), " "),
+          t => t =!= "")).as("tok"))
+      .select(col("source"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("x"))
+      .crossJoin(broadcast(seeds))
+      .groupBy(col("source"), col("j"),
+        cmsBucketFromKey(col("x"), col("a"), col("b"), col("c")).as("bkt"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Cross-source frequency inner product from CMS cells (q163):
+    * Σ_t f_A(t)·f_B(t) estimated as min_j Σ_w cellsA[j,w]·cellsB[j,w]
+    * (Cormode & Muthukrishnan '05 §4.2 — the sketch is a linear map of
+    * the frequency vector, so the cell-wise dot product overestimates
+    * the true inner product one-sidedly, exactly like point queries).
+    * The token-distribution affinity between corpus slices WITHOUT a
+    * vocabulary-sized join: each source is first collapsed to its
+    * 2048-cell sketch (one map-side-combined pass), then pair
+    * enumeration works on |sources|·2048 cells — sources², never
+    * vocab² or data². Exact inner products ride along as report-only
+    * ground truth (per-token counts join, affordable at bench SF).
+    */
+  def q163CmsInner(s: SparkSession, d: String): DataFrame =
+    cmsInnerOf(s, Tables.documents(s, d))
+
+  /** [[q163CmsInner]] over any `(source, text)` frame. */
+  private[operators] def cmsInnerOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    val cells = cmsSourceCells(s, docs).persist()
+    val ip = cells.as("a").join(cells.as("b"),
+        col("a.j") === col("b.j") && col("a.bkt") === col("b.bkt")
+          && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"), col("a.j").as("j"))
+      .agg(sum((col("a.c") * col("b.c")).cast("decimal(38,0)")).as("s"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(min(col("s")).cast("long").as("mn"), count(lit(1)).as("nj"))
+      // a sketch row with NO overlapping cells contributes 0 to the
+      // min, but the inner join drops it — fewer than depth rows
+      // present means some row's inner product is 0, so the estimate
+      // is 0 (which also implies the exact inner product is 0: any
+      // truly shared token populates a shared cell in EVERY row)
+      .select(col("src_a"), col("src_b"),
+        when(col("nj") < lit(CmsReplayDepth.toLong), lit(0L))
+          .otherwise(col("mn")).as("ip_est"))
+    val cnt = docs
+      .select(col("source"),
+        explode(filter(split(coalesce(col("text"), lit("")), " "),
+          t => t =!= "")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    val exact = cnt.as("a").join(cnt.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum((col("a.n") * col("b.n")).cast("decimal(38,0)")).cast("long")
+        .as("ip_exact"))
+    val out = ip.join(exact, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("ip_exact"), lit(0L)).as("ip_exact"), col("ip_est"),
+        (col("ip_est") - coalesce(col("ip_exact"), lit(0L))).as("over_err"))
+      .orderBy(col("src_a"), col("src_b"))
+      .persist()
+    out.count()
+    cells.unpersist(blocking = false)
+    out
+  }
+
   /** Register-index bits / register count of the replayable HLL (q159). */
   val HllBits = 9
   val HllM = 512

@@ -45,4 +45,45 @@ class CmsReplaySpec extends SparkSpec {
   test("sketch is merge-order invariant: stable under repartitioning") {
     assert(estimates(parts = 1) == estimates(parts = 7))
   }
+
+  /** Three sources: s1/s2 heavily overlapping vocabularies, s3 fully
+    * disjoint from both.
+    */
+  private def innerCorpus = {
+    import spark.implicits._
+    ((0 until 50).map(i => ("s1", s"shared${i % 20} one$i")) ++
+      (0 until 50).map(i => ("s2", s"shared${i % 20} two$i")) ++
+      (0 until 50).map(i => ("s3", s"other$i elsewhere$i")))
+      .toDF("source", "text").repartition(4)
+  }
+
+  private def inner(parts: Int = 4): Map[(String, String), (Long, Long)] = {
+    import spark.implicits._
+    Corpus.cmsInnerOf(spark, innerCorpus.repartition(parts))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+  }
+
+  test("inner product is one-sided: the estimate never undercounts") {
+    inner().foreach { case (pair, (exact, est)) =>
+      assert(est >= exact, s"$pair: est $est < exact $exact")
+    }
+  }
+
+  test("inner product separates affinity: overlapping pair >> disjoint pairs") {
+    val got = inner()
+    // s1·s2 exact: 20 shared tokens with counts ~ (50/20 rounded); the
+    // point is the ESTIMATE preserves the ordering against s3's zeros
+    val (e12, est12) = got(("s1", "s2"))
+    assert(e12 > 0 && est12 >= e12)
+    Seq(("s1", "s3"), ("s2", "s3")).foreach { p =>
+      val (ex, es) = got(p)
+      assert(ex == 0L, s"$p exact $ex")
+      assert(es < est12, s"$p est $es should be far below the true pair $est12")
+    }
+  }
+
+  test("inner product is merge-order invariant") {
+    assert(inner(parts = 1) == inner(parts = 7))
+  }
 }
