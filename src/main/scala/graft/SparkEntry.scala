@@ -185,6 +185,7 @@ object SparkEntry {
     "q161_stream_hll" -> (graft.streaming.EventStream.q161StreamHll _),
     "q162_hll_overlap" -> (Corpus.q162HllOverlap _),
     "q163_cms_inner" -> (Corpus.q163CmsInner _),
+    "q164_k_anonymity" -> (Pii.q164KAnonymity _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -3328,5 +3329,18 @@ object SparkEntry {
         |  e.ip_est - CAST(COALESCE(x.ip_exact, 0) AS BIGINT) AS over_err
         |FROM est e LEFT JOIN ex x ON x.src_a = e.src_a AND x.src_b = e.src_b
         |ORDER BY e.src_a, e.src_b""".stripMargin,
+    // plain-SQL mirror: cohort counts, generalized counts, the same
+    // k floor on both
+    "q164_k_anonymity" ->
+      """WITH cohorts AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |coarse AS (
+        |  SELECT c_nationkey, COUNT(*) AS n_coarse FROM customer GROUP BY 1)
+        |SELECT c.c_nationkey, c.c_mktsegment, c.n,
+        |  c.n < 10 AS at_risk, g.n_coarse,
+        |  g.n_coarse >= 10 AS generalization_clears
+        |FROM cohorts c JOIN coarse g USING (c_nationkey)
+        |ORDER BY c.c_nationkey, c.c_mktsegment""".stripMargin,
   )
 }

@@ -207,4 +207,39 @@ object Pii {
         sum(col("delta")).as("chars_removed"))
       .orderBy(col("source"))
   }
+
+  /** Cohort-size floor for the q164 re-identification audit. */
+  val KAnonymity = 10L
+
+  /** k-anonymity audit (q164): the re-identification risk check that
+    * precedes releasing or training on user-adjacent tabular data
+    * (Sweeney '02). Every quasi-identifier cohort — here (nation,
+    * market segment) over the customer table — is measured, flagged
+    * when its population is below k (any record in it is identifiable
+    * to within <k candidates), and re-measured under the standard
+    * remedy: GENERALIZING the quasi-identifier by dropping its finest
+    * column. Output per cohort: size, at-risk flag, the generalized
+    * cohort's size, and whether generalization alone clears the floor
+    * — the actionable triage (suppress vs generalize) in one frame.
+    *
+    * Shape at scale: two map-side-combinable counts (cohort,
+    * generalized cohort) and a broadcast-sized join between them —
+    * cohort cardinality is bounded by the quasi-identifier domain, not
+    * the table, so the audit costs two scans of one column pair at any
+    * data size.
+    */
+  def q164KAnonymity(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"))
+    val cohorts = cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val coarse = cust.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_coarse"))
+    cohorts.join(broadcast(coarse), "c_nationkey")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        (col("n") < lit(KAnonymity)).as("at_risk"),
+        col("n_coarse"),
+        (col("n_coarse") >= lit(KAnonymity)).as("generalization_clears"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
 }
