@@ -186,6 +186,7 @@ object SparkEntry {
     "q162_hll_overlap" -> (Corpus.q162HllOverlap _),
     "q163_cms_inner" -> (Corpus.q163CmsInner _),
     "q164_k_anonymity" -> (Pii.q164KAnonymity _),
+    "q165_ewma" -> (Temporal.q165Ewma _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -3342,5 +3343,30 @@ object SparkEntry {
         |  g.n_coarse >= 10 AS generalization_clears
         |FROM cohorts c JOIN coarse g USING (c_nationkey)
         |ORDER BY c.c_nationkey, c.c_mktsegment""".stripMargin,
+    // exact sequential-fold replay: per-user (ts, event_id)-ordered
+    // value list folded by list_reduce with the SAME integer update
+    // (3x + 13e) // 16 — first element seeds, matching e_0 = x_0.
+    // Deviations come from PREFIX folds (e before each step), not a
+    // struct accumulator: DuckDB 1.0's list_reduce evaluates a struct
+    // lambda's fields against a mutated accumulator (measured — the
+    // m field saw the already-updated e), so multi-value state is
+    // re-derived as one scalar fold per position instead
+    "q165_ewma" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(round(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS x,
+        |    ts, event_id
+        |  FROM events),
+        |seq AS (
+        |  SELECT user_id, list(x ORDER BY ts, event_id) AS raw FROM ev GROUP BY 1),
+        |devs AS (
+        |  SELECT user_id, abs(raw[CAST(i AS INTEGER)] -
+        |    list_reduce(raw[1:CAST(i AS INTEGER) - 1], (a, x) -> (3*x + 13*a) // 16)) AS dev
+        |  FROM seq, unnest(range(2, len(raw) + 1)) t(i)),
+        |mx AS (SELECT user_id, MAX(dev) AS max_dev_fp FROM devs GROUP BY 1)
+        |SELECT s.user_id, CAST(len(s.raw) AS BIGINT) AS n_events,
+        |  list_reduce(s.raw, (a, x) -> (3*x + 13*a) // 16) AS ewma_fp,
+        |  CAST(COALESCE(m.max_dev_fp, 0) AS BIGINT) AS max_dev_fp
+        |FROM seq s LEFT JOIN mx m ON m.user_id = s.user_id
+        |ORDER BY s.user_id""".stripMargin,
   )
 }

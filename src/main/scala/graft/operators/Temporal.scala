@@ -511,4 +511,50 @@ object Temporal {
     */
   def q131Concurrency(s: SparkSession, d: String): DataFrame =
     concurrencyHistogram(q36Sessionize(s, d).select(col("start_us"), col("end_us")))
+
+  /** EWMA smoothing factor as an exact rational: alpha = 3/16. The
+    * update e_t = (3·x_t + 13·e_{t−1}) div 16 is INTEGER arithmetic on
+    * 1e6-fixed-point values — replayable (truncating division on
+    * nonnegative operands agrees between engines), unlike a float
+    * alpha whose recursion compounds rounding divergence.
+    */
+  val EwmaNum = 3L
+  val EwmaDen = 16L
+
+  /** Per-user fixed-point EWMA over the event value series (q165):
+    * the sequential time-series primitive — exponential smoothing plus
+    * the max per-event deviation from the running smooth (the anomaly
+    * magnitude a monitoring rule thresholds). The recursion is
+    * order-DEPENDENT, the one shape the window/aggregate algebra can't
+    * express: each user's history is folded in (ts, event_id) order
+    * inside one typed `mapGroups` closure — per-user state is the
+    * bounded-history assumption every sessionization here already
+    * makes, and users parallelize freely (ONE shuffle by user, no
+    * window, no iteration). The DuckDB oracle replays the exact fold
+    * with a struct-element `list_reduce`.
+    */
+  def q165Ewma(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"),
+        round(col("value") * lit(1e6)).cast("long").as("x"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (u, it) =>
+        val rows = it.toArray.sortBy(r => (r._2, r._3))
+        var e = rows.head._4
+        var maxDev = 0L
+        var i = 1
+        while (i < rows.length) {
+          val x = rows(i)._4
+          val dev = math.abs(x - e)
+          if (dev > maxDev) maxDev = dev
+          e = (EwmaNum * x + (EwmaDen - EwmaNum) * e) / EwmaDen
+          i += 1
+        }
+        (u, rows.length.toLong, e, maxDev)
+      }
+      .toDF("user_id", "n_events", "ewma_fp", "max_dev_fp")
+      .orderBy(col("user_id"))
+  }
 }
