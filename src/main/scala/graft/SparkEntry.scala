@@ -187,6 +187,7 @@ object SparkEntry {
     "q163_cms_inner" -> (Corpus.q163CmsInner _),
     "q164_k_anonymity" -> (Pii.q164KAnonymity _),
     "q165_ewma" -> (Temporal.q165Ewma _),
+    "q166_hits" -> (Corpus.q166Hits _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -3368,5 +3369,38 @@ object SparkEntry {
         |  CAST(COALESCE(m.max_dev_fp, 0) AS BIGINT) AS max_dev_fp
         |FROM seq s LEFT JOIN mx m ON m.user_id = s.user_id
         |ORDER BY s.user_id""".stripMargin,
+    // unrolled two-vector fixed-point replay (the q73/q157 pattern):
+    // T authority updates, T-1 interleaved hub updates, window-MAX
+    // renormalization so every CTE is referenced exactly once
+    "q166_hits" -> {
+      val s = graft.operators.Corpus.HitsScale
+      val t = graft.operators.Corpus.HitsIterations
+      val head =
+        s"""WITH e AS (
+          |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+          |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+          |  WHERE l.l_quantity >= 45),
+          |h0 AS (SELECT DISTINCT c, CAST($s AS BIGINT) AS h FROM e)""".stripMargin
+      val iters = (1 to t).map { k =>
+        val aPart =
+          s""",
+             |ar$k AS (SELECT e.p, CAST(SUM(h.h) AS BIGINT) AS ar FROM e JOIN h${k - 1} h USING (c) GROUP BY 1),
+             |a$k AS (SELECT p, (ar * $s) // GREATEST(MAX(ar) OVER (), 1) AS a FROM ar$k)""".stripMargin
+        val hPart = if (k < t)
+          s""",
+             |hr$k AS (SELECT e.c, CAST(SUM(a.a) AS BIGINT) AS hr FROM e JOIN a$k a USING (p) GROUP BY 1),
+             |h$k AS (SELECT c, (hr * $s) // GREATEST(MAX(hr) OVER (), 1) AS h FROM hr$k)""".stripMargin
+        else ""
+        aPart + hPart
+      }.mkString
+      val tail =
+        s""",
+          |deg AS (SELECT p, COUNT(*) AS in_degree FROM e GROUP BY 1)
+          |SELECT a.p AS l_partkey, CAST(d.in_degree AS BIGINT) AS in_degree,
+          |  CAST(a.a AS BIGINT) AS auth_fp
+          |FROM a$t a JOIN deg d USING (p)
+          |ORDER BY l_partkey""".stripMargin
+      head + iters + tail
+    },
   )
 }

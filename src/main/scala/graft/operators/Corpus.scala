@@ -396,6 +396,83 @@ object Corpus {
       .select(col("p").as("l_partkey"), col("degree"), col("rank_fp"))
   }
 
+  /** HITS iteration count / fixed-point scale (q166). Like q73's
+    * PageRank, the count is part of the SEMANTICS: engine and oracle
+    * replay the same bounded iteration.
+    */
+  val HitsIterations = 4
+  val HitsScale: Long = 1L << 20
+
+  /** HITS hubs-and-authorities (Kleinberg '99) over a directed
+    * bipartite edge set `(c, p)` — q166's link-analysis complement to
+    * PageRank: a part is authoritative when heavy hubs buy it, a
+    * customer is a heavy hub when it buys authoritative parts. Two
+    * interleaved fixed-point vectors, renormalized after every update
+    * (max component pinned to [[HitsScale]], the q157 power-iteration
+    * discipline — HITS IS power iteration on AᵀA), with T authority
+    * updates and T−1 interleaved hub updates so the reported authority
+    * vector is the freshest state.
+    *
+    * Scale shape: the edge frame is key-partitioned ONCE and persisted;
+    * each update shuffles only a node-sized score frame (the q73
+    * pageRank loop discipline — eager localCheckpoint lineage
+    * truncation, superseded checkpoints released immediately); each
+    * renormalization is a 1-row aggregate broadcast back. Integer
+    * dynamics: scores ≤ scale, sums ≤ max-degree·scale — plain BIGINTs
+    * both engines.
+    */
+  def hits(edges: DataFrame, iterations: Int = HitsIterations): DataFrame = {
+    val e = edges.select(col("c"), col("p")).repartition(col("c")).persist()
+    var h = e.select(col("c")).distinct()
+      .select(col("c"), lit(HitsScale).as("h"))
+      .localCheckpoint(eager = true)
+    var a: DataFrame = null
+    for (k <- 1 to iterations) {
+      val araw = e.join(h, "c").groupBy(col("p")).agg(sum(col("h")).as("ar"))
+      val anext = araw.crossJoin(broadcast(
+          araw.agg(greatest(max(col("ar")), lit(1L)).as("m"))))
+        .select(col("p"), expr(s"(ar * ${HitsScale}L) div m").as("a"))
+        .localCheckpoint(eager = true)
+      if (a != null) freeCheckpoint(a)
+      a = anext
+      if (k < iterations) {
+        val hraw = e.join(a, "p").groupBy(col("c")).agg(sum(col("a")).as("hr"))
+        val hnext = hraw.crossJoin(broadcast(
+            hraw.agg(greatest(max(col("hr")), lit(1L)).as("m"))))
+          .select(col("c"), expr(s"(hr * ${HitsScale}L) div m").as("h"))
+          .localCheckpoint(eager = true)
+        freeCheckpoint(h)
+        h = hnext
+      }
+    }
+    val deg = e.groupBy(col("p")).agg(count(lit(1)).as("in_degree"))
+    val out = a.join(deg, "p")
+      .select(col("p").as("l_partkey"), col("in_degree"), col("a").as("auth_fp"))
+      .orderBy(col("l_partkey"))
+      .persist()
+    out.count()
+    e.unpersist(blocking = false)
+    freeCheckpoint(h)
+    freeCheckpoint(a)
+    out
+  }
+
+  /** Driver binding (q166): HITS over the customer→part purchase
+    * bipartite graph (distinct high-quantity purchase edges) — part
+    * authority under hub-weighted demand, a different centrality than
+    * q73's co-purchase PageRank (which never sees WHO buys).
+    */
+  def q166Hits(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    hits(e)
+  }
+
   /** Per-node triangle counts over an undirected edge set via
     * degree-ordered orientation — the classic O(m^1.5)-wedge bound
     * (Schank & Wagner '05 / Suri & Vassilvitskii "Counting triangles
