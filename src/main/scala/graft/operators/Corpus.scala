@@ -1159,18 +1159,28 @@ object Corpus {
     out
   }
 
-  /** The per-(source, bucket) register frame q159 folds — factored out
-    * so q162 can UNION registers across sources (the mergeability that
-    * makes HLL an algebra, not just an estimator).
+  /** The exploded `(source, g)` word-trigram frame the q159/q162 HLL
+    * family keys on — exposed so callers can persist ONE tokenize+
+    * explode pass and derive both registers and exact ground truth.
     */
-  private[operators] def hllRegisters(docs: DataFrame): DataFrame = {
-    val grams = docs
+  private[operators] def sourceTrigrams(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"),
         filter(split(coalesce(col("text"), lit("")), " "), t => t =!= "").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("source"), explode(expr(
         "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
         .as("g"))
+
+  /** The per-(source, bucket) register frame q159 folds — factored out
+    * so q162 can UNION registers across sources (the mergeability that
+    * makes HLL an algebra, not just an estimator).
+    */
+  private[operators] def hllRegisters(docs: DataFrame): DataFrame =
+    registersOfGrams(sourceTrigrams(docs))
+
+  /** Registers from an already-exploded `(source, g)` frame. */
+  private[operators] def registersOfGrams(grams: DataFrame): DataFrame = {
     val x = hllKey(col("g"))
     grams
       .select(col("source"), hllBucket(x).as("bkt"), hllRho(x).as("rho"))
@@ -1195,7 +1205,10 @@ object Corpus {
 
   /** [[q162HllOverlap]] over any `(source, text)` frame. */
   private[operators] def hllOverlapOf(docs: DataFrame): DataFrame = {
-    val regs = hllRegisters(docs).persist()
+    // one tokenize+explode pass feeds registers AND the exact ground
+    // truth (the two consumers previously re-tokenized the corpus each)
+    val grams = sourceTrigrams(docs).persist()
+    val regs = registersOfGrams(grams).persist()
     val per = hllReadout(regs, Seq("source"))
       .select(col("source"), col("est_raw"))
     val srcs = regs.select(col("source")).distinct()
@@ -1213,14 +1226,7 @@ object Corpus {
     val estU = hllReadout(unionRegs, Seq("src_a", "src_b"))
       .select(col("src_a"), col("src_b"), col("est_raw").as("est_union"))
     // exact shared grams: distinct (source, gram) collapse, gram join
-    val sg = docs
-      .select(col("source"),
-        filter(split(coalesce(col("text"), lit("")), " "), t => t =!= "").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("source"), explode(expr(
-        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
-        .as("g"))
-      .distinct()
+    val sg = grams.distinct()
     val shared = sg.as("a").join(sg.as("b"),
         col("a.g") === col("b.g") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
@@ -1237,6 +1243,7 @@ object Corpus {
       .persist()
     out.count()
     regs.unpersist(blocking = false)
+    grams.unpersist(blocking = false)
     out
   }
 
