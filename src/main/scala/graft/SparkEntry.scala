@@ -188,6 +188,7 @@ object SparkEntry {
     "q164_k_anonymity" -> (Pii.q164KAnonymity _),
     "q165_ewma" -> (Temporal.q165Ewma _),
     "q166_hits" -> (Corpus.q166Hits _),
+    "q167_stream_cms" -> (graft.streaming.EventStream.q167StreamCms _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -3402,5 +3403,42 @@ object SparkEntry {
           |ORDER BY l_partkey""".stripMargin
       head + iters + tail
     },
+    // the streaming CMS's cell state is order-independent sums, so the
+    // oracle replays the ENTIRE stream query from the batch events
+    // table: epoch-aligned windows, the q158 bucket arithmetic on
+    // md5(user_id-as-string), probe slate user_id < 10
+    "q167_stream_cms" ->
+      s"""WITH ev AS (
+        |  SELECT CAST(epoch_us(ts) AS BIGINT)
+        |    - CAST(epoch_us(ts) AS BIGINT) % 600000000 AS win_start_us,
+        |    user_id
+        |  FROM events),
+        |seeds(j, a, b, c) AS (SELECT * FROM (VALUES ${graft.operators.Corpus.cmsSeedValuesSql}) v),
+        |keyed AS (
+        |  SELECT win_start_us, user_id,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS x
+        |  FROM ev),
+        |cells AS (
+        |  SELECT win_start_us, j,
+        |    ((a * (x >> 30) + b * (x & 1073741823) + c) % 2147483647) % 512 AS bkt,
+        |    COUNT(*) AS c
+        |  FROM keyed, seeds GROUP BY 1, 2, 3),
+        |pr AS (
+        |  SELECT win_start_us, user_id, COUNT(*) AS exact_cnt
+        |  FROM ev WHERE user_id < 10 GROUP BY 1, 2),
+        |pb AS (
+        |  SELECT p.win_start_us, p.user_id, p.exact_cnt, s.j,
+        |    ((s.a * (k.x >> 30) + s.b * (k.x & 1073741823) + s.c) % 2147483647) % 512 AS bkt
+        |  FROM pr p, seeds s,
+        |    (SELECT DISTINCT user_id,
+        |       CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS x
+        |     FROM ev WHERE user_id < 10) k
+        |  WHERE k.user_id = p.user_id)
+        |SELECT p.win_start_us, p.user_id, p.exact_cnt, MIN(c.c) AS est_cnt,
+        |  MIN(c.c) - p.exact_cnt AS over_err
+        |FROM pb p JOIN cells c
+        |  ON c.win_start_us = p.win_start_us AND c.j = p.j AND c.bkt = p.bkt
+        |GROUP BY 1, 2, 3
+        |ORDER BY p.win_start_us, p.user_id""".stripMargin,
   )
 }

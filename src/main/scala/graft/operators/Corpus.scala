@@ -885,6 +885,24 @@ object Corpus {
     cmsA.indices.map(j => s"(${j}, ${cmsA(j)}, ${cmsB(j)}, ${cmsC(j)})")
       .mkString(", ")
 
+  /** The seed rows as a broadcastable frame (shared with the streaming
+    * CMS build, q167).
+    */
+  private[graft] def cmsSeedsDf(s: SparkSession): DataFrame =
+    s.createDataFrame(
+      cmsA.indices.map(j => (j.toLong, cmsA(j), cmsB(j), cmsC(j))))
+      .toDF("j", "a", "b", "c")
+
+  /** The 60-bit md5 key of any string column (q158 convention). */
+  private[graft] def cmsKey(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** [[cmsBucketFromKey]] for cross-package callers (q167). */
+  private[graft] def cmsBucketOf(x: org.apache.spark.sql.Column,
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    cmsBucketFromKey(x, a, b, c)
+
   /** CMS row hash from a PRE-COMPUTED 60-bit key `x` — the key rides a
     * column so the md5 is evaluated ONCE per token, not once per
     * (token, seed) pair after the depth-way seed join (md5 dominates

@@ -1103,6 +1103,72 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("bkt"), col("r"))
   }
 
+  /** Per-window CMS cell build over a `(ts, user_id)` frame —
+    * batch/stream unified like [[hllWindowRegisters]]: the q158
+    * sketch's cell update is `count` per (window, row, bucket), an
+    * algebraic SUM, so the streaming incremental merge IS the sketch
+    * merge. State is depth·width = 2048 cells per open window — the
+    * frequency monitor whose state does not grow with the key space.
+    */
+  def cmsWindowCells(
+      events: DataFrame,
+      windowLen: String = "10 minutes",
+      watermark: String = "20 minutes"): DataFrame = {
+    val s = events.sparkSession
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        graft.operators.Corpus.cmsKey(col("user_id").cast("string")).as("x"))
+      .crossJoin(broadcast(graft.operators.Corpus.cmsSeedsDf(s)))
+      .select(col("ts"), col("j"),
+        graft.operators.Corpus.cmsBucketOf(col("x"),
+          col("a"), col("b"), col("c")).as("bkt"))
+      .groupBy(window(col("ts"), windowLen), col("j"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("win_start"), col("j"), col("bkt"), col("c"))
+  }
+
+  /** q167 — the TWELFTH streaming shape: a per-window event-frequency
+    * monitor via the replayable CMS ([[cmsWindowCells]]) replayed over
+    * the bounded events table, probed in batch for the fixed probe
+    * slate (user_id < 10, the q22/q23 probe convention) with exact
+    * per-window counts riding along. The q161 program applied to the
+    * FREQUENCY sketch: cells are order-independent sums, so the DuckDB
+    * oracle replays the entire stream query from the batch table.
+    */
+  def q167StreamCms(s: SparkSession, d: String): DataFrame = {
+    val stream = eventsStream(s, d)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"))
+    val cells = cmsWindowCells(stream)
+    val qname = "q167_stream_cms"
+    withReplayStateWidth(s) {
+      val q = cells.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Complete).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val sink = s.table(qname)
+      .select(unix_micros(col("win_start")).as("win_start_us"),
+        col("j"), col("bkt"), col("c"))
+    val ev = graft.Tables.events(s, d)
+      .select((expr("ts div 1000") - expr("ts div 1000") % 600000000L)
+        .as("win_start_us"), col("user_id"))
+    val probes = ev.filter(col("user_id") < 10)
+      .groupBy(col("win_start_us"), col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    val probed = probes
+      .crossJoin(broadcast(graft.operators.Corpus.cmsSeedsDf(s)))
+      .select(col("win_start_us"), col("user_id"), col("exact_cnt"), col("j"),
+        graft.operators.Corpus.cmsBucketOf(
+          graft.operators.Corpus.cmsKey(col("user_id").cast("string")),
+          col("a"), col("b"), col("c")).as("bkt"))
+    probed.join(sink, Seq("win_start_us", "j", "bkt"))
+      .groupBy(col("win_start_us"), col("user_id"), col("exact_cnt"))
+      .agg(min(col("c")).as("est_cnt"))
+      .select(col("win_start_us"), col("user_id"), col("exact_cnt"),
+        col("est_cnt"), (col("est_cnt") - col("exact_cnt")).as("over_err"))
+      .orderBy(col("win_start_us"), col("user_id"))
+  }
+
   /** q161 — the ELEVENTH streaming shape: a windowed distinct-user
     * cardinality monitor via the replayable HLL ([[hllWindowRegisters]])
     * replayed over the bounded events table, registers folded to

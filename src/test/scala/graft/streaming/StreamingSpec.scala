@@ -61,6 +61,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("cmsWindowCells: streaming build across batches equals the batch build") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (0 until 90).map(i => (ts(i % 30), (i * 11 % 17).toLong))
+    val input = MemoryStream[(Timestamp, Long)]
+    val cells = EventStream.cmsWindowCells(input.toDF().toDF("ts", "user_id"))
+    val q = cells.writeStream.format("memory").queryName("cmscells")
+      .outputMode("complete").start()
+    try {
+      rows.grouped(30).foreach { batch =>
+        input.addData(batch: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("cmscells")
+      .as[(Timestamp, Long, Long, Long)].collect().toSet
+    val batch = EventStream.cmsWindowCells(rows.toDF("ts", "user_id"))
+      .as[(Timestamp, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("windowedCounts is batch/stream unified: same code on a batch frame") {
     import spark.implicits._
     val batch = Seq((ts(0, 10), "click"), (ts(0, 40), "click"), (ts(1, 5), "view"))
