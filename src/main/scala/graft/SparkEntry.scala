@@ -189,6 +189,7 @@ object SparkEntry {
     "q165_ewma" -> (Temporal.q165Ewma _),
     "q166_hits" -> (Corpus.q166Hits _),
     "q167_stream_cms" -> (graft.streaming.EventStream.q167StreamCms _),
+    "q168_hist_merge" -> (Relational.q168HistMerge _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -3440,5 +3441,39 @@ object SparkEntry {
         |  ON c.win_start_us = p.win_start_us AND c.j = p.j AND c.bkt = p.bkt
         |GROUP BY 1, 2, 3
         |ORDER BY p.win_start_us, p.user_id""".stripMargin,
+    // global-bin histogram replay: one global bounds pass, per-scope
+    // cells + the GLOBAL scope as their cell-wise sum, identical
+    // IEEE bin/edge arithmetic and integer ceil-ranks (q160 rules)
+    "q168_hist_merge" ->
+      """WITH ev AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+        |b AS (SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM ev),
+        |binned AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN b.vmax = b.vmin THEN CAST(0 AS BIGINT)
+        |      ELSE LEAST(CAST(floor((e.v - b.vmin) * CAST(64 AS DOUBLE)
+        |        / (b.vmax - b.vmin)) AS BIGINT), 63) END AS bin
+        |  FROM ev e, b),
+        |pc AS (SELECT event_type, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+        |cells AS (
+        |  SELECT event_type AS scope, bin, c FROM pc
+        |  UNION ALL
+        |  SELECT 'GLOBAL' AS scope, bin, CAST(SUM(c) AS BIGINT) AS c
+        |  FROM pc GROUP BY 2),
+        |ns AS (SELECT scope, CAST(SUM(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |cum AS (
+        |  SELECT scope, bin, c,
+        |    SUM(c) OVER (PARTITION BY scope ORDER BY bin) AS cum
+        |  FROM cells),
+        |picks AS (
+        |  SELECT c.scope, ns.n,
+        |    MIN(CASE WHEN cum >= (ns.n * 50 + 99) // 100 THEN bin END) AS b50,
+        |    MIN(CASE WHEN cum >= (ns.n * 95 + 99) // 100 THEN bin END) AS b95,
+        |    MIN(CASE WHEN cum >= (ns.n * 99 + 99) // 100 THEN bin END) AS b99
+        |  FROM cum c JOIN ns USING (scope) GROUP BY 1, 2)
+        |SELECT p.scope, p.n,
+        |  b.vmin + CAST(p.b50 + 1 AS DOUBLE) * ((b.vmax - b.vmin) / CAST(64 AS DOUBLE)) AS p50_est,
+        |  b.vmin + CAST(p.b95 + 1 AS DOUBLE) * ((b.vmax - b.vmin) / CAST(64 AS DOUBLE)) AS p95_est,
+        |  b.vmin + CAST(p.b99 + 1 AS DOUBLE) * ((b.vmax - b.vmin) / CAST(64 AS DOUBLE)) AS p99_est
+        |FROM picks p, b ORDER BY p.scope""".stripMargin,
   )
 }

@@ -579,6 +579,60 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Histogram-sketch MERGE (q168): [[q160HistQuantiles]]'s missing
+    * algebraic half. q160's per-group bins ride each group's own
+    * [min, max], so they cannot merge ACROSS groups; this variant bins
+    * every group on the GLOBAL domain — one extra 1-row bounds
+    * pre-pass — making per-group histograms unit-compatible: the
+    * global histogram is their plain cell-wise SUM (how 1000 shards'
+    * quantile sketches combine on a coordinator). Output: quantile
+    * edges per scope — each event_type AND the 'GLOBAL' row computed
+    * from the MERGED cells, never from a re-scan. One window,
+    * scope-partitioned (no SinglePartition even for the global
+    * read-out: the merged cells are just another scope).
+    */
+  def q168HistMerge(s: SparkSession, d: String): DataFrame =
+    histMergeOf(Tables.events(s, d)
+      .select(col("event_type"), col("value").cast("double").as("v")))
+
+  /** [[q168HistMerge]] over any `(event_type, v: double)` frame. */
+  private[operators] def histMergeOf(ev: DataFrame): DataFrame = {
+    val b = lit(HistBins.toDouble)
+    val bounds = ev.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val binned = ev.crossJoin(broadcast(bounds))
+      .withColumn("bin", when(col("vmax") === col("vmin"), lit(0L))
+        .otherwise(least(
+          floor((col("v") - col("vmin")) * b / (col("vmax") - col("vmin"))).cast("long"),
+          lit(HistBins - 1L))))
+      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("c"))
+      .persist()
+    // THE MERGE: the global histogram is the cell-wise sum of the
+    // per-scope histograms (shared bin space makes this exact)
+    val cells = binned.select(col("event_type").as("scope"), col("bin"), col("c"))
+      .unionByName(binned.groupBy(col("bin")).agg(sum(col("c")).as("c"))
+        .select(lit("GLOBAL").as("scope"), col("bin"), col("c")))
+    val ns = cells.groupBy(col("scope")).agg(sum(col("c")).as("n"))
+    val cum = cells.withColumn("cum",
+        sum(col("c")).over(Window.partitionBy(col("scope")).orderBy(col("bin"))))
+      .join(broadcast(ns), "scope")
+    def kq(pct: Int) = expr(s"CAST((n * $pct + 99) DIV 100 AS BIGINT)")
+    def pick(pct: Int, name: String) =
+      min(when(col("cum") >= kq(pct), col("bin"))).as(name)
+    val picks = cum.groupBy(col("scope"), col("n"))
+      .agg(pick(50, "b50"), pick(95, "b95"), pick(99, "b99"))
+      .crossJoin(broadcast(bounds))
+    def edge(c: Column) =
+      col("vmin") + (c + lit(1L)).cast("double") * ((col("vmax") - col("vmin")) / b)
+    val out = picks.select(col("scope"), col("n"),
+        edge(col("b50")).as("p50_est"), edge(col("b95")).as("p95_est"),
+        edge(col("b99")).as("p99_est"))
+      .orderBy(col("scope"))
+      .persist()
+    out.count()
+    binned.unpersist(blocking = false)
+    out
+  }
+
   /** Correlated-style scalar-subquery filter: customers whose average
     * order value exceeds 1.2x the global average — per-group aggregate
     * joined against a broadcast global scalar (the decorrelated plan a

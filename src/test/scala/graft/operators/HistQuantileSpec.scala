@@ -55,4 +55,36 @@ class HistQuantileSpec extends SparkSpec {
     val r = rows.head
     assert(r.getDouble(4) == 7.5 && r.getDouble(5) == 7.5 && r.getDouble(6) == 7.5)
   }
+
+  test("q168 mergeability law: the GLOBAL row equals a direct one-group build") {
+    import spark.implicits._
+    // merged-cells global quantiles must equal building one histogram
+    // over the whole data directly (same global bins) — the property
+    // that lets shard sketches combine on a coordinator
+    val df = fixture.toDF("event_type", "v")
+    val merged = Relational.histMergeOf(df)
+      .filter(col("scope") === "GLOBAL")
+      .select(col("n"), col("p50_est"), col("p95_est"), col("p99_est"))
+      .collect().head
+    val direct = Relational.histMergeOf(df.withColumn("event_type", lit("all")))
+      .filter(col("scope") === "GLOBAL")
+      .select(col("n"), col("p50_est"), col("p95_est"), col("p99_est"))
+      .collect().head
+    assert(merged == direct)
+  }
+
+  test("q168 global estimates stay inside the one-bin-width envelope") {
+    val r = Relational.histMergeOf {
+      import spark.implicits._
+      fixture.toDF("event_type", "v")
+    }.filter(col("scope") === "GLOBAL").collect().head
+    val xs = fixture.map(_._2).sorted
+    val width = (xs.last - xs.head) / Relational.HistBins
+    Seq((50, 2), (95, 3), (99, 4)).foreach { case (pct, idx) =>
+      val k = (xs.length * pct + 99) / 100
+      val exact = xs(k - 1)
+      assert(math.abs(r.getDouble(idx) - exact) <= width + 1e-9,
+        s"p$pct: ${r.getDouble(idx)} vs $exact")
+    }
+  }
 }
