@@ -1339,7 +1339,7 @@ object Relational {
     * drift from the recompute-from-scratch oracle.
     */
   def mergeAggStates(stored: DataFrame, delta: DataFrame, key: Seq[String]): DataFrame = {
-    val d = delta.select(delta.columns.map(c =>
+    val d = delta.select(delta.columns.toIndexedSeq.map(c =>
       if (key.contains(c)) col(c) else col(c).as(s"d_$c")): _*)
     stored.join(d, key, "full_outer")
       .select(key.map(col) ++ Seq(
