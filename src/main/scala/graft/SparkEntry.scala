@@ -787,6 +787,81 @@ object SparkEntry {
         |  FROM documents d JOIN surv USING (doc_id) WHERE d.lang = 'en')
         |SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
         |FROM tok WHERE n_tok >= 40 GROUP BY source ORDER BY source""".stripMargin,
+    // full IVF replay (ALGORITHMIC-REPLAY family, rows-only ->
+    // hash-matched, r12): the coarse quantizer is the q142 fixed-point
+    // centroid arithmetic run as IvfIters bounded Lloyd rounds — md5
+    // seed/sample selection, BIGINT squared-L2 argmin (ties to the
+    // smaller cell id), truncating per-dim division (DuckDB // floors,
+    // hence the sign CASE), empty cells drop. The unrolled iteration
+    // chain keeps every c$k referenced once EXCEPT the final c4,
+    // deliberately read twice (corpus assignment + the tiny probe
+    // ranking): one doubling of the sample-sized chain, never 2^n
+    "q43_knn_ivf" -> {
+      val cells = graft.operators.Similarity.IvfCells
+      val np = graft.operators.Similarity.IvfNprobe
+      val mod = graft.operators.Similarity.IvfSampleMod
+      val head =
+        s"""WITH qv AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+          |  FROM embeddings),
+          |hs AS (SELECT vec_id, q, md5(CAST(vec_id AS VARCHAR)) AS h FROM qv),
+          |sd AS (SELECT vec_id AS cell, q FROM hs ORDER BY h, vec_id LIMIT $cells),
+          |c0 AS (SELECT cell, i, q[i] AS c FROM sd, range(1, 65) t(i)),
+          |sm AS (SELECT vec_id, q FROM hs
+          |  WHERE CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % $mod = 0)""".stripMargin
+      val iters = (1 to graft.operators.Similarity.IvfIters).map { kk =>
+        s""",
+           |d$kk AS (
+           |  SELECT s.vec_id, c.cell, SUM((s.q[c.i] - c.c) * (s.q[c.i] - c.c)) AS d2
+           |  FROM sm s, c${kk - 1} c GROUP BY 1, 2),
+           |a$kk AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+           |    FROM d$kk) z WHERE rn = 1),
+           |c$kk AS (
+           |  SELECT cell, i, CASE WHEN sm2 < 0 THEN -((-sm2) // n) ELSE sm2 // n END AS c FROM (
+           |    SELECT a.cell, t.i, SUM(s.q[t.i]) AS sm2, COUNT(*) AS n
+           |    FROM a$kk a JOIN sm s USING (vec_id), range(1, 65) t(i)
+           |    GROUP BY 1, 2) z)""".stripMargin
+      }.mkString
+      val cf = s"c${graft.operators.Similarity.IvfIters}"
+      val tail =
+        s""",
+          |df AS (
+          |  SELECT v.vec_id, c.cell, SUM((v.q[c.i] - c.c) * (v.q[c.i] - c.c)) AS d2
+          |  FROM qv v, $cf c GROUP BY 1, 2),
+          |asg AS (
+          |  SELECT vec_id, cell FROM (
+          |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+          |    FROM df) z WHERE rn = 1),
+          |dp AS (
+          |  SELECT v.vec_id AS probe_id, c.cell, SUM((v.q[c.i] - c.c) * (v.q[c.i] - c.c)) AS d2
+          |  FROM qv v, $cf c WHERE v.vec_id < 10 GROUP BY 1, 2),
+          |pc AS (
+          |  SELECT probe_id, cell FROM (
+          |    SELECT probe_id, cell, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY d2, cell) AS rn
+          |    FROM dp) z WHERE rn <= $np),
+          |nr AS (
+          |  SELECT vec_id, CAST(SUM(q[i] * q[i]) AS BIGINT) AS nrm
+          |  FROM qv, range(1, 65) t(i) GROUP BY 1),
+          |cand AS (
+          |  SELECT p.probe_id, a.vec_id FROM pc p JOIN asg a USING (cell)
+          |  WHERE a.vec_id <> p.probe_id),
+          |dotp AS (
+          |  SELECT c.probe_id, c.vec_id, CAST(SUM(pq.q[i] * cq.q[i]) AS BIGINT) AS dot
+          |  FROM cand c
+          |  JOIN qv pq ON pq.vec_id = c.probe_id
+          |  JOIN qv cq ON cq.vec_id = c.vec_id, range(1, 65) t(i)
+          |  GROUP BY 1, 2),
+          |scored AS (
+          |  SELECT d.probe_id, d.vec_id,
+          |    CAST(d.dot AS DOUBLE) / sqrt(CAST(np2.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
+          |  FROM dotp d JOIN nr np2 ON np2.vec_id = d.probe_id JOIN nr nc ON nc.vec_id = d.vec_id)
+          |SELECT probe_id, vec_id, cosine,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+          |FROM scored QUALIFY rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+      head + iters + tail
+    },
     // embedding near-dup via the same replayed hyperplane signatures as
     // q24, plus the distinct-member bucket cap with drop stats and the
     // exact fixed-point cosine verify (rows-only -> hash-matched, r11)
@@ -3083,27 +3158,37 @@ object SparkEntry {
           |  FROM el a JOIN el b ON a.vec_id = b.vec_id GROUP BY 1, 2),""".stripMargin +
         s"""
           |v0 AS (SELECT DISTINCT i, CAST($s AS HUGEINT) AS v FROM el)""".stripMargin
-      // each CTE is referenced EXACTLY once (renorm max via a window
-      // function, not a scalar subquery): DuckDB inlines CTEs, so a
+      // each CTE is referenced EXACTLY once: DuckDB inlines CTEs, so a
       // double reference per iteration would expand 2^PcaIters copies
-      // of the whole chain
+      // of the whole chain. The renorm max is a window function, the
+      // sign pin is two stacked single-read windows, and `pv` (the
+      // diagonal join row carries v_{k-1}(i)) mirrors the engine's
+      // keep-previous-v branch when the whole product is zero — the
+      // GREATEST floor keeps the unselected division branch safe under
+      // eager vectorized evaluation
       val iters = (1 to graft.operators.Similarity.PcaIters).map { k =>
         s""",
-           |w$k AS (SELECT g.i, SUM(g.g * v.v) AS w FROM g JOIN v${k - 1} v ON v.i = g.j GROUP BY 1),
-           |v$k AS (SELECT i, (w * $s) // MAX(abs(w)) OVER () AS v FROM w$k)""".stripMargin
+           |w$k AS (SELECT g.i, SUM(g.g * v.v) AS w,
+           |  MAX(CASE WHEN g.j = g.i THEN v.v END) AS pv
+           |  FROM g JOIN v${k - 1} v ON v.i = g.j GROUP BY 1),
+           |v$k AS (SELECT i, CASE WHEN MAX(abs(w)) OVER () = 0 THEN pv
+           |  ELSE (w * $s) // GREATEST(MAX(abs(w)) OVER (), 1) END AS v FROM w$k)""".stripMargin
       }.mkString
       val last = s"v${graft.operators.Similarity.PcaIters}"
       val tail =
         s""",
-          |sg AS (SELECT CASE WHEN COALESCE(
-          |  (SELECT v FROM $last WHERE v <> 0 ORDER BY i LIMIT 1), 1) < 0
-          |  THEN -1 ELSE 1 END AS s),
+          |vf0 AS (SELECT i, v,
+          |  MIN(CASE WHEN v <> 0 THEN i END) OVER () AS fi FROM $last),
+          |vf AS (SELECT i, v, CASE WHEN COALESCE(
+          |  MAX(CASE WHEN i = fi THEN v END) OVER (), 1) < 0
+          |  THEN -1 ELSE 1 END AS s FROM vf0),
           |fin AS (
-          |  SELECT el.vec_id, SUM(CAST(el.qi AS HUGEINT) * vf.v) AS raw
-          |  FROM el JOIN $last vf ON vf.i = el.i GROUP BY 1)
+          |  SELECT el.vec_id, SUM(CAST(el.qi AS HUGEINT) * vf.v) AS raw,
+          |    MAX(vf.s) AS s
+          |  FROM el JOIN vf ON vf.i = el.i GROUP BY 1)
           |SELECT f.vec_id, CAST(q2.label AS BIGINT) AS label,
-          |  CAST(f.raw * sg.s AS BIGINT) AS proj1
-          |FROM fin f JOIN qv q2 USING (vec_id), sg
+          |  CAST(f.raw * f.s AS BIGINT) AS proj1
+          |FROM fin f JOIN qv q2 USING (vec_id)
           |ORDER BY vec_id""".stripMargin
       head + iters + tail
     },

@@ -1032,7 +1032,9 @@ object Corpus {
         col("a.j") === col("b.j") && col("a.bkt") === col("b.bkt")
           && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"), col("a.j").as("j"))
-      .agg(sum((col("a.c") * col("b.c")).cast("decimal(38,0)")).as("s"))
+      // cast BEFORE multiplying: Long*Long would wrap past ~3e9-count
+      // cells under non-ANSI eval; decimal*bigint widens exactly
+      .agg(sum(col("a.c").cast("decimal(38,0)") * col("b.c")).as("s"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(min(col("s")).cast("long").as("mn"), count(lit(1)).as("nj"))
       // a sketch row with NO overlapping cells contributes 0 to the
@@ -1051,7 +1053,7 @@ object Corpus {
     val exact = cnt.as("a").join(cnt.as("b"),
         col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .agg(sum((col("a.n") * col("b.n")).cast("decimal(38,0)")).cast("long")
+      .agg(sum(col("a.n").cast("decimal(38,0)") * col("b.n")).cast("long")
         .as("ip_exact"))
     val out = ip.join(exact, Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"),

@@ -1416,34 +1416,86 @@ object Curation {
     */
   val RankBucketWidth = 100000L
 
+  /** Superbucket count for [[globalRank]]'s distributive offset fold:
+    * the ONLY driver collect is one row per value-range superbucket,
+    * so the fold is bounded by this constant regardless of how many
+    * distinct values the column holds — continuous scores rank as
+    * cheaply as heavily-tied token lengths.
+    */
+  val RankRangeCount = 1024
+
   /** Global dense ordering rank over `(v, id)` without a
-    * SinglePartition window: rows bucket by `(v, id div
-    * [[RankBucketWidth]])` — a refinement of the total order, so
-    * bucket-count prefix offsets (folded driver-side from one
-    * small aggregate, ~N/width rows) plus a within-bucket
-    * `row_number` reconstruct the exact global rank. The same
-    * two-phase scan as [[systematicResample]]'s cumsum, specialized
-    * to counting.
+    * SinglePartition window — and without any data-sized driver
+    * collect. Rows bucket by `(v, id div [[RankBucketWidth]])`, a
+    * refinement of the total order; bucket-count prefix offsets are
+    * folded DISTRIBUTIVELY via the textbook two-phase scan (Blelloch
+    * '90) over value-range superbuckets:
+    *
+    *  1. `cb(v)` = number of approx-quantile boundaries `<= v`. The
+    *     boundary set is collected once (< [[RankRangeCount]] doubles)
+    *     and the map is monotone in `v` (Long→Double conversion is
+    *     non-strictly monotone), so `(cb, v, gb)` refines the `(v,
+    *     gb)` order — quantile ERROR shifts bucket balance, never the
+    *     rank, which stays exact.
+    *  2. Within-superbucket exclusive running counts under a
+    *     cb-partitioned window (each partition ~1/[[RankRangeCount]]
+    *     of the distinct `(v, gb)` groups; skew-resistant because the
+    *     boundaries are quantiles of those groups).
+    *  3. Per-superbucket totals fold driver-side — `<=`
+    *     [[RankRangeCount]] rows, the bound the old implementation
+    *     lacked (its collect was per-`(v, gb)`, i.e. data-sized under
+    *     high-cardinality `v`).
+    *
+    * The final offset join is a plain shuffle equi-join on `(v, gb)`
+    * (the offset table is group-sized, deliberately NOT broadcast);
+    * a within-bucket `row_number` then reconstructs the exact global
+    * rank.
     *
     * @param rows `(id: Long, v: Long)`, id unique.
     * @return rows plus `rank_g` (1-based, ordered by `(v, id)`).
     */
-  private[operators] def globalRank(rows: DataFrame): DataFrame = {
-    val b = rows.withColumn("gb", expr(s"id div $RankBucketWidth"))
-    val counts = b.groupBy(col("v"), col("gb")).agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .sortBy(t => (t._1, t._2))
+  private[operators] def globalRank(rows: DataFrame): DataFrame =
+    globalRankWithFold(rows)._1
+
+  /** [[globalRank]] plus the driver-fold row count — the testing hook
+    * that proves the collect stays `<=` [[RankRangeCount]] no matter
+    * the value cardinality.
+    */
+  private[operators] def globalRankWithFold(rows: DataFrame): (DataFrame, Int) = {
     val s = rows.sparkSession
     import s.implicits._
-    val offsets = counts.map(t => (t._1, t._2))
-      .zip(counts.map(_._3).scanLeft(0L)(_ + _))
-      .map { case ((v, gb), off) => (v, gb, off) }
-      .toSeq.toDF("v", "gb", "off")
-    b.join(broadcast(offsets), Seq("v", "gb"))
+    val b = rows.withColumn("gb", expr(s"id div $RankBucketWidth"))
+    val counts = b.groupBy(col("v"), col("gb")).agg(count(lit(1)).as("c"))
+    val bounds = counts.stat.approxQuantile("v",
+      (1 until RankRangeCount).map(_.toDouble / RankRangeCount).toArray, 0.001)
+      .distinct.sorted
+    val cb =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(lit(bounds), bd => bd <= col("v").cast("double")))
+    val withCb = counts.withColumn("cb", cb)
+    // phase 1: within-superbucket exclusive running count (distributed)
+    val local = withCb.withColumn("off_local",
+      coalesce(
+        sum(col("c")).over(Window.partitionBy(col("cb"))
+          .orderBy(col("v"), col("gb"))
+          .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    // phase 2: superbucket totals -> exclusive offsets, folded
+    // driver-side from <= RankRangeCount rows and rejoined broadcast
+    val totals = withCb.groupBy(col("cb")).agg(sum(col("c")).as("ct"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offs = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _))
+      .toSeq.toDF("cb", "cb_off")
+    val offsets = local.join(broadcast(offs), Seq("cb"))
+      .select(col("v"), col("gb"),
+        (col("cb_off") + col("off_local")).as("off"))
+    val out = b.join(offsets, Seq("v", "gb"))
       .withColumn("rank_g", col("off") +
         row_number().over(Window.partitionBy(col("v"), col("gb"))
           .orderBy(col("id"))))
       .select(col("id"), col("v"), col("rank_g"))
+    (out, totals.length)
   }
 
   /** Quantile normalization of a per-document statistic across

@@ -416,12 +416,48 @@ object Similarity {
 
   // ---- IVF (inverted-file) ANN --------------------------------------
 
-  /** IVF ANN: k-means coarse quantizer (MLlib, fixed seed) partitions
-    * the corpus into inverted lists; each probe scores only its nprobe=4
-    * nearest cells. At scale the corpus is hash-partitioned by cell id,
-    * so a query touches nprobe partitions instead of the full corpus;
-    * centroids are O(k·dim) driver/broadcast state, like every IVF
-    * implementation. Approximate by construction -> rows-only oracle.
+  /** Inverted-list count of the q43 coarse quantizer. */
+  val IvfCells = 16
+
+  /** Inverted lists each probe scores (nprobe). */
+  val IvfNprobe = 4
+
+  /** Bounded Lloyd rounds of the q43 coarse quantizer — like q157's
+    * power iteration, convergence quality is irrelevant to
+    * correctness: engine and oracle run the SAME fixed count.
+    */
+  val IvfIters = 4
+
+  /** Quantizer-training sample keeps vectors with md5 prefix ≡ 0 mod
+    * this (the q49 deterministic-sample idiom, ~1/4 of the corpus).
+    */
+  val IvfSampleMod = 4
+
+  /** IVF ANN (q43): inverted-file search with a REPLAYABLE coarse
+    * quantizer — a bounded fixed-point Lloyd iteration on the q142
+    * centroid arithmetic instead of float MLlib k-means, so every
+    * centroid, cell assignment, probe list, and final cosine is exact
+    * BIGINT (one double division at the end) that the DuckDB oracle
+    * replays bit-for-bit; the same conversion that moved q24/q44 from
+    * rows-only to hash-matched.
+    *
+    * Quantizer: seeds are the [[IvfCells]] vectors with the smallest
+    * `(md5(vec_id), vec_id)`; [[IvfIters]] Lloyd rounds run over the
+    * deterministic ~1/[[IvfSampleMod]] md5 sample — assignment by
+    * BIGINT squared-L2 (`|q−c|² = q·q − 2q·c + c·c`, all in the fused
+    * fixed_dot kernel; ties to the smaller cell id), update by
+    * per-dimension truncating integer division of the quantized sums
+    * (cells that lose all members drop: fewer lists, same search
+    * semantics). The full corpus is then assigned ONCE against the
+    * final centroids, and each probe (vec_id < 10) scores only its
+    * [[IvfNprobe]] nearest cells by exact fixed-point cosine.
+    *
+    * Scale shape: centroids are O(cells·dim) driver/broadcast state
+    * (like every IVF implementation); each Lloyd round is one
+    * map-side-combined pass over the CACHED sample, never the corpus;
+    * the corpus streams exactly once for assignment + scoring, and a
+    * query touches nprobe inverted lists instead of the full corpus —
+    * at 100 TB the lists are what's hash-partitioned by cell id.
     */
   def q43KnnIvf(s: SparkSession, d: String): DataFrame = {
     graft.functions.FingerprintFunctions.register(s)
@@ -431,65 +467,86 @@ object Similarity {
   /** [[q43KnnIvf]] over any `(vec_id, embedding)` frame. */
   private[operators] def knnIvfOf(embRaw: DataFrame, k: Int): DataFrame = {
     val s = embRaw.sparkSession
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
+    val q0 = embRaw.select(col("vec_id"), quantized.as("q"))
 
-    if (embRaw.isEmpty) {
-      // KMeans.fit throws on an empty frame; an empty corpus has an
-      // empty (correctly-typed) answer
-      import s.implicits._
+    // seeds: smallest (md5(vec_id), vec_id) — bounded collect
+    val seeds = q0
+      .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+      .orderBy(col("h"), col("vec_id")).limit(IvfCells)
+      .select(col("vec_id"), col("q"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    if (seeds.isEmpty)
       return Seq.empty[(Long, Long, Double, Long)]
         .toDF("probe_id", "vec_id", "cosine", "rnk")
+
+    // deterministic training sample: membership is a pure function of
+    // the id, stable under repartitioning and retries; only this
+    // sample is cached for the Lloyd rounds — the corpus never is
+    val sampled = q0.filter(
+      expr("cast(conv(substring(md5(cast(cast(vec_id as string) as binary)), 1, 4), 16, 10) as bigint)")
+        % IvfSampleMod === 0).persist()
+    // tiny corpora can miss the hash range entirely — train on the
+    // full (still small) frame then
+    val train = (if (sampled.isEmpty) q0 else sampled)
+      .withColumn("qn", dot(col("q"), col("q")))
+
+    def centFrame(cents: Array[(Long, Array[Long])]): DataFrame =
+      broadcast(cents.map { case (c, a) => (c, a.toSeq) }.toSeq
+        .toDF("cell", "c")
+        .withColumn("cn", dot(col("c"), col("c"))))
+
+    var cents = seeds
+    var it = 0
+    while (it < IvfIters) {
+      cents = train
+        .crossJoin(centFrame(cents))
+        .select(col("vec_id"), col("q"),
+          struct(
+            (col("qn") - lit(2L) * dot(col("q"), col("c")) + col("cn")).as("d2"),
+            col("cell")).as("dc"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dc")).as("best"), first(col("q")).as("q"))
+        .select(col("best.cell").as("cell"), col("q"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until EmbedDims).map(i => sum(col("q")(i))): _*).as("sums"))
+        .select(col("cell"), expr("transform(sums, s -> s div n)").as("c"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+      it += 1
     }
-
-    val emb = embRaw.withColumn("features", array_to_vector(col("embedding")))
-
-    // fit the coarse quantizer on a deterministic content-hash sample
-    // (the q49 sampling idiom: membership is a pure function of the id,
-    // stable under repartitioning and retries). KMeans is iterative, so
-    // only this sample is cached — and only for the duration of the
-    // eager fit — while the full corpus is never cached and streams once
-    // for assignment. At 100 TB the sample keeps both the iterative
-    // scans and the storage pressure O(sample), not O(corpus).
-    val sampled = emb
-      .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
-      .select(col("features"))
-      .cache()
-    // tiny corpora can miss the hash range entirely — KMeans.fit throws
-    // on an empty frame, so fall back to the full (still small) corpus
-    val fitSample = if (sampled.isEmpty) emb.select(col("features")) else sampled
-    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(fitSample)
     sampled.unpersist(blocking = false)
-    val assigned = model.transform(emb)
-      .select(col("vec_id"), col("cell"), quantized.as("q"))
-      .withColumn("nrm", dot(col("q"), col("q")))
 
-    // probe rows come from their OWN tiny scan (vec_id < 10 pushed to
-    // the source) so the corpus-sized `assigned` pipeline executes
-    // exactly once, in the candidate join below — collecting probes
-    // from `assigned` would re-run the full scan+transform+quantize per
-    // consumer. The collect is bounded (10 rows) and feeds both the
-    // driver-side centroid ranking and the broadcast probe frame.
-    val probes = model.transform(emb.filter(col("vec_id") < 10))
-      .select(col("vec_id"), quantized.as("q"))
+    // full-corpus assignment against the FINAL centroids: the corpus
+    // streams once; per row the argmin is |cells| fused BIGINT kernels
+    val assigned = q0
       .withColumn("nrm", dot(col("q"), col("q")))
-      .collect()
+      .crossJoin(centFrame(cents))
+      .select(col("vec_id"), col("q"), col("nrm"),
+        struct(
+          (col("nrm") - lit(2L) * dot(col("q"), col("c")) + col("cn")).as("d2"),
+          col("cell")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dc")).as("best"),
+        first(col("q")).as("q"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("best.cell").as("cell"), col("q"), col("nrm"))
 
-    // probes rank the k=16 centroids driver-side (bounded: nprobe choice
-    // is O(#probes * k), never corpus-sized)
-    val centers = model.clusterCenters.map(_.toArray)
-    val probeCells = probes.flatMap { r =>
+    // probes come from their own tiny scan (vec_id < 10 pushed to the
+    // source); the collect is bounded and feeds both the driver-side
+    // cell ranking (O(|probes|·cells)) and the broadcast probe frame
+    val probes = q0.filter(col("vec_id") < 10)
+      .withColumn("nrm", dot(col("q"), col("q"))).collect()
+    val nprobe = math.min(IvfNprobe, cents.length)
+    val probeCells = probes.toSeq.flatMap { r =>
       val id = r.getLong(0)
-      val q = r.getSeq[Long](1).toArray
-      val dists = centers.zipWithIndex.map { case (c, ci) =>
-        val dist = c.zip(q.map(_.toDouble / 1e6)).map { case (a, b) => (a - b) * (a - b) }.sum
-        (dist, ci)
-      }.sorted.take(4)
-      dists.map { case (_, ci) => (id, ci) }
-    }.toSeq
-    import s.implicits._
+      val pq = r.getSeq[Long](1).toArray
+      cents.map { case (cell, c) =>
+        var d = 0L; var i = 0
+        while (i < c.length) { val t = pq(i) - c(i); d += t * t; i += 1 }
+        (d, cell)
+      }.sorted.take(nprobe).map { case (_, cell) => (id, cell) }.toSeq
+    }
     val probeCellDf = probeCells.toDF("probe_id", "cell")
     val probeVecs = probes.map(r =>
       (r.getLong(0), r.getSeq[Long](1), r.getAs[Long]("nrm")))

@@ -48,8 +48,10 @@ object UpsertSink {
       keyCol: String, versionCol: String): Unit = synchronized {
     val current = readState(s, dir)
     val unioned = current.map(_.unionByName(batch)).getOrElse(batch)
-    val ordered = unioned.schema.fieldNames
-      .filter(_ != keyCol).map(c => col(c).desc)
+    // version strictly first — schema field order must never let a
+    // stale-version row with a larger value win over newer state
+    val ordered = col(versionCol).desc +: unioned.schema.fieldNames
+      .filter(c => c != keyCol && c != versionCol).map(c => col(c).desc)
     val next = unioned
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(keyCol)).orderBy(ordered.toIndexedSeq: _*)))

@@ -70,4 +70,24 @@ class QuantileNormalizeSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_g")).toMap
     assert(got == want)
   }
+
+  test("10^6 distinct values: driver fold stays range-bounded and ranks stay exact") {
+    // Continuous-score regime — every v distinct, the case where the
+    // old per-(v, gb) collect degenerated to one driver row per input
+    // row. The fold must stay <= RankRangeCount, and the rank must
+    // still equal a plain global ROW_NUMBER bit-for-bit.
+    val n = 1000000L
+    val rows = spark.range(n).toDF("id")
+      .withColumn("v", xxhash64(col("id")))
+    val (ranked, foldRows) = Curation.globalRankWithFold(rows)
+    assert(foldRows <= Curation.RankRangeCount,
+      s"driver fold was $foldRows rows; must be <= ${Curation.RankRangeCount}")
+    val want = rows.withColumn("want",
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+    val r = ranked.join(want, Seq("id", "v"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("rank_g") =!= col("want"), 1L).otherwise(0L)).as("bad"))
+      .head()
+    assert(r.getLong(0) == n && r.getLong(1) == 0L)
+  }
 }

@@ -49,6 +49,21 @@ class UpsertSinkSpec extends SparkSpec {
     assert(once == twice && once == Set((1L, 2L, 11.0), (2L, 1L, 20.0)))
   }
 
+  test("version wins even when the value column precedes it in the schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_upsert_vorder").toString
+    // schema order (k, v, ver): a stale ver-1 row with the LARGER
+    // value arrives after ver-2 — schema-order tie-breaking would let
+    // it clobber; the contract says version orders first
+    val b1 = Seq((1L, 11.0, 2L)).toDF("k", "v", "ver")
+    val b2 = Seq((1L, 99.0, 1L)).toDF("k", "v", "ver")
+    UpsertSink.merge(spark, dir, b1, "k", "ver")
+    UpsertSink.merge(spark, dir, b2, "k", "ver")
+    val got = UpsertSink.readState(spark, dir).get
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got == Set((1L, 11.0, 2L)), got)
+  }
+
   test("Trigger.AvailableNow drains a bounded source and terminates on its own") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_avnow").toString
