@@ -190,6 +190,7 @@ object SparkEntry {
     "q166_hits" -> (Corpus.q166Hits _),
     "q167_stream_cms" -> (graft.streaming.EventStream.q167StreamCms _),
     "q168_hist_merge" -> (Relational.q168HistMerge _),
+    "q169_knn_ivfpq_replay" -> (Similarity.q169KnnIvfPqReplay _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -313,6 +314,63 @@ object SparkEntry {
 
   private def langScore(words: Seq[String]): String =
     s"len(list_filter(string_split(lower(text), ' '), x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  /** Shared q43/q169 coarse-quantizer replay: fixed-point Lloyd
+    * (IvfIters rounds over the md5 sample from md5-ordered seeds),
+    * full-corpus assignment `asg`, probe cell lists `pc`. Each c$k is
+    * referenced once in the chain; the FINAL centroids are read twice
+    * (corpus assignment + tiny probe ranking) — one deliberate
+    * doubling of the sample-sized chain, never 2^n. DuckDB `//`
+    * floors while Spark `div` truncates, hence the sign CASE on the
+    * centroid update.
+    */
+  private val IvfCoarseSql: String = {
+    val cells = graft.operators.Similarity.IvfCells
+    val np = graft.operators.Similarity.IvfNprobe
+    val mod = graft.operators.Similarity.IvfSampleMod
+    val head =
+      s"""WITH qv AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |hs AS (SELECT vec_id, q, md5(CAST(vec_id AS VARCHAR)) AS h FROM qv),
+        |sd AS (SELECT vec_id AS cell, q FROM hs ORDER BY h, vec_id LIMIT $cells),
+        |c0 AS (SELECT cell, i, q[i] AS c FROM sd, range(1, 65) t(i)),
+        |sm AS (SELECT vec_id, q FROM hs
+        |  WHERE CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % $mod = 0)""".stripMargin
+    val iters = (1 to graft.operators.Similarity.IvfIters).map { kk =>
+      s""",
+         |d$kk AS (
+         |  SELECT s.vec_id, c.cell, SUM((s.q[c.i] - c.c) * (s.q[c.i] - c.c)) AS d2
+         |  FROM sm s, c${kk - 1} c GROUP BY 1, 2),
+         |a$kk AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+         |    FROM d$kk) z WHERE rn = 1),
+         |c$kk AS (
+         |  SELECT cell, i, CASE WHEN sm2 < 0 THEN -((-sm2) // n) ELSE sm2 // n END AS c FROM (
+         |    SELECT a.cell, t.i, SUM(s.q[t.i]) AS sm2, COUNT(*) AS n
+         |    FROM a$kk a JOIN sm s USING (vec_id), range(1, 65) t(i)
+         |    GROUP BY 1, 2) z)""".stripMargin
+    }.mkString
+    val cf = s"c${graft.operators.Similarity.IvfIters}"
+    val tail =
+      s""",
+        |df AS (
+        |  SELECT v.vec_id, c.cell, SUM((v.q[c.i] - c.c) * (v.q[c.i] - c.c)) AS d2
+        |  FROM qv v, $cf c GROUP BY 1, 2),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |    FROM df) z WHERE rn = 1),
+        |dp AS (
+        |  SELECT v.vec_id AS probe_id, c.cell, SUM((v.q[c.i] - c.c) * (v.q[c.i] - c.c)) AS d2
+        |  FROM qv v, $cf c WHERE v.vec_id < 10 GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT probe_id, cell FROM (
+        |    SELECT probe_id, cell, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY d2, cell) AS rn
+        |    FROM dp) z WHERE rn <= $np)""".stripMargin
+    head + iters + tail
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the non-SQL-expressible ops
@@ -791,77 +849,30 @@ object SparkEntry {
     // hash-matched, r12): the coarse quantizer is the q142 fixed-point
     // centroid arithmetic run as IvfIters bounded Lloyd rounds — md5
     // seed/sample selection, BIGINT squared-L2 argmin (ties to the
-    // smaller cell id), truncating per-dim division (DuckDB // floors,
-    // hence the sign CASE), empty cells drop. The unrolled iteration
-    // chain keeps every c$k referenced once EXCEPT the final c4,
-    // deliberately read twice (corpus assignment + the tiny probe
-    // ranking): one doubling of the sample-sized chain, never 2^n
-    "q43_knn_ivf" -> {
-      val cells = graft.operators.Similarity.IvfCells
-      val np = graft.operators.Similarity.IvfNprobe
-      val mod = graft.operators.Similarity.IvfSampleMod
-      val head =
-        s"""WITH qv AS (
-          |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
-          |  FROM embeddings),
-          |hs AS (SELECT vec_id, q, md5(CAST(vec_id AS VARCHAR)) AS h FROM qv),
-          |sd AS (SELECT vec_id AS cell, q FROM hs ORDER BY h, vec_id LIMIT $cells),
-          |c0 AS (SELECT cell, i, q[i] AS c FROM sd, range(1, 65) t(i)),
-          |sm AS (SELECT vec_id, q FROM hs
-          |  WHERE CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % $mod = 0)""".stripMargin
-      val iters = (1 to graft.operators.Similarity.IvfIters).map { kk =>
-        s""",
-           |d$kk AS (
-           |  SELECT s.vec_id, c.cell, SUM((s.q[c.i] - c.c) * (s.q[c.i] - c.c)) AS d2
-           |  FROM sm s, c${kk - 1} c GROUP BY 1, 2),
-           |a$kk AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-           |    FROM d$kk) z WHERE rn = 1),
-           |c$kk AS (
-           |  SELECT cell, i, CASE WHEN sm2 < 0 THEN -((-sm2) // n) ELSE sm2 // n END AS c FROM (
-           |    SELECT a.cell, t.i, SUM(s.q[t.i]) AS sm2, COUNT(*) AS n
-           |    FROM a$kk a JOIN sm s USING (vec_id), range(1, 65) t(i)
-           |    GROUP BY 1, 2) z)""".stripMargin
-      }.mkString
-      val cf = s"c${graft.operators.Similarity.IvfIters}"
-      val tail =
-        s""",
-          |df AS (
-          |  SELECT v.vec_id, c.cell, SUM((v.q[c.i] - c.c) * (v.q[c.i] - c.c)) AS d2
-          |  FROM qv v, $cf c GROUP BY 1, 2),
-          |asg AS (
-          |  SELECT vec_id, cell FROM (
-          |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-          |    FROM df) z WHERE rn = 1),
-          |dp AS (
-          |  SELECT v.vec_id AS probe_id, c.cell, SUM((v.q[c.i] - c.c) * (v.q[c.i] - c.c)) AS d2
-          |  FROM qv v, $cf c WHERE v.vec_id < 10 GROUP BY 1, 2),
-          |pc AS (
-          |  SELECT probe_id, cell FROM (
-          |    SELECT probe_id, cell, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY d2, cell) AS rn
-          |    FROM dp) z WHERE rn <= $np),
-          |nr AS (
-          |  SELECT vec_id, CAST(SUM(q[i] * q[i]) AS BIGINT) AS nrm
-          |  FROM qv, range(1, 65) t(i) GROUP BY 1),
-          |cand AS (
-          |  SELECT p.probe_id, a.vec_id FROM pc p JOIN asg a USING (cell)
-          |  WHERE a.vec_id <> p.probe_id),
-          |dotp AS (
-          |  SELECT c.probe_id, c.vec_id, CAST(SUM(pq.q[i] * cq.q[i]) AS BIGINT) AS dot
-          |  FROM cand c
-          |  JOIN qv pq ON pq.vec_id = c.probe_id
-          |  JOIN qv cq ON cq.vec_id = c.vec_id, range(1, 65) t(i)
-          |  GROUP BY 1, 2),
-          |scored AS (
-          |  SELECT d.probe_id, d.vec_id,
-          |    CAST(d.dot AS DOUBLE) / sqrt(CAST(np2.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
-          |  FROM dotp d JOIN nr np2 ON np2.vec_id = d.probe_id JOIN nr nc ON nc.vec_id = d.vec_id)
-          |SELECT probe_id, vec_id, cosine,
-          |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
-          |FROM scored QUALIFY rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
-      head + iters + tail
-    },
+    // smaller cell id), truncating per-dim division, empty cells drop
+    // (see [[IvfCoarseSql]] for the shared chain discipline); then
+    // exact fixed-point cosine over the nprobe candidate lists
+    "q43_knn_ivf" -> (IvfCoarseSql +
+      """,
+        |nr AS (
+        |  SELECT vec_id, CAST(SUM(q[i] * q[i]) AS BIGINT) AS nrm
+        |  FROM qv, range(1, 65) t(i) GROUP BY 1),
+        |cand AS (
+        |  SELECT p.probe_id, a.vec_id FROM pc p JOIN asg a USING (cell)
+        |  WHERE a.vec_id <> p.probe_id),
+        |dotp AS (
+        |  SELECT c.probe_id, c.vec_id, CAST(SUM(pq.q[i] * cq.q[i]) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN qv pq ON pq.vec_id = c.probe_id
+        |  JOIN qv cq ON cq.vec_id = c.vec_id, range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.probe_id, d.vec_id,
+        |    CAST(d.dot AS DOUBLE) / sqrt(CAST(np2.nrm AS DOUBLE) * CAST(nc.nrm AS DOUBLE)) AS cosine
+        |  FROM dotp d JOIN nr np2 ON np2.vec_id = d.probe_id JOIN nr nc ON nc.vec_id = d.vec_id)
+        |SELECT probe_id, vec_id, cosine,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+        |FROM scored QUALIFY rnk <= 3 ORDER BY probe_id, rnk""".stripMargin),
     // embedding near-dup via the same replayed hyperplane signatures as
     // q24, plus the distinct-member bucket cap with drop stats and the
     // exact fixed-point cosine verify (rows-only -> hash-matched, r11)
@@ -3560,5 +3571,87 @@ object SparkEntry {
         |  b.vmin + CAST(p.b95 + 1 AS DOUBLE) * ((b.vmax - b.vmin) / CAST(64 AS DOUBLE)) AS p95_est,
         |  b.vmin + CAST(p.b99 + 1 AS DOUBLE) * ((b.vmax - b.vmin) / CAST(64 AS DOUBLE)) AS p99_est
         |FROM picks p, b ORDER BY p.scope""".stripMargin,
+    // full IVF-PQ replay (ALGORITHMIC-REPLAY family): the q43 coarse
+    // chain ([[IvfCoarseSql]]) extended with residual product
+    // quantization — ONE pq chain carries all 8 subspaces via the mi
+    // column (so CTE count stays linear in iterations, not
+    // subspaces x iterations), integer sub-codebook Lloyd from the
+    // md5-ordered bounded training cut, integer encode, and integer
+    // ADC lookup-table scoring. Reference audit: rc is read twice per
+    // iteration (distance + update legs, linear re-scans of a base-
+    // shaped frame); rs (corpus residuals), pf (final codebooks), c4,
+    // asg, and pc each gain one extra read for encode/LUT/candidates —
+    // constant-factor doublings of sample- or corpus-linear frames,
+    // never a chained 2^n
+    "q169_knn_ivfpq_replay" -> {
+      val m = graft.operators.Similarity.PqReplaySubspaces
+      val dsub = graft.operators.Similarity.EmbedDims / m
+      val cap = graft.operators.Similarity.PqReplayTrainCap
+      val seeds = graft.operators.Similarity.PqCodebookSize
+      val cf = s"c${graft.operators.Similarity.IvfIters}"
+      val head = IvfCoarseSql +
+        s""",
+          |rs AS (
+          |  SELECT v.vec_id, a.cell, c.i, (c.i - 1) // $dsub AS mi, v.q[c.i] - c.c AS r
+          |  FROM qv v JOIN asg a USING (vec_id) JOIN $cf c ON c.cell = a.cell),
+          |tc AS (SELECT vec_id FROM hs ORDER BY h, vec_id LIMIT $cap),
+          |rc AS (SELECT rs.vec_id, rs.mi, rs.i, rs.r FROM rs JOIN tc USING (vec_id)),
+          |ps AS (SELECT vec_id FROM hs ORDER BY h, vec_id LIMIT $seeds),
+          |p0 AS (SELECT rc.mi, rc.vec_id AS code, rc.i, rc.r AS c
+          |  FROM rc JOIN ps USING (vec_id))""".stripMargin
+      val iters = (1 to graft.operators.Similarity.PqReplayIters).map { kk =>
+        s""",
+           |pd$kk AS (
+           |  SELECT rc.vec_id, rc.mi, p.code, SUM((rc.r - p.c) * (rc.r - p.c)) AS d2
+           |  FROM rc JOIN p${kk - 1} p ON p.mi = rc.mi AND p.i = rc.i
+           |  GROUP BY 1, 2, 3),
+           |pa$kk AS (
+           |  SELECT vec_id, mi, code FROM (
+           |    SELECT vec_id, mi, code,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY d2, code) AS rn
+           |    FROM pd$kk) z WHERE rn = 1),
+           |p$kk AS (
+           |  SELECT mi, code, i, CASE WHEN sm2 < 0 THEN -((-sm2) // n) ELSE sm2 // n END AS c FROM (
+           |    SELECT a.mi, a.code, rc.i, SUM(rc.r) AS sm2, COUNT(*) AS n
+           |    FROM pa$kk a JOIN rc ON rc.vec_id = a.vec_id AND rc.mi = a.mi
+           |    GROUP BY 1, 2, 3) z)""".stripMargin
+      }.mkString
+      val pf = s"p${graft.operators.Similarity.PqReplayIters}"
+      val tail =
+        s""",
+          |ed AS (
+          |  SELECT rs.vec_id, rs.mi, p.code, SUM((rs.r - p.c) * (rs.r - p.c)) AS d2
+          |  FROM rs JOIN $pf p ON p.mi = rs.mi AND p.i = rs.i
+          |  GROUP BY 1, 2, 3),
+          |en AS (
+          |  SELECT vec_id, mi, code FROM (
+          |    SELECT vec_id, mi, code,
+          |      ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY d2, code) AS rn
+          |    FROM ed) z WHERE rn = 1),
+          |pr AS (
+          |  SELECT p.probe_id, p.cell, c.i, (c.i - 1) // $dsub AS mi, v.q[c.i] - c.c AS r
+          |  FROM qv v JOIN pc p ON p.probe_id = v.vec_id
+          |  JOIN $cf c ON c.cell = p.cell
+          |  WHERE v.vec_id < 10),
+          |ld AS (
+          |  SELECT pr.probe_id, pr.cell, pr.mi, p.code,
+          |    SUM((pr.r - p.c) * (pr.r - p.c)) AS d
+          |  FROM pr JOIN $pf p ON p.mi = pr.mi AND p.i = pr.i
+          |  GROUP BY 1, 2, 3, 4),
+          |cand AS (
+          |  SELECT p.probe_id, a.vec_id, a.cell FROM pc p JOIN asg a USING (cell)
+          |  WHERE a.vec_id <> p.probe_id),
+          |ad AS (
+          |  SELECT c.probe_id, c.vec_id, CAST(SUM(l.d) AS BIGINT) AS adist
+          |  FROM cand c
+          |  JOIN en e ON e.vec_id = c.vec_id
+          |  JOIN ld l ON l.probe_id = c.probe_id AND l.cell = c.cell
+          |    AND l.mi = e.mi AND l.code = e.code
+          |  GROUP BY 1, 2)
+          |SELECT probe_id, vec_id, adist,
+          |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS BIGINT) AS rnk
+          |FROM ad QUALIFY rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+      head + iters + tail
+    },
   )
 }

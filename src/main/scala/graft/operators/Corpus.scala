@@ -1019,14 +1019,25 @@ object Corpus {
     * vocabulary-sized join: each source is first collapsed to its
     * 2048-cell sketch (one map-side-combined pass), then pair
     * enumeration works on |sources|·2048 cells — sources², never
-    * vocab² or data². Exact inner products ride along as report-only
-    * ground truth (per-token counts join, affordable at bench SF).
+    * vocab² or data².
+    *
+    * The exact inner products (a per-token counts self-join that
+    * dwarfs the sketch's cost) are a REPORT-ONLY rider, off by
+    * default for library callers — the sketch leg is the 100 TB
+    * shape. The driver binding keeps it on so the oracle hash covers
+    * both legs.
     */
   def q163CmsInner(s: SparkSession, d: String): DataFrame =
-    cmsInnerOf(s, Tables.documents(s, d))
+    cmsInnerOf(s, Tables.documents(s, d), exactRider = true)
 
-  /** [[q163CmsInner]] over any `(source, text)` frame. */
-  private[operators] def cmsInnerOf(s: SparkSession, docs: DataFrame): DataFrame = {
+  /** [[q163CmsInner]] over any `(source, text)` frame. With
+    * `exactRider` the `ip_exact`/`over_err` columns (and their
+    * token-count self-join) are included; `ip_est` is identical
+    * either way (SketchAlgebraSpec pins this).
+    */
+  private[operators] def cmsInnerOf(
+      s: SparkSession, docs: DataFrame,
+      exactRider: Boolean = false): DataFrame = {
     val cells = cmsSourceCells(s, docs).persist()
     val ip = cells.as("a").join(cells.as("b"),
         col("a.j") === col("b.j") && col("a.bkt") === col("b.bkt")
@@ -1045,20 +1056,25 @@ object Corpus {
       .select(col("src_a"), col("src_b"),
         when(col("nj") < lit(CmsReplayDepth.toLong), lit(0L))
           .otherwise(col("mn")).as("ip_est"))
-    val cnt = docs
-      .select(col("source"),
-        explode(filter(split(coalesce(col("text"), lit("")), " "),
-          t => t =!= "")).as("tok"))
-      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
-    val exact = cnt.as("a").join(cnt.as("b"),
-        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .agg(sum(col("a.n").cast("decimal(38,0)") * col("b.n")).cast("long")
-        .as("ip_exact"))
-    val out = ip.join(exact, Seq("src_a", "src_b"), "left")
-      .select(col("src_a"), col("src_b"),
-        coalesce(col("ip_exact"), lit(0L)).as("ip_exact"), col("ip_est"),
-        (col("ip_est") - coalesce(col("ip_exact"), lit(0L))).as("over_err"))
+    val joined =
+      if (!exactRider) ip.select(col("src_a"), col("src_b"), col("ip_est"))
+      else {
+        val cnt = docs
+          .select(col("source"),
+            explode(filter(split(coalesce(col("text"), lit("")), " "),
+              t => t =!= "")).as("tok"))
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+        val exact = cnt.as("a").join(cnt.as("b"),
+            col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(sum(col("a.n").cast("decimal(38,0)") * col("b.n")).cast("long")
+            .as("ip_exact"))
+        ip.join(exact, Seq("src_a", "src_b"), "left")
+          .select(col("src_a"), col("src_b"),
+            coalesce(col("ip_exact"), lit(0L)).as("ip_exact"), col("ip_est"),
+            (col("ip_est") - coalesce(col("ip_exact"), lit(0L))).as("over_err"))
+      }
+    val out = joined
       .orderBy(col("src_a"), col("src_b"))
       .persist()
     out.count()
@@ -1216,18 +1232,29 @@ object Corpus {
     * (est_a + est_b − est_union). The corpus is touched ONCE (the q159
     * register build); everything after operates on |sources|·512
     * register rows, so pair enumeration costs sources², never data².
-    * Exact shared-gram counts ride along as report-only ground truth
-    * (the distinct (source, gram) collapse first, the q144
-    * discipline). Raw-formula estimates only (the q159 ln rule).
+    * Raw-formula estimates only (the q159 ln rule).
+    *
+    * The exact shared-gram ground truth (a distinct-gram self-join
+    * that costs more than the sketch saves) is a REPORT-ONLY rider,
+    * off by default for library callers — at 100 TB the sketch leg is
+    * the whole point. The driver binding keeps it on so the oracle
+    * hash covers both legs.
     */
   def q162HllOverlap(s: SparkSession, d: String): DataFrame =
-    hllOverlapOf(Tables.documents(s, d))
+    hllOverlapOf(Tables.documents(s, d), exactRider = true)
 
-  /** [[q162HllOverlap]] over any `(source, text)` frame. */
-  private[operators] def hllOverlapOf(docs: DataFrame): DataFrame = {
-    // one tokenize+explode pass feeds registers AND the exact ground
-    // truth (the two consumers previously re-tokenized the corpus each)
-    val grams = sourceTrigrams(docs).persist()
+  /** [[q162HllOverlap]] over any `(source, text)` frame. With
+    * `exactRider` the `n_shared_exact` column (and its distinct-gram
+    * self-join) is included; estimate columns are identical either
+    * way (SketchAlgebraSpec pins this).
+    */
+  private[operators] def hllOverlapOf(
+      docs: DataFrame, exactRider: Boolean = false): DataFrame = {
+    // one tokenize+explode pass feeds registers AND (rider only) the
+    // exact ground truth; estimate-only callers have a single gram
+    // consumer, so nothing corpus-shaped is persisted for them
+    val grams0 = sourceTrigrams(docs)
+    val grams = if (exactRider) grams0.persist() else grams0
     val regs = registersOfGrams(grams).persist()
     val per = hllReadout(regs, Seq("source"))
       .select(col("source"), col("est_raw"))
@@ -1245,25 +1272,32 @@ object Corpus {
       .agg(max(col("r")).as("r"))
     val estU = hllReadout(unionRegs, Seq("src_a", "src_b"))
       .select(col("src_a"), col("src_b"), col("est_raw").as("est_union"))
-    // exact shared grams: distinct (source, gram) collapse, gram join
-    val sg = grams.distinct()
-    val shared = sg.as("a").join(sg.as("b"),
-        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .agg(count(lit(1)).as("n_shared_exact"))
-    val out = estU
+    val base = estU
       .join(per.select(col("source").as("src_a"), col("est_raw").as("est_a")), "src_a")
       .join(per.select(col("source").as("src_b"), col("est_raw").as("est_b")), "src_b")
-      .join(shared, Seq("src_a", "src_b"), "left")
-      .select(col("src_a"), col("src_b"),
-        coalesce(col("n_shared_exact"), lit(0L)).as("n_shared_exact"),
-        col("est_a"), col("est_b"), col("est_union"),
+    val joined =
+      if (!exactRider) base
+      else {
+        // exact shared grams (rider): distinct collapse, gram join
+        val sg = grams.distinct()
+        val shared = sg.as("a").join(sg.as("b"),
+            col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_shared_exact"))
+        base.join(shared, Seq("src_a", "src_b"), "left")
+          .withColumn("n_shared_exact",
+            coalesce(col("n_shared_exact"), lit(0L)))
+      }
+    val cols = (if (exactRider) Seq(col("n_shared_exact")) else Nil) ++
+      Seq(col("est_a"), col("est_b"), col("est_union"),
         (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"))
+    val out = joined
+      .select(col("src_a") +: col("src_b") +: cols: _*)
       .orderBy(col("src_a"), col("src_b"))
       .persist()
     out.count()
     regs.unpersist(blocking = false)
-    grams.unpersist(blocking = false)
+    if (exactRider) grams.unpersist(blocking = false)
     out
   }
 

@@ -763,6 +763,16 @@ object Dedup {
     */
   val MaxGramDf = 1000
 
+  /** Estimated-bytes ceiling for the q22 zero-shuffle probe closure
+    * (hot-gram set + probe gram arrays). Spark warns per task above
+    * ~1000 KiB of serialized closure; past this budget
+    * [[ngramScoredPairs]] auto-switches to the join-shaped inverted
+    * probe, which ships the same two sets once per executor as
+    * broadcasts instead of once per task — the sf1 sweep's 15.5 MiB
+    * task-size flag, engineered out instead of hand-switched.
+    */
+  val ProbeClosureBudgetBytes: Long = 900L * 1024
+
   /** Exact all-pairs similarity self-join via prefix filtering
     * (Chaudhuri, Ganti & Kaushik ICDE '06; Bayardo, Ma & Srikant,
     * "Scaling up all pairs similarity search", WWW '07): every
@@ -1008,7 +1018,9 @@ object Dedup {
     * and its exact Jaccard. Exposed so composed retrieval (q81 hybrid
     * search) can re-rank a wider lexical candidate slate.
     */
-  private[operators] def ngramScoredPairs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def ngramScoredPairs(
+      s: SparkSession, d: String,
+      closureBudget: Long = ProbeClosureBudgetBytes): DataFrame = {
     // Typed map, deliberately: Spark's higher-order array functions
     // (transform/filter lambdas) are evaluated INTERPRETED, not
     // whole-stage-codegen'd — an expression-tree sliding-window was
@@ -1056,33 +1068,69 @@ object Dedup {
       .collect()
       .map { case (pid, g) => (pid, g.filterNot(hotSet)) }
 
-    // Zero-shuffle probe: the probe sets ride the closure and the
-    // corpus streams ONCE, counting per-(probe, doc) gram intersections
-    // inline — where the join-shaped inverted index would shuffle a
-    // (probe_id, doc_id) pair stream into a counting aggregation, this
-    // emits the counted pairs directly. The only shuffle left is the
-    // final tiny top-k window over scored candidates. (The exploded
-    // join/groupBy shape remains the right tool when the probe side is
-    // itself too big to broadcast.)
-    val scored = docGrams.as[(Long, Array[Long])]
-      .flatMap { case (id, gramsRaw) =>
-        val grams = gramsRaw.filterNot(hotSet)
-        val nb = grams.length
-        val docSet = grams.toSet
-        probeSets.iterator
-          .filter(_._1 != id)
-          .map { case (pid, pg) =>
-            var inter = 0
-            var i = 0
-            while (i < pg.length) { if (docSet.contains(pg(i))) inter += 1; i += 1 }
-            (pid, id, inter, pg.length, nb)
-          }
-          .filter(_._3 > 0)
-      }
-      .toDF("probe_id", "doc_id", "inter", "na", "nb")
-      .select(col("probe_id"), col("doc_id"),
-        (col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
-    scored
+    // Path choice is a measured BYTE budget, not a guess: the closure
+    // payload is the hot set (boxed in a Set, ~40 B/elem serialized)
+    // plus every probe gram array (8 B/elem). Spark warns per task
+    // above ~1000 KiB, and at sf1 the hot set alone grew this payload
+    // to 15.5 MiB — so past [[ProbeClosureBudgetBytes]] the SAME
+    // computation switches to the join shape, where both sets travel
+    // once per executor as torrent broadcasts instead of once per
+    // task in the closure. NgramPathSpec pins the two paths equal.
+    val payloadBytes =
+      40L * hotSet.size + probeSets.map(p => 8L * p._2.length + 32L).sum
+    if (payloadBytes <= closureBudget) {
+      // Zero-shuffle probe: the probe sets ride the closure and the
+      // corpus streams ONCE, counting per-(probe, doc) gram
+      // intersections inline — where the join-shaped inverted index
+      // would shuffle a (probe_id, doc_id) pair stream into a counting
+      // aggregation, this emits the counted pairs directly. The only
+      // shuffle left is the final tiny top-k window over scored
+      // candidates.
+      docGrams.as[(Long, Array[Long])]
+        .flatMap { case (id, gramsRaw) =>
+          val grams = gramsRaw.filterNot(hotSet)
+          val nb = grams.length
+          val docSet = grams.toSet
+          probeSets.iterator
+            .filter(_._1 != id)
+            .map { case (pid, pg) =>
+              var inter = 0
+              var i = 0
+              while (i < pg.length) { if (docSet.contains(pg(i))) inter += 1; i += 1 }
+              (pid, id, inter, pg.length, nb)
+            }
+            .filter(_._3 > 0)
+        }
+        .toDF("probe_id", "doc_id", "inter", "na", "nb")
+        .select(col("probe_id"), col("doc_id"),
+          (col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+    } else {
+      // Join-shaped inverted probe: hot grams leave via a broadcast
+      // anti-join, the (tiny, pre-filtered) probe postings broadcast
+      // into the exploded corpus gram stream, and intersections are a
+      // map-side-combined count. Identical filtered-vocabulary Jaccard;
+      // the corpus still never shuffles on grams — the only wide
+      // exchange is the (probe_id, doc_id) counting aggregation, whose
+      // row count the inline path merely avoided materializing.
+      val hotDf = broadcast(hotSet.toSeq.toDF("gram"))
+      val kept = docGrams
+        .select(col("doc_id"), size(col("grams")).as("n_raw"),
+          explode(col("grams")).as("gram"))
+        .join(hotDf, Seq("gram"), "left_anti")
+      val probeDf = broadcast(
+        probeSets.toSeq.flatMap { case (pid, pg) =>
+          pg.map(g => (pid, pg.length, g))
+        }.toDF("probe_id", "na", "gram"))
+      val inter = kept.join(probeDf, Seq("gram"))
+        .filter(col("probe_id") =!= col("doc_id"))
+        .groupBy(col("probe_id"), col("doc_id"), col("na"))
+        .agg(count(lit(1)).as("inter"))
+      val nb = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+      inter.join(nb, "doc_id")
+        .select(col("probe_id"), col("doc_id"),
+          (col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+    }
   }
 }

@@ -464,21 +464,31 @@ object Similarity {
     knnIvfOf(Tables.embeddings(s, d), 3)
   }
 
-  /** [[q43KnnIvf]] over any `(vec_id, embedding)` frame. */
-  private[operators] def knnIvfOf(embRaw: DataFrame, k: Int): DataFrame = {
-    val s = embRaw.sparkSession
+  /** Fixed-point broadcast centroid frame `(cell, c, cn)`. */
+  private def centFrame(s: SparkSession,
+      cents: Array[(Long, Array[Long])]): DataFrame = {
     import s.implicits._
-    val q0 = embRaw.select(col("vec_id"), quantized.as("q"))
+    broadcast(cents.map { case (c, a) => (c, a.toSeq) }.toSeq
+      .toDF("cell", "c")
+      .withColumn("cn", dot(col("c"), col("c"))))
+  }
 
+  /** The q43 replayable coarse quantizer, factored for reuse (q169's
+    * PQ twin seats its coarse stage on the same machinery): md5
+    * seeds, md5 sample, [[IvfIters]] fixed-point Lloyd rounds.
+    * Returns the final `(cellId, centroid)` list sorted by cell —
+    * empty only for an empty corpus.
+    */
+  private[operators] def replayableCoarseCents(
+      q0: DataFrame): Array[(Long, Array[Long])] = {
+    val s = q0.sparkSession
     // seeds: smallest (md5(vec_id), vec_id) — bounded collect
     val seeds = q0
       .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
       .orderBy(col("h"), col("vec_id")).limit(IvfCells)
       .select(col("vec_id"), col("q"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-    if (seeds.isEmpty)
-      return Seq.empty[(Long, Long, Double, Long)]
-        .toDF("probe_id", "vec_id", "cosine", "rnk")
+    if (seeds.isEmpty) return seeds
 
     // deterministic training sample: membership is a pure function of
     // the id, stable under repartitioning and retries; only this
@@ -491,16 +501,11 @@ object Similarity {
     val train = (if (sampled.isEmpty) q0 else sampled)
       .withColumn("qn", dot(col("q"), col("q")))
 
-    def centFrame(cents: Array[(Long, Array[Long])]): DataFrame =
-      broadcast(cents.map { case (c, a) => (c, a.toSeq) }.toSeq
-        .toDF("cell", "c")
-        .withColumn("cn", dot(col("c"), col("c"))))
-
     var cents = seeds
     var it = 0
     while (it < IvfIters) {
       cents = train
-        .crossJoin(centFrame(cents))
+        .crossJoin(centFrame(s, cents))
         .select(col("vec_id"), col("q"),
           struct(
             (col("qn") - lit(2L) * dot(col("q"), col("c")) + col("cn")).as("d2"),
@@ -517,12 +522,18 @@ object Similarity {
       it += 1
     }
     sampled.unpersist(blocking = false)
+    cents
+  }
 
-    // full-corpus assignment against the FINAL centroids: the corpus
-    // streams once; per row the argmin is |cells| fused BIGINT kernels
-    val assigned = q0
+  /** Full-corpus assignment against final centroids: the corpus
+    * streams once; per row the argmin is |cells| fused BIGINT kernels
+    * (ties to the smaller cell id). Returns `(vec_id, cell, q, nrm)`.
+    */
+  private[operators] def assignToCells(
+      q0: DataFrame, cents: Array[(Long, Array[Long])]): DataFrame =
+    q0
       .withColumn("nrm", dot(col("q"), col("q")))
-      .crossJoin(centFrame(cents))
+      .crossJoin(centFrame(q0.sparkSession, cents))
       .select(col("vec_id"), col("q"), col("nrm"),
         struct(
           (col("nrm") - lit(2L) * dot(col("q"), col("c")) + col("cn")).as("d2"),
@@ -531,6 +542,19 @@ object Similarity {
       .agg(min(col("dc")).as("best"),
         first(col("q")).as("q"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), col("best.cell").as("cell"), col("q"), col("nrm"))
+
+  /** [[q43KnnIvf]] over any `(vec_id, embedding)` frame. */
+  private[operators] def knnIvfOf(embRaw: DataFrame, k: Int): DataFrame = {
+    val s = embRaw.sparkSession
+    import s.implicits._
+    val q0 = embRaw.select(col("vec_id"), quantized.as("q"))
+
+    val cents = replayableCoarseCents(q0)
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Long, Double, Long)]
+        .toDF("probe_id", "vec_id", "cosine", "rnk")
+
+    val assigned = assignToCells(q0, cents)
 
     // probes come from their own tiny scan (vec_id < 10 pushed to the
     // source); the collect is bounded and feeds both the driver-side
@@ -563,6 +587,199 @@ object Similarity {
           .orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
       .filter(col("rnk") <= k)
       .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  // ---- Replayable IVF-PQ (q169) -------------------------------------
+
+  /** Sub-codebook Lloyd rounds of the q169 PQ twin (bounded, like
+    * [[IvfIters]] — any fixed count hash-matches).
+    */
+  val PqReplayIters = 4
+
+  /** Subspace count of the q169 PQ twin: 64 dims split into 8
+    * 8-dim slices, 16 entries each — 8 small ints per vector vs 64
+    * floats, the same >=32x structural compression as q116.
+    */
+  val PqReplaySubspaces = 8
+
+  /** Bounded PQ training cut (first N vectors by (md5, vec_id)) —
+    * the FAISS bounded-training-sample convention, made replayable.
+    */
+  val PqReplayTrainCap = 4096
+
+  /** IVF-PQ ANN, fully replayable (q169): the q116 two-stage
+    * quantization re-seated end-to-end on integer arithmetic — the
+    * q43 fixed-point coarse quantizer ([[replayableCoarseCents]])
+    * plus per-subspace sub-codebooks trained by the SAME bounded
+    * integer Lloyd on coarse residuals (Jégou, Douze & Schmid, PAMI
+    * '11), asymmetric-distance scoring from per-probe lookup tables.
+    * Every centroid, code, and ADC distance is a BIGINT, so the
+    * DuckDB oracle replays the whole index build and search
+    * bit-for-bit — the first PQ index under driver hash-match (q116
+    * keeps the float-k-means sibling as the rows-only scale variant).
+    *
+    * Determinism contract: codebook seeds are the first
+    * [[PqCodebookSize]] vectors of the (md5(vec_id), vec_id)-ordered
+    * [[PqReplayTrainCap]] training cut; assignment ties break to the
+    * smaller code id; updates are truncating integer division; empty
+    * codes drop. Encoding and scoring use the identical slice
+    * arithmetic.
+    *
+    * Scale shape: codebooks are O(m·16·dsub) driver/broadcast state
+    * trained on a BOUNDED cut (never the corpus); the corpus streams
+    * once through assignment+encode; candidates touch nprobe inverted
+    * lists; ADC is m table lookups per candidate — the shape that
+    * turns a 100 TB float corpus into a ~3 TB code table.
+    */
+  def q169KnnIvfPqReplay(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FingerprintFunctions.register(s)
+    knnIvfPqReplayOf(Tables.embeddings(s, d), 3)
+  }
+
+  /** [[q169KnnIvfPqReplay]] over any `(vec_id, embedding)` frame. */
+  private[operators] def knnIvfPqReplayOf(embRaw: DataFrame, k: Int): DataFrame = {
+    val s = embRaw.sparkSession
+    import s.implicits._
+    val q0 = embRaw.select(col("vec_id"), quantized.as("q"))
+    val cents = replayableCoarseCents(q0)
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("probe_id", "vec_id", "adist", "rnk")
+    val centMap = cents.toMap
+    val m = PqReplaySubspaces
+    val dsub = EmbedDims / m
+
+    // persisted: the training cut, the encode pass, and the final
+    // candidate join all read the assignment; released after the
+    // eager materialization below
+    val assigned = assignToCells(q0, cents).persist()
+
+    // bounded training cut with assigned cells (driver-side Lloyd on
+    // PqReplayTrainCap x 64 longs, the q116 discipline — scheduling
+    // latency of distributed fits dwarfs 16-centroid integer math)
+    val cut = assigned
+      .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+      .orderBy(col("h"), col("vec_id")).limit(PqReplayTrainCap)
+      .select(col("vec_id"), col("cell"), col("q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    val resiCut: Array[(Long, Array[Long])] = cut.map { case (vid, cell, q) =>
+      val c = centMap(cell)
+      (vid, Array.tabulate(EmbedDims)(i => q(i) - c(i)))
+    }
+
+    // per-subspace integer Lloyd, mirroring the SQL chain exactly:
+    // argmin by slice squared-L2 (ties -> smaller code id), update by
+    // truncating division (Long / truncates toward zero = Spark div =
+    // the oracle's sign-CASE over //), empty codes drop
+    def lloydSub(mi: Int): Array[(Long, Array[Long])] = {
+      val lo = mi * dsub
+      def slice(r: Array[Long]) = java.util.Arrays.copyOfRange(r, lo, lo + dsub)
+      var books: Array[(Long, Array[Long])] =
+        resiCut.take(PqCodebookSize).map { case (vid, r) => (vid, slice(r)) }
+      var it = 0
+      while (it < PqReplayIters) {
+        val agg = scala.collection.mutable.LinkedHashMap[Long, (Array[Long], Long)]()
+        resiCut.foreach { case (_, r) =>
+          val sl = slice(r)
+          var bestKey = Long.MaxValue
+          var bestD = Long.MaxValue
+          books.foreach { case (key, c) =>
+            var d = 0L; var i = 0
+            while (i < dsub) { val t = sl(i) - c(i); d += t * t; i += 1 }
+            if (d < bestD || (d == bestD && key < bestKey)) { bestD = d; bestKey = key }
+          }
+          val (sums, n) = agg.getOrElseUpdate(bestKey, (new Array[Long](dsub), 0L))
+          var i = 0
+          while (i < dsub) { sums(i) += sl(i); i += 1 }
+          agg(bestKey) = (sums, n + 1)
+        }
+        books = agg.toArray.sortBy(_._1).map { case (key, (sums, n)) =>
+          (key, sums.map(_ / n))
+        }
+        it += 1
+      }
+      books
+    }
+    val books: Array[Array[(Long, Array[Long])]] =
+      Array.tabulate(m)(lloydSub)
+
+    // encode: ONE typed pass over the assigned corpus -> integer codes
+    val bcCents = s.sparkContext.broadcast(centMap)
+    val bcBooks = s.sparkContext.broadcast(books)
+    val encoded = assigned
+      .select(col("vec_id"), col("cell"), col("q"))
+      .as[(Long, Long, Seq[Long])]
+      .map { case (vid, cell, qSeq) =>
+        val q = qSeq.toArray
+        val c = bcCents.value(cell)
+        val codes = new Array[Long](m)
+        var mi = 0
+        while (mi < m) {
+          val lo = mi * dsub
+          var bestKey = Long.MaxValue
+          var bestD = Long.MaxValue
+          bcBooks.value(mi).foreach { case (key, cb) =>
+            var d = 0L; var i = 0
+            while (i < dsub) {
+              val t = (q(lo + i) - c(lo + i)) - cb(i); d += t * t; i += 1
+            }
+            if (d < bestD || (d == bestD && key < bestKey)) { bestD = d; bestKey = key }
+          }
+          codes(mi) = bestKey
+          mi += 1
+        }
+        (vid, cell, codes.toSeq)
+      }.toDF("vec_id", "cell", "codes")
+
+    // probes: bounded collect; cell ranking + integer ADC lookup
+    // tables driver-built (probes x nprobe x m x 16 longs)
+    val probes = q0.filter(col("vec_id") < 10).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val nprobe = math.min(IvfNprobe, cents.length)
+    val probeCells: Seq[(Long, Long)] = probes.toSeq.flatMap { case (pid, pq) =>
+      cents.map { case (cell, c) =>
+        var d = 0L; var i = 0
+        while (i < EmbedDims) { val t = pq(i) - c(i); d += t * t; i += 1 }
+        (d, cell)
+      }.sorted.take(nprobe).map { case (_, cell) => (pid, cell) }.toSeq
+    }
+    val lut: Map[(Long, Long, Int, Long), Long] =
+      probeCells.flatMap { case (pid, cell) =>
+        val pq = probes.find(_._1 == pid).get._2
+        val c = centMap(cell)
+        (0 until m).flatMap { mi =>
+          val lo = mi * dsub
+          books(mi).map { case (key, cb) =>
+            var d = 0L; var i = 0
+            while (i < dsub) {
+              val t = (pq(lo + i) - c(lo + i)) - cb(i); d += t * t; i += 1
+            }
+            ((pid, cell, mi, key), d)
+          }
+        }
+      }.toMap
+    val bcLut = s.sparkContext.broadcast(lut)
+    val probeCellDf = probeCells.toDF("probe_id", "cell")
+
+    val out = encoded.join(broadcast(probeCellDf), Seq("cell"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Long, Long, Seq[Long])]
+      .map { case (pid, vid, cell, codes) =>
+        var d = 0L; var mi = 0
+        while (mi < m) { d += bcLut.value((pid, cell, mi, codes(mi))); mi += 1 }
+        (pid, vid, d)
+      }.toDF("probe_id", "vec_id", "adist")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("adist").asc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .orderBy(col("probe_id"), col("rnk"))
+      .persist()
+    out.count()
+    assigned.unpersist(blocking = false)
+    out
   }
 
   /** Embedding-cosine near-dup detection: hyperplane-LSH candidates,

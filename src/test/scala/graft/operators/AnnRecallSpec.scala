@@ -71,6 +71,19 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("replayable IVFPQ (q169) recall@3 >= 0.9 on clustered data") {
+    import spark.implicits._
+    val emb = planted.toDF("vec_id", "embedding")
+    val truth = topSets(Similarity.knnBruteOf(emb, 3))
+    val approx = topSets(Similarity.knnIvfPqReplayOf(emb, 3))
+    val recall = (0L until 10L).map { p =>
+      approx.getOrElse(p, Set.empty[Long]).intersect(truth(p)).size.toDouble / 3.0
+    }.sum / 10.0
+    assert(recall >= 0.9, s"recall=$recall")
+    // structural compression: 8 integer codes per vector vs 64 floats
+    assert(Similarity.EmbedDims * 4.0 / Similarity.PqReplaySubspaces >= 8.0)
+  }
+
   test("IVFPQ recall@3 >= 0.9 on clustered data at >= 8x vector compression") {
     import spark.implicits._
     val emb = planted.toDF("vec_id", "embedding")

@@ -59,7 +59,7 @@ class CmsReplaySpec extends SparkSpec {
 
   private def inner(parts: Int = 4): Map[(String, String), (Long, Long)] = {
     import spark.implicits._
-    Corpus.cmsInnerOf(spark, innerCorpus.repartition(parts))
+    Corpus.cmsInnerOf(spark, innerCorpus.repartition(parts), exactRider = true)
       .as[(String, String, Long, Long, Long)].collect()
       .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
   }
@@ -85,5 +85,14 @@ class CmsReplaySpec extends SparkSpec {
 
   test("inner product is merge-order invariant") {
     assert(inner(parts = 1) == inner(parts = 7))
+  }
+
+  test("estimate-only default drops the exact rider but not a single estimate") {
+    import spark.implicits._
+    val lean = Corpus.cmsInnerOf(spark, innerCorpus)
+    assert(lean.columns.toSeq == Seq("src_a", "src_b", "ip_est"))
+    val got = lean.as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == inner().map { case (p, (_, est)) => p -> est })
   }
 }

@@ -85,12 +85,21 @@ class HllReplaySpec extends SparkSpec {
   }
 
   test("inclusion-exclusion overlap estimate tracks the planted truth") {
-    val row = Corpus.hllOverlapOf(overlapCorpus).collect().head
+    val row = Corpus.hllOverlapOf(overlapCorpus, exactRider = true).collect().head
     assert(row.getString(0) == "s1" && row.getString(1) == "s2")
     assert(row.getLong(2) == 1000L, s"exact shared = ${row.getLong(2)}")
     val est = row.getDouble(6)
     // three raw estimates' errors compound; 25% is the loose 3-sigma
     // class for m=512 inclusion-exclusion at this overlap fraction
     assert(math.abs(est - 1000.0) / 1000.0 < 0.25, s"est_overlap $est")
+  }
+
+  test("estimate-only default drops the exact rider but not a single estimate") {
+    val lean = Corpus.hllOverlapOf(overlapCorpus)
+    assert(lean.columns.toSeq ==
+      Seq("src_a", "src_b", "est_a", "est_b", "est_union", "est_overlap"))
+    val full = Corpus.hllOverlapOf(overlapCorpus, exactRider = true)
+      .select("src_a", "src_b", "est_a", "est_b", "est_union", "est_overlap")
+    assert(lean.collect().toSeq == full.collect().toSeq)
   }
 }
