@@ -58,18 +58,87 @@ object EventStream {
     */
   val ReplayStateWidth = 8
 
-  /** Run `body` (a replay start+drain) with the state width capped at
-    * [[ReplayStateWidth]]; restores the session's width after the
-    * query STOPS — the width is read at first-batch planning, which
-    * happens asynchronously after start(), so the conf must stay
-    * lowered for the query's whole lifetime, not just across start().
+  /** Input bytes that justify one extra state partition beyond
+    * [[ReplayStateWidth]]. The width-8 cap is a FIXED-COST win at
+    * bench SF, but a bounded replay delivers the whole table into one
+    * micro-batch, so state work grows with input while its
+    * parallelism stays capped — the sf10 canary measured q93 at 11.8x
+    * for 10x data (53 s), state ops serialized onto 8 of 32 cores.
+    * Scaling width with input FILE bytes (free from listing metadata)
+    * keeps small replays at the fixed-cost optimum (sf0.1 -> 0 extra,
+    * sf1 -> 3 < 8: both unchanged) and lets big ones use the session
+    * width (sf10 -> 38, clamped to the session's 32). Results are
+    * width-independent by the documented contract.
     */
-  private def withReplayStateWidth[A](s: SparkSession)(body: => A): A = {
+  val ReplayBytesPerPartition: Long = 4L << 20
+
+  /** Input bytes past which a replay switches the state store to
+    * RocksDB. The default HDFS-backed provider keeps every state
+    * partition as an in-heap map — at the sf10 canary (162 MB events,
+    * ~10M keys / ~9.5M sessions) that plus complete-mode re-emission
+    * OOM'd the 8g replay JVM (q93 hung on a dead dispatcher; q70
+    * killed executor tasks). RocksDB holds state off-heap in native
+    * memory — the production choice for big keyed state — while
+    * bench-sized replays (sf0.1 = 2 MB, sf1 = 16 MB) keep the
+    * in-heap provider and its lower per-trigger overhead. Results
+    * are provider-independent: the store is a key-value layout
+    * choice, not semantics.
+    */
+  val RocksDbReplayBytes: Long = 64L << 20
+
+  /** Total on-disk bytes of a table path — file or directory-of-
+    * parts, matching [[eventsStream]]'s layout tolerance.
+    */
+  private def tableBytes(path: String): Long = {
+    val f = new java.io.File(path)
+    if (f.isDirectory) {
+      val parts = f.listFiles()
+      if (parts == null) 0L else parts.iterator.map(_.length()).sum
+    } else if (f.isFile) f.length()
+    else 0L
+  }
+
+  /** [[tableBytes]] of the events table under the sf dir. */
+  private def eventsBytes(d: String): Long = tableBytes(s"$d/events.parquet")
+
+  /** Run `body` (a replay start+drain) with the state width capped at
+    * max([[ReplayStateWidth]], inputBytes/[[ReplayBytesPerPartition]])
+    * — never above the session width; restores the session's width
+    * after the query STOPS — the width is read at first-batch
+    * planning, which happens asynchronously after start(), so the
+    * conf must stay lowered for the query's whole lifetime, not just
+    * across start().
+    */
+  /** `stateHeavy` marks replays whose state is RESULT-shaped rather
+    * than key-shaped (complete-mode aggregations holding every
+    * session/window row, with wide per-group values): those switch to
+    * the off-heap RocksDB provider past [[RocksDbReplayBytes]] of
+    * input. Key-shaped state (dedup keys, join buffers of compact
+    * rows) stays on the in-heap provider, which measured ~2x faster
+    * at sf10 (q93: 8.8 s in-heap vs 18.3 s RocksDB) and does not
+    * approach the heap ceiling once the sinks spool distributed.
+    */
+  private def withReplayStateWidth[A](
+      s: SparkSession, inputBytes: Long = 0L, stateHeavy: Boolean = false)(
+      body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.get(key)
+    val prevProv = s.conf.getOption(provKey)
+    val scaled = math.max(ReplayStateWidth.toLong,
+      math.min(prev.toLong, inputBytes / ReplayBytesPerPartition))
     s.conf.set(key,
-      math.max(1, math.min(ReplayStateWidth, prev.toInt)).toString)
-    try body finally s.conf.set(key, prev)
+      math.max(1L, math.min(scaled, prev.toLong)).toString)
+    if (stateHeavy && inputBytes > RocksDbReplayBytes)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally {
+      s.conf.set(key, prev)
+      prevProv match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
+    }
   }
 
   /** Tumbling-window event counts per type with late-data eviction.
@@ -216,7 +285,7 @@ object EventStream {
         .select(col("user_id"), expr("ts div 1000").as("ts_ns")).as[SessionEvent]
       val sessions = sessionizeTws(stream, 30L * 60 * 1000000L) // gap in MICROS
       val qname = "q147_tws_sessions"
-      withReplayStateWidth(s) {
+      withReplayStateWidth(s, eventsBytes(d)) {
         val q = sessions.toDF().writeStream.format("memory").queryName(qname)
           .outputMode(OutputMode.Append).start()
         try q.processAllAvailable() finally q.stop()
@@ -486,7 +555,7 @@ object EventStream {
       src.filter(col("event_type") === "view"),
       src.filter(col("event_type") === "purchase"))
     val qname = "q137_stream_outer_attribution"
-    withReplayStateWidth(s) {
+    withReplayStateWidth(s, eventsBytes(d)) {
       val q = joined.writeStream.format("memory").queryName(qname)
         .outputMode(OutputMode.Append).start()
       try {
@@ -565,15 +634,27 @@ object EventStream {
         min(unix_micros(col("tts"))).as("start_us"),
         max(unix_micros(col("tts"))).as("end_us"))
       .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
-    val qname = "q70_stream_sessions"
-    withReplayStateWidth(s) {
-      val q = sessions.writeStream.format("memory").queryName(qname)
+    // session-SIZED result: a memory sink would hold every session in
+    // driver heap (the q93 sf10 lesson — 10x data put complete-mode
+    // re-emission plus the driver-held table past the replay JVM and
+    // measured 10.4x for 10x data). foreachBatch spools the complete
+    // result to parquet DISTRIBUTED instead — overwrite per trigger,
+    // because complete mode re-emits the whole answer — and the
+    // driver never holds a row.
+    val spool = java.nio.file.Files
+      .createTempDirectory("graft_q70_spool").toString
+    withReplayStateWidth(s, eventsBytes(d), stateHeavy = true) {
+      val q = sessions.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(spool)
+          ()
+        }
         .outputMode(OutputMode.Complete).start()
       try q.processAllAvailable() finally q.stop()
     }
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("start_us"))
-    s.table(qname)
+    s.read.parquet(spool)
       .withColumn("session_id", row_number().over(byUser).cast("long"))
       .select(col("user_id"), col("session_id"), col("n_events"),
         col("start_us"), col("end_us"))
@@ -596,7 +677,7 @@ object EventStream {
       .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
     val counts = windowedCounts(stream)
     val qname = "q76_stream_windows"
-    withReplayStateWidth(s) {
+    withReplayStateWidth(s, eventsBytes(d)) {
       val q = counts.writeStream.format("memory").queryName(qname)
         .outputMode(OutputMode.Complete).start()
       try q.processAllAvailable() finally q.stop()
@@ -622,7 +703,7 @@ object EventStream {
       .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
     val counts = slidingCounts(stream)
     val qname = "q127_stream_sliding"
-    withReplayStateWidth(s) {
+    withReplayStateWidth(s, eventsBytes(d)) {
       val q = counts.writeStream.format("memory").queryName(qname)
         .outputMode(OutputMode.Complete).start()
       try q.processAllAvailable() finally q.stop()
@@ -659,7 +740,7 @@ object EventStream {
       src.filter(col("event_type") === "view"),
       src.filter(col("event_type") === "purchase"))
     val qname = "q83_stream_attribution"
-    withReplayStateWidth(s) {
+    withReplayStateWidth(s, eventsBytes(d)) {
       val q = joined.writeStream.format("memory").queryName(qname)
         .outputMode(OutputMode.Append).start()
       try q.processAllAvailable() finally q.stop()
@@ -689,6 +770,18 @@ object EventStream {
     * same 10-minute state bound; redeliveries later than the watermark
     * are the documented at-most-once residue of ANY bounded-state
     * dedup.
+    *
+    * Sink shape (the sf10 lesson): an event-level memory sink holds
+    * the WHOLE deduped table in driver heap — at 10M events that plus
+    * the dedup state blew the 8g replay JVM (OOM'd the dispatcher,
+    * which surfaced as a silent AQE hang). The sink is therefore a
+    * `foreachBatch` DISTRIBUTED partial rollup: each batch appends
+    * its per-(event_type, user_id) counts to a parquet spool
+    * (distinct-pair-sized, never event-sized, written by executors),
+    * and the final answer folds the spool with a distributive
+    * sum / countDistinct — cross-batch correct because per-pair
+    * counts are additive and user sets union. Nothing event-sized
+    * ever lands on the driver.
     */
   def q93StreamDedup(s: SparkSession, d: String): DataFrame = {
     def src = eventsStream(s, d)
@@ -697,16 +790,25 @@ object EventStream {
         col("event_type"), col("user_id"))
     val redelivered = src.union(src.filter(col("event_id") % 37 === 0))
     val deduped = dedupStream(redelivered, "event_id")
-    val qname = "q93_stream_dedup"
-    withReplayStateWidth(s) {
-      val q = deduped.writeStream.format("memory").queryName(qname)
-        .outputMode(OutputMode.Append).start()
+    val spool = java.nio.file.Files
+      .createTempDirectory("graft_q93_spool").toString
+    withReplayStateWidth(s, eventsBytes(d)) {
+      val q = deduped.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.groupBy(col("event_type"), col("user_id"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("append").parquet(spool)
+          ()
+        }
+        .start()
       try q.processAllAvailable() finally q.stop()
     }
-    s.table(qname)
+    s.read.parquet(spool)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("n")).as("n"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"))
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_users"))
       .orderBy(col("event_type"))
   }
 
@@ -726,7 +828,7 @@ object EventStream {
       .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
     val enriched = src.join(broadcast(dim), "user_id")
     val qname = "q103_stream_enrich"
-    withReplayStateWidth(s) {
+    withReplayStateWidth(s, eventsBytes(d)) {
       val q = enriched.writeStream.format("memory").queryName(qname)
         .outputMode(OutputMode.Append).start()
       try q.processAllAvailable() finally q.stop()
@@ -760,7 +862,7 @@ object EventStream {
       .select(col("user_id"), expr("ts div 1000").as("ts_ns")).as[SessionEvent]
     val sessions = sessionize(stream, 30L * 60 * 1000000L) // gap in MICROS
     val qname = "q108_stream_custom_sessions"
-    withReplayStateWidth(s) {
+    withReplayStateWidth(s, eventsBytes(d)) {
       val q = sessions.toDF().writeStream.format("memory").queryName(qname)
         .outputMode(OutputMode.Append).start()
       try q.processAllAvailable() finally q.stop()
@@ -984,7 +1086,7 @@ object EventStream {
         .as[RadiusFp]
       val survivors = radiusDedupStream(src)
       val qname = "q156_stream_radius_dedup"
-      withReplayStateWidth(s) {
+      withReplayStateWidth(s, tableBytes(fixtureDir)) {
         val q = survivors.writeStream.format("memory").queryName(qname)
           .outputMode(OutputMode.Append).start()
         try {
@@ -1141,7 +1243,7 @@ object EventStream {
       .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"))
     val cells = cmsWindowCells(stream)
     val qname = "q167_stream_cms"
-    withReplayStateWidth(s) {
+    withReplayStateWidth(s, eventsBytes(d)) {
       val q = cells.writeStream.format("memory").queryName(qname)
         .outputMode(OutputMode.Complete).start()
       try q.processAllAvailable() finally q.stop()
@@ -1184,7 +1286,7 @@ object EventStream {
       .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"))
     val regs = hllWindowRegisters(stream)
     val qname = "q161_stream_hll"
-    withReplayStateWidth(s) {
+    withReplayStateWidth(s, eventsBytes(d)) {
       val q = regs.writeStream.format("memory").queryName(qname)
         .outputMode(OutputMode.Complete).start()
       try q.processAllAvailable() finally q.stop()
