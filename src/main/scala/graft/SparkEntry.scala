@@ -191,6 +191,7 @@ object SparkEntry {
     "q167_stream_cms" -> (graft.streaming.EventStream.q167StreamCms _),
     "q168_hist_merge" -> (Relational.q168HistMerge _),
     "q169_knn_ivfpq_replay" -> (Similarity.q169KnnIvfPqReplay _),
+    "q170_profile_replay" -> (Relational.q170ProfileReplay _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -3653,5 +3654,42 @@ object SparkEntry {
           |FROM ad QUALIFY rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
       head + iters + tail
     },
+    // the q113 profiler's replayable twin: UNION-ALL melt (the SQL
+    // stack), per-column counts, and the q159/q161 register arithmetic
+    // keyed by md5(CAST(val AS VARCHAR)) — raw-formula estimate only,
+    // small_range pins the correction branch (the q159 ln rule)
+    "q170_profile_replay" ->
+      s"""WITH m AS (
+        |  SELECT 'doc_id' AS column_name, CAST(doc_id AS VARCHAR) AS val FROM documents
+        |  UNION ALL SELECT 'text', text FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+        |c AS (
+        |  SELECT column_name, COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+        |  FROM m GROUP BY 1),
+        |k AS (
+        |  SELECT column_name, CAST(('0x' || substr(md5(val), 1, 15)) AS BIGINT) AS x
+        |  FROM m WHERE val IS NOT NULL),
+        |r AS (
+        |  SELECT column_name, x >> 51 AS bkt,
+        |    MAX(CASE WHEN (x & 2251799813685247) = 0 THEN 52
+        |        ELSE 52 - length(bin(x & 2251799813685247)) END) AS rho
+        |  FROM k GROUP BY 1, 2),
+        |a AS (
+        |  SELECT column_name, COUNT(*) AS n_hit,
+        |    CAST(SUM(CAST(1 AS BIGINT) << CAST(52 - rho AS INTEGER)) AS BIGINT) AS s_hit
+        |  FROM r GROUP BY 1)
+        |SELECT c.column_name, c.n_rows, c.n_nulls,
+        |  CAST(512 - a.n_hit AS BIGINT) AS v_empty,
+        |  CAST(a.s_hit + (512 - a.n_hit) * 4503599627370496 AS BIGINT) AS s_reg,
+        |  CAST('${graft.operators.Corpus.HllAlphaMM}' AS DOUBLE) * (CAST(4503599627370496 AS DOUBLE) /
+        |    CAST(a.s_hit + (512 - a.n_hit) * 4503599627370496 AS DOUBLE)) AS est_raw,
+        |  (CAST('${graft.operators.Corpus.HllAlphaMM}' AS DOUBLE) * (CAST(4503599627370496 AS DOUBLE) /
+        |    CAST(a.s_hit + (512 - a.n_hit) * 4503599627370496 AS DOUBLE)) <= 1280.0
+        |   AND 512 - a.n_hit > 0) AS small_range
+        |FROM c JOIN a USING (column_name)
+        |ORDER BY column_name""".stripMargin,
   )
 }

@@ -1177,6 +1177,56 @@ object Relational {
   def q99ProfileTable(s: SparkSession, d: String): DataFrame =
     profileTable(Tables.lineitem(s, d), LineitemProfileCols)
 
+  /** [[approxProfileTable]]'s REPLAYABLE twin (q170): the same
+    * long-format one-pass profile with the distinct estimate from the
+    * q159 published-hash HLL instead of Spark's internal HLL++ —
+    * every register, count, and raw estimate driver-hash-checkable,
+    * completing the replayable-sketch program for the profiler family
+    * (q113 keeps the built-in as the rows-only scale sibling).
+    *
+    * Plan shape: columns melt to `(column_name, val)` rows via
+    * `stack` (a generator — no Expand), then (a) per-column row/null
+    * counts and (b) the m=512 register build over non-null values:
+    * `groupBy(column_name, bucket).max(rho)` — the map-side partial
+    * max IS the sketch, aggregation state O(cols·m) regardless of
+    * cardinality, NO distinct shuffle anywhere. Value identity is
+    * `CAST(col AS STRING)`, bilateral for BIGINT/VARCHAR columns
+    * (float/timestamp rendering differs cross-engine — profile those
+    * with q113's rows-only mode). Columns must have >= 1 non-null
+    * value to appear (an all-null column has no registers).
+    */
+  def replayProfileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val stackArgs = cols.map(c => s"'$c', cast($c as string)").mkString(", ")
+    def melted = df.selectExpr(
+      s"stack(${cols.length}, $stackArgs) AS (column_name, val)")
+    val counts = melted.groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_nulls"))
+    val x = Corpus.hllKey(col("val"))
+    val regs = melted.filter(col("val").isNotNull)
+      .select(col("column_name"),
+        Corpus.hllBucket(x).as("bkt"), Corpus.hllRho(x).as("rho"))
+      .groupBy(col("column_name"), col("bkt")).agg(max(col("rho")).as("r"))
+    Corpus.hllReadout(regs, Seq("column_name"))
+      .join(counts, "column_name")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("v_empty"), col("s_reg"), col("est_raw"), col("small_range"))
+      .orderBy(col("column_name"))
+  }
+
+  /** The documents columns q170 profiles — BIGINT/VARCHAR only (the
+    * bilateral-cast contract above), pinned like [[LineitemProfileCols]].
+    */
+  val DocumentsProfileCols: Seq[String] =
+    Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** Driver binding (q170): replayable profile of every documents
+    * column.
+    */
+  def q170ProfileReplay(s: SparkSession, d: String): DataFrame =
+    replayProfileTable(Tables.documents(s, d), DocumentsProfileCols)
+
   /** Driver binding (q113): [[approxProfileTable]] over the same
     * pinned lineitem columns as q99 — the one-pass HLL++ scale mode
     * production callers reach for first, now exercised under the
