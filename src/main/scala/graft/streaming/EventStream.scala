@@ -141,6 +141,47 @@ object EventStream {
     }
   }
 
+  /** Drain a bounded replay into a distributed parquet spool and
+    * return the spooled frame — the result-safe replacement for a
+    * result-sized memory sink. A memory-sink TABLE holds all its rows
+    * in the JVM until the session ends (clearCache does not touch
+    * it), so a session running many replays ACCUMULATES every
+    * result — the sf10 sweep OOM'd on the sixth replay from the five
+    * before it. The spool is executor-written, zero heap after the
+    * drain, and append/complete both map naturally (complete
+    * overwrites per trigger because it re-emits the whole answer).
+    * Tiny sinks (windows x types, sketch cells) stay on the memory
+    * sink and skip the ~0.2-0.4 s write+read roundtrip.
+    */
+  private def drainToSpool(
+      s: SparkSession, out: DataFrame, name: String, inputBytes: Long,
+      complete: Boolean = false, stateHeavy: Boolean = false,
+      afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _.processAllAvailable()): DataFrame = {
+    val spool = java.nio.file.Files
+      .createTempDirectory(s"graft_${name}_spool").toString
+    val schema = out.schema
+    withReplayStateWidth(s, inputBytes, stateHeavy) {
+      val w = out.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(if (complete) "overwrite" else "append")
+            .parquet(spool)
+          ()
+        }
+      val q = (if (complete) w.outputMode(OutputMode.Complete) else w).start()
+      try afterDrain(q) finally q.stop()
+    }
+    // a drained stream that never produced a batch leaves no files —
+    // surface that as a typed empty frame, not a schema-inference crash
+    val hasParts = {
+      val f = new java.io.File(spool)
+      val parts = f.listFiles()
+      parts != null && parts.exists(_.getName.endsWith(".parquet"))
+    }
+    if (hasParts) s.read.parquet(spool)
+    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /** Tumbling-window event counts per type with late-data eviction.
     * On a batch frame `withWatermark` is a no-op and this is an ordinary
     * windowed aggregation — one code path, two execution modes.
@@ -284,13 +325,8 @@ object EventStream {
       val stream = eventsStream(s, d)
         .select(col("user_id"), expr("ts div 1000").as("ts_ns")).as[SessionEvent]
       val sessions = sessionizeTws(stream, 30L * 60 * 1000000L) // gap in MICROS
-      val qname = "q147_tws_sessions"
-      withReplayStateWidth(s, eventsBytes(d)) {
-        val q = sessions.toDF().writeStream.format("memory").queryName(qname)
-          .outputMode(OutputMode.Append).start()
-        try q.processAllAvailable() finally q.stop()
-      }
-      s.table(qname)
+      // session-sized result -> spool (see drainToSpool)
+      drainToSpool(s, sessions.toDF(), "q147", eventsBytes(d))
         .select(col("user_id"), col("start_ns").as("start_us"),
           col("end_ns").as("end_us"), col("n_events"))
         .orderBy(col("user_id"), col("start_us"))
@@ -554,22 +590,17 @@ object EventStream {
     val joined = attributionJoinOuter(
       src.filter(col("event_type") === "view"),
       src.filter(col("event_type") === "purchase"))
-    val qname = "q137_stream_outer_attribution"
-    withReplayStateWidth(s, eventsBytes(d)) {
-      val q = joined.writeStream.format("memory").queryName(qname)
-        .outputMode(OutputMode.Append).start()
-      try {
-        q.processAllAvailable()
-        // the outer-null flush rides the watermark-advance NO-DATA batch,
-        // which processAllAvailable does not wait for — poll for it
-        val deadline = System.nanoTime() + 120L * 1000000000L
-        while (!q.recentProgress.exists(_.numInputRows == 0) &&
-               System.nanoTime() < deadline)
-          Thread.sleep(50)
-        q.processAllAvailable()
-      } finally q.stop()
-    }
-    s.table(qname)
+    // pair-sized result -> spool (see drainToSpool); the drain still
+    // polls for the watermark-advance NO-DATA batch that flushes the
+    // outer-null rows, which processAllAvailable does not wait for
+    drainToSpool(s, joined, "q137", eventsBytes(d), afterDrain = { q =>
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 120L * 1000000000L
+      while (!q.recentProgress.exists(_.numInputRows == 0) &&
+             System.nanoTime() < deadline)
+        Thread.sleep(50)
+      q.processAllAvailable()
+    })
       .filter(col("user_id") =!= -1L)
       .groupBy(col("user_id"))
       .agg(
@@ -634,27 +665,13 @@ object EventStream {
         min(unix_micros(col("tts"))).as("start_us"),
         max(unix_micros(col("tts"))).as("end_us"))
       .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"))
-    // session-SIZED result: a memory sink would hold every session in
-    // driver heap (the q93 sf10 lesson — 10x data put complete-mode
-    // re-emission plus the driver-held table past the replay JVM and
-    // measured 10.4x for 10x data). foreachBatch spools the complete
-    // result to parquet DISTRIBUTED instead — overwrite per trigger,
-    // because complete mode re-emits the whole answer — and the
-    // driver never holds a row.
-    val spool = java.nio.file.Files
-      .createTempDirectory("graft_q70_spool").toString
-    withReplayStateWidth(s, eventsBytes(d), stateHeavy = true) {
-      val q = sessions.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          batch.write.mode("overwrite").parquet(spool)
-          ()
-        }
-        .outputMode(OutputMode.Complete).start()
-      try q.processAllAvailable() finally q.stop()
-    }
+    // session-SIZED result -> spool (see drainToSpool); complete-mode
+    // session aggregation is also the one RESULT-shaped state in the
+    // suite, hence stateHeavy (RocksDB past the byte gate)
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("start_us"))
-    s.read.parquet(spool)
+    drainToSpool(s, sessions, "q70", eventsBytes(d),
+      complete = true, stateHeavy = true)
       .withColumn("session_id", row_number().over(byUser).cast("long"))
       .select(col("user_id"), col("session_id"), col("n_events"),
         col("start_us"), col("end_us"))
@@ -739,13 +756,8 @@ object EventStream {
     val joined = attributionJoin(
       src.filter(col("event_type") === "view"),
       src.filter(col("event_type") === "purchase"))
-    val qname = "q83_stream_attribution"
-    withReplayStateWidth(s, eventsBytes(d)) {
-      val q = joined.writeStream.format("memory").queryName(qname)
-        .outputMode(OutputMode.Append).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    s.table(qname)
+    // pair-sized result -> spool, not memory sink (see drainToSpool)
+    drainToSpool(s, joined, "q83", eventsBytes(d))
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_pairs"),
@@ -827,13 +839,9 @@ object EventStream {
     val dim = graft.Tables.customer(s, d)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
     val enriched = src.join(broadcast(dim), "user_id")
-    val qname = "q103_stream_enrich"
-    withReplayStateWidth(s, eventsBytes(d)) {
-      val q = enriched.writeStream.format("memory").queryName(qname)
-        .outputMode(OutputMode.Append).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    s.table(qname)
+    // EVENT-sized result — the largest memory sink the suite had;
+    // spooled distributed (see drainToSpool)
+    drainToSpool(s, enriched, "q103", eventsBytes(d))
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
@@ -861,13 +869,8 @@ object EventStream {
     val stream = eventsStream(s, d)
       .select(col("user_id"), expr("ts div 1000").as("ts_ns")).as[SessionEvent]
     val sessions = sessionize(stream, 30L * 60 * 1000000L) // gap in MICROS
-    val qname = "q108_stream_custom_sessions"
-    withReplayStateWidth(s, eventsBytes(d)) {
-      val q = sessions.toDF().writeStream.format("memory").queryName(qname)
-        .outputMode(OutputMode.Append).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    s.table(qname)
+    // session-sized result -> spool (see drainToSpool)
+    drainToSpool(s, sessions.toDF(), "q108", eventsBytes(d))
       .select(col("user_id"), col("start_ns").as("start_us"),
         col("end_ns").as("end_us"), col("n_events"))
       .orderBy(col("user_id"), col("start_us"))
@@ -1085,22 +1088,18 @@ object EventStream {
         .parquet(fixtureDir)
         .as[RadiusFp]
       val survivors = radiusDedupStream(src)
-      val qname = "q156_stream_radius_dedup"
-      withReplayStateWidth(s, tableBytes(fixtureDir)) {
-        val q = survivors.writeStream.format("memory").queryName(qname)
-          .outputMode(OutputMode.Append).start()
-        try {
+      // survivor (doc-sized) result -> spool (see drainToSpool); poll
+      // for the watermark-advance NO-DATA batch that flushes the last
+      // per-doc windows
+      drainToSpool(s, survivors.toDF(), "q156", tableBytes(fixtureDir),
+        afterDrain = { q =>
           q.processAllAvailable()
-          // the final windows flush on the watermark-advance NO-DATA
-          // batch, which processAllAvailable does not wait for — poll
           val deadline = System.nanoTime() + 120L * 1000000000L
           while (!q.recentProgress.exists(_.numInputRows == 0) &&
                  System.nanoTime() < deadline)
             Thread.sleep(50)
           q.processAllAvailable()
-        } finally q.stop()
-      }
-      s.table(qname)
+        })
         .filter(col("doc_id") >= 0L)
         .select(
           expr(s"CAST(unix_micros(ts) div 1000000 - $baseSec AS BIGINT)").as("arrival"),
