@@ -316,14 +316,30 @@ object SparkEntry {
   private def langScore(words: Seq[String]): String =
     s"len(list_filter(string_split(lower(text), ' '), x -> x IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  /** Marks every CTE in `sql` as MATERIALIZED. DuckDB 1.0 inlines
+    * CTEs textually, so a chain where level k references both level
+    * k-1 and a shared base (`sm`, `rc`) expands the plan 2^iters-fold
+    * — the q169 oracle alone ran >400 s at sf0.01 and silently zeroed
+    * the round-12 driver correctness gate by blowing its compare
+    * timeout (CORRECTNESS_r12.json == {}). Materialization pins each
+    * CTE to one evaluation (1.2 s for the same q169; the q112/q114/
+    * q118 iterative chains drop 45 s+ → <0.1 s). Applied to EVERY
+    * oracle at the [[oracleSql]] map boundary: besides CTE heads, the
+    * only `word AS (` position in SQL is a named WINDOW clause
+    * (`WINDOW w AS (...)`), excluded by the lookbehind — column
+    * aliases are `expr AS name`, casts are `AS TYPE`, table aliases
+    * are `AS t(cols)`.
+    */
+  private def mat(sql: String): String =
+    sql.replaceAll("""(?<!WINDOW )(\w+) AS \(""", "$1 AS MATERIALIZED (")
+
   /** Shared q43/q169 coarse-quantizer replay: fixed-point Lloyd
     * (IvfIters rounds over the md5 sample from md5-ordered seeds),
-    * full-corpus assignment `asg`, probe cell lists `pc`. Each c$k is
-    * referenced once in the chain; the FINAL centroids are read twice
-    * (corpus assignment + tiny probe ranking) — one deliberate
-    * doubling of the sample-sized chain, never 2^n. DuckDB `//`
-    * floors while Spark `div` truncates, hence the sign CASE on the
-    * centroid update.
+    * full-corpus assignment `asg`, probe cell lists `pc`. Each `d$k`
+    * reads both `sm` and `c${k-1}`, so inlined evaluation would be
+    * 2^IvfIters — the [[mat]] wrap at the map boundary is what keeps
+    * it linear. DuckDB `//` floors while Spark `div` truncates, hence
+    * the sign CASE on the centroid update.
     */
   private val IvfCoarseSql: String = {
     val cells = graft.operators.Similarity.IvfCells
@@ -3578,12 +3594,11 @@ object SparkEntry {
     // column (so CTE count stays linear in iterations, not
     // subspaces x iterations), integer sub-codebook Lloyd from the
     // md5-ordered bounded training cut, integer encode, and integer
-    // ADC lookup-table scoring. Reference audit: rc is read twice per
-    // iteration (distance + update legs, linear re-scans of a base-
-    // shaped frame); rs (corpus residuals), pf (final codebooks), c4,
-    // asg, and pc each gain one extra read for encode/LUT/candidates —
-    // constant-factor doublings of sample- or corpus-linear frames,
-    // never a chained 2^n
+    // ADC lookup-table scoring. rc is read twice per iteration and
+    // each p$k chains on p${k-1}, so the whole oracle is wrapped in
+    // [[mat]]: without materialization DuckDB's textual CTE inlining
+    // makes evaluation exponential in the iteration count (this is
+    // what zeroed the round-12 correctness gate)
     "q169_knn_ivfpq_replay" -> {
       val m = graft.operators.Similarity.PqReplaySubspaces
       val dsub = graft.operators.Similarity.EmbedDims / m
@@ -3691,5 +3706,5 @@ object SparkEntry {
         |   AND 512 - a.n_hit > 0) AS small_range
         |FROM c JOIN a USING (column_name)
         |ORDER BY column_name""".stripMargin,
-  )
+  ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

@@ -26,18 +26,6 @@ object Verify {
         System.err.println(s"[verify] schema $t: UNREADABLE ${e.getMessage}")
       }
     }
-    SparkEntry.queries
-      .filter { case (name, _) => onlySet.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // a few queries cache() intermediates; drop them so storage memory
-      // doesn't accumulate across all 50 dumps
-      spark.catalog.clearCache()
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -50,9 +38,25 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // written BEFORE the dumps: if the dump loop is killed by a driver
+    // timeout, whatever completed can still be scored — without this
+    // file the compare scores the whole round as {} (the round-12
+    // failure mode, though that one was a DuckDB-side CTE blowup).
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.queries
+      .filter { case (name, _) => onlySet.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      // a few queries cache() intermediates; drop them so storage memory
+      // doesn't accumulate across all 50 dumps
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
