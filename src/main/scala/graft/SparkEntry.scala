@@ -339,7 +339,10 @@ object SparkEntry {
     * reads both `sm` and `c${k-1}`, so inlined evaluation would be
     * 2^IvfIters — the [[mat]] wrap at the map boundary is what keeps
     * it linear. DuckDB `//` floors while Spark `div` truncates, hence
-    * the sign CASE on the centroid update.
+    * the sign CASE on the centroid update. `sm` mirrors the engine's
+    * tiny-corpus fallback (Similarity.replayableCoarseCents): if the
+    * md5 sample is empty, train on the full frame — the NOT EXISTS
+    * leg — so a degenerate corpus can't diverge engine from oracle.
     */
   private val IvfCoarseSql: String = {
     val cells = graft.operators.Similarity.IvfCells
@@ -352,8 +355,12 @@ object SparkEntry {
         |hs AS (SELECT vec_id, q, md5(CAST(vec_id AS VARCHAR)) AS h FROM qv),
         |sd AS (SELECT vec_id AS cell, q FROM hs ORDER BY h, vec_id LIMIT $cells),
         |c0 AS (SELECT cell, i, q[i] AS c FROM sd, range(1, 65) t(i)),
-        |sm AS (SELECT vec_id, q FROM hs
-        |  WHERE CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % $mod = 0)""".stripMargin
+        |sm0 AS (SELECT vec_id, q FROM hs
+        |  WHERE CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % $mod = 0),
+        |sm AS (SELECT vec_id, q FROM sm0
+        |  UNION ALL
+        |  SELECT vec_id, q FROM hs
+        |  WHERE NOT EXISTS (SELECT 1 FROM sm0))""".stripMargin
     val iters = (1 to graft.operators.Similarity.IvfIters).map { kk =>
       s""",
          |d$kk AS (

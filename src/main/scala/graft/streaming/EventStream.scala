@@ -86,16 +86,21 @@ object EventStream {
     */
   val RocksDbReplayBytes: Long = 64L << 20
 
-  /** Total on-disk bytes of a table path — file or directory-of-
-    * parts, matching [[eventsStream]]'s layout tolerance.
+  /** Total on-disk bytes of a table path — file or directory tree,
+    * matching [[eventsStream]]'s layout tolerance. Recursive: a
+    * partitioned/nested layout (part dirs under the table dir) must
+    * not report near-0 bytes, which would silently disable the width
+    * scaling and RocksDB gate and revert to the width-8 in-heap
+    * behavior the sf10 canary showed can OOM.
     */
   private def tableBytes(path: String): Long = {
-    val f = new java.io.File(path)
-    if (f.isDirectory) {
-      val parts = f.listFiles()
-      if (parts == null) 0L else parts.iterator.map(_.length()).sum
-    } else if (f.isFile) f.length()
-    else 0L
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) {
+        val parts = f.listFiles()
+        if (parts == null) 0L else parts.iterator.map(walk).sum
+      } else if (f.isFile) f.length()
+      else 0L
+    walk(new java.io.File(path))
   }
 
   /** [[tableBytes]] of the events table under the sf dir. */
@@ -141,6 +146,30 @@ object EventStream {
     }
   }
 
+  /** Spool dirs live until JVM exit (the returned frame reads them
+    * lazily, so eager deletion would break the consumer); one
+    * shutdown hook deletes them all recursively so repeated sweeps in
+    * a long-lived session don't grow /tmp without bound across JVMs.
+    */
+  private val spoolDirs =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+  private lazy val spoolCleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      spoolDirs.forEach { dir =>
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      }
+    }))
+  }
+  private def registerSpoolForCleanup(dir: String): Unit = {
+    spoolCleanupHook
+    spoolDirs.add(dir); ()
+  }
+
   /** Drain a bounded replay into a distributed parquet spool and
     * return the spooled frame — the result-safe replacement for a
     * result-sized memory sink. A memory-sink TABLE holds all its rows
@@ -152,19 +181,29 @@ object EventStream {
     * overwrites per trigger because it re-emits the whole answer).
     * Tiny sinks (windows x types, sketch cells) stay on the memory
     * sink and skip the ~0.2-0.4 s write+read roundtrip.
+    *
+    * `mapBatch` runs inside foreachBatch on each micro-batch before
+    * the append — for replays whose per-batch output is safely
+    * reducible (q93 appends pair-sized partial counts, not events),
+    * keeping the spool partial-aggregate-sized instead of
+    * result-sized. The empty-drain frame carries the MAPPED schema.
     */
   private def drainToSpool(
       s: SparkSession, out: DataFrame, name: String, inputBytes: Long,
       complete: Boolean = false, stateHeavy: Boolean = false,
+      mapBatch: DataFrame => DataFrame = identity,
       afterDrain: org.apache.spark.sql.streaming.StreamingQuery => Unit =
         _.processAllAvailable()): DataFrame = {
     val spool = java.nio.file.Files
       .createTempDirectory(s"graft_${name}_spool").toString
-    val schema = out.schema
+    registerSpoolForCleanup(spool)
+    // analysis-only application to the (streaming) frame: yields the
+    // post-map schema without starting anything
+    val schema = mapBatch(out).schema
     withReplayStateWidth(s, inputBytes, stateHeavy) {
       val w = out.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode(if (complete) "overwrite" else "append")
+          mapBatch(batch).write.mode(if (complete) "overwrite" else "append")
             .parquet(spool)
           ()
         }
@@ -786,9 +825,10 @@ object EventStream {
     * Sink shape (the sf10 lesson): an event-level memory sink holds
     * the WHOLE deduped table in driver heap — at 10M events that plus
     * the dedup state blew the 8g replay JVM (OOM'd the dispatcher,
-    * which surfaced as a silent AQE hang). The sink is therefore a
-    * `foreachBatch` DISTRIBUTED partial rollup: each batch appends
-    * its per-(event_type, user_id) counts to a parquet spool
+    * which surfaced as a silent AQE hang). The sink is therefore
+    * [[drainToSpool]] with a `mapBatch` DISTRIBUTED partial rollup:
+    * each batch appends its per-(event_type, user_id) counts to a
+    * parquet spool
     * (distinct-pair-sized, never event-sized, written by executors),
     * and the final answer folds the spool with a distributive
     * sum / countDistinct — cross-batch correct because per-pair
@@ -802,20 +842,9 @@ object EventStream {
         col("event_type"), col("user_id"))
     val redelivered = src.union(src.filter(col("event_id") % 37 === 0))
     val deduped = dedupStream(redelivered, "event_id")
-    val spool = java.nio.file.Files
-      .createTempDirectory("graft_q93_spool").toString
-    withReplayStateWidth(s, eventsBytes(d)) {
-      val q = deduped.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          batch.groupBy(col("event_type"), col("user_id"))
-            .agg(count(lit(1)).as("n"))
-            .write.mode("append").parquet(spool)
-          ()
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    s.read.parquet(spool)
+    drainToSpool(s, deduped, "q93", eventsBytes(d),
+      mapBatch = _.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n")))
       .groupBy(col("event_type"), col("user_id"))
       .agg(sum(col("n")).as("n"))
       .groupBy(col("event_type"))

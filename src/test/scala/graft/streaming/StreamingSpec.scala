@@ -340,6 +340,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("q93: an empty events input yields a typed empty frame, not a crash") {
+    // an empty drain leaves no parquet parts in the spool; without the
+    // drainToSpool hasParts guard this threw 'Unable to infer schema'
+    val d = java.nio.file.Files.createTempDirectory("graft_empty_sf").toString
+    graft.Tables.events(spark, "/root/testdata/sf0.001").limit(0)
+      .write.parquet(s"$d/events.parquet")
+    val out = EventStream.q93StreamDedup(spark, d)
+    assert(out.columns.toSeq == Seq("event_type", "n_events", "n_users"))
+    assert(out.count() == 0)
+  }
+
   test("q103: stream-static enrichment equals the batch join") {
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     val d = "/root/testdata/sf0.001"
