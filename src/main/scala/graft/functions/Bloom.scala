@@ -60,3 +60,63 @@ case class BloomMightContain(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): BloomMightContain =
     copy(left = newLeft, right = newRight)
 }
+
+/** [[BloomMightContain]]'s cluster-scale sibling: the filter rides as a
+  * [[org.apache.spark.broadcast.Broadcast]] HANDLE instead of a plan
+  * literal. A literal filter is serialized into every task binary — at
+  * sf1 the q54/q78 filters reached ~5.5 MiB and tripped Spark's
+  * task-size warning; at 1000 executors x thousands of tasks that is
+  * gigabytes of redundant RPC. The broadcast ships the bytes ONCE per
+  * executor (BitTorrent-style), and the task carries only the handle.
+  * The probe stays a pure bit-test inside whole-stage codegen: the
+  * deserialized filter is pinned to an immutable codegen class member,
+  * resolved from the executor-local broadcast store at instance init,
+  * never per row.
+  *
+  * Not SQL-registrable (the registry builds from Expression children
+  * only) — construct via [[BloomMightContainBc.column]].
+  */
+case class BloomMightContainBc(
+    child: Expression,
+    bf: org.apache.spark.broadcast.Broadcast[BloomFilter])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+
+  override def dataType: DataType = BooleanType
+
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val filter: BloomFilter = bf.value
+
+  override protected def nullSafeEval(key: Any): Any =
+    filter.mightContainLong(key.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val bfCls = classOf[BloomFilter].getName
+    val ref = ctx.addReferenceObj("bloomBc", bf, bcCls)
+    // addMutableState (NOT addImmutableStateIfNotExists): it returns
+    // the fresh variable name, and two different broadcast filters in
+    // one codegen class must not be deduped onto one member
+    val local = ctx.addMutableState(
+      bfCls, "graftBloomFilter", v => s"$v = ($bfCls) $ref.value();")
+    nullSafeCodeGen(ctx, ev,
+      key => s"${ev.value} = $local.mightContainLong($key);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomMightContainBc = copy(child = newChild)
+}
+
+object BloomMightContainBc {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftshim.GraftColumns
+
+  /** `key` probed against the broadcast filter, as a Column. */
+  def column(
+      key: Column,
+      bf: org.apache.spark.broadcast.Broadcast[BloomFilter]): Column =
+    GraftColumns.ofExpr(BloomMightContainBc(GraftColumns.exprOf(key), bf))
+}

@@ -475,17 +475,14 @@ object Dedup {
   def incrementalDedup(
       existing: DataFrame, incoming: DataFrame, fpp: Double = 0.01): DataFrame = {
     val s = incoming.sparkSession
-    graft.functions.FingerprintFunctions.register(s)
     val exKeys = existing.select(xxhash64(col("text")).as("k"))
     val bloom = Relational.bloomFilterOf(exKeys, "k", fpp)
-    val bloomBytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    // broadcast handoff (see q54): the corpus-sized filter must not
+    // ride in every task binary as a plan literal
+    val bcast = s.sparkContext.broadcast(bloom)
     val inc = incoming.select(col("doc_id"), col("source"), col("text"))
     val candidates = inc
-      .filter(call_function("bloom_might_contain", xxhash64(col("text")), lit(bloomBytes)))
+      .filter(graft.functions.BloomMightContainBc.column(xxhash64(col("text")), bcast))
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
     // exact verify: only bloom positives ship into this join
     val dupIds = candidates.join(

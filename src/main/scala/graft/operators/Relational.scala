@@ -692,19 +692,17 @@ object Relational {
   }
 
   def q54BloomJoin(s: SparkSession, d: String): DataFrame = {
-    graft.functions.FingerprintFunctions.register(s) // bloom_might_contain
     val keys = Tables.orders(s, d)
       .filter(col("o_totalprice") > 200000)
       .select(col("o_orderkey"))
     val bloom = bloomFilterOf(keys, "o_orderkey", 0.01)
-    val bloomBytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    // broadcast HANDOFF, not a plan literal: the filter grows with the
+    // build side (~5.5 MiB at sf1) and a literal rides in EVERY task
+    // binary — the broadcast ships once per executor
+    val bcast = s.sparkContext.broadcast(bloom)
 
     val pruned = Tables.lineitem(s, d)
-      .filter(call_function("bloom_might_contain", col("l_orderkey"), lit(bloomBytes)))
+      .filter(graft.functions.BloomMightContainBc.column(col("l_orderkey"), bcast))
     pruned.join(keys, pruned("l_orderkey") === keys("o_orderkey"), "left_semi")
       .groupBy(col("l_returnflag"))
       .agg(

@@ -64,6 +64,35 @@ class BloomSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("broadcast probe agrees with the literal probe, members and non-members") {
+    import spark.implicits._
+    val members = (1L to 1000L).map(_ * 7L)
+    val bf = BloomFilter.create(members.length.toLong, 0.01)
+    members.foreach(bf.putLong)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val bytes = serialized(bf)
+    val probes = ((1L to 1000L).map(_ * 7L) ++ (1L to 5000L).map(_ * 7L + 3L)).toDF("k")
+    val both = probes.select(
+      BloomMightContainBc.column(col("k"), bcast).as("bc"),
+      call_function("bloom_might_contain", col("k"), lit(bytes)).as("lit"))
+      .collect()
+    assert(both.forall(r => r.getBoolean(0) == r.getBoolean(1)))
+  }
+
+  test("broadcast probe: null key is null, interpreted eval matches") {
+    import spark.implicits._
+    val bf = BloomFilter.create(2L, 0.01)
+    bf.putLong(42L)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val rows = Seq(Some(42L), None).toDF("k")
+      .select(BloomMightContainBc.column(col("k"), bcast).as("m"))
+      .collect()
+    assert(rows(0).getBoolean(0))
+    assert(rows(1).isNullAt(0))
+    assert(BloomMightContainBc(Literal(42L), bcast).eval(null) == true)
+    assert(BloomMightContainBc(Literal(43L), bcast).eval(null) == false)
+  }
+
   test("a non-foldable filter argument fails fast") {
     import spark.implicits._
     val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("k", "b")
