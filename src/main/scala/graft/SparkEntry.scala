@@ -192,6 +192,8 @@ object SparkEntry {
     "q168_hist_merge" -> (Relational.q168HistMerge _),
     "q169_knn_ivfpq_replay" -> (Similarity.q169KnnIvfPqReplay _),
     "q170_profile_replay" -> (Relational.q170ProfileReplay _),
+    "q172_kmv_distinct" -> (Corpus.q172KmvDistinct _),
+    "q173_kmv_overlap" -> (Corpus.q173KmvOverlap _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -3713,5 +3715,83 @@ object SparkEntry {
         |   AND 512 - a.n_hit > 0) AS small_range
         |FROM c JOIN a USING (column_name)
         |ORDER BY column_name""".stripMargin,
+    // KMV bottom-k distinct sketch (q172): the full replay — distinct
+    // 60-bit keys, per-source rank <= k, unbiased (k-1)·H/kth estimate
+    // in HUGEINT floor arithmetic (engine: BigInt floor; both truncate
+    // toward zero on positives). Below k keys the estimate is exact.
+    "q172_kmv_distinct" ->
+      s"""WITH t AS (
+        |  SELECT source, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM t, unnest(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
+        |k AS (
+        |  SELECT DISTINCT source, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS x FROM g),
+        |r AS (
+        |  SELECT source, x, ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS rn FROM k),
+        |sk AS (
+        |  SELECT source, COUNT(*) AS n_kmv, MAX(x) AS kth_min
+        |  FROM r WHERE rn <= ${graft.operators.Corpus.KmvK} GROUP BY 1),
+        |ex AS (SELECT source, COUNT(DISTINCT g) AS n_distinct_exact FROM g GROUP BY 1)
+        |SELECT sk.source, ex.n_distinct_exact,
+        |  CAST(sk.n_kmv AS BIGINT) AS n_kmv, sk.kth_min,
+        |  CAST(CASE WHEN sk.n_kmv < ${graft.operators.Corpus.KmvK} THEN sk.n_kmv
+        |    ELSE (${graft.operators.Corpus.KmvK - 1} *
+        |          CAST(${graft.operators.Corpus.KmvDomain} AS HUGEINT)) // sk.kth_min
+        |    END AS BIGINT) AS est_distinct
+        |FROM sk JOIN ex ON ex.source = sk.source
+        |ORDER BY sk.source""".stripMargin,
+    // KMV sketch-space Jaccard (q173): merged sketch = k smallest of
+    // the two sketches' key union; J_est = both-members / merged size.
+    // Exact distinct-gram ground truth rides (driver binding keeps the
+    // rider on; library default is estimate-only).
+    "q173_kmv_overlap" ->
+      s"""WITH t AS (
+        |  SELECT source, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM t, unnest(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
+        |k AS (
+        |  SELECT DISTINCT source, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS x FROM g),
+        |r AS (
+        |  SELECT source, x, ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS rn FROM k),
+        |sk AS (SELECT source, x FROM r WHERE rn <= ${graft.operators.Corpus.KmvK}),
+        |srcs AS (SELECT DISTINCT source FROM k),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b
+        |  FROM srcs a, srcs b WHERE a.source < b.source),
+        |u AS (
+        |  SELECT p.src_a, p.src_b, s.x,
+        |    MAX(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS ia,
+        |    MAX(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS ib
+        |  FROM pairs p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+        |  GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT src_a, src_b, x, ia, ib,
+        |    ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY x) AS rn
+        |  FROM u),
+        |est AS (
+        |  SELECT src_a, src_b, COUNT(*) AS n_merged,
+        |    CAST(SUM(ia * ib) AS BIGINT) AS n_both
+        |  FROM m WHERE rn <= ${graft.operators.Corpus.KmvK} GROUP BY 1, 2),
+        |sg AS (SELECT DISTINCT source, g FROM g),
+        |per AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY 1),
+        |shared AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared_exact
+        |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT e.src_a, e.src_b,
+        |  COALESCE(sh.n_shared_exact, 0) AS n_shared_exact,
+        |  CAST(COALESCE(sh.n_shared_exact, 0) AS DOUBLE) /
+        |    CAST(pa.n + pb.n - COALESCE(sh.n_shared_exact, 0) AS DOUBLE) AS jaccard_exact,
+        |  e.n_merged, e.n_both,
+        |  CAST(e.n_both AS DOUBLE) / CAST(e.n_merged AS DOUBLE) AS est_jaccard
+        |FROM est e
+        |JOIN per pa ON pa.source = e.src_a
+        |JOIN per pb ON pb.source = e.src_b
+        |LEFT JOIN shared sh ON sh.src_a = e.src_a AND sh.src_b = e.src_b
+        |ORDER BY e.src_a, e.src_b""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

@@ -84,3 +84,43 @@ class BottomKTriples[IN](k: Int, extract: IN => (Long, Long, Long))(
   def bufferEncoder: Encoder[Seq[(Long, Long, Long)]] = enc
   def outputEncoder: Encoder[Seq[(Long, Long, Long)]] = enc
 }
+
+/** KMV (k-minimum-values) sketch accumulator: the k smallest DISTINCT
+  * long keys per group, kept sorted ascending. The bounded O(k) buffer
+  * combines map-side like [[TopKByScore]], but additionally DEDUPES on
+  * insert — the KMV estimator (Bar-Yossef et al. '02) is defined over
+  * the distinct key set, so a pre-aggregation `distinct()` (a full
+  * corpus-sized shuffle) is exactly what this aggregator exists to
+  * avoid: duplicates die in the partial buffers. The sketch is a set
+  * algebra: merge(sketch(A), sketch(B)) == sketch(A union B)
+  * (KmvSpec pins the law), which is how 1000 shards sketch
+  * independently and a coordinator folds k-sized states.
+  */
+class BottomKDistinct[IN](k: Int, extract: IN => Long)(
+    implicit enc: Encoder[Seq[Long]])
+    extends Aggregator[IN, Seq[Long], Seq[Long]] {
+
+  private def insert(buf: Seq[Long], x: Long): Seq[Long] = {
+    // full buffer and x past the end (or equal to it) — no change
+    if (buf.size >= k && buf.last <= x) buf
+    else {
+      val (before, after) = buf.span(_ < x)
+      if (after.headOption.contains(x)) buf // already present: distinct
+      else {
+        val merged = before ++ (x +: after)
+        if (merged.size > k) merged.take(k) else merged
+      }
+    }
+  }
+
+  def zero: Seq[Long] = Vector.empty
+
+  def reduce(buf: Seq[Long], x: IN): Seq[Long] = insert(buf, extract(x))
+
+  def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = b.foldLeft(a)(insert)
+
+  def finish(buf: Seq[Long]): Seq[Long] = buf
+
+  def bufferEncoder: Encoder[Seq[Long]] = enc
+  def outputEncoder: Encoder[Seq[Long]] = enc
+}

@@ -1501,4 +1501,165 @@ object Corpus {
       LshJoin.MaxBucket, "l_orderkey").select(col("a"), col("b")).distinct()
     linkPrediction(edges, topK = 25)
   }
+
+  // ===== KMV (k-minimum-values / bottom-k) distinct sketch =====
+  //
+  // The third replayable cardinality sketch after HLL (q159) and the
+  // histogram (q160): the k smallest distinct 60-bit md5 keys of a set.
+  // Unlike HLL it is a SET algebra (union = bottom-k of the sketch
+  // union), it yields an UNBIASED distinct estimate (k-1)·H/kth-min,
+  // and — the property HLL lacks — it supports direct Jaccard
+  // estimation between two sets from their sketches alone
+  // (Bar-Yossef et al. '02; Beyer et al. '07). All arithmetic is
+  // integer, so engine and oracle hash-match bit-for-bit.
+
+  /** Sketch size: stderr of the distinct estimate ~ 1/sqrt(k-2) = 13%. */
+  val KmvK: Int = 64
+
+  /** Key domain: [[hllKey]] is 60 bits, H = 2^60. */
+  val KmvDomain: Long = 1L << 60
+
+  /** Per-`source` KMV sketches of a raw `(source, x: Long)` key frame
+    * (duplicates welcome — the aggregator dedupes in its O(k)
+    * partials; never `distinct()` a corpus-sized frame first).
+    * Returns `(source, sk: Seq[Long])`, one row per source.
+    */
+  private[operators] def kmvSketches(keys: DataFrame): DataFrame = {
+    val s = keys.sparkSession
+    import s.implicits._
+    val agg = new graft.functions.BottomKDistinct[(String, Long)](
+      KmvK, _._2).toColumn.name("sk")
+    keys.select(col("source"), col("x")).as[(String, Long)]
+      .groupByKey(_._1)
+      .agg(agg)
+      .toDF("source", "sk")
+  }
+
+  /** KMV read-out: `(source, n_kmv, kth_min, est_distinct)`. Estimate
+    * in exact BigInt floor arithmetic (DuckDB replays it as HUGEINT
+    * `//`): below k observed keys the sketch IS the distinct set, so
+    * the estimate is exact by construction.
+    */
+  private[operators] def kmvReadout(sketches: DataFrame): DataFrame = {
+    val s = sketches.sparkSession
+    import s.implicits._
+    sketches.as[(String, Seq[Long])]
+      .map { case (source, sk) =>
+        val nk = sk.size.toLong
+        val kth = sk.last // a group exists only if it has rows
+        val est =
+          if (nk < KmvK) nk
+          else (BigInt(KmvK - 1) * KmvDomain / kth).toLong
+        (source, nk, kth, est)
+      }
+      .toDF("source", "n_kmv", "kth_min", "est_distinct")
+  }
+
+  /** Distinct word-trigram cardinality per source via KMV (q172) —
+    * the q159 HLL question answered by the bottom-k sketch, over the
+    * SAME one-pass trigram explode. State per source is k longs; the
+    * corpus is never distinct()-shuffled (the aggregator dedupes
+    * map-side). Exact ground truth rides for the driver hash.
+    */
+  def q172KmvDistinct(s: SparkSession, d: String): DataFrame =
+    kmvDistinctOf(Tables.documents(s, d))
+
+  /** [[q172KmvDistinct]] over any `(source, text)` frame. */
+  private[operators] def kmvDistinctOf(docs: DataFrame): DataFrame = {
+    val grams = sourceTrigrams(docs).persist()
+    val sk = kmvSketches(
+      grams.select(col("source"), hllKey(col("g")).as("x")))
+    val exact = grams.groupBy(col("source"))
+      .agg(countDistinct(col("g")).as("n_distinct_exact"))
+    val out = kmvReadout(sk).join(exact, "source")
+      .select(col("source"), col("n_distinct_exact"), col("n_kmv"),
+        col("kth_min"), col("est_distinct"))
+      .orderBy(col("source"))
+      .persist()
+    out.count()
+    grams.unpersist(blocking = false)
+    out
+  }
+
+  /** Cross-source Jaccard similarity from KMV sketches alone (q173):
+    * for every unordered source pair, merge the two k-sized sketches
+    * (bottom-k of their union — the KMV set algebra), and estimate
+    * J(A,B) = |{x in merged : x in sk(A) and x in sk(B)}| / |merged|.
+    * The corpus is touched ONCE (the sketch build); everything after
+    * operates on |sources|·k sketch rows, so pair enumeration costs
+    * sources²·k, never data². This is the estimator HLL cannot give
+    * without inclusion-exclusion through three cardinality estimates
+    * (q162) — KMV reads the overlap off the sketch members directly.
+    *
+    * The exact distinct-gram ground truth is a REPORT-ONLY rider
+    * (default off for library callers — the q162 discipline): its
+    * distinct self-join costs more than the sketch saves.
+    */
+  def q173KmvOverlap(s: SparkSession, d: String): DataFrame =
+    kmvOverlapOf(Tables.documents(s, d), exactRider = true)
+
+  /** [[q173KmvOverlap]] over any `(source, text)` frame. */
+  private[operators] def kmvOverlapOf(
+      docs: DataFrame, exactRider: Boolean = false): DataFrame = {
+    val grams0 = sourceTrigrams(docs)
+    val grams = if (exactRider) grams0.persist() else grams0
+    // sketch rows: |sources| x k after ONE corpus pass
+    val rows = kmvSketches(
+      grams.select(col("source"), hllKey(col("g")).as("x")))
+      .select(col("source"), explode(col("sk")).as("x"))
+      .persist()
+    val srcs = rows.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .crossJoin(srcs.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    // tag both sides' sketch members with the pair, dedupe keys, keep
+    // the k smallest of the union — the merged sketch
+    val tagged = pairs.join(rows, col("source") === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("x"),
+        lit(1L).as("ia"), lit(0L).as("ib"))
+      .unionByName(pairs.join(rows, col("source") === col("src_b"))
+        .select(col("src_a"), col("src_b"), col("x"),
+          lit(0L).as("ia"), lit(1L).as("ib")))
+      .groupBy(col("src_a"), col("src_b"), col("x"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    val ranked = tagged.withColumn("rn",
+      row_number().over(Window.partitionBy(col("src_a"), col("src_b"))
+        .orderBy(col("x"))))
+      .filter(col("rn") <= KmvK)
+    val est = ranked.groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_merged"),
+        sum(col("ia") * col("ib")).as("n_both"))
+      .withColumn("est_jaccard",
+        col("n_both").cast("double") / col("n_merged").cast("double"))
+    val joined =
+      if (!exactRider) est
+      else {
+        val sg = grams.distinct()
+        val per = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val shared = sg.as("a").join(sg.as("b"),
+            col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_shared_exact"))
+        est
+          .join(per.select(col("source").as("src_a"), col("n").as("na")), "src_a")
+          .join(per.select(col("source").as("src_b"), col("n").as("nb")), "src_b")
+          .join(shared, Seq("src_a", "src_b"), "left")
+          .withColumn("n_shared_exact", coalesce(col("n_shared_exact"), lit(0L)))
+          .withColumn("jaccard_exact",
+            col("n_shared_exact").cast("double") /
+              (col("na") + col("nb") - col("n_shared_exact")).cast("double"))
+          .drop("na", "nb")
+      }
+    val cols = (if (exactRider)
+        Seq(col("n_shared_exact"), col("jaccard_exact")) else Nil) ++
+      Seq(col("n_merged"), col("n_both"), col("est_jaccard"))
+    val out = joined
+      .select(col("src_a") +: col("src_b") +: cols: _*)
+      .orderBy(col("src_a"), col("src_b"))
+      .persist()
+    out.count()
+    rows.unpersist(blocking = false)
+    if (exactRider) grams.unpersist(blocking = false)
+    out
+  }
 }
