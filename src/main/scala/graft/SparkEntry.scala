@@ -192,8 +192,11 @@ object SparkEntry {
     "q168_hist_merge" -> (Relational.q168HistMerge _),
     "q169_knn_ivfpq_replay" -> (Similarity.q169KnnIvfPqReplay _),
     "q170_profile_replay" -> (Relational.q170ProfileReplay _),
+    "q171_stream_asof_enrich" ->
+      (graft.streaming.EventStream.q171StreamAsofEnrich _),
     "q172_kmv_distinct" -> (Corpus.q172KmvDistinct _),
     "q173_kmv_overlap" -> (Corpus.q173KmvOverlap _),
+    "q174_stream_hist" -> (graft.streaming.EventStream.q174StreamHist _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -3715,6 +3718,36 @@ object SparkEntry {
         |   AND 512 - a.n_hit > 0) AS small_range
         |FROM c JOIN a USING (column_name)
         |ORDER BY column_name""".stripMargin,
+    // streaming as-of enrichment (q171): the oracle replays the whole
+    // thing in batch — the synthesized version table (md5-phased
+    // activation times across the event-time span), per-event latest
+    // valid version via ROW_NUMBER, and the no-valid-version tier -1
+    // leg via NOT EXISTS. Decimal sums keep the value rollup exact
+    // across engines.
+    "q171_stream_asof_enrich" ->
+      """WITH b AS (
+        |  SELECT MIN(epoch_us(ts)) AS min_us, MAX(epoch_us(ts)) AS max_us FROM events),
+        |dim AS (
+        |  SELECT c_custkey AS user_id,
+        |    b.min_us + i * GREATEST((b.max_us - b.min_us + 1) // 4, 1)
+        |      + (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)
+        |         % GREATEST((b.max_us - b.min_us + 1) // 8, 1)) AS vf_us,
+        |    CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS tier
+        |  FROM customer, b, range(0, 4) t(i)),
+        |e AS (SELECT event_id, epoch_us(ts) AS ts_us, event_type, value, user_id FROM events),
+        |v AS (
+        |  SELECT e.event_id, e.event_type, e.value, d.tier,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY d.vf_us DESC) AS rn
+        |  FROM e JOIN dim d ON d.user_id = e.user_id AND d.vf_us <= e.ts_us),
+        |en AS (
+        |  SELECT event_type, value, tier FROM v WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.event_type, e.value, CAST(-1 AS BIGINT) AS tier FROM e
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM dim d WHERE d.user_id = e.user_id AND d.vf_us <= e.ts_us))
+        |SELECT tier, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM en GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // KMV bottom-k distinct sketch (q172): the full replay — distinct
     // 60-bit keys, per-source rank <= k, unbiased (k-1)·H/kth estimate
     // in HUGEINT floor arithmetic (engine: BigInt floor; both truncate
@@ -3793,5 +3826,53 @@ object SparkEntry {
         |JOIN per pb ON pb.source = e.src_b
         |LEFT JOIN shared sh ON sh.src_a = e.src_a AND sh.src_b = e.src_b
         |ORDER BY e.src_a, e.src_b""".stripMargin,
+    // histogram-sketch-in-stream (q174): cells are order-independent
+    // sums, so the oracle replays the whole stream query from the
+    // batch table — global-domain bins, integer-rank picks, IEEE bin
+    // edges, plus the exact k-th-order-statistic rider.
+    "q174_stream_hist" ->
+      s"""WITH b AS (
+        |  SELECT MIN(CAST(value AS DOUBLE)) AS vmin, MAX(CAST(value AS DOUBLE)) AS vmax
+        |  FROM events),
+        |e AS (
+        |  SELECT epoch_us(ts) - epoch_us(ts) % 600000000 AS win_start_us,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events),
+        |c AS (
+        |  SELECT win_start_us,
+        |    CASE WHEN b.vmax = b.vmin THEN 0
+        |      ELSE LEAST(CAST(floor((v - b.vmin) * 64.0 / (b.vmax - b.vmin)) AS BIGINT), 63)
+        |    END AS bin, COUNT(*) AS c
+        |  FROM e, b GROUP BY 1, 2),
+        |ns AS (SELECT win_start_us, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |cm AS (
+        |  SELECT c.win_start_us, c.bin,
+        |    CAST(SUM(c.c) OVER (PARTITION BY c.win_start_us ORDER BY c.bin) AS BIGINT) AS cum,
+        |    ns.n
+        |  FROM c JOIN ns USING (win_start_us)),
+        |picks AS (
+        |  SELECT win_start_us, n,
+        |    MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END) AS b50,
+        |    MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN bin END) AS b95,
+        |    MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END) AS b99
+        |  FROM cm GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT e.win_start_us, e.v,
+        |    ROW_NUMBER() OVER (PARTITION BY e.win_start_us ORDER BY e.v) AS rn,
+        |    ns.n
+        |  FROM e JOIN ns USING (win_start_us)),
+        |ex AS (
+        |  SELECT win_start_us,
+        |    MIN(CASE WHEN rn >= (n * 50 + 99) // 100 THEN v END) AS p50_exact,
+        |    MIN(CASE WHEN rn >= (n * 95 + 99) // 100 THEN v END) AS p95_exact,
+        |    MIN(CASE WHEN rn >= (n * 99 + 99) // 100 THEN v END) AS p99_exact
+        |  FROM rk GROUP BY 1)
+        |SELECT p.win_start_us, p.n,
+        |  b.vmin + (p.b50 + 1) * ((b.vmax - b.vmin) / 64.0) AS p50_est,
+        |  b.vmin + (p.b95 + 1) * ((b.vmax - b.vmin) / 64.0) AS p95_est,
+        |  b.vmin + (p.b99 + 1) * ((b.vmax - b.vmin) / 64.0) AS p99_est,
+        |  ex.p50_exact, ex.p95_exact, ex.p99_exact
+        |FROM picks p JOIN ex USING (win_start_us), b
+        |ORDER BY p.win_start_us""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

@@ -1258,6 +1258,98 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("j"), col("bkt"), col("c"))
   }
 
+  /** Per-window histogram cells over a `(ts, value)` frame —
+    * batch/stream unified like [[cmsWindowCells]]: the q168
+    * global-domain binning (bounds fixed ahead of the stream, the
+    * production convention for a latency monitor) makes the cell
+    * update a per-(window, bin) COUNT, an algebraic SUM, so the
+    * streaming incremental merge IS the histogram merge. State is
+    * [[graft.operators.Relational.HistBins]] cells per open window —
+    * the quantile monitor whose state does not grow with row count.
+    */
+  def histWindowCells(
+      events: DataFrame, vmin: Double, vmax: Double,
+      windowLen: String = "10 minutes",
+      watermark: String = "20 minutes"): DataFrame = {
+    val b = lit(graft.operators.Relational.HistBins.toDouble)
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        (if (vmax == vmin) lit(0L)
+         else least(
+           floor((col("value") - lit(vmin)) * b / lit(vmax - vmin)).cast("long"),
+           lit(graft.operators.Relational.HistBins - 1L))).as("bin"))
+      .groupBy(window(col("ts"), windowLen), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("win_start"), col("bin"), col("c"))
+  }
+
+  /** q174 — the FOURTEENTH streaming shape, completing the
+    * sketch-in-stream trio (q161 HLL cardinality, q167 CMS frequency,
+    * q174 histogram QUANTILES): per-window latency-style percentile
+    * estimates from [[histWindowCells]] replayed over the bounded
+    * events table, read out in batch by the q160/q168 integer-rank +
+    * bin-edge arithmetic, with exact per-window percentiles riding as
+    * report-only ground truth (rank read-out of the k-th order
+    * statistic — tie-permutation-independent because the VALUE at rank
+    * k is well-defined). The value domain comes from a 1-row batch
+    * pre-pass; a production monitor pins it ahead of time. Because the
+    * cells are order-independent sums, the DuckDB oracle replays the
+    * entire stream query from the batch table — hash-matched like its
+    * two siblings.
+    */
+  def q174StreamHist(s: SparkSession, d: String): DataFrame = {
+    val bounds = graft.Tables.events(s, d)
+      .agg(min(col("value").cast("double")).as("vmin"),
+        max(col("value").cast("double")).as("vmax"))
+      .collect()(0)
+    val (vmin, vmax) = (bounds.getDouble(0), bounds.getDouble(1))
+    val stream = eventsStream(s, d)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("value").cast("double").as("value"))
+    val cells = histWindowCells(stream, vmin, vmax)
+    val qname = "q174_stream_hist"
+    withReplayStateWidth(s, eventsBytes(d)) {
+      val q = cells.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Complete).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val sink = s.table(qname)
+      .select(unix_micros(col("win_start")).as("win_start_us"),
+        col("bin"), col("c"))
+    val ns = sink.groupBy(col("win_start_us")).agg(sum(col("c")).as("n"))
+    val cum = sink.withColumn("cum",
+        sum(col("c")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("win_start_us")).orderBy(col("bin"))))
+      .join(broadcast(ns), "win_start_us")
+    def kq(pct: Int) = expr(s"CAST((n * $pct + 99) DIV 100 AS BIGINT)")
+    def pick(pct: Int, name: String) =
+      min(when(col("cum") >= kq(pct), col("bin"))).as(name)
+    val picks = cum.groupBy(col("win_start_us"), col("n"))
+      .agg(pick(50, "b50"), pick(95, "b95"), pick(99, "b99"))
+    val bw = lit((vmax - vmin) / graft.operators.Relational.HistBins.toDouble)
+    def edge(c: org.apache.spark.sql.Column) =
+      lit(vmin) + (c + lit(1L)).cast("double") * bw
+    val est = picks.select(col("win_start_us"), col("n"),
+      edge(col("b50")).as("p50_est"), edge(col("b95")).as("p95_est"),
+      edge(col("b99")).as("p99_est"))
+    // exact rider: k-th order statistic per window from the batch table
+    val ev = graft.Tables.events(s, d)
+      .select((expr("ts div 1000") - expr("ts div 1000") % 600000000L)
+        .as("win_start_us"), col("value").cast("double").as("v"))
+    val ranked = ev.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("win_start_us")).orderBy(col("v"))))
+      .join(broadcast(ns), "win_start_us")
+    def exact(pct: Int, name: String) =
+      min(when(col("rn") >= kq(pct), col("v"))).as(name)
+    val exacts = ranked.groupBy(col("win_start_us"))
+      .agg(exact(50, "p50_exact"), exact(95, "p95_exact"),
+        exact(99, "p99_exact"))
+    est.join(exacts, "win_start_us")
+      .orderBy(col("win_start_us"))
+  }
+
   /** q167 — the TWELFTH streaming shape: a per-window event-frequency
     * monitor via the replayable CMS ([[cmsWindowCells]]) replayed over
     * the bounded events table, probed in batch for the fixed probe
@@ -1297,6 +1389,68 @@ object EventStream {
       .select(col("win_start_us"), col("user_id"), col("exact_cnt"),
         col("est_cnt"), (col("est_cnt") - col("exact_cnt")).as("over_err"))
       .orderBy(col("win_start_us"), col("user_id"))
+  }
+
+  /** q171 — the THIRTEENTH streaming shape: temporal (as-of)
+    * enrichment of the event stream against a VERSIONED dimension —
+    * every event gets the dimension row that was current AT ITS EVENT
+    * TIME, not the latest one (q103 enriches against a static dim; a
+    * plain stream-static join would time-travel attribute changes
+    * backwards). Spark has no streaming as-of join; the production
+    * pattern is exactly what runs here: resolve the as-of per
+    * micro-batch inside foreachBatch — a broadcast join to the (small,
+    * versioned) dimension, validity filter `valid_from <= ts`, and a
+    * per-event argmax over the surviving versions. The stream holds NO
+    * state (enrichment is stateless given the dim), the dim ships once
+    * per executor as a broadcast, and the spool receives per-batch
+    * (tier, event_type) partial rollups — pair-sized, additive across
+    * batches, the q93 discipline. Events predating their user's first
+    * version (or with no dim row at all) land in tier -1, the
+    * "unknown" leg a real pipeline must keep rather than drop.
+    *
+    * The version table is synthesized deterministically so the DuckDB
+    * oracle replays it: four versions per customer, activation times
+    * spread across the event-time span with a per-user md5 phase (so
+    * boundaries interleave event times differently per user), tier =
+    * md5(user:version) % 5. Bounds come from a 1-row batch pre-pass —
+    * a production deployment reads the SCD2 table q132 maintains.
+    */
+  def q171StreamAsofEnrich(s: SparkSession, d: String): DataFrame = {
+    val bounds = graft.Tables.events(s, d)
+      .agg(min(expr("ts div 1000")).as("min_us"),
+        max(expr("ts div 1000")).as("max_us"))
+      .collect()(0)
+    val minUs = bounds.getLong(0)
+    val span = bounds.getLong(1) - minUs + 1L
+    val quarter = math.max(span / 4L, 1L)
+    val phase = math.max(span / 8L, 1L)
+    val key60 = graft.operators.Corpus.hllKey _
+    val dim = graft.Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"))
+      .select(col("user_id"), explode(sequence(lit(0L), lit(3L))).as("i"))
+      .select(col("user_id"),
+        (lit(minUs) + col("i") * lit(quarter) +
+          key60(col("user_id").cast("string")) % lit(phase)).as("vf_us"),
+        (key60(concat(col("user_id").cast("string"), lit(":"),
+          col("i").cast("string"))) % 5).as("tier"))
+    val stream = eventsStream(s, d)
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"), col("value"), col("user_id"))
+    val enrichBatch: DataFrame => DataFrame = batch =>
+      batch.join(broadcast(dim), Seq("user_id"), "left")
+        .groupBy(col("event_id"), col("event_type"), col("value"))
+        .agg(max(when(col("vf_us") <= col("ts_us"),
+          struct(col("vf_us"), col("tier")))).as("bt"))
+        .select(col("event_type"), col("value"),
+          coalesce(col("bt.tier"), lit(-1L)).as("tier"))
+        .groupBy(col("tier"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).as("v"))
+    drainToSpool(s, stream, "q171", eventsBytes(d), mapBatch = enrichBatch)
+      .groupBy(col("tier"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(col("v")).cast("double").as("total_value"))
+      .orderBy(col("tier"), col("event_type"))
   }
 
   /** q161 — the ELEVENTH streaming shape: a windowed distinct-user

@@ -178,4 +178,67 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assert(got.count() > 0)
     assert(rows(got) == rows(batch))
   }
+
+  test("q171 as-of enrich replay equals an independent batch as-of join") {
+    // independent batch formulation: same synthesized version table,
+    // as-of resolved with a DESC row_number window instead of the
+    // engine's per-batch struct-argmax
+    val ev = events.select(col("event_id"),
+      expr("ts div 1000").as("ts_us"), col("event_type"),
+      col("value"), col("user_id"))
+    val b = ev.agg(min(col("ts_us")), max(col("ts_us"))).collect()(0)
+    val minUs = b.getLong(0)
+    val span = b.getLong(1) - minUs + 1L
+    val key60 = (c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    val dim = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"),
+        explode(sequence(lit(0L), lit(3L))).as("i"))
+      .select(col("user_id"),
+        (lit(minUs) + col("i") * lit(math.max(span / 4, 1L)) +
+          key60(col("user_id")) % lit(math.max(span / 8, 1L))).as("vf_us"),
+        (key60(concat(col("user_id").cast("string"), lit(":"),
+          col("i").cast("string"))) % 5).as("tier"))
+    val valid = ev.join(dim, Seq("user_id"))
+      .filter(col("vf_us") <= col("ts_us"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_id")).orderBy(col("vf_us").desc)))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("event_type"), col("value"), col("tier"))
+    val missed = ev.join(
+        valid.select(col("event_id")), Seq("event_id"), "left_anti")
+      .select(col("event_id"), col("event_type"), col("value"),
+        lit(-1L).as("tier"))
+    val batch = valid.unionByName(missed)
+      .groupBy(col("tier"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+    val got = EventStream.q171StreamAsofEnrich(spark, dir)
+    assert(got.count() > 0)
+    // the unknown-version leg must exist on this fixture: user ids
+    // below the customer key range and events before the first version
+    assert(got.filter(col("tier") === -1L).count() > 0)
+    assert(rows(got) == rows(batch))
+  }
+
+  test("q174 histogram replay: estimate bounds the exact quantile within one bin") {
+    val out = EventStream.q174StreamHist(spark, dir).collect()
+    assert(out.nonEmpty)
+    val vs = events.agg(
+      min(col("value").cast("double")), max(col("value").cast("double")))
+      .collect()(0)
+    val binWidth = (vs.getDouble(1) - vs.getDouble(0)) /
+      graft.operators.Relational.HistBins.toDouble
+    // the estimate is the RIGHT edge of the bin holding the exact
+    // quantile: exact <= est and est - exact <= one bin width (plus
+    // float slack) — the q160 value-domain guarantee, per window
+    out.foreach { r =>
+      for ((est, exact) <- Seq((2, 5), (3, 6), (4, 7))) {
+        val e = r.getDouble(est); val x = r.getDouble(exact)
+        assert(x <= e + 1e-9, s"win ${r.getLong(0)}: exact $x above est $e")
+        assert(e - x <= binWidth + 1e-9,
+          s"win ${r.getLong(0)}: est $e more than one bin above exact $x")
+      }
+    }
+  }
 }
