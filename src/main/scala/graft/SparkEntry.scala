@@ -197,6 +197,7 @@ object SparkEntry {
     "q172_kmv_distinct" -> (Corpus.q172KmvDistinct _),
     "q173_kmv_overlap" -> (Corpus.q173KmvOverlap _),
     "q174_stream_hist" -> (graft.streaming.EventStream.q174StreamHist _),
+    "q175_stream_kmv" -> (graft.streaming.EventStream.q175StreamKmv _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -3874,5 +3875,34 @@ object SparkEntry {
         |  ex.p50_exact, ex.p95_exact, ex.p99_exact
         |FROM picks p JOIN ex USING (win_start_us), b
         |ORDER BY p.win_start_us""".stripMargin,
+    // KMV-sketch-in-stream (q175): order-independent sketch state →
+    // the oracle replays the stream query from the batch table —
+    // distinct keys per window, rank <= k, HUGEINT floor estimate.
+    "q175_stream_kmv" ->
+      s"""WITH e AS (
+        |  SELECT epoch_us(ts) - epoch_us(ts) % 600000000 AS win_start_us, user_id
+        |  FROM events),
+        |k AS (
+        |  SELECT DISTINCT win_start_us,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS x
+        |  FROM e),
+        |r AS (
+        |  SELECT win_start_us, x,
+        |    ROW_NUMBER() OVER (PARTITION BY win_start_us ORDER BY x) AS rn
+        |  FROM k),
+        |sk AS (
+        |  SELECT win_start_us, COUNT(*) AS n_kmv, MAX(x) AS kth_min
+        |  FROM r WHERE rn <= ${graft.operators.Corpus.KmvK} GROUP BY 1),
+        |ex AS (
+        |  SELECT win_start_us, COUNT(DISTINCT user_id) AS n_distinct_exact
+        |  FROM e GROUP BY 1)
+        |SELECT sk.win_start_us, ex.n_distinct_exact,
+        |  CAST(sk.n_kmv AS BIGINT) AS n_kmv, sk.kth_min,
+        |  CAST(CASE WHEN sk.n_kmv < ${graft.operators.Corpus.KmvK} THEN sk.n_kmv
+        |    ELSE (${graft.operators.Corpus.KmvK - 1} *
+        |          CAST(${graft.operators.Corpus.KmvDomain} AS HUGEINT)) // sk.kth_min
+        |    END AS BIGINT) AS est_distinct
+        |FROM sk JOIN ex ON ex.win_start_us = sk.win_start_us
+        |ORDER BY sk.win_start_us""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

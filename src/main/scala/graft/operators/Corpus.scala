@@ -1555,6 +1555,25 @@ object Corpus {
       .toDF("source", "n_kmv", "kth_min", "est_distinct")
   }
 
+  /** [[kmvReadout]] for LONG-keyed sketch frames `(k: Long, sk)` —
+    * the windowed (q175) variant; callers rename `k` to their group
+    * column.
+    */
+  private[graft] def kmvReadoutLong(sketches: DataFrame): DataFrame = {
+    val s = sketches.sparkSession
+    import s.implicits._
+    sketches.as[(Long, Seq[Long])]
+      .map { case (g, sk) =>
+        val nk = sk.size.toLong
+        val kth = sk.last
+        val est =
+          if (nk < KmvK) nk
+          else (BigInt(KmvK - 1) * KmvDomain / kth).toLong
+        (g, nk, kth, est)
+      }
+      .toDF("k", "n_kmv", "kth_min", "est_distinct")
+  }
+
   /** Distinct word-trigram cardinality per source via KMV (q172) —
     * the q159 HLL question answered by the bottom-k sketch, over the
     * SAME one-pass trigram explode. State per source is k longs; the

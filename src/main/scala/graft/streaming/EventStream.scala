@@ -1350,6 +1350,68 @@ object EventStream {
       .orderBy(col("win_start_us"))
   }
 
+  /** Per-window KMV sketch over user ids — batch/stream unified like
+    * its three sketch-in-stream siblings: [[graft.functions.BottomKDistinct]]
+    * is an algebraic aggregate (order-independent, mergeable), so
+    * registering it as a UDAF makes the streaming incremental merge
+    * literally the KMV set-union merge. State per open window is at
+    * most k=64 longs — the smallest state of the four monitors, and
+    * unlike HLL the sketch doubles as a uniform SAMPLE of the
+    * window's distinct users (minwise hashing), so the same state
+    * answers "how many" and "which ones, representatively".
+    */
+  def kmvWindowSketch(
+      events: DataFrame,
+      windowLen: String = "10 minutes",
+      watermark: String = "20 minutes"): DataFrame = {
+    val sess = events.sparkSession
+    import sess.implicits._ // Encoder[Seq[Long]] for the sketch buffer
+    val agg = udaf(
+      new graft.functions.BottomKDistinct[Long](
+        graft.operators.Corpus.KmvK, identity),
+      org.apache.spark.sql.Encoders.scalaLong)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(agg(graft.operators.Corpus.hllKey(
+        col("user_id").cast("string"))).as("sk"))
+      .select(col("window.start").as("win_start"), col("sk"))
+  }
+
+  /** q175 — the FIFTEENTH streaming shape, making the sketch-in-stream
+    * family a QUARTET (q161 HLL / q167 CMS / q174 histogram / q175
+    * KMV): per-window distinct-user estimation from the q172 bottom-k
+    * sketch built IN-STREAM, read out in batch by the same BigInt
+    * (k−1)·H/kth-min arithmetic, exact per-window distinct counts
+    * riding report-only. Because the sketch is order-independent, the
+    * DuckDB oracle replays the entire stream query from the batch
+    * table — the fourth sketch under full hash-match.
+    */
+  def q175StreamKmv(s: SparkSession, d: String): DataFrame = {
+    val stream = eventsStream(s, d)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"))
+    val sk = kmvWindowSketch(stream)
+    val qname = "q175_stream_kmv"
+    withReplayStateWidth(s, eventsBytes(d)) {
+      val q = sk.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Complete).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val sink = s.table(qname)
+      .select(unix_micros(col("win_start")).as("k"), col("sk"))
+    val est = graft.operators.Corpus.kmvReadoutLong(sink)
+      .withColumnRenamed("k", "win_start_us")
+    val exact = graft.Tables.events(s, d)
+      .select((expr("ts div 1000") - expr("ts div 1000") % 600000000L)
+        .as("win_start_us"), col("user_id"))
+      .groupBy(col("win_start_us"))
+      .agg(countDistinct(col("user_id")).as("n_distinct_exact"))
+    est.join(exact, "win_start_us")
+      .select(col("win_start_us"), col("n_distinct_exact"), col("n_kmv"),
+        col("kth_min"), col("est_distinct"))
+      .orderBy(col("win_start_us"))
+  }
+
   /** q167 — the TWELFTH streaming shape: a per-window event-frequency
     * monitor via the replayable CMS ([[cmsWindowCells]]) replayed over
     * the bounded events table, probed in batch for the fixed probe

@@ -221,6 +221,36 @@ class StreamBatchEquivalenceSpec extends SparkSpec {
     assert(rows(got) == rows(batch))
   }
 
+  test("q175 KMV replay equals an independent batch rank formulation") {
+    // independent of the aggregator: distinct keys per window, rank,
+    // take k, same BigInt estimate
+    val k = graft.operators.Corpus.KmvK
+    val keys = events
+      .select((expr("ts div 1000") - expr("ts div 1000") % 600000000L)
+        .as("win_start_us"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("x"))
+      .distinct()
+    val ranked = keys.withColumn("rn", row_number().over(
+      Window.partitionBy(col("win_start_us")).orderBy(col("x"))))
+      .filter(col("rn") <= k)
+    val sk = ranked.groupBy(col("win_start_us"))
+      .agg(count(lit(1)).as("n_kmv"), max(col("x")).as("kth_min"))
+    val batch = sk.collect().map { r =>
+      val nk = r.getLong(1); val kth = r.getLong(2)
+      val est = if (nk < k) nk
+        else (BigInt(k - 1) * graft.operators.Corpus.KmvDomain / kth).toLong
+      (r.getLong(0), nk, kth, est)
+    }.sortBy(_._1).toSeq
+    val got = EventStream.q175StreamKmv(spark, dir)
+      .select(col("win_start_us"), col("n_kmv"), col("kth_min"),
+        col("est_distinct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(got.nonEmpty)
+    assert(got == batch)
+  }
+
   test("q174 histogram replay: estimate bounds the exact quantile within one bin") {
     val out = EventStream.q174StreamHist(spark, dir).collect()
     assert(out.nonEmpty)
