@@ -123,20 +123,48 @@ object Bench {
 
     def s3(v: Double): String = // locale-proof fixed 3-decimal JSON number
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qjson = fmtMap(measured.map { case (n, _, best, _) =>
-      n.takeWhile(_ != '_') -> (if (best < 0) "-1" else s3(best))
-    })
     val total = measured.map(_._3).filter(_ >= 0).sum
     val loadStats = // host-contention context for every perf claim
       if (loads.isEmpty) s""""load1_start":${s2(load1Start)},"load1_mean":-1,"load1_max":-1"""
       else s""""load1_start":${s2(load1Start)},"load1_mean":${s2(loads.sum / loads.size)},"load1_max":${s2(loads.max)}"""
+    // The driver artifact records ONLY the last ~2000 chars of output,
+    // and it parses the contract line out of that window — r9's 141
+    // queries fit (1780 chars, parsed OK) while r10-r12's 166-175 did
+    // not (the line's HEAD fell off the window: "parsed": null in all
+    // three artifacts). So the line is built to a hard byte budget:
+    // every entry if they fit, otherwise the SLOWEST queries (the ones
+    // a baseline comparison actually reads) until the budget is hit,
+    // with the remainder folded into qother/qomitted. The full
+    // per-query map always reaches BENCH_DETAIL.json + the detail
+    // stdout line above, both outside the tail window by design.
+    val entries = measured.map { case (n, _, best, _) =>
+      val key = n.takeWhile(_ != '_') // qNN prefix, unique by construction
+      (key, if (best < 0) "-1" else s3(best), math.max(best, 0.0))
+    }
+    def contractFor(qjson: String, extra: String): String =
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qjson,$extra$loadStats,"sf":"$sfDir"}"""
+    val full = contractFor(fmtMap(entries.map(e => e._1 -> e._2)), "")
+    val budget = 1700 // tail window 2000 minus sbt's trailing "[success] ..." line + margin
     val contract =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qjson,$loadStats,"sf":"$sfDir"}"""
-    // The contract line goes out three ways so at least one survives
-    // whatever the driver captures: stdout (bare — run/outputStrategy
-    // is StdoutOutput, no "[info] " prefix), stderr, and a file.
+      if (full.length <= budget) full
+      else {
+        // keep slowest-first while the assembled line stays under budget
+        val bySlow = entries.sortBy(-_._3)
+        val fixed = contractFor("{}", s""""qother":0.000,"qomitted":000,""").length
+        var used = fixed
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+        for (e <- bySlow) {
+          val w = e._1.length + e._2.length + 4 // "k":v,
+          if (used + w <= budget) { kept += e; used += w }
+        }
+        val keptKeys = kept.map(_._1).toSet
+        val rest = entries.filterNot(e => keptKeys(e._1))
+        val qjson = fmtMap(kept.sortBy(_._1).map(e => e._1 -> e._2).toSeq)
+        contractFor(qjson, s""""qother":${s3(rest.map(_._3).sum)},"qomitted":${rest.size},""")
+      }
+    // One stream, one copy (a second stderr copy can interleave
+    // mid-line under a 2>&1 captor), plus the file fallback.
     println(contract)
-    System.err.println(contract)
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_LINE", "BENCH_LINE.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
