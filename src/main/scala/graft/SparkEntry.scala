@@ -198,6 +198,8 @@ object SparkEntry {
     "q173_kmv_overlap" -> (Corpus.q173KmvOverlap _),
     "q174_stream_hist" -> (graft.streaming.EventStream.q174StreamHist _),
     "q175_stream_kmv" -> (graft.streaming.EventStream.q175StreamKmv _),
+    "q176_lm_quality" -> (Scoring.q176LmQuality _),
+    "q177_nb_langid" -> (Scoring.q177NbConfusion _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -3904,5 +3906,111 @@ object SparkEntry {
         |    END AS BIGINT) AS est_distinct
         |FROM sk JOIN ex ON ex.win_start_us = sk.win_start_us
         |ORDER BY sk.win_start_us""".stripMargin,
+    // Log-free LM perplexity (q176): the half-bit quantized logarithm
+    // floor(2*log2(a/b)) replayed exactly — bitlen via bin(), one-step
+    // shift correction, half bit from a HUGEINT p^2 >= 2q^2 compare
+    // (Spark mirrors it in DECIMAL(38,0)). Add-one bigram model from
+    // the even-doc_id half, held-out odd half scored per source.
+    "q176_lm_quality" ->
+      s"""WITH tr AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+        |uni AS (
+        |  SELECT tok, COUNT(*) AS cx
+        |  FROM (SELECT unnest(t) AS tok FROM tr) GROUP BY tok),
+        |vc AS (SELECT COUNT(*) AS v FROM uni),
+        |bi AS (
+        |  SELECT t[i] AS x, t[i+1] AS y, COUNT(*) AS cxy
+        |  FROM tr, unnest(range(1, len(t))) u(i) GROUP BY 1, 2),
+        |ep AS (
+        |  SELECT doc_id, source, t[i] AS x, t[i+1] AS y, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, source,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |        FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'),
+        |    unnest(range(1, len(t))) u(i)
+        |  GROUP BY 1, 2, 3, 4),
+        |sc0 AS (
+        |  SELECT ep.doc_id, ep.source, ep.tf,
+        |    vc.v + COALESCE(u.cx, 0) AS a, COALESCE(b.cxy, 0) + 1 AS b
+        |  FROM ep CROSS JOIN vc
+        |  LEFT JOIN uni u ON u.tok = ep.x
+        |  LEFT JOIN bi b ON b.x = ep.x AND b.y = ep.y),
+        |sc1 AS (SELECT *, length(bin(a)) - length(bin(b)) AS e0 FROM sc0),
+        |sc2 AS (SELECT *, CASE WHEN (b << e0) > a THEN e0 - 1 ELSE e0 END AS e
+        |        FROM sc1),
+        |sc3 AS (
+        |  SELECT doc_id, source, tf,
+        |    (2*e + CASE WHEN CAST(a AS HUGEINT)*CAST(a AS HUGEINT) >=
+        |        2*CAST(b << e AS HUGEINT)*CAST(b << e AS HUGEINT)
+        |      THEN 1 ELSE 0 END) * tf AS s2
+        |  FROM sc2),
+        |pd AS (
+        |  SELECT doc_id, source, SUM(tf) AS nbig, SUM(s2) AS s2sum
+        |  FROM sc3 GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nbig) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(s2sum) AS BIGINT) AS surprisal2,
+        |  CAST((SUM(s2sum) * ${graft.operators.Scoring.PpxScale}) // SUM(nbig)
+        |    AS BIGINT) AS ppx_q
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+    // Naive-Bayes language-ID (q177): same half-bit surprisal primitive;
+    // argmin class replayed as min-score-then-min-class (ties break to
+    // the lexicographically smaller class in both engines).
+    "q177_nb_langid" ->
+      """WITH tr AS (
+        |  SELECT lang AS cls, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+        |ct AS (
+        |  SELECT cls, tok, COUNT(*) AS ctc
+        |  FROM (SELECT cls, unnest(t) AS tok FROM tr) GROUP BY 1, 2),
+        |vc AS (SELECT COUNT(DISTINCT tok) AS v FROM ct),
+        |cl AS (SELECT cls, COUNT(*) AS dc FROM tr GROUP BY 1),
+        |nt AS (SELECT cls, CAST(SUM(ctc) AS BIGINT) AS nc FROM ct GROUP BY 1),
+        |d0 AS (SELECT COUNT(*) AS d FROM tr),
+        |pri0 AS (
+        |  SELECT cl.cls, COALESCE(nt.nc, 0) AS nc, d0.d AS a, cl.dc AS b
+        |  FROM cl LEFT JOIN nt ON nt.cls = cl.cls CROSS JOIN d0),
+        |pri1 AS (SELECT *, length(bin(a)) - length(bin(b)) AS e0 FROM pri0),
+        |pri2 AS (SELECT *, CASE WHEN (b << e0) > a THEN e0 - 1 ELSE e0 END AS e
+        |         FROM pri1),
+        |pri AS (
+        |  SELECT cls, nc,
+        |    2*e + CASE WHEN CAST(a AS HUGEINT)*CAST(a AS HUGEINT) >=
+        |        2*CAST(b << e AS HUGEINT)*CAST(b << e AS HUGEINT)
+        |      THEN 1 ELSE 0 END AS prior2
+        |  FROM pri2),
+        |ev AS (
+        |  SELECT doc_id, lang AS truth,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'),
+        |tm AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM ev) GROUP BY 1, 2),
+        |ts0 AS (
+        |  SELECT tm.doc_id, p.cls, tm.tf,
+        |    p.nc + vc.v AS a, COALESCE(ct.ctc, 0) + 1 AS b
+        |  FROM tm CROSS JOIN pri p CROSS JOIN vc
+        |  LEFT JOIN ct ON ct.cls = p.cls AND ct.tok = tm.tok),
+        |ts1 AS (SELECT *, length(bin(a)) - length(bin(b)) AS e0 FROM ts0),
+        |ts2 AS (SELECT *, CASE WHEN (b << e0) > a THEN e0 - 1 ELSE e0 END AS e
+        |        FROM ts1),
+        |ts AS (
+        |  SELECT doc_id, cls,
+        |    SUM((2*e + CASE WHEN CAST(a AS HUGEINT)*CAST(a AS HUGEINT) >=
+        |        2*CAST(b << e AS HUGEINT)*CAST(b << e AS HUGEINT)
+        |      THEN 1 ELSE 0 END) * tf) AS tok2
+        |  FROM ts2 GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT e.doc_id, e.truth, p.cls, p.prior2 + COALESCE(t.tok2, 0) AS total
+        |  FROM (SELECT doc_id, truth FROM ev) e
+        |  CROSS JOIN pri p
+        |  LEFT JOIN ts t ON t.doc_id = e.doc_id AND t.cls = p.cls),
+        |mn AS (SELECT doc_id, MIN(total) AS mt FROM sc GROUP BY 1),
+        |pr AS (
+        |  SELECT s.doc_id, s.truth, MIN(s.cls) AS predicted
+        |  FROM sc s JOIN mn ON mn.doc_id = s.doc_id AND s.total = mn.mt
+        |  GROUP BY 1, 2)
+        |SELECT truth, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }
