@@ -200,6 +200,7 @@ object SparkEntry {
     "q175_stream_kmv" -> (graft.streaming.EventStream.q175StreamKmv _),
     "q176_lm_quality" -> (Scoring.q176LmQuality _),
     "q177_nb_langid" -> (Scoring.q177NbConfusion _),
+    "q178_ngram_novelty" -> (Curation.q178NgramNovelty _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4012,5 +4013,36 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT truth, predicted, CAST(COUNT(*) AS BIGINT) AS n
         |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Memorization/novelty profile (q178): held-out trigram occurrences
+    // vs the training half's distinct trigram set, per source. Same md5
+    // half-split as q176/q177; docs with < 3 tokens yield no grams and
+    // drop out on both sides.
+    "q178_ngram_novelty" ->
+      """WITH tr AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+        |tg AS (
+        |  SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM tr, unnest(range(1, len(t) - 1)) u(i)),
+        |ev AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'),
+        |eg AS (
+        |  SELECT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g,
+        |    COUNT(*) AS tf
+        |  FROM ev, unnest(range(1, len(t) - 1)) u(i) GROUP BY 1, 2, 3),
+        |pd AS (
+        |  SELECT eg.doc_id, eg.source, SUM(eg.tf) AS n_grams,
+        |    SUM(CASE WHEN tg.g IS NULL THEN 0 ELSE eg.tf END) AS n_seen
+        |  FROM eg LEFT JOIN tg ON tg.g = eg.g GROUP BY 1, 2)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+        |  CAST(SUM(n_seen) AS BIGINT) AS n_seen,
+        |  CAST(SUM(CASE WHEN n_seen * 2 >= n_grams THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_memorized,
+        |  CAST(((SUM(n_grams) - SUM(n_seen)) * 1000000) // SUM(n_grams)
+        |    AS BIGINT) AS novelty_ppm
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

@@ -1623,4 +1623,81 @@ object Curation {
         sum(col("n_tok")).as("sum_tok"))
       .orderBy(col("source"), col("bucket"))
   }
+
+  /** N-gram order for [[noveltyProfile]]. One below [[DecontamN]] on
+    * purpose: against the HALF-corpus reference (vs q58's ~1%
+    * benchmark) 3-grams land at a discriminative ~43% seen-rate on the
+    * synthetic vocabulary where 4-grams collapse to ~7% (nearly
+    * everything "novel") — the same corpus-appropriate-order reasoning
+    * as [[DecontamN]], different reference size.
+    */
+  val NoveltyN = 3
+
+  /** Per-source novelty/memorization profile of the held-out half
+    * against the training half (the Carlini et al. USENIX '21 /
+    * Lee et al. ACL '22 memorization-rate read-out, as a corpus
+    * operator): for each held-out document, the fraction of its token
+    * n-gram OCCURRENCES already present anywhere in the training half.
+    * Differs from [[decontaminateStats]] in both grain and scale
+    * shape — q58 answers the binary "does this doc touch a small
+    * benchmark?" (reference broadcast-sized, guard-gated), this
+    * answers the graded "how much of this doc is corpus-memorized?"
+    * against a reference that is HALF THE CORPUS and therefore never
+    * broadcastable: the distinct train-gram frame and the per-doc eval
+    * gram counts co-partition on the gram string (exact strings, no
+    * hash-collision false positives — the q58 discipline) and meet in
+    * a shuffle join whose output is eval-gram-sized. Both sides
+    * pre-shrink map-side: train grams dedupe per doc before the global
+    * distinct's partial aggregate, eval grams pre-aggregate to
+    * (doc, gram, tf). Everything downstream is doc- then source-sized.
+    *
+    * The md5(doc_id) half-split is shared with `Scoring` (hash, not
+    * parity — doc_ids are assigned round-robin by source, so parity
+    * would alias the split with the source label). Docs shorter than
+    * `n` tokens contribute no grams and drop from the profile
+    * (mirrored by the oracle). All read-outs are exact integers:
+    * `novelty_ppm` = floor((1 - seen/total)·10⁶) per source,
+    * `n_memorized` counts docs with ≥ half their gram occurrences
+    * seen in training.
+    */
+  def noveltyProfile(docs: DataFrame, n: Int = NoveltyN): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val isTrain =
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) < "8"
+    val trainGrams = docs.filter(isTrain)
+      .select(col("text")).as[String]
+      .flatMap { t =>
+        // per-doc dedup BEFORE the global distinct: the partial
+        // aggregate then sees each (doc, gram) once, not per occurrence
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        grams(tokenize(t), n).filter(seen.add)
+      }
+      .distinct()
+      .toDF("g").withColumn("hit", lit(1L))
+    val evalGrams = docs.filter(!isTrain)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .flatMap { case (id, src, t) => grams(tokenize(t), n).map(g => (id, src, g)) }
+      .toDF("doc_id", "source", "g")
+      .groupBy(col("doc_id"), col("source"), col("g"))
+      .agg(count(lit(1)).as("tf"))
+    evalGrams.join(trainGrams, Seq("g"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("tf")).as("n_grams"),
+        sum(col("tf") * coalesce(col("hit"), lit(0L))).as("n_seen"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("n_grams"),
+        sum(col("n_seen")).as("n_seen"),
+        sum(when(col("n_seen") * 2 >= col("n_grams"), 1L).otherwise(0L))
+          .as("n_memorized"))
+      .withColumn("novelty_ppm",
+        expr("((n_grams - n_seen) * 1000000) div n_grams"))
+      .orderBy(col("source"))
+  }
+
+  /** Driver binding for the novelty profile on the documents table. */
+  def q178NgramNovelty(s: SparkSession, d: String): DataFrame =
+    noveltyProfile(Tables.documents(s, d))
 }

@@ -510,4 +510,58 @@ class CurationSpec extends SparkSpec {
     assert(rows.values.forall(_._1 > 0))
     assert(rows("ngram")._2 > 0 && rows("containment")._2 > 0)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** doc_ids landing on the train / eval side of the md5 half-split
+    * shared by noveltyProfile and Scoring. */
+  private def noveltyIds(train: Boolean, n: Int): Seq[Long] =
+    Iterator.iterate(0L)(_ + 1)
+      .filter(id => (md5hex(id.toString).head < '8') == train)
+      .take(n).toSeq
+
+  test("noveltyProfile counts seen gram occurrences exactly and drops sub-n docs") {
+    val trainIds = noveltyIds(train = true, 2)
+    val evalIds = noveltyIds(train = false, 4)
+    // train grams (trigrams): {"a b c", "b c d"} from doc 0; doc 1
+    // duplicates doc 0 — the distinct train set must not double-count
+    val docs = docsDF(Seq(
+      (trainIds.head, "s0", "a b c d"),
+      (trainIds(1), "s0", "a b c d"),
+      // eval doc: 4 grams, "a b c" twice (both occurrences must count
+      // as seen — tf grain), "c a b" and "b c a" never trained
+      (evalIds.head, "s0", "a b c a b c"),
+      // eval doc fully memorized: 2 grams, both trained
+      (evalIds(1), "s1", "a b c d"),
+      // sub-trigram docs: no grams -> absent from every count
+      (evalIds(2), "s2", "a b"),
+      (evalIds(3), "s2", "")))
+    val rows = Curation.noveltyProfile(docs.select(
+        col("doc_id"), col("source"), col("text")))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // s0: eval doc has grams [a b c, b c a, c a b, a b c] -> 4 total,
+    // 2 seen (the two "a b c"), not memorized (2*2 >= 4 -> memorized!)
+    // seen*2 >= total holds at exactly half -> n_memorized = 1
+    assert(rows("s0") === ((1L, 4L, 2L, 1L, ((4L - 2L) * 1000000L) / 4L)))
+    // s1: 2 grams, 2 seen, memorized, novelty 0
+    assert(rows("s1") === ((1L, 2L, 2L, 1L, 0L)))
+    // s2 produced no grams at all -> no row
+    assert(!rows.contains("s2"))
+  }
+
+  test("noveltyProfile is invariant to input partitioning") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val a = Curation.noveltyProfile(docs)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val b = Curation.noveltyProfile(docs.repartition(7))
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty && a.forall(r => r._4 <= r._3 && r._6 >= 0))
+  }
 }
