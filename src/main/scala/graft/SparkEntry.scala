@@ -201,6 +201,7 @@ object SparkEntry {
     "q176_lm_quality" -> (Scoring.q176LmQuality _),
     "q177_nb_langid" -> (Scoring.q177NbConfusion _),
     "q178_ngram_novelty" -> (Curation.q178NgramNovelty _),
+    "q179_blocklist_scan" -> (Curation.q179BlocklistScan _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4044,5 +4045,22 @@ object SparkEntry {
         |  CAST(((SUM(n_grams) - SUM(n_seen)) * 1000000) // SUM(n_grams)
         |    AS BIGINT) AS novelty_ppm
         |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+    // Blocklist scan (q179): the oracle replays the Aho-Corasick counts
+    // POSITIONALLY — every start position where the pattern occurs
+    // (overlapping included), which is exactly what the automaton
+    // emits. O(docs x patterns x positions) here is fine at oracle SF;
+    // the engine side is the one-pass DFA.
+    "q179_blocklist_scan" ->
+      s"""WITH pats(p) AS (SELECT * FROM (VALUES ${graft.operators.Curation.blocklistValuesSql}) v),
+        |d AS (SELECT source, COALESCE(text, '') AS t FROM documents),
+        |h AS (
+        |  SELECT d.source, pats.p,
+        |    len(list_filter(range(1, length(d.t) - length(pats.p) + 2),
+        |      i -> substr(d.t, CAST(i AS INTEGER), length(pats.p)) = pats.p)) AS c
+        |  FROM d CROSS JOIN pats)
+        |SELECT source, p AS pattern,
+        |  CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+        |  CAST(SUM(c) AS BIGINT) AS n_hits
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

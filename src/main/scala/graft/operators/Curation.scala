@@ -1700,4 +1700,56 @@ object Curation {
   /** Driver binding for the novelty profile on the documents table. */
   def q178NgramNovelty(s: SparkSession, d: String): DataFrame =
     noveltyProfile(Tables.documents(s, d))
+
+  /** The stand-in blocklist for [[q179BlocklistScan]] — the C4 "bad
+    * words" filter shape (Raffel et al. JMLR '20 §2.2 / Dodge et al.
+    * EMNLP '21 §4) over the synthetic vocabulary. Chosen to exercise
+    * every automaton behavior on real corpus text: nested patterns
+    * ("able" ends inside every "table" match), self-overlapping
+    * ("a a" matches twice in "a a a"), cross-token-boundary substrings
+    * ("value part", "slow query"), a hot single token ("scan"), and a
+    * never-matching entry ("zzz never" — the dense grid must carry its
+    * zero rows).
+    */
+  val BlocklistPatterns: Seq[String] = Seq(
+    "able", "table", "a a", "scan", "slow query", "value part",
+    "batch batch", "zzz never")
+
+  /** SQL VALUES list of the blocklist for the DuckDB oracle. */
+  def blocklistValuesSql: String =
+    BlocklistPatterns.map(p => s"('$p')").mkString(", ")
+
+  /** Per-(source, pattern) blocklist scan: documents hit and total
+    * OVERLAPPING occurrences, dense over the full source x pattern
+    * grid. The match engine is [[graft.functions.MultiPatternCount]] —
+    * a native Aho-Corasick codegen expression, so the whole blocklist
+    * costs ONE automaton pass per document inside whole-stage codegen
+    * where `P x regexp_count` would scan the text P times (and a
+    * union regex would lose per-pattern counts). Nothing corpus-sized
+    * shuffles: the per-doc count array explodes to |patterns| rows
+    * map-side and partial-aggregates before the |sources|·|patterns|
+    * exchange; the automaton itself rides the plan as a reference
+    * object (kilobytes), not per-row state.
+    */
+  def blocklistScan(
+      docs: DataFrame, patterns: Seq[String] = BlocklistPatterns): DataFrame = {
+    val patNames = array(patterns.map(lit): _*)
+    docs
+      .select(col("source"),
+        graft.functions.MultiPatternCount
+          .of(coalesce(col("text"), lit("")), patterns).as("c"))
+      .select(col("source"), posexplode(col("c")).as(Seq("pid", "n")))
+      .groupBy(col("source"), col("pid"))
+      .agg(
+        count(when(col("n") > 0, 1)).as("n_docs_hit"),
+        sum(col("n")).as("n_hits"))
+      .select(col("source"),
+        element_at(patNames, col("pid").cast("int") + 1).as("pattern"),
+        col("n_docs_hit"), col("n_hits"))
+      .orderBy(col("source"), col("pattern"))
+  }
+
+  /** Driver binding for the blocklist scan on the documents table. */
+  def q179BlocklistScan(s: SparkSession, d: String): DataFrame =
+    blocklistScan(Tables.documents(s, d))
 }
