@@ -52,5 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_intersect_count",
         "sorted_intersect_count(a, b) - |a intersect b| of two SORTED-DISTINCT BIGINT arrays (undercounts on unsorted input)"),
       (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+    // the native as-of join: planner strategy for the custom logical
+    // node, plus the filter-transposition rule (runs inside the
+    // operator-optimization fixed-point batch, so stock pushdown rules
+    // carry the transposed filters on into the scans)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }

@@ -202,6 +202,7 @@ object SparkEntry {
     "q177_nb_langid" -> (Scoring.q177NbConfusion _),
     "q178_ngram_novelty" -> (Curation.q178NgramNovelty _),
     "q179_blocklist_scan" -> (Curation.q179BlocklistScan _),
+    "q180_asof_native" -> (Temporal.q180AsofNative _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4062,5 +4063,28 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
         |  CAST(SUM(c) AS BIGINT) AS n_hits
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Native as-of join (q180): <=-time visibility, greatest-click-id
+    // tie-break — replayed as max-time-then-max-id over an inequality
+    // join (fine at oracle SF; the engine side is the streaming merge).
+    "q180_asof_native" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
+        |  FROM events),
+        |er AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
+        |cl AS (SELECT event_id AS click_id, user_id, ts_us FROM ev
+        |       WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT er.event_id, er.user_id, er.ts_us, MAX(cl.ts_us) AS asof_click_us
+        |  FROM er LEFT JOIN cl
+        |    ON cl.user_id = er.user_id AND cl.ts_us <= er.ts_us
+        |  GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT m.event_id, MAX(cl.click_id) AS asof_click_id
+        |  FROM m JOIN cl
+        |    ON cl.user_id = m.user_id AND cl.ts_us = m.asof_click_us
+        |  GROUP BY 1)
+        |SELECT m.event_id, m.user_id, m.ts_us, m.asof_click_us, t.asof_click_id
+        |FROM m LEFT JOIN t ON t.event_id = m.event_id
+        |ORDER BY m.event_id""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

@@ -557,4 +557,28 @@ object Temporal {
       .toDF("user_id", "n_events", "ewma_fp", "max_dev_fp")
       .orderBy(col("user_id"))
   }
+
+  /** q180: the click-enrichment as-of through the NATIVE operator
+    * ([[graft.plans.NativeAsOf]] — custom logical plan, planner
+    * strategy, streaming-merge exec, filter-transposition rule): every
+    * error event gains that user's latest click AT OR BEFORE its time
+    * (ties: greatest click event_id). Same pipeline role as q35 but
+    * deliberately its own semantics (q35's window formulation is
+    * strictly-previous-ROW; this is the <=-time contract every as-of
+    * engine documents), its own physical shape (two co-partitioned
+    * exchanges + O(1)-state merge; no window, no union), and its own
+    * full DuckDB replay.
+    */
+  def q180AsofNative(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), tsUs.as("ts_us"))
+    graft.plans.NativeAsOf
+      .asOf(errors, clicks, Seq("user_id"), "ts_us", tieBreak = Seq("click_id"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_ts_us").as("asof_click_us"), col("asof_click_id"))
+      .orderBy(col("event_id"))
+  }
 }

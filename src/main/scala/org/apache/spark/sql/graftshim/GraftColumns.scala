@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -16,4 +16,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumns {
   def ofExpr(e: Expression): Column = ExpressionUtils.column(e)
   def exprOf(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DataFrame from a hand-built (already resolved) LogicalPlan — the
+    * entry point for custom operators like the native as-of join,
+    * whose logical node cannot be produced by the public DSL.
+    */
+  def ofPlan(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -1,0 +1,135 @@
+package graft.plans
+
+import graft.mr.SparkSpec
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+/** The native as-of operator: semantics pinned to the union+window
+  * formulation (`AsOfJoin.lastBefore`) on randomized fixtures, the
+  * physical plan pinned to the two-exchange no-window merge shape,
+  * and the `PushFilterThroughAsOfJoin` rule pinned down to the
+  * parquet scan's PushedFilters.
+  */
+class NativeAsOfSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan
+  }
+
+  test("matches the union+window formulation on a randomized fixture") {
+    val rnd = new scala.util.Random(180)
+    // keys with: many ties (same key+time on the right), keys missing
+    // on the right, keys missing on the left, empty-partition keys
+    val left = Seq.tabulate(300) { i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(40).toLong, i.toLong)
+    }.toDF("k", "t", "lid")
+    val right = Seq.tabulate(200) { i =>
+      (rnd.nextInt(15).toLong, rnd.nextInt(40).toLong, i.toLong, s"p$i")
+    }.toDF("k", "t", "rid", "payload")
+
+    val native = NativeAsOf.asOf(left, right, Seq("k"), "t", tieBreak = Seq("rid"))
+      .select(col("k"), col("t"), col("lid"),
+        col("asof_t"), col("asof_rid"), col("asof_payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))).toMap
+
+    val viaWindow = AsOfJoin.lastBefore(
+      left, right,
+      key = "k", time = "t", payload = Seq("rid", "payload"), tieBreak = Seq("rid"))
+    // lastBefore carries only payload columns; recover asof_t via rid
+    val ridToT = right.select("rid", "t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val winRows = viaWindow.collect().map { r =>
+      val rid = Option(r.getAs[Any]("asof_rid")).map(_.asInstanceOf[Long])
+      (r.getAs[Long]("k"), r.getAs[Long]("t"), r.getAs[Long]("lid")) ->
+        ((rid.map(ridToT), rid.map(x => x: Any), Option(r.getAs[Any]("asof_payload"))))
+    }.toMap
+
+    assert(native.size === 300 && winRows.size === 300)
+    native.foreach { case (id, (nt, nrid, npay)) =>
+      val (wt, wrid, wpay) = winRows(id)
+      assert(nrid.map(_.asInstanceOf[Long]) === wrid.map(_.asInstanceOf[Long]), s"row $id")
+      assert(npay === wpay, s"row $id")
+      assert(nt.map(_.asInstanceOf[Long]) === wt, s"row $id")
+    }
+  }
+
+  test("tie and boundary semantics: <= visibility, greatest tie-break wins, nulls for no match") {
+    val left = Seq((1L, 10L, "l1"), (1L, 5L, "l2"), (2L, 7L, "l3"), (3L, 1L, "l4"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 10L, 1L, "a"), (1L, 10L, 2L, "b"), // tie at the exact left time
+      (1L, 4L, 3L, "c"),
+      (2L, 8L, 4L, "d")) // after l3: invisible
+      .toDF("k", "t", "rid", "v")
+    val got = NativeAsOf.asOf(left, right, Seq("k"), "t", tieBreak = Seq("rid"))
+      .select(col("tag"), col("asof_rid"), col("asof_v"))
+      .collect().map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(got("l1") === ((Some(2L), Some("b")))) // <= includes equal time; rid 2 > 1
+    assert(got("l2") === ((Some(3L), Some("c"))))
+    assert(got("l3") === ((None, None))) // right exists but only later
+    assert(got("l4") === ((None, None))) // key absent on the right
+  }
+
+  test("plan shape: two exchanges, no window, no union, merge preserves left order") {
+    val left = Seq.tabulate(50)(i => (i.toLong % 5, i.toLong, i.toLong)).toDF("k", "t", "lid")
+    val right = Seq.tabulate(50)(i => (i.toLong % 7, i.toLong, s"p$i")).toDF("k", "t", "p")
+    val df = NativeAsOf.asOf(left, right, Seq("k"), "t")
+    val plan = executed(df)
+    assert(collectWithSubqueries(plan) { case e: AsOfJoinExec => e }.size === 1)
+    assert(collectWithSubqueries(plan) { case e: ShuffleExchangeExec => e }.size === 2)
+    assert(collectWithSubqueries(plan) { case w: WindowExec => w }.isEmpty)
+  }
+
+  test("PushFilterThroughAsOfJoin: left-only filters reach the left scan; key filters mirror right") {
+    val dir = java.nio.file.Files.createTempDirectory("asof_push").toString
+    Seq.tabulate(100)(i => (i.toLong % 10, i.toLong, i.toLong))
+      .toDF("k", "t", "lid").write.mode("overwrite").parquet(s"$dir/l")
+    Seq.tabulate(100)(i => (i.toLong % 10, i.toLong, s"p$i"))
+      .toDF("k", "t", "p").write.mode("overwrite").parquet(s"$dir/r")
+    val l = spark.read.parquet(s"$dir/l")
+    val r = spark.read.parquet(s"$dir/r")
+    val df = NativeAsOf.asOf(l, r, Seq("k"), "t").filter(col("k") === 3 && col("lid") > 10)
+    // both conjuncts sit below the join after optimization; the key
+    // one is mirrored to the right child too
+    val opt = df.queryExecution.optimizedPlan
+    val joins = opt.collect { case j: AsOfJoinPlan => j }
+    assert(joins.size === 1)
+    val j = joins.head
+    def hasFilterOn(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collect { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }.nonEmpty ||
+        p.collect { case rel: org.apache.spark.sql.execution.datasources.LogicalRelation => rel }.isEmpty
+    // no Filter may remain ABOVE the join
+    assert(opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.child.isInstanceOf[AsOfJoinPlan] => f
+    }.isEmpty, s"filter not pushed:\n$opt")
+    // and the scans themselves must carry pushed filters
+    val scans = collectWithSubqueries(executed(df)) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size === 2)
+    val pushedK = scans.count(_.metadata.getOrElse("PushedFilters", "").contains("EqualTo(k,3"))
+    assert(pushedK === 2, scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString(" | "))
+    // results are unchanged by the pushes
+    assert(df.count() ===
+      NativeAsOf.asOf(l, r, Seq("k"), "t").collect()
+        .count(row => row.getAs[Long]("k") == 3 && row.getAs[Long]("lid") > 10))
+  }
+
+  test("empty right side and empty left partitions") {
+    val left = Seq((1L, 1L, "x"), (2L, 2L, "y")).toDF("k", "t", "tag")
+    val empty = Seq.empty[(Long, Long, String)].toDF("k", "t", "v")
+    val got = NativeAsOf.asOf(left, empty, Seq("k"), "t").collect()
+    assert(got.length === 2 && got.forall(_.isNullAt(3)))
+    val gotL = NativeAsOf.asOf(empty, left.withColumnRenamed("tag", "v"), Seq("k"), "t").collect()
+    assert(gotL.isEmpty)
+  }
+}
