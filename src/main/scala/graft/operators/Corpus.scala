@@ -1524,16 +1524,9 @@ object Corpus {
     * partials; never `distinct()` a corpus-sized frame first).
     * Returns `(source, sk: Seq[Long])`, one row per source.
     */
-  private[operators] def kmvSketches(keys: DataFrame): DataFrame = {
-    val s = keys.sparkSession
-    import s.implicits._
-    val agg = new graft.functions.BottomKDistinct[(String, Long)](
-      KmvK, _._2).toColumn.name("sk")
-    keys.select(col("source"), col("x")).as[(String, Long)]
-      .groupByKey(_._1)
-      .agg(agg)
-      .toDF("source", "sk")
-  }
+  private[operators] def kmvSketches(keys: DataFrame): DataFrame =
+    keys.groupBy(col("source"))
+      .agg(graft.functions.KmvSketchAgg.sketch(col("x"), KmvK).as("sk"))
 
   /** KMV read-out: `(source, n_kmv, kth_min, est_distinct)`. Estimate
     * in exact BigInt floor arithmetic (DuckDB replays it as HUGEINT

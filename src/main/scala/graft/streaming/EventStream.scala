@@ -1351,30 +1351,30 @@ object EventStream {
   }
 
   /** Per-window KMV sketch over user ids — batch/stream unified like
-    * its three sketch-in-stream siblings: [[graft.functions.BottomKDistinct]]
-    * is an algebraic aggregate (order-independent, mergeable), so
-    * registering it as a UDAF makes the streaming incremental merge
-    * literally the KMV set-union merge. State per open window is at
-    * most k=64 longs — the smallest state of the four monitors, and
-    * unlike HLL the sketch doubles as a uniform SAMPLE of the
-    * window's distinct users (minwise hashing), so the same state
-    * answers "how many" and "which ones, representatively".
+    * its three sketch-in-stream siblings: the KMV aggregate is
+    * algebraic (order-independent, mergeable), so the streaming
+    * incremental merge is literally the KMV set-union merge. State
+    * per open window is at most k=64 longs — the smallest state of
+    * the four monitors, and unlike HLL the sketch doubles as a
+    * uniform SAMPLE of the window's distinct users (minwise hashing),
+    * so the same state answers "how many" and "which ones,
+    * representatively". The aggregate is the NATIVE
+    * [[graft.functions.KmvSketchAgg]] (unboxed `long[]` buffer,
+    * serialization only at partial/state boundaries) — the
+    * `udaf(BottomKDistinct)` form it replaced paid an Encoder
+    * round-trip plus an O(k) Vector copy per input row, the r13
+    * canary's worst streaming decade ratio (q175 sf1→sf10 = 3.1×).
     */
   def kmvWindowSketch(
       events: DataFrame,
       windowLen: String = "10 minutes",
       watermark: String = "20 minutes"): DataFrame = {
-    val sess = events.sparkSession
-    import sess.implicits._ // Encoder[Seq[Long]] for the sketch buffer
-    val agg = udaf(
-      new graft.functions.BottomKDistinct[Long](
-        graft.operators.Corpus.KmvK, identity),
-      org.apache.spark.sql.Encoders.scalaLong)
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen))
-      .agg(agg(graft.operators.Corpus.hllKey(
-        col("user_id").cast("string"))).as("sk"))
+      .agg(graft.functions.KmvSketchAgg.sketch(
+        graft.operators.Corpus.hllKey(col("user_id").cast("string")),
+        graft.operators.Corpus.KmvK).as("sk"))
       .select(col("window.start").as("win_start"), col("sk"))
   }
 
