@@ -203,6 +203,8 @@ object SparkEntry {
     "q178_ngram_novelty" -> (Curation.q178NgramNovelty _),
     "q179_blocklist_scan" -> (Curation.q179BlocklistScan _),
     "q180_asof_native" -> (Temporal.q180AsofNative _),
+    "q181_exact_gram_overlap" -> (Corpus.q181ExactGramOverlap _),
+    "q182_exact_token_inner" -> (Corpus.q182ExactTokenInner _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -3411,20 +3413,13 @@ object SparkEntry {
         |uregs AS (
         |  SELECT src_a, src_b, bkt, MAX(r) AS r FROM tagged GROUP BY 1, 2, 3),
         |uest AS (
-        |  ${readout("uregs", "src_a, src_b")}),
-        |sg AS (SELECT DISTINCT source, g FROM g),
-        |shared AS (
-        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared_exact
-        |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
-        |  GROUP BY 1, 2)
+        |  ${readout("uregs", "src_a, src_b")})
         |SELECT u.src_a, u.src_b,
-        |  CAST(COALESCE(sh.n_shared_exact, 0) AS BIGINT) AS n_shared_exact,
         |  pa.est_raw AS est_a, pb.est_raw AS est_b, u.est_raw AS est_union,
         |  pa.est_raw + pb.est_raw - u.est_raw AS est_overlap
         |FROM uest u
         |JOIN per pa ON pa.source = u.src_a
         |JOIN per pb ON pb.source = u.src_b
-        |LEFT JOIN shared sh ON sh.src_a = u.src_a AND sh.src_b = u.src_b
         |ORDER BY u.src_a, u.src_b""".stripMargin
     },
     // cell-wise inner-product replay: the q158 cells keyed by source,
@@ -3452,18 +3447,10 @@ object SparkEntry {
         |  SELECT src_a, src_b,
         |    CASE WHEN COUNT(*) < 4 THEN CAST(0 AS BIGINT)
         |         ELSE CAST(MIN(s) AS BIGINT) END AS ip_est
-        |  FROM perj GROUP BY 1, 2),
-        |cnt AS (SELECT source, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
-        |ex AS (
-        |  SELECT a.source AS src_a, b.source AS src_b,
-        |    CAST(SUM(CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS ip_exact
-        |  FROM cnt a JOIN cnt b ON a.tok = b.tok AND a.source < b.source
-        |  GROUP BY 1, 2)
-        |SELECT e.src_a, e.src_b,
-        |  CAST(COALESCE(x.ip_exact, 0) AS BIGINT) AS ip_exact, e.ip_est,
-        |  e.ip_est - CAST(COALESCE(x.ip_exact, 0) AS BIGINT) AS over_err
-        |FROM est e LEFT JOIN ex x ON x.src_a = e.src_a AND x.src_b = e.src_b
-        |ORDER BY e.src_a, e.src_b""".stripMargin,
+        |  FROM perj GROUP BY 1, 2)
+        |SELECT src_a, src_b, ip_est
+        |FROM est
+        |ORDER BY src_a, src_b""".stripMargin,
     // plain-SQL mirror: cohort counts, generalized counts, the same
     // k floor on both
     "q164_k_anonymity" ->
@@ -3783,8 +3770,8 @@ object SparkEntry {
         |ORDER BY sk.source""".stripMargin,
     // KMV sketch-space Jaccard (q173): merged sketch = k smallest of
     // the two sketches' key union; J_est = both-members / merged size.
-    // Exact distinct-gram ground truth rides (driver binding keeps the
-    // rider on; library default is estimate-only).
+    // Estimate-only (the exact ground truth is priced and hash-checked
+    // as its own query, q181).
     "q173_kmv_overlap" ->
       s"""WITH t AS (
         |  SELECT source, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS t
@@ -3814,24 +3801,11 @@ object SparkEntry {
         |est AS (
         |  SELECT src_a, src_b, COUNT(*) AS n_merged,
         |    CAST(SUM(ia * ib) AS BIGINT) AS n_both
-        |  FROM m WHERE rn <= ${graft.operators.Corpus.KmvK} GROUP BY 1, 2),
-        |sg AS (SELECT DISTINCT source, g FROM g),
-        |per AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY 1),
-        |shared AS (
-        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared_exact
-        |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
-        |  GROUP BY 1, 2)
-        |SELECT e.src_a, e.src_b,
-        |  COALESCE(sh.n_shared_exact, 0) AS n_shared_exact,
-        |  CAST(COALESCE(sh.n_shared_exact, 0) AS DOUBLE) /
-        |    CAST(pa.n + pb.n - COALESCE(sh.n_shared_exact, 0) AS DOUBLE) AS jaccard_exact,
-        |  e.n_merged, e.n_both,
-        |  CAST(e.n_both AS DOUBLE) / CAST(e.n_merged AS DOUBLE) AS est_jaccard
-        |FROM est e
-        |JOIN per pa ON pa.source = e.src_a
-        |JOIN per pb ON pb.source = e.src_b
-        |LEFT JOIN shared sh ON sh.src_a = e.src_a AND sh.src_b = e.src_b
-        |ORDER BY e.src_a, e.src_b""".stripMargin,
+        |  FROM m WHERE rn <= ${graft.operators.Corpus.KmvK} GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_merged, n_both,
+        |  CAST(n_both AS DOUBLE) / CAST(n_merged AS DOUBLE) AS est_jaccard
+        |FROM est
+        |ORDER BY src_a, src_b""".stripMargin,
     // histogram-sketch-in-stream (q174): cells are order-independent
     // sums, so the oracle replays the whole stream query from the
     // batch table — global-domain bins, integer-rank picks, IEEE bin
@@ -4086,5 +4060,53 @@ object SparkEntry {
         |SELECT m.event_id, m.user_id, m.ts_us, m.asof_click_us, t.asof_click_id
         |FROM m LEFT JOIN t ON t.event_id = m.event_id
         |ORDER BY m.event_id""".stripMargin,
+    // Exact distinct-trigram overlap per source pair (q181) — the
+    // ground truth the q162/q173 sketches estimate, as its own line;
+    // zero-overlap pairs kept via the full pair frame
+    "q181_exact_gram_overlap" ->
+      """WITH t AS (
+        |  SELECT source, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM t, unnest(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
+        |sg AS (SELECT DISTINCT source, g FROM g),
+        |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sg GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b
+        |  FROM per a JOIN per b ON a.source < b.source),
+        |shared AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared_exact
+        |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+        |  CAST(COALESCE(sh.n_shared_exact, 0) AS BIGINT) AS n_shared_exact,
+        |  CAST(COALESCE(sh.n_shared_exact, 0) AS DOUBLE) /
+        |    CAST(p.n_a + p.n_b - COALESCE(sh.n_shared_exact, 0) AS DOUBLE) AS jaccard_exact
+        |FROM pairs p
+        |LEFT JOIN shared sh ON sh.src_a = p.src_a AND sh.src_b = p.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
+    // Exact token-frequency inner product per source pair (q182) —
+    // the q163 ground truth as its own line; HUGEINT product before
+    // the sum mirrors Spark's DECIMAL(38,0) widening
+    "q182_exact_token_inner" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT source, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+        |srcs AS (SELECT DISTINCT source FROM cnt),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |ex AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(SUM(CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS ip_exact
+        |  FROM cnt a JOIN cnt b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b,
+        |  CAST(COALESCE(x.ip_exact, 0) AS BIGINT) AS ip_exact
+        |FROM pairs p LEFT JOIN ex x ON x.src_a = p.src_a AND x.src_b = p.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

@@ -1023,12 +1023,13 @@ object Corpus {
     *
     * The exact inner products (a per-token counts self-join that
     * dwarfs the sketch's cost) are a REPORT-ONLY rider, off by
-    * default for library callers — the sketch leg is the 100 TB
-    * shape. The driver binding keeps it on so the oracle hash covers
-    * both legs.
+    * default AND off in the driver binding — the sketch leg is the
+    * 100 TB shape and its bench line should price exactly that. The
+    * exact leg is priced and hash-checked as its own query,
+    * [[q182ExactTokenInner]].
     */
   def q163CmsInner(s: SparkSession, d: String): DataFrame =
-    cmsInnerOf(s, Tables.documents(s, d), exactRider = true)
+    cmsInnerOf(s, Tables.documents(s, d))
 
   /** [[q163CmsInner]] over any `(source, text)` frame. With
     * `exactRider` the `ip_exact`/`over_err` columns (and their
@@ -1236,12 +1237,13 @@ object Corpus {
     *
     * The exact shared-gram ground truth (a distinct-gram self-join
     * that costs more than the sketch saves) is a REPORT-ONLY rider,
-    * off by default for library callers — at 100 TB the sketch leg is
-    * the whole point. The driver binding keeps it on so the oracle
-    * hash covers both legs.
+    * off by default AND off in the driver binding — at 100 TB the
+    * sketch leg is the whole point, and a query's bench line should
+    * price what it advertises. The exact leg is priced and
+    * hash-checked as its own query, [[q181ExactGramOverlap]].
     */
   def q162HllOverlap(s: SparkSession, d: String): DataFrame =
-    hllOverlapOf(Tables.documents(s, d), exactRider = true)
+    hllOverlapOf(Tables.documents(s, d))
 
   /** [[q162HllOverlap]] over any `(source, text)` frame. With
     * `exactRider` the `n_shared_exact` column (and its distinct-gram
@@ -1603,12 +1605,14 @@ object Corpus {
     * without inclusion-exclusion through three cardinality estimates
     * (q162) — KMV reads the overlap off the sketch members directly.
     *
-    * The exact distinct-gram ground truth is a REPORT-ONLY rider
-    * (default off for library callers — the q162 discipline): its
-    * distinct self-join costs more than the sketch saves.
+    * The exact distinct-gram ground truth is a REPORT-ONLY rider,
+    * off by default and off in the driver binding (the q162
+    * discipline): its distinct self-join costs more than the sketch
+    * saves. The exact leg is priced and hash-checked as its own
+    * query, [[q181ExactGramOverlap]].
     */
   def q173KmvOverlap(s: SparkSession, d: String): DataFrame =
-    kmvOverlapOf(Tables.documents(s, d), exactRider = true)
+    kmvOverlapOf(Tables.documents(s, d))
 
   /** [[q173KmvOverlap]] over any `(source, text)` frame. */
   private[operators] def kmvOverlapOf(
@@ -1672,6 +1676,86 @@ object Corpus {
     out.count()
     rows.unpersist(blocking = false)
     if (exactRider) grams.unpersist(blocking = false)
+    out
+  }
+
+  /** Exact distinct-trigram overlap per unordered source pair (q181) —
+    * the ground truth the q162/q173 sketches estimate, priced as its
+    * OWN query line: the sketch queries default rider-off (their cost
+    * is sources²·k after one corpus pass), while this is the genuinely
+    * corpus-sized computation — a distinct collapse plus a per-gram
+    * source self-join. The join is an equi-join on the gram, so a gram
+    * shared by m sources expands to at most m²/2 rows (m = |sources|,
+    * never data-sized); both inputs co-partition on `g` and the pair
+    * counts combine map-side. Zero-overlap pairs are kept (LEFT join
+    * from the full pair frame) so the output is total over pairs.
+    */
+  def q181ExactGramOverlap(s: SparkSession, d: String): DataFrame =
+    exactGramOverlapOf(Tables.documents(s, d))
+
+  /** [[q181ExactGramOverlap]] over any `(source, text)` frame. */
+  private[operators] def exactGramOverlapOf(docs: DataFrame): DataFrame = {
+    val sg = sourceTrigrams(docs).distinct().persist()
+    val per = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = per.as("a").crossJoin(per.as("b"))
+      .filter(col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+    val shared = sg.as("a").join(sg.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared_exact"))
+    val out = pairs.join(shared, Seq("src_a", "src_b"), "left")
+      .withColumn("n_shared_exact", coalesce(col("n_shared_exact"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_shared_exact"),
+        (col("n_shared_exact").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared_exact")).cast("double"))
+          .as("jaccard_exact"))
+      .orderBy(col("src_a"), col("src_b"))
+      .persist()
+    out.count()
+    sg.unpersist(blocking = false)
+    out
+  }
+
+  /** Exact token-frequency inner product per unordered source pair
+    * (q182) — the ground truth the q163 CMS cell product estimates,
+    * priced as its own query line (q163 defaults rider-off). One
+    * tokenize pass collapses to per-(source, token) counts with a
+    * map-side combine; the pair expansion then joins count frames on
+    * the token — vocabulary-sized inputs, at most m²/2 output rows
+    * per token. Products widen to DECIMAL(38,0) before summing (two
+    * billion-count tokens would wrap a BIGINT product). Zero pairs
+    * are kept so the output is total over pairs.
+    */
+  def q182ExactTokenInner(s: SparkSession, d: String): DataFrame =
+    exactTokenInnerOf(Tables.documents(s, d))
+
+  /** [[q182ExactTokenInner]] over any `(source, text)` frame. */
+  private[operators] def exactTokenInnerOf(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("source"),
+        explode(filter(split(coalesce(col("text"), lit("")), " "),
+          t => t =!= "")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+      .persist()
+    val srcs = cnt.select(col("source")).distinct()
+    val pairs = srcs.as("a").crossJoin(srcs.as("b"))
+      .filter(col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    val exact = cnt.as("a").join(cnt.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(col("a.n").cast("decimal(38,0)") * col("b.n")).cast("long")
+        .as("ip_exact"))
+    val out = pairs.join(exact, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("ip_exact"), lit(0L)).as("ip_exact"))
+      .orderBy(col("src_a"), col("src_b"))
+      .persist()
+    out.count()
+    cnt.unpersist(blocking = false)
     out
   }
 }
