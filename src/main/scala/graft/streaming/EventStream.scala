@@ -146,28 +146,44 @@ object EventStream {
     }
   }
 
-  /** Spool dirs live until JVM exit (the returned frame reads them
-    * lazily, so eager deletion would break the consumer); one
-    * shutdown hook deletes them all recursively so repeated sweeps in
-    * a long-lived session don't grow /tmp without bound across JVMs.
+  /** Spool dirs are deleted by [[materializeThenSweep]] as soon as
+    * the query that drained them materializes its final frame; the
+    * shutdown hook is the backstop for a session killed mid-query, so
+    * /tmp never grows across JVMs either way.
     */
   private val spoolDirs =
     java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+  private def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rmTree)
+    f.delete(); ()
+  }
   private lazy val spoolCleanupHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      spoolDirs.forEach { dir =>
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles()
-          if (kids != null) kids.foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(dir))
-      }
+      spoolDirs.forEach { dir => rmTree(new java.io.File(dir)) }
     }))
   }
   private def registerSpoolForCleanup(dir: String): Unit = {
     spoolCleanupHook
     spoolDirs.add(dir); ()
+  }
+
+  /** Materialize a spool-reading query's FINAL frame (persist +
+    * count), then delete every spool dir registered so far — deletion
+    * strictly after the consumer has read the spooled bytes, so a
+    * long-lived service session releases each replay's /tmp footprint
+    * at query end instead of at JVM exit. The returned frame is
+    * persisted MEMORY_AND_DISK: later actions serve from cache, and
+    * memory pressure spills instead of recomputing through the (now
+    * deleted) spool files.
+    */
+  private def materializeThenSweep(out: DataFrame): DataFrame = {
+    out.persist()
+    out.count()
+    val dirs = spoolDirs.toArray(Array.empty[String])
+    spoolDirs.clear()
+    dirs.foreach { dir => rmTree(new java.io.File(dir)) }
+    out
   }
 
   /** Drain a bounded replay into a distributed parquet spool and
@@ -365,10 +381,11 @@ object EventStream {
         .select(col("user_id"), expr("ts div 1000").as("ts_ns")).as[SessionEvent]
       val sessions = sessionizeTws(stream, 30L * 60 * 1000000L) // gap in MICROS
       // session-sized result -> spool (see drainToSpool)
-      drainToSpool(s, sessions.toDF(), "q147", eventsBytes(d))
-        .select(col("user_id"), col("start_ns").as("start_us"),
-          col("end_ns").as("end_us"), col("n_events"))
-        .orderBy(col("user_id"), col("start_us"))
+      materializeThenSweep(
+        drainToSpool(s, sessions.toDF(), "q147", eventsBytes(d))
+          .select(col("user_id"), col("start_ns").as("start_us"),
+            col("end_ns").as("end_us"), col("n_events"))
+          .orderBy(col("user_id"), col("start_us")))
     } finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
@@ -632,23 +649,24 @@ object EventStream {
     // pair-sized result -> spool (see drainToSpool); the drain still
     // polls for the watermark-advance NO-DATA batch that flushes the
     // outer-null rows, which processAllAvailable does not wait for
-    drainToSpool(s, joined, "q137", eventsBytes(d), afterDrain = { q =>
-      q.processAllAvailable()
-      val deadline = System.nanoTime() + 120L * 1000000000L
-      while (!q.recentProgress.exists(_.numInputRows == 0) &&
-             System.nanoTime() < deadline)
-        Thread.sleep(50)
-      q.processAllAvailable()
-    })
-      .filter(col("user_id") =!= -1L)
-      .groupBy(col("user_id"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        count(col("click_ts")).as("n_pairs"),
-        count(when(col("click_ts").isNull, lit(1))).as("n_unattributed"),
-        sum(when(col("click_ts").isNull, col("value").cast("decimal(18,6)")))
-          .cast("double").as("unattributed_value"))
-      .orderBy(col("user_id"))
+    materializeThenSweep(
+      drainToSpool(s, joined, "q137", eventsBytes(d), afterDrain = { q =>
+        q.processAllAvailable()
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (!q.recentProgress.exists(_.numInputRows == 0) &&
+               System.nanoTime() < deadline)
+          Thread.sleep(50)
+        q.processAllAvailable()
+      })
+        .filter(col("user_id") =!= -1L)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("click_ts")).as("n_pairs"),
+          count(when(col("click_ts").isNull, lit(1))).as("n_unattributed"),
+          sum(when(col("click_ts").isNull, col("value").cast("decimal(18,6)")))
+            .cast("double").as("unattributed_value"))
+        .orderBy(col("user_id")))
   }
 
   /** Session-window aggregation with the BUILT-IN `session_window`
@@ -709,12 +727,13 @@ object EventStream {
     // suite, hence stateHeavy (RocksDB past the byte gate)
     val byUser = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("start_us"))
-    drainToSpool(s, sessions, "q70", eventsBytes(d),
-      complete = true, stateHeavy = true)
-      .withColumn("session_id", row_number().over(byUser).cast("long"))
-      .select(col("user_id"), col("session_id"), col("n_events"),
-        col("start_us"), col("end_us"))
-      .orderBy(col("user_id"), col("session_id"))
+    materializeThenSweep(
+      drainToSpool(s, sessions, "q70", eventsBytes(d),
+        complete = true, stateHeavy = true)
+        .withColumn("session_id", row_number().over(byUser).cast("long"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("start_us"), col("end_us"))
+        .orderBy(col("user_id"), col("session_id")))
   }
 
   /** q76 — [[windowedCounts]] (the UNCHANGED batch/stream-unified
@@ -796,13 +815,14 @@ object EventStream {
       src.filter(col("event_type") === "view"),
       src.filter(col("event_type") === "purchase"))
     // pair-sized result -> spool, not memory sink (see drainToSpool)
-    drainToSpool(s, joined, "q83", eventsBytes(d))
-      .groupBy(col("user_id"))
-      .agg(
-        count(lit(1)).as("n_pairs"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("attributed_value"),
-        min(unix_micros(col("click_ts"))).as("first_click_us"))
-      .orderBy(col("user_id"))
+    materializeThenSweep(
+      drainToSpool(s, joined, "q83", eventsBytes(d))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("attributed_value"),
+          min(unix_micros(col("click_ts"))).as("first_click_us"))
+        .orderBy(col("user_id")))
   }
 
   /** q93 — [[dedupStream]] (dropDuplicatesWithinWatermark) replayed
@@ -842,15 +862,16 @@ object EventStream {
         col("event_type"), col("user_id"))
     val redelivered = src.union(src.filter(col("event_id") % 37 === 0))
     val deduped = dedupStream(redelivered, "event_id")
-    drainToSpool(s, deduped, "q93", eventsBytes(d),
-      mapBatch = _.groupBy(col("event_type"), col("user_id"))
-        .agg(count(lit(1)).as("n")))
-      .groupBy(col("event_type"), col("user_id"))
-      .agg(sum(col("n")).as("n"))
-      .groupBy(col("event_type"))
-      .agg(sum(col("n")).as("n_events"),
-        count(lit(1)).as("n_users"))
-      .orderBy(col("event_type"))
+    materializeThenSweep(
+      drainToSpool(s, deduped, "q93", eventsBytes(d),
+        mapBatch = _.groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n")))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("n")).as("n"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_events"),
+          count(lit(1)).as("n_users"))
+        .orderBy(col("event_type")))
   }
 
   /** q103 — stream-static broadcast enrichment under the batch oracle:
@@ -870,11 +891,12 @@ object EventStream {
     val enriched = src.join(broadcast(dim), "user_id")
     // EVENT-sized result — the largest memory sink the suite had;
     // spooled distributed (see drainToSpool)
-    drainToSpool(s, enriched, "q103", eventsBytes(d))
-      .groupBy(col("segment"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
-      .orderBy(col("segment"))
+    materializeThenSweep(
+      drainToSpool(s, enriched, "q103", eventsBytes(d))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+        .orderBy(col("segment")))
   }
 
   /** q108 — [[sessionize]] itself (the CUSTOM `flatMapGroupsWithState`
@@ -899,10 +921,11 @@ object EventStream {
       .select(col("user_id"), expr("ts div 1000").as("ts_ns")).as[SessionEvent]
     val sessions = sessionize(stream, 30L * 60 * 1000000L) // gap in MICROS
     // session-sized result -> spool (see drainToSpool)
-    drainToSpool(s, sessions.toDF(), "q108", eventsBytes(d))
-      .select(col("user_id"), col("start_ns").as("start_us"),
-        col("end_ns").as("end_us"), col("n_events"))
-      .orderBy(col("user_id"), col("start_us"))
+    materializeThenSweep(
+      drainToSpool(s, sessions.toDF(), "q108", eventsBytes(d))
+        .select(col("user_id"), col("start_ns").as("start_us"),
+          col("end_ns").as("end_us"), col("n_events"))
+        .orderBy(col("user_id"), col("start_us")))
   }
 
   /** Per-user running aggregate over an event stream — value sums per
@@ -1120,20 +1143,21 @@ object EventStream {
       // survivor (doc-sized) result -> spool (see drainToSpool); poll
       // for the watermark-advance NO-DATA batch that flushes the last
       // per-doc windows
-      drainToSpool(s, survivors.toDF(), "q156", tableBytes(fixtureDir),
-        afterDrain = { q =>
-          q.processAllAvailable()
-          val deadline = System.nanoTime() + 120L * 1000000000L
-          while (!q.recentProgress.exists(_.numInputRows == 0) &&
-                 System.nanoTime() < deadline)
-            Thread.sleep(50)
-          q.processAllAvailable()
-        })
-        .filter(col("doc_id") >= 0L)
-        .select(
-          expr(s"CAST(unix_micros(ts) div 1000000 - $baseSec AS BIGINT)").as("arrival"),
-          col("doc_id"))
-        .orderBy(col("doc_id"))
+      materializeThenSweep(
+        drainToSpool(s, survivors.toDF(), "q156", tableBytes(fixtureDir),
+          afterDrain = { q =>
+            q.processAllAvailable()
+            val deadline = System.nanoTime() + 120L * 1000000000L
+            while (!q.recentProgress.exists(_.numInputRows == 0) &&
+                   System.nanoTime() < deadline)
+              Thread.sleep(50)
+            q.processAllAvailable()
+          })
+          .filter(col("doc_id") >= 0L)
+          .select(
+            expr(s"CAST(unix_micros(ts) div 1000000 - $baseSec AS BIGINT)").as("arrival"),
+            col("doc_id"))
+          .orderBy(col("doc_id")))
     } finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
@@ -1508,11 +1532,12 @@ object EventStream {
         .groupBy(col("tier"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).as("v"))
-    drainToSpool(s, stream, "q171", eventsBytes(d), mapBatch = enrichBatch)
-      .groupBy(col("tier"), col("event_type"))
-      .agg(sum(col("n")).as("n_events"),
-        sum(col("v")).cast("double").as("total_value"))
-      .orderBy(col("tier"), col("event_type"))
+    materializeThenSweep(
+      drainToSpool(s, stream, "q171", eventsBytes(d), mapBatch = enrichBatch)
+        .groupBy(col("tier"), col("event_type"))
+        .agg(sum(col("n")).as("n_events"),
+          sum(col("v")).cast("double").as("total_value"))
+        .orderBy(col("tier"), col("event_type")))
   }
 
   /** q161 — the ELEVENTH streaming shape: a windowed distinct-user

@@ -566,6 +566,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("spool dirs are deleted once the consuming query materializes") {
+    // compare against a pre-run snapshot: /tmp may hold spools from
+    // OTHER (killed) JVMs, which only that JVM's sweep/hook may own
+    val d = "/root/testdata/sf0.001"
+    def spools(): Set[String] = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      tmp.listFiles().iterator.map(_.getName)
+        .filter(n => n.startsWith("graft_") && n.contains("_spool")).toSet
+    }
+    val before = spools()
+    EventStream.q83StreamAttribution(spark, d).collect()
+    val leaked = spools() -- before
+    assert(leaked.isEmpty,
+      s"leftover spool dirs after materialization: ${leaked.mkString(", ")}")
+  }
+
   test("q70: streaming sessionize over the bounded events table equals batch q36") {
     val d = "/root/testdata/sf0.001"
     val streamed = EventStream.q70StreamSessionize(spark, d)
