@@ -205,6 +205,8 @@ object SparkEntry {
     "q180_asof_native" -> (Temporal.q180AsofNative _),
     "q181_exact_gram_overlap" -> (Corpus.q181ExactGramOverlap _),
     "q182_exact_token_inner" -> (Corpus.q182ExactTokenInner _),
+    "q183_asof_tolerance" -> (Temporal.q183AsofTolerance _),
+    "q184_asof_forward" -> (Temporal.q184AsofForward _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4108,5 +4110,52 @@ object SparkEntry {
         |  CAST(COALESCE(x.ip_exact, 0) AS BIGINT) AS ip_exact
         |FROM pairs p LEFT JOIN ex x ON x.src_a = p.src_a AND x.src_b = p.src_b
         |ORDER BY p.src_a, p.src_b""".stripMargin,
+    // Tolerance-bounded as-of (q183): the q180 replay with the match
+    // additionally bounded to the last 10 minutes — the candidate is
+    // still the latest at-or-before click; out-of-tolerance nulls out
+    "q183_asof_tolerance" ->
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
+        |  FROM events),
+        |er AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
+        |cl AS (SELECT event_id AS click_id, user_id, ts_us FROM ev
+        |       WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT er.event_id, er.user_id, er.ts_us,
+        |    MAX(CASE WHEN cl.ts_us >= er.ts_us - ${graft.operators.Temporal.AsofToleranceUs}
+        |             THEN cl.ts_us END) AS asof_click_us
+        |  FROM er LEFT JOIN cl
+        |    ON cl.user_id = er.user_id AND cl.ts_us <= er.ts_us
+        |  GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT m.event_id, MAX(cl.click_id) AS asof_click_id
+        |  FROM m JOIN cl
+        |    ON cl.user_id = m.user_id AND cl.ts_us = m.asof_click_us
+        |  GROUP BY 1)
+        |SELECT m.event_id, m.user_id, m.ts_us, m.asof_click_us, t.asof_click_id
+        |FROM m LEFT JOIN t ON t.event_id = m.event_id
+        |ORDER BY m.event_id""".stripMargin,
+    // Forward as-of (q184): earliest view at or after each error,
+    // ties to the SMALLEST view id (the forward merge's first-in-order)
+    "q184_asof_forward" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
+        |  FROM events),
+        |er AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
+        |vw AS (SELECT event_id AS view_id, user_id, ts_us FROM ev
+        |       WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT er.event_id, er.user_id, er.ts_us, MIN(vw.ts_us) AS next_view_us
+        |  FROM er LEFT JOIN vw
+        |    ON vw.user_id = er.user_id AND vw.ts_us >= er.ts_us
+        |  GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT m.event_id, MIN(vw.view_id) AS asof_view_id
+        |  FROM m JOIN vw
+        |    ON vw.user_id = m.user_id AND vw.ts_us = m.next_view_us
+        |  GROUP BY 1)
+        |SELECT m.event_id, m.user_id, m.ts_us, m.next_view_us, t.asof_view_id
+        |FROM m LEFT JOIN t ON t.event_id = m.event_id
+        |ORDER BY m.event_id""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

@@ -581,4 +581,54 @@ object Temporal {
         col("asof_ts_us").as("asof_click_us"), col("asof_click_id"))
       .orderBy(col("event_id"))
   }
+
+  /** Tolerance bound for [[q183AsofTolerance]]: 10 minutes in micros —
+    * an error's "causing" click must be recent, not just previous.
+    */
+  val AsofToleranceUs: Long = 600000000L
+
+  /** q183: the q180 enrichment under a `merge_asof(tolerance=…)`
+    * bound — the latest click at or before each error counts only if
+    * it happened within [[AsofToleranceUs]]; staler matches null out.
+    * Same native operator, same O(1)-state merge (the bound is one
+    * long compare on the already-projected time slot), same two
+    * exchanges — the tolerance never becomes a join predicate that
+    * would force a range-join rewrite.
+    */
+  def q183AsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), tsUs.as("ts_us"))
+    graft.plans.NativeAsOf
+      .asOf(errors, clicks, Seq("user_id"), "ts_us",
+        tieBreak = Seq("click_id"), tolerance = Some(AsofToleranceUs))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_ts_us").as("asof_click_us"), col("asof_click_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** q184: FORWARD as-of through the native operator — every error
+    * event gains that user's EARLIEST view at or after its time (the
+    * "next action after the failure" read; ties resolve to the
+    * smallest view event_id, first in child sort order). Direction is
+    * a compare-sign flip inside the same one-pass merge: the exec
+    * consumes right rows strictly behind the left row and matches the
+    * lookahead itself, still one retained row + one lookahead of
+    * state.
+    */
+  def q184AsofForward(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), tsUs.as("ts_us"))
+    graft.plans.NativeAsOf
+      .asOf(errors, views, Seq("user_id"), "ts_us",
+        tieBreak = Seq("view_id"), direction = "forward")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_ts_us").as("next_view_us"), col("asof_view_id"))
+      .orderBy(col("event_id"))
+  }
 }

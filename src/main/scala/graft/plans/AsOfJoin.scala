@@ -38,7 +38,10 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
-    rightTieBreak: Seq[Attribute]) extends BinaryNode {
+    rightTieBreak: Seq[Attribute],
+    forward: Boolean = false,
+    allowExact: Boolean = true,
+    tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -89,8 +92,9 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper 
 /** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, fw, ax, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb,
+        fw, ax, tol) :: Nil
     case _ => Nil
   }
 }
@@ -108,7 +112,10 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
-    rightTieBreak: Seq[Attribute]) extends BinaryExecNode {
+    rightTieBreak: Seq[Attribute],
+    forward: Boolean = false,
+    allowExact: Boolean = true,
+    tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -128,16 +135,39 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  // time-column read-out for the tolerance bound: the merge itself is
+  // type-generic (lexicographic compare), but |leftTime - rightTime|
+  // needs a numeric value — integral, timestamp (long micros) and
+  // date (int days) types qualify; NativeAsOf validates up front
+  private def timeAsLong(dt: org.apache.spark.sql.types.DataType,
+      row: InternalRow, ordinal: Int): Long = dt match {
+    case org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => row.getLong(ordinal)
+    case org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.DateType => row.getInt(ordinal).toLong
+    case other => throw new IllegalStateException(
+      s"as-of tolerance unsupported for time type ${other.catalogString}")
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
     val ordTypes = (leftKeys :+ leftTime).map(_.dataType)
     val keyTypes = leftKeys.map(_.dataType)
+    val fw = forward
+    val ax = allowExact
+    val tol = tolerance
+    val lTimeType = leftTime.dataType
+    val rTimeType = rightTime.dataType
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lOrdProj = UnsafeProjection.create(leftKeys :+ leftTime, lOut)
       val rOrdProj = UnsafeProjection.create(rightKeys :+ rightTime, rOut)
       val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
+      // time ordinals inside the ord projections (last slot)
+      val lTimeOrd = leftKeys.length
+      val rTimeOrd = rightKeys.length
       val fullOrd = RowOrdering.createNaturalAscendingOrdering(ordTypes)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       // bind against NULLABLE right attributes: unmatched left rows
@@ -151,13 +181,32 @@ case class AsOfJoinExec(
       var rNext: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
       lIter.map { l =>
         val lOrd = lOrdProj(l)
-        while (rNext != null && fullOrd.compare(rOrdProj(rNext), lOrd) <= 0) {
+        // BACKWARD consumes rows with (key, time) <= (or < when strict)
+        // the left's and retains the last consumed — "latest at or
+        // before", ties to the GREATEST tieBreak. FORWARD consumes
+        // rows strictly behind (or behind-or-equal when strict) and
+        // matches the lookahead itself — "earliest at or after", ties
+        // to the SMALLEST tieBreak (first in child order).
+        while (rNext != null && {
+          val c = fullOrd.compare(rOrdProj(rNext), lOrd)
+          c < 0 || (c == 0 && (if (fw) !ax else ax))
+        }) {
           rCurr = rNext
           rNext = if (rIter.hasNext) rIter.next().copy() else null
         }
-        val matched =
-          rCurr != null && keyOrd.compare(rKeyProj(rCurr), lKeyProj(l)) == 0
-        resultProj(joined(l, if (matched) rCurr else nullRight))
+        val cand = if (fw) rNext else rCurr
+        var matched =
+          cand != null && keyOrd.compare(rKeyProj(cand), lKeyProj(l)) == 0
+        if (matched && tol.isDefined) {
+          val lOrdRow = lOrd
+          val rOrdRow = rOrdProj(cand)
+          matched = !lOrdRow.isNullAt(lTimeOrd) && !rOrdRow.isNullAt(rTimeOrd) && {
+            val lt = timeAsLong(lTimeType, lOrdRow, lTimeOrd)
+            val rt = timeAsLong(rTimeType, rOrdRow, rTimeOrd)
+            (if (fw) rt - lt else lt - rt) <= tol.get
+          }
+        }
+        resultProj(joined(l, if (matched) cand else nullRight))
       }
     }
   }
@@ -175,6 +224,18 @@ object NativeAsOf {
     * `asof_` (right keys are dropped — they duplicate the left's).
     * Right (key, time) ties resolve to the greatest `tieBreak`.
     *
+    * The full `merge_asof` knob set rides on the same one-pass merge
+    * with unchanged O(1) state:
+    *  - `direction = "forward"`: earliest right row at or after the
+    *    left time instead; (key, time) ties resolve to the SMALLEST
+    *    `tieBreak` (first in child sort order).
+    *  - `allowExactMatches = false`: strictly-before (respectively
+    *    strictly-after) — equal times no longer match.
+    *  - `tolerance = Some(t)`: a match additionally requires
+    *    `|leftTime - rightTime| <= t` in the time column's own units;
+    *    out-of-tolerance left rows carry nulls. Requires an
+    *    integral / timestamp / date time column.
+    *
     * Every right column is re-aliased before the join, which both
     * applies the prefix and mints fresh attribute ids — a self-join
     * (events vs events) therefore never trips analyzer relation
@@ -183,8 +244,13 @@ object NativeAsOf {
   def asOf(
       left: DataFrame, right: DataFrame,
       on: Seq[String], time: String,
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      direction: String = "backward",
+      allowExactMatches: Boolean = true,
+      tolerance: Option[Long] = None): DataFrame = {
     require(on.nonEmpty, "at least one key column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
     val renamed = right.select(right.columns.toSeq.map { c =>
       if (on.contains(c)) col(c).as(s"_asof_key_$c") else col(c).as(s"asof_$c")
     }: _*)
@@ -201,7 +267,19 @@ object NativeAsOf {
       require(a.dataType == b.dataType, s"key type mismatch: $a vs $b") }
     require(lt.dataType == rt.dataType, s"time type mismatch: $lt vs $rt")
     val tb = tieBreak.map(c => attr(renamed, s"asof_$c"))
-    val node = AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, tb)
+    if (tolerance.isDefined) {
+      import org.apache.spark.sql.types._
+      val ok = Set[DataType](LongType, IntegerType, TimestampType,
+        TimestampNTZType, DateType)
+      require(ok.contains(lt.dataType),
+        s"tolerance needs an integral/timestamp/date time column, " +
+          s"got ${lt.dataType.catalogString}")
+      require(tolerance.get >= 0, "tolerance must be non-negative")
+    }
+    val node = AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, tb,
+      forward = direction == "forward",
+      allowExact = allowExactMatches,
+      tolerance = tolerance)
     org.apache.spark.sql.graftshim.GraftColumns
       .ofPlan(left.sparkSession, node)
       .drop(on.map(k => s"_asof_key_$k"): _*)

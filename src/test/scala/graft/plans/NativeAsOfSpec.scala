@@ -124,6 +124,91 @@ class NativeAsOfSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         .count(row => row.getAs[Long]("k") == 3 && row.getAs[Long]("lid") > 10))
   }
 
+  // plain-Scala reference for the merge_asof knob set: per left row,
+  // filter candidates by direction/strictness/tolerance, then argmax
+  // (backward: greatest (t, rid)) or argmin (forward: smallest (t, rid))
+  private def bruteAsOf(
+      left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)],
+      forward: Boolean, allowExact: Boolean,
+      tolerance: Option[Long]): Map[Long, Option[Long]] =
+    left.map { case (k, t, lid) =>
+      val cands = right.filter { case (rk, rt, _) =>
+        rk == k &&
+          (if (forward) { if (allowExact) rt >= t else rt > t }
+           else { if (allowExact) rt <= t else rt < t }) &&
+          tolerance.forall(tol =>
+            (if (forward) rt - t else t - rt) <= tol)
+      }
+      val pick =
+        if (cands.isEmpty) None
+        else if (forward) Some(cands.minBy { case (_, rt, rid) => (rt, rid) }._3)
+        else Some(cands.maxBy { case (_, rt, rid) => (rt, rid) }._3)
+      lid -> pick
+    }.toMap
+
+  private def runAsOf(
+      left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)],
+      direction: String, allowExact: Boolean,
+      tolerance: Option[Long]): Map[Long, Option[Long]] =
+    NativeAsOf.asOf(
+        left.toDF("k", "t", "lid"), right.toDF("k", "t", "rid"),
+        Seq("k"), "t", tieBreak = Seq("rid"),
+        direction = direction, allowExactMatches = allowExact,
+        tolerance = tolerance)
+      .select(col("lid"), col("asof_rid"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+
+  test("forward / strict / tolerance knobs match brute force on randomized fixtures") {
+    val rnd = new scala.util.Random(183)
+    for (trial <- 1 to 4) {
+      val left = Seq.tabulate(200) { i =>
+        (rnd.nextInt(10).toLong, rnd.nextInt(30).toLong, i.toLong)
+      }
+      val right = Seq.tabulate(150) { i =>
+        (rnd.nextInt(12).toLong, rnd.nextInt(30).toLong, i.toLong)
+      }
+      for {
+        dir <- Seq("backward", "forward")
+        ax <- Seq(true, false)
+        tol <- Seq(None, Some(0L), Some(3L))
+      } {
+        val got = runAsOf(left, right, dir, ax, tol)
+        val want = bruteAsOf(left, right, dir == "forward", ax, tol)
+        assert(got === want, s"trial $trial dir=$dir allowExact=$ax tol=$tol")
+      }
+    }
+  }
+
+  test("tolerance null-out and forward tie-break pinned on a tiny fixture") {
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 102L))
+    val right = Seq(
+      (1L, 8L, 1L), // 2 before lid 100 — in a tol=2, out of tol=1
+      (1L, 25L, 2L), (1L, 25L, 3L), // forward tie for lid 101 at t=25
+      (2L, 5L, 4L)) // exact-time row for lid 102
+    // backward, tol=2: lid 100 matches rid 1; tol=1: nulls out
+    assert(runAsOf(left, right, "backward", true, Some(2L))(100L) === Some(1L))
+    assert(runAsOf(left, right, "backward", true, Some(1L))(100L) === None)
+    // forward ties resolve to the SMALLEST tieBreak
+    assert(runAsOf(left, right, "forward", true, None)(101L) === Some(2L))
+    // strict drops the exact-time match; allowExact keeps it
+    assert(runAsOf(left, right, "backward", true, None)(102L) === Some(4L))
+    assert(runAsOf(left, right, "backward", false, None)(102L) === None)
+    assert(runAsOf(left, right, "forward", false, None)(102L) === None)
+  }
+
+  test("knob variants keep the two-exchange no-window plan shape") {
+    val left = Seq.tabulate(50)(i => (i.toLong % 5, i.toLong, i.toLong)).toDF("k", "t", "lid")
+    val right = Seq.tabulate(50)(i => (i.toLong % 7, i.toLong, s"p$i")).toDF("k", "t", "p")
+    val df = NativeAsOf.asOf(left, right, Seq("k"), "t",
+      direction = "forward", allowExactMatches = false, tolerance = Some(5L))
+    val plan = executed(df)
+    assert(collectWithSubqueries(plan) { case e: AsOfJoinExec => e }.size === 1)
+    assert(collectWithSubqueries(plan) { case e: ShuffleExchangeExec => e }.size === 2)
+    assert(collectWithSubqueries(plan) { case w: WindowExec => w }.isEmpty)
+  }
+
   test("empty right side and empty left partitions") {
     val left = Seq((1L, 1L, "x"), (2L, 2L, "y")).toDF("k", "t", "tag")
     val empty = Seq.empty[(Long, Long, String)].toDF("k", "t", "v")
