@@ -207,6 +207,8 @@ object SparkEntry {
     "q182_exact_token_inner" -> (Corpus.q182ExactTokenInner _),
     "q183_asof_tolerance" -> (Temporal.q183AsofTolerance _),
     "q184_asof_forward" -> (Temporal.q184AsofForward _),
+    "q185_cusum" -> (Temporal.q185Cusum _),
+    "q186_kmv_difference" -> (Corpus.q186KmvDifference _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4157,5 +4159,78 @@ object SparkEntry {
         |SELECT m.event_id, m.user_id, m.ts_us, m.next_view_us, t.asof_view_id
         |FROM m LEFT JOIN t ON t.event_id = m.event_id
         |ORDER BY m.event_id""".stripMargin,
+    // CUSUM changepoint (q185): prefix-sum reflection identity, exact
+    // fixed-point; // floors where Spark's div truncates — identical
+    // on this non-negative domain
+    "q185_cusum" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    CAST(round(value * 1e6) AS BIGINT) AS x
+        |  FROM events),
+        |k AS (SELECT CAST(SUM(x) // COUNT(*) AS BIGINT) AS k FROM e),
+        |p AS (
+        |  SELECT user_id, event_id, ts_us, k.k,
+        |    SUM(x - k.k) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS p
+        |  FROM e, k),
+        |c AS (
+        |  SELECT user_id, ts_us, k,
+        |    p - LEAST(MIN(p) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING), 0) AS s
+        |  FROM p)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(s) AS BIGINT) AS max_cusum,
+        |  CAST(SUM(CASE WHEN s > k * ${graft.operators.Temporal.CusumHMult} THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  MIN(CASE WHEN s > k * ${graft.operators.Temporal.CusumHMult} THEN ts_us END) AS first_cross_us
+        |FROM c GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    // KMV A-not-B (q186): merged-sketch sample fraction times the
+    // union estimate, two-level HUGEINT floor mirrored exactly
+    "q186_kmv_difference" ->
+      s"""WITH t AS (
+        |  SELECT source, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM t, unnest(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
+        |k AS (
+        |  SELECT DISTINCT source, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS x FROM g),
+        |r AS (
+        |  SELECT source, x, ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS rn FROM k),
+        |sk AS (SELECT source, x FROM r WHERE rn <= ${graft.operators.Corpus.KmvK}),
+        |srcs AS (SELECT DISTINCT source FROM k),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b
+        |  FROM srcs a, srcs b WHERE a.source < b.source),
+        |u AS (
+        |  SELECT p.src_a, p.src_b, s.x,
+        |    MAX(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS ia,
+        |    MAX(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS ib
+        |  FROM pairs p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+        |  GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT src_a, src_b, x, ia, ib,
+        |    ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY x) AS rn
+        |  FROM u),
+        |agg AS (
+        |  SELECT src_a, src_b, COUNT(*) AS n_merged,
+        |    CAST(SUM(ia * (1 - ib)) AS BIGINT) AS n_anotb,
+        |    CAST(SUM(ib * (1 - ia)) AS BIGINT) AS n_bnota,
+        |    MAX(x) AS kth
+        |  FROM m WHERE rn <= ${graft.operators.Corpus.KmvK} GROUP BY 1, 2),
+        |est AS (
+        |  SELECT src_a, src_b, n_merged, n_anotb, n_bnota,
+        |    CASE WHEN n_merged < ${graft.operators.Corpus.KmvK}
+        |         THEN CAST(n_merged AS HUGEINT)
+        |         ELSE (${graft.operators.Corpus.KmvK - 1} *
+        |               CAST(${graft.operators.Corpus.KmvDomain} AS HUGEINT)) // kth
+        |    END AS est_u
+        |  FROM agg)
+        |SELECT src_a, src_b, CAST(n_merged AS BIGINT) AS n_merged,
+        |  n_anotb, n_bnota,
+        |  CAST((n_anotb * est_u) // n_merged AS BIGINT) AS est_a_not_b,
+        |  CAST((n_bnota * est_u) // n_merged AS BIGINT) AS est_b_not_a
+        |FROM est
+        |ORDER BY src_a, src_b""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

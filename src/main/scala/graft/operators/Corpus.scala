@@ -1679,6 +1679,68 @@ object Corpus {
     out
   }
 
+  /** Cross-source set-DIFFERENCE estimates from KMV sketches alone
+    * (q186) — the theta-sketch A-not-B operation (Dasgupta et al.
+    * '16) on the q172 bottom-k state, completing the KMV set algebra
+    * the suite exposes: union (q172 merge law), intersection/Jaccard
+    * (q173), and now difference. The merged sketch (bottom-k of the
+    * two key unions) is a uniform sample of A∪B, so |A\B| is estimated
+    * as (members in A only / merged size) × est|A∪B|, with est|A∪B|
+    * the usual (k−1)·H / kth-min read-out — everything in exact BigInt
+    * floor arithmetic (oracle: HUGEINT `//`), exact by construction
+    * below k union keys. Corpus touched once; pair math is sources²·k.
+    */
+  def q186KmvDifference(s: SparkSession, d: String): DataFrame =
+    kmvDifferenceOf(Tables.documents(s, d))
+
+  /** [[q186KmvDifference]] over any `(source, text)` frame. */
+  private[operators] def kmvDifferenceOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val rows = kmvSketches(
+      sourceTrigrams(docs).select(col("source"), hllKey(col("g")).as("x")))
+      .select(col("source"), explode(col("sk")).as("x"))
+      .persist()
+    val srcs = rows.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .crossJoin(srcs.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val tagged = pairs.join(rows, col("source") === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("x"),
+        lit(1L).as("ia"), lit(0L).as("ib"))
+      .unionByName(pairs.join(rows, col("source") === col("src_b"))
+        .select(col("src_a"), col("src_b"), col("x"),
+          lit(0L).as("ia"), lit(1L).as("ib")))
+      .groupBy(col("src_a"), col("src_b"), col("x"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    val ranked = tagged.withColumn("rn",
+      row_number().over(Window.partitionBy(col("src_a"), col("src_b"))
+        .orderBy(col("x"))))
+      .filter(col("rn") <= KmvK)
+    val agg = ranked.groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_merged"),
+        sum(col("ia") * (lit(1L) - col("ib"))).as("n_anotb"),
+        sum(col("ib") * (lit(1L) - col("ia"))).as("n_bnota"),
+        max(col("x")).as("kth"))
+    val out = agg
+      .as[(String, String, Long, Long, Long, Long)]
+      .map { case (a, b, nm, nab, nba, kth) =>
+        // below k union keys the merged sketch IS the union: exact
+        val estU =
+          if (nm < KmvK) BigInt(nm)
+          else BigInt(KmvK - 1) * KmvDomain / kth
+        (a, b, nm, nab, nba,
+          (BigInt(nab) * estU / nm).toLong, (BigInt(nba) * estU / nm).toLong)
+      }
+      .toDF("src_a", "src_b", "n_merged", "n_anotb", "n_bnota",
+        "est_a_not_b", "est_b_not_a")
+      .orderBy(col("src_a"), col("src_b"))
+      .persist()
+    out.count()
+    rows.unpersist(blocking = false)
+    out
+  }
+
   /** Exact distinct-trigram overlap per unordered source pair (q181) —
     * the ground truth the q162/q173 sketches estimate, priced as its
     * OWN query line: the sketch queries default rider-off (their cost

@@ -609,6 +609,57 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** CUSUM decision-interval threshold as a multiple of the allowance
+    * (h = 8k): fixed so both engines derive it from the same integer.
+    */
+  val CusumHMult = 8L
+
+  /** q185: one-sided CUSUM changepoint detection per user (Page '54) —
+    * the SEQUENTIAL drift monitor the distributional drift checks
+    * (q100 histogram drift, q110 source drift) can't express: those
+    * compare two populations; CUSUM walks each user's event stream in
+    * time order and accumulates evidence s_i = max(0, s_{i-1} + x_i −
+    * k), flagging the first time the statistic crosses h. Everything
+    * is exact fixed-point (the q165 `round(value·1e6)` idiom): the
+    * allowance k is the floor of the global fixed-point mean, h = 8k.
+    *
+    * The recursion is NOT computed recursively: by the reflection
+    * identity s_i = p_i − min(0, min_{j≤i} p_j) with p the prefix sum
+    * of (x − k), the whole statistic is two stacked running windows —
+    * per-user partitioned, codegen'd, zero driver iteration, and an
+    * unrolled-free SQL replay. At 100 TB the cost is one shuffle on
+    * user_id; the windows stream each partition once.
+    *
+    * @return per user: event count, the max CUSUM statistic, how many
+    *         samples sat above h, and the first crossing time (null
+    *         when the user never drifts).
+    */
+  def q185Cusum(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), tsUs.as("ts_us"),
+        round(col("value") * lit(1e6)).cast("long").as("x"))
+    // allowance: floor of the global mean, one broadcast row (never a
+    // driver collect) — IntegralDivide truncates, DuckDB // floors;
+    // identical on this non-negative domain
+    val kRow = e.agg(expr("sum(x) div count(1)").as("k"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = e.crossJoin(broadcast(kRow))
+      .withColumn("p", sum(col("x") - col("k")).over(w))
+    val cusum = p
+      .withColumn("s", col("p") - least(min(col("p")).over(w), lit(0L)))
+    cusum
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("s")).as("max_cusum"),
+        sum(when(col("s") > col("k") * lit(CusumHMult), 1L)
+          .otherwise(0L)).as("n_above"),
+        min(when(col("s") > col("k") * lit(CusumHMult), col("ts_us")))
+          .as("first_cross_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** q184: FORWARD as-of through the native operator — every error
     * event gains that user's EARLIEST view at or after its time (the
     * "next action after the failure" read; ties resolve to the

@@ -87,6 +87,30 @@ class KmvSpec extends SparkSpec {
     assert(math.abs(jEst - jExact) < 0.24, s"est $jEst vs exact $jExact")
   }
 
+  test("A-not-B estimate tracks the planted difference; exact below k") {
+    import spark.implicits._
+    // sources share 1000 grams; A has 1000 extra, B has 500 extra
+    // -> |A\B| = 1000, |B\A| = 500, |A∪B| = 2500
+    val shared = (0 until 1000).map(i => s"sh$i sh$i sh$i")
+    val onlyA = (0 until 1000).map(i => s"a$i a$i a$i")
+    val onlyB = (0 until 500).map(i => s"b$i b$i b$i")
+    val docs = (shared ++ onlyA).map(("sA", _)) ++ (shared ++ onlyB).map(("sB", _))
+    val row = Corpus.kmvDifferenceOf(docs.toDF("source", "text")).collect().head
+    val estAB = row.getLong(5).toDouble
+    val estBA = row.getLong(6).toDouble
+    // union stderr ~13% at k=64 and the fraction adds binomial noise;
+    // 4 sigma of the combined ~ 60% relative
+    assert(math.abs(estAB - 1000.0) / 1000.0 < 0.6, s"A\\B est $estAB")
+    assert(math.abs(estBA - 500.0) / 500.0 < 0.6, s"B\\A est $estBA")
+
+    // below k union keys everything is exact by construction
+    val tiny = ((0 until 20).map(i => s"x$i x$i x$i") ++ Seq("c0 c0 c0")).map(("tA", _)) ++
+      ((0 until 10).map(i => s"y$i y$i y$i") ++ Seq("c0 c0 c0")).map(("tB", _))
+    val t = Corpus.kmvDifferenceOf(tiny.toDF("source", "text")).collect().head
+    assert(t.getLong(2) == 31L) // merged = 20 + 10 + 1 shared
+    assert(t.getLong(5) == 20L && t.getLong(6) == 10L)
+  }
+
   test("estimate-only output drops the rider columns but not the estimates") {
     import spark.implicits._
     val docs = (0 until 50).map(i => ("s" + i % 2, s"x$i y$i z$i")).toDF("source", "text")
