@@ -209,6 +209,8 @@ object SparkEntry {
     "q184_asof_forward" -> (Temporal.q184AsofForward _),
     "q185_cusum" -> (Temporal.q185Cusum _),
     "q186_kmv_difference" -> (Corpus.q186KmvDifference _),
+    "q187_stream_asof_state" ->
+      (graft.streaming.EventStream.q187StreamAsofState _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -417,6 +419,31 @@ object SparkEntry {
     * the same parquet tables. Omitted for the non-SQL-expressible ops
     * (minhash/simhash/ngram/LSH/fingerprint) -> rows-only check.
     */
+  /** The click-enrichment as-of replay, shared by q180 (native batch
+    * operator) and q187 (stream-stream keyed state) — both compute the
+    * same answer, so one oracle falsifies both.
+    */
+  private lazy val asofClickReplaySql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
+      |  FROM events),
+      |er AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
+      |cl AS (SELECT event_id AS click_id, user_id, ts_us FROM ev
+      |       WHERE event_type = 'click'),
+      |m AS (
+      |  SELECT er.event_id, er.user_id, er.ts_us, MAX(cl.ts_us) AS asof_click_us
+      |  FROM er LEFT JOIN cl
+      |    ON cl.user_id = er.user_id AND cl.ts_us <= er.ts_us
+      |  GROUP BY 1, 2, 3),
+      |t AS (
+      |  SELECT m.event_id, MAX(cl.click_id) AS asof_click_id
+      |  FROM m JOIN cl
+      |    ON cl.user_id = m.user_id AND cl.ts_us = m.asof_click_us
+      |  GROUP BY 1)
+      |SELECT m.event_id, m.user_id, m.ts_us, m.asof_click_us, t.asof_click_id
+      |FROM m LEFT JOIN t ON t.event_id = m.event_id
+      |ORDER BY m.event_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -4044,26 +4071,11 @@ object SparkEntry {
     // Native as-of join (q180): <=-time visibility, greatest-click-id
     // tie-break — replayed as max-time-then-max-id over an inequality
     // join (fine at oracle SF; the engine side is the streaming merge).
-    "q180_asof_native" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
-        |  FROM events),
-        |er AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
-        |cl AS (SELECT event_id AS click_id, user_id, ts_us FROM ev
-        |       WHERE event_type = 'click'),
-        |m AS (
-        |  SELECT er.event_id, er.user_id, er.ts_us, MAX(cl.ts_us) AS asof_click_us
-        |  FROM er LEFT JOIN cl
-        |    ON cl.user_id = er.user_id AND cl.ts_us <= er.ts_us
-        |  GROUP BY 1, 2, 3),
-        |t AS (
-        |  SELECT m.event_id, MAX(cl.click_id) AS asof_click_id
-        |  FROM m JOIN cl
-        |    ON cl.user_id = m.user_id AND cl.ts_us = m.asof_click_us
-        |  GROUP BY 1)
-        |SELECT m.event_id, m.user_id, m.ts_us, m.asof_click_us, t.asof_click_id
-        |FROM m LEFT JOIN t ON t.event_id = m.event_id
-        |ORDER BY m.event_id""".stripMargin,
+    "q180_asof_native" -> asofClickReplaySql,
+    // Stream-stream as-of (q187): keyed latest-right state replayed
+    // over the bounded table — same answer, same oracle, as the
+    // native batch operator
+    "q187_stream_asof_state" -> asofClickReplaySql,
     // Exact distinct-trigram overlap per source pair (q181) — the
     // ground truth the q162/q173 sketches estimate, as its own line;
     // zero-overlap pairs kept via the full pair frame

@@ -1540,6 +1540,92 @@ object EventStream {
         .orderBy(col("tier"), col("event_type")))
   }
 
+  /** One row of the tagged two-sided as-of input: `side` 0 = right
+    * (click, the enriching side), 1 = left (error, the enriched side)
+    * — clicks sort before errors at equal event time, giving the
+    * <=-visibility contract.
+    */
+  final case class TaggedEvent(user_id: Long, ts_us: Long, side: Int, event_id: Long)
+
+  /** [[asOfStream]] output: every left event with the latest right
+    * event at or before it (None = no right event yet).
+    */
+  final case class AsOfEnriched(
+      event_id: Long, user_id: Long, ts_us: Long,
+      asof_click_us: Option[Long], asof_click_id: Option[Long])
+
+  /** TRUE stream-stream as-of join as keyed state — Spark has no
+    * native one (its stream-stream equi/interval joins buffer BOTH
+    * sides within a time bound; an as-of needs the latest-right-
+    * so-far, unbounded lookback). The state is the collapsed form of
+    * that unbounded lookback: ONE (ts, id) pair per key — the only
+    * right row any future left row can match — so lookback is
+    * infinite while state is O(keys), the fundamental win over a
+    * buffered interval join. Within a micro-batch, rows are sorted by
+    * (ts, side, id) (right before left at equal times, so an
+    * equal-time right row IS visible; ascending id makes the
+    * GREATEST id win ties by last-write). Across micro-batches the
+    * contract is per-key in-order delivery (the Kafka
+    * partition-by-key guarantee); a regressing tie-break is guarded
+    * by a lexicographic compare, so replays of an already-seen right
+    * row can never move state backwards. Production deployments with
+    * an unbounded key domain add a state TTL; the bounded replay
+    * keeps NoTimeout.
+    */
+  def asOfStream(tagged: Dataset[TaggedEvent]): Dataset[AsOfEnriched] = {
+    import tagged.sparkSession.implicits._
+    tagged.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), AsOfEnriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[TaggedEvent], state: GroupState[(Long, Long)]) =>
+          val rows = it.toArray.sortBy(e => (e.ts_us, e.side, e.event_id))
+          var cand = state.getOption
+          val out = Array.newBuilder[AsOfEnriched]
+          var i = 0
+          while (i < rows.length) {
+            val e = rows(i)
+            if (e.side == 0) {
+              // right row: last-write-wins within the sorted batch;
+              // never regress across batches
+              if (cand.forall(c => c._1 < e.ts_us ||
+                  (c._1 == e.ts_us && c._2 < e.event_id)))
+                cand = Some((e.ts_us, e.event_id))
+            } else {
+              out += AsOfEnriched(e.event_id, user, e.ts_us,
+                cand.map(_._1), cand.map(_._2))
+            }
+            i += 1
+          }
+          cand.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** q187 — the SIXTEENTH streaming shape: the q180 click-enrichment
+    * as-of computed IN-STREAM by [[asOfStream]]'s keyed state (one
+    * pair per user), replayed over the bounded events table under the
+    * SAME DuckDB oracle as the native batch operator — the
+    * stream-stream as-of lands under a full hash-match, not a
+    * spec-only claim. q171 enriches against a versioned DIMENSION
+    * with zero stream state; this joins two EVENT STREAMS with the
+    * minimal state that makes unbounded lookback finite.
+    */
+  def q187StreamAsofState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tagged = eventsStream(s, d)
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        when(col("event_type") === "click", 0).otherwise(1).as("side"),
+        col("event_id"))
+      .as[TaggedEvent]
+    val enriched = asOfStream(tagged)
+    materializeThenSweep(
+      drainToSpool(s, enriched.toDF(), "q187", eventsBytes(d))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_click_us"), col("asof_click_id"))
+        .orderBy(col("event_id")))
+  }
+
   /** q161 — the ELEVENTH streaming shape: a windowed distinct-user
     * cardinality monitor via the replayable HLL ([[hllWindowRegisters]])
     * replayed over the bounded events table, registers folded to

@@ -566,6 +566,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("asOfStream: state carries the latest right row across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EventStream.TaggedEvent]
+    val out = EventStream.asOfStream(input.toDS())
+    val q = out.toDF().writeStream.format("memory").queryName("asof_state")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 error before any click -> None; click 10 at t=5;
+      // equal-time click ties 11 vs 12 -> greatest id wins for t=6 error
+      input.addData(
+        EventStream.TaggedEvent(1L, 2L, 1, 100L),
+        EventStream.TaggedEvent(1L, 5L, 0, 10L),
+        EventStream.TaggedEvent(1L, 6L, 0, 11L),
+        EventStream.TaggedEvent(1L, 6L, 0, 12L),
+        EventStream.TaggedEvent(1L, 6L, 1, 101L))
+      q.processAllAvailable()
+      // batch 2: a later error sees batch 1's click state; a stale
+      // redelivery of click 10 must not regress the (6, 12) state
+      input.addData(
+        EventStream.TaggedEvent(1L, 5L, 0, 10L),
+        EventStream.TaggedEvent(1L, 9L, 1, 102L),
+        EventStream.TaggedEvent(2L, 3L, 1, 200L))
+      q.processAllAvailable()
+      val rows = spark.table("asof_state")
+        .select("event_id", "asof_click_us", "asof_click_id")
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+            Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+      assert(rows(100L) === ((None, None)))
+      assert(rows(101L) === ((Some(6L), Some(12L)))) // equal time visible, max id
+      assert(rows(102L) === ((Some(6L), Some(12L)))) // carried state, no regress
+      assert(rows(200L) === ((None, None))) // keys are independent
+    } finally q.stop()
+  }
+
+  test("q187: in-stream as-of equals the native batch operator on the bounded table") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.EventStream.q187StreamAsofState(spark, d)
+      .collect().map(_.toString).toSeq
+    val batch = graft.operators.Temporal.q180AsofNative(spark, d)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("spool dirs are deleted once the consuming query materializes") {
     // compare against a pre-run snapshot: /tmp may hold spools from
     // OTHER (killed) JVMs, which only that JVM's sweep/hook may own
