@@ -211,6 +211,7 @@ object SparkEntry {
     "q186_kmv_difference" -> (Corpus.q186KmvDifference _),
     "q187_stream_asof_state" ->
       (graft.streaming.EventStream.q187StreamAsofState _),
+    "q188_asof_nearest" -> (Temporal.q188AsofNearest _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4244,5 +4245,44 @@ object SparkEntry {
         |  CAST((n_bnota * est_u) // n_merged AS BIGINT) AS est_b_not_a
         |FROM est
         |ORDER BY src_a, src_b""".stripMargin,
+    // Nearest as-of (q188): closer of the backward/forward picks,
+    // distance ties to backward; id tie-break follows the winning
+    // side's rule (max backward, min forward)
+    "q188_asof_nearest" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type
+        |  FROM events),
+        |er AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'error'),
+        |cl AS (SELECT event_id AS click_id, user_id, ts_us FROM ev
+        |       WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT er.event_id, MAX(cl.ts_us) AS b_us
+        |  FROM er JOIN cl ON cl.user_id = er.user_id AND cl.ts_us <= er.ts_us
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT er.event_id, MIN(cl.ts_us) AS f_us
+        |  FROM er JOIN cl ON cl.user_id = er.user_id AND cl.ts_us >= er.ts_us
+        |  GROUP BY 1),
+        |pick AS (
+        |  SELECT er.event_id, er.user_id, er.ts_us,
+        |    CASE WHEN b.b_us IS NOT NULL AND
+        |              (f.f_us IS NULL OR er.ts_us - b.b_us <= f.f_us - er.ts_us)
+        |         THEN b.b_us ELSE f.f_us END AS near_click_us,
+        |    CASE WHEN b.b_us IS NOT NULL AND
+        |              (f.f_us IS NULL OR er.ts_us - b.b_us <= f.f_us - er.ts_us)
+        |         THEN 1 ELSE 0 END AS took_b
+        |  FROM er
+        |  LEFT JOIN b ON b.event_id = er.event_id
+        |  LEFT JOIN f ON f.event_id = er.event_id),
+        |t AS (
+        |  SELECT p.event_id,
+        |    CASE WHEN MAX(p.took_b) = 1 THEN MAX(cl.click_id)
+        |         ELSE MIN(cl.click_id) END AS asof_click_id
+        |  FROM pick p JOIN cl
+        |    ON cl.user_id = p.user_id AND cl.ts_us = p.near_click_us
+        |  GROUP BY 1)
+        |SELECT p.event_id, p.user_id, p.ts_us, p.near_click_us, t.asof_click_id
+        |FROM pick p LEFT JOIN t ON t.event_id = p.event_id
+        |ORDER BY p.event_id""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

@@ -660,6 +660,28 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** q188: NEAREST as-of through the native operator — every error
+    * event gains that user's click closest in time in EITHER
+    * direction (distance ties to the earlier click; same-time ties
+    * within a side keep the side's own rule: greatest id backward,
+    * smallest id forward). The merge already holds both candidates —
+    * the retained row and the lookahead — so nearest costs one extra
+    * long compare, still O(1) state.
+    */
+  def q188AsofNearest(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), tsUs.as("ts_us"))
+    graft.plans.NativeAsOf
+      .asOf(errors, clicks, Seq("user_id"), "ts_us",
+        tieBreak = Seq("click_id"), direction = "nearest")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_ts_us").as("near_click_us"), col("asof_click_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** q184: FORWARD as-of through the native operator — every error
     * event gains that user's EARLIEST view at or after its time (the
     * "next action after the failure" read; ties resolve to the

@@ -39,7 +39,7 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     rightTieBreak: Seq[Attribute],
-    forward: Boolean = false,
+    direction: String = "backward",
     allowExact: Boolean = true,
     tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
@@ -92,9 +92,9 @@ object PushFilterThroughAsOfJoin extends Rule[LogicalPlan] with PredicateHelper 
 /** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, fw, ax, tol) =>
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, dir, ax, tol) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb,
-        fw, ax, tol) :: Nil
+        dir, ax, tol) :: Nil
     case _ => Nil
   }
 }
@@ -113,7 +113,7 @@ case class AsOfJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTime: Attribute, rightTime: Attribute,
     rightTieBreak: Seq[Attribute],
-    forward: Boolean = false,
+    direction: String = "backward",
     allowExact: Boolean = true,
     tolerance: Option[Long] = None) extends BinaryExecNode {
 
@@ -155,7 +155,7 @@ case class AsOfJoinExec(
     val rOut = right.output
     val ordTypes = (leftKeys :+ leftTime).map(_.dataType)
     val keyTypes = leftKeys.map(_.dataType)
-    val fw = forward
+    val dir = direction
     val ax = allowExact
     val tol = tolerance
     val lTimeType = leftTime.dataType
@@ -179,6 +179,10 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       var rCurr: InternalRow = null
       var rNext: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
+      val fw = dir == "forward"
+      // nearest consumes like backward-with-exact (equal-time rows
+      // land in rCurr; dt 0 beats any forward dt anyway)
+      val consumeEq = if (fw) !ax else ax
       lIter.map { l =>
         val lOrd = lOrdProj(l)
         // BACKWARD consumes rows with (key, time) <= (or < when strict)
@@ -186,27 +190,57 @@ case class AsOfJoinExec(
         // before", ties to the GREATEST tieBreak. FORWARD consumes
         // rows strictly behind (or behind-or-equal when strict) and
         // matches the lookahead itself — "earliest at or after", ties
-        // to the SMALLEST tieBreak (first in child order).
+        // to the SMALLEST tieBreak (first in child order). NEAREST
+        // holds BOTH candidates at once (the retained row and the
+        // lookahead) and picks the smaller |dt|, ties to backward.
         while (rNext != null && {
           val c = fullOrd.compare(rOrdProj(rNext), lOrd)
-          c < 0 || (c == 0 && (if (fw) !ax else ax))
+          c < 0 || (c == 0 && consumeEq)
         }) {
           rCurr = rNext
           rNext = if (rIter.hasNext) rIter.next().copy() else null
         }
-        val cand = if (fw) rNext else rCurr
-        var matched =
-          cand != null && keyOrd.compare(rKeyProj(cand), lKeyProj(l)) == 0
-        if (matched && tol.isDefined) {
-          val lOrdRow = lOrd
-          val rOrdRow = rOrdProj(cand)
-          matched = !lOrdRow.isNullAt(lTimeOrd) && !rOrdRow.isNullAt(rTimeOrd) && {
-            val lt = timeAsLong(lTimeType, lOrdRow, lTimeOrd)
-            val rt = timeAsLong(rTimeType, rOrdRow, rTimeOrd)
-            (if (fw) rt - lt else lt - rt) <= tol.get
+        val cand: InternalRow =
+          if (dir == "nearest") {
+            if (lOrd.isNullAt(lTimeOrd)) null
+            else {
+              val lt = timeAsLong(lTimeType, lOrd, lTimeOrd)
+              // distance of a same-key, in-tolerance candidate, else MaxValue
+              def dist(r: InternalRow, forwardSide: Boolean): Long = {
+                if (r == null || keyOrd.compare(rKeyProj(r), lKeyProj(l)) != 0)
+                  Long.MaxValue
+                else {
+                  val ro = rOrdProj(r)
+                  if (ro.isNullAt(rTimeOrd)) Long.MaxValue
+                  else {
+                    val d = if (forwardSide)
+                      timeAsLong(rTimeType, ro, rTimeOrd) - lt
+                    else lt - timeAsLong(rTimeType, ro, rTimeOrd)
+                    if (tol.forall(d <= _)) d else Long.MaxValue
+                  }
+                }
+              }
+              val dB = dist(rCurr, forwardSide = false)
+              val dF = dist(rNext, forwardSide = true)
+              if (dB == Long.MaxValue && dF == Long.MaxValue) null
+              else if (dB <= dF) rCurr
+              else rNext
+            }
+          } else {
+            val c0 = if (fw) rNext else rCurr
+            var matched =
+              c0 != null && keyOrd.compare(rKeyProj(c0), lKeyProj(l)) == 0
+            if (matched && tol.isDefined) {
+              val rOrdRow = rOrdProj(c0)
+              matched = !lOrd.isNullAt(lTimeOrd) && !rOrdRow.isNullAt(rTimeOrd) && {
+                val lt = timeAsLong(lTimeType, lOrd, lTimeOrd)
+                val rt = timeAsLong(rTimeType, rOrdRow, rTimeOrd)
+                (if (fw) rt - lt else lt - rt) <= tol.get
+              }
+            }
+            if (matched) c0 else null
           }
-        }
-        resultProj(joined(l, if (matched) cand else nullRight))
+        resultProj(joined(l, if (cand != null) cand else nullRight))
       }
     }
   }
@@ -229,6 +263,11 @@ object NativeAsOf {
     *  - `direction = "forward"`: earliest right row at or after the
     *    left time instead; (key, time) ties resolve to the SMALLEST
     *    `tieBreak` (first in child sort order).
+    *  - `direction = "nearest"`: whichever of the backward/forward
+    *    candidates is closer in time; distance ties go to the
+    *    backward one. Requires `allowExactMatches = true` and an
+    *    integral/timestamp/date time column (distances are measured,
+    *    not just compared).
     *  - `allowExactMatches = false`: strictly-before (respectively
     *    strictly-after) — equal times no longer match.
     *  - `tolerance = Some(t)`: a match additionally requires
@@ -249,8 +288,10 @@ object NativeAsOf {
       allowExactMatches: Boolean = true,
       tolerance: Option[Long] = None): DataFrame = {
     require(on.nonEmpty, "at least one key column")
-    require(direction == "backward" || direction == "forward",
-      s"direction must be 'backward' or 'forward', got '$direction'")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be 'backward', 'forward' or 'nearest', got '$direction'")
+    require(direction != "nearest" || allowExactMatches,
+      "direction='nearest' requires allowExactMatches=true")
     val renamed = right.select(right.columns.toSeq.map { c =>
       if (on.contains(c)) col(c).as(s"_asof_key_$c") else col(c).as(s"asof_$c")
     }: _*)
@@ -267,17 +308,17 @@ object NativeAsOf {
       require(a.dataType == b.dataType, s"key type mismatch: $a vs $b") }
     require(lt.dataType == rt.dataType, s"time type mismatch: $lt vs $rt")
     val tb = tieBreak.map(c => attr(renamed, s"asof_$c"))
-    if (tolerance.isDefined) {
+    if (tolerance.isDefined || direction == "nearest") {
       import org.apache.spark.sql.types._
       val ok = Set[DataType](LongType, IntegerType, TimestampType,
         TimestampNTZType, DateType)
       require(ok.contains(lt.dataType),
-        s"tolerance needs an integral/timestamp/date time column, " +
+        s"tolerance/nearest needs an integral/timestamp/date time column, " +
           s"got ${lt.dataType.catalogString}")
-      require(tolerance.get >= 0, "tolerance must be non-negative")
+      tolerance.foreach(t => require(t >= 0, "tolerance must be non-negative"))
     }
     val node = AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, tb,
-      forward = direction == "forward",
+      direction = direction,
       allowExact = allowExactMatches,
       tolerance = tolerance)
     org.apache.spark.sql.graftshim.GraftColumns

@@ -129,9 +129,9 @@ class NativeAsOfSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   // (backward: greatest (t, rid)) or argmin (forward: smallest (t, rid))
   private def bruteAsOf(
       left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)],
-      forward: Boolean, allowExact: Boolean,
-      tolerance: Option[Long]): Map[Long, Option[Long]] =
-    left.map { case (k, t, lid) =>
+      direction: String, allowExact: Boolean,
+      tolerance: Option[Long]): Map[Long, Option[Long]] = {
+    def directed(k: Long, t: Long, forward: Boolean): Option[Long] = {
       val cands = right.filter { case (rk, rt, _) =>
         rk == k &&
           (if (forward) { if (allowExact) rt >= t else rt > t }
@@ -139,12 +139,24 @@ class NativeAsOfSpec extends SparkSpec with AdaptiveSparkPlanHelper {
           tolerance.forall(tol =>
             (if (forward) rt - t else t - rt) <= tol)
       }
-      val pick =
-        if (cands.isEmpty) None
-        else if (forward) Some(cands.minBy { case (_, rt, rid) => (rt, rid) }._3)
-        else Some(cands.maxBy { case (_, rt, rid) => (rt, rid) }._3)
-      lid -> pick
+      if (cands.isEmpty) None
+      else if (forward) Some(cands.minBy { case (_, rt, rid) => (rt, rid) }._3)
+      else Some(cands.maxBy { case (_, rt, rid) => (rt, rid) }._3)
+    }
+    val rt = right.map { case (_, t, rid) => rid -> t }.toMap
+    left.map { case (k, t, lid) =>
+      lid -> (direction match {
+        case "nearest" =>
+          // closer of the two directed picks; distance ties to backward
+          (directed(k, t, forward = false), directed(k, t, forward = true)) match {
+            case (Some(b), Some(f)) =>
+              if (t - rt(b) <= rt(f) - t) Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+        case d => directed(k, t, d == "forward")
+      })
     }.toMap
+  }
 
   private def runAsOf(
       left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)],
@@ -170,12 +182,13 @@ class NativeAsOfSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         (rnd.nextInt(12).toLong, rnd.nextInt(30).toLong, i.toLong)
       }
       for {
-        dir <- Seq("backward", "forward")
+        dir <- Seq("backward", "forward", "nearest")
         ax <- Seq(true, false)
         tol <- Seq(None, Some(0L), Some(3L))
+        if !(dir == "nearest" && !ax) // nearest requires allowExact
       } {
         val got = runAsOf(left, right, dir, ax, tol)
-        val want = bruteAsOf(left, right, dir == "forward", ax, tol)
+        val want = bruteAsOf(left, right, dir, ax, tol)
         assert(got === want, s"trial $trial dir=$dir allowExact=$ax tol=$tol")
       }
     }
