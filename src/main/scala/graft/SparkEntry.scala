@@ -212,6 +212,7 @@ object SparkEntry {
     "q187_stream_asof_state" ->
       (graft.streaming.EventStream.q187StreamAsofState _),
     "q188_asof_nearest" -> (Temporal.q188AsofNearest _),
+    "q189_range_lookup" -> (Layout.q189RangeLookup _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4284,5 +4285,24 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts_us, p.near_click_us, t.asof_click_id
         |FROM pick p LEFT JOIN t ON t.event_id = p.event_id
         |ORDER BY p.event_id""".stripMargin,
+    // Broadcast range lookup (q189): the oracle pays the honest
+    // inequality join against the same quadratic boundary table the
+    // engine binary-searches; greatest boundary <= x = MAX(i)
+    "q189_range_lookup" ->
+      s"""WITH tiers AS (
+        |  SELECT i, (i * i * 500000000) // 4096 AS lo
+        |  FROM (SELECT CAST(unnest(range(0, ${graft.operators.Layout.RangeTiers})) AS BIGINT) AS i)),
+        |e AS (
+        |  SELECT event_id, event_type, CAST(round(value * 1e6) AS BIGINT) AS x
+        |  FROM events),
+        |looked AS (
+        |  SELECT e.event_id, e.event_type, e.x, MAX(t.i) AS tier
+        |  FROM e JOIN tiers t ON t.lo <= e.x
+        |  GROUP BY 1, 2, 3)
+        |SELECT tier, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(x) AS BIGINT) AS sum_x
+        |FROM looked GROUP BY 1, 2
+        |ORDER BY tier, event_type""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

@@ -67,4 +67,41 @@ object Layout {
       .agg(count(lit(1)).as("n"), min(col("z")).as("z_min"), max(col("z")).as("z_max"))
       .orderBy(col("bucket"))
   }
+
+  /** Tier count for [[q189RangeLookup]]. */
+  val RangeTiers = 64
+
+  /** Quadratic tier boundaries over the fixed-point event-value
+    * domain [0, 500·10⁶): lo_i = i²·5·10⁸ div 4096 — non-uniform on
+    * purpose (a uniform grid would reduce to integer division and
+    * prove nothing about the lookup).
+    */
+  def tierBounds: Array[Long] =
+    Array.tabulate(RangeTiers)(i => i.toLong * i * 500000000L / 4096L)
+
+  /** Driver binding (q189): the broadcast-range-lookup join — every
+    * event's value mapped to its tier by
+    * [[graft.functions.LowerBoundBc]] (an O(log k) binary search over
+    * a broadcast sorted boundary array INSIDE whole-stage codegen),
+    * then a per-(tier, type) rollup. This is the shuffle-free form of
+    * "join the fact stream to a small ranges dimension on
+    * lo <= x < hi": a range join shuffles or nested-loops the fact
+    * side against every range row and leaves an exchange + join in
+    * the plan; here the plan has NO join node at all — the dimension
+    * rides as one broadcast handle per executor (the q54 Bloom
+    * discipline), which is the shape that survives 1000 executors.
+    * The DuckDB oracle pays the honest inequality join against the
+    * same boundary table and must agree exactly.
+    */
+  def q189RangeLookup(s: SparkSession, d: String): DataFrame = {
+    val bc = s.sparkContext.broadcast(tierBounds)
+    Tables.events(s, d)
+      .select(col("event_type"),
+        round(col("value") * lit(1e6)).cast("long").as("x"))
+      .withColumn("tier",
+        graft.functions.LowerBoundBc.column(col("x"), bc))
+      .groupBy(col("tier"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("x")).as("sum_x"))
+      .orderBy(col("tier"), col("event_type"))
+  }
 }
