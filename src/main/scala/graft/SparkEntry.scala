@@ -213,6 +213,7 @@ object SparkEntry {
       (graft.streaming.EventStream.q187StreamAsofState _),
     "q188_asof_nearest" -> (Temporal.q188AsofNearest _),
     "q189_range_lookup" -> (Layout.q189RangeLookup _),
+    "q190_hll_rollup" -> (Corpus.q190HllRollup _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4304,5 +4305,33 @@ object SparkEntry {
         |  CAST(SUM(x) AS BIGINT) AS sum_x
         |FROM looked GROUP BY 1, 2
         |ORDER BY tier, event_type""".stripMargin,
+    // HLL rollup (q190): one register build re-maxed at two grains
+    // through GROUPING SETS; q162's raw read-out per level
+    "q190_hll_rollup" -> {
+      val alpha = s"CAST('${graft.operators.Corpus.HllAlphaMM}' AS DOUBLE)"
+      s"""WITH t AS (
+        |  SELECT source, list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |  FROM t, unnest(range(1, len(t) - 1)) u(i) WHERE len(t) >= 3),
+        |k AS (
+        |  SELECT source, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS x FROM g),
+        |regs AS (
+        |  SELECT source, x >> 51 AS bkt,
+        |    MAX(CASE WHEN (x & 2251799813685247) = 0 THEN 52
+        |        ELSE 52 - length(bin(x & 2251799813685247)) END) AS r
+        |  FROM k GROUP BY 1, 2),
+        |lev AS (
+        |  SELECT CAST(GROUPING(source) AS BIGINT) AS lvl,
+        |    COALESCE(source, '<all>') AS source, bkt, MAX(r) AS r
+        |  FROM regs GROUP BY GROUPING SETS ((source, bkt), (bkt)))
+        |SELECT lvl, source, CAST(COUNT(*) AS BIGINT) AS n_hit,
+        |  $alpha * (CAST(4503599627370496 AS DOUBLE) /
+        |    CAST(CAST(SUM(CAST(1 AS BIGINT) << CAST(52 - r AS INTEGER)) AS BIGINT)
+        |      + (512 - COUNT(*)) * 4503599627370496 AS DOUBLE)) AS est_raw
+        |FROM lev GROUP BY 1, 2
+        |ORDER BY lvl, source""".stripMargin
+    },
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

@@ -1679,6 +1679,39 @@ object Corpus {
     out
   }
 
+  /** HLL rollup (q190): the q159 register state rolled up through
+    * GROUPING SETS — per-source distinct-trigram estimates AND the
+    * corpus-wide total from ONE register build, because HLL union is
+    * register max and max is reaggregable at any grain. This is the
+    * OLAP-cube form of the sketch algebra: at 100 TB you sketch the
+    * corpus once (map-side combined to |sources|·512 rows) and answer
+    * every rollup level from those rows; the naive alternative runs a
+    * corpus-sized COUNT(DISTINCT) per level. `lvl` is the GROUPING
+    * indicator (0 = per-source row, 1 = the total row, source
+    * surfaced as '<all>'); raw-formula estimates only (the q159 ln
+    * rule).
+    */
+  def q190HllRollup(s: SparkSession, d: String): DataFrame =
+    hllRollupOf(Tables.documents(s, d))
+
+  /** [[q190HllRollup]] over any `(source, text)` frame. */
+  private[operators] def hllRollupOf(docs: DataFrame): DataFrame = {
+    val regs = hllRegisters(docs)
+    // one GROUPING SETS pass re-maxes the registers at both grains;
+    // register rows are |sources|·512, so this is sketch-sized work
+    val leveled = regs
+      .groupingSets(
+        Seq(Seq(col("source"), col("bkt")), Seq(col("bkt"))),
+        col("source"), col("bkt"))
+      .agg(max(col("r")).as("r"), grouping(col("source")).as("lvl"))
+      .select(col("lvl"), coalesce(col("source"), lit("<all>")).as("source"),
+        col("bkt"), col("r"))
+    hllReadout(leveled, Seq("lvl", "source"))
+      .select(col("lvl").cast("long").as("lvl"), col("source"),
+        col("n_hit"), col("est_raw"))
+      .orderBy(col("lvl"), col("source"))
+  }
+
   /** Cross-source set-DIFFERENCE estimates from KMV sketches alone
     * (q186) — the theta-sketch A-not-B operation (Dasgupta et al.
     * '16) on the q172 bottom-k state, completing the KMV set algebra

@@ -102,4 +102,21 @@ class HllReplaySpec extends SparkSpec {
       .select("src_a", "src_b", "est_a", "est_b", "est_union", "est_overlap")
     assert(lean.collect().toSeq == full.collect().toSeq)
   }
+
+  test("rollup total level equals the single-source sketch of the whole corpus") {
+    import spark.implicits._
+    val rolled = Corpus.hllRollupOf(overlapCorpus).collect()
+    // per-source rows (lvl 0) for both sources plus one total row (lvl 1)
+    assert(rolled.count(_.getLong(0) == 0L) == 2)
+    val total = rolled.filter(_.getLong(0) == 1L)
+    assert(total.length == 1 && total.head.getString(1) == "<all>")
+    // the rolled-up total must be BIT-IDENTICAL to sketching the
+    // concatenated corpus as one source — union is register max at
+    // any grain
+    val one = Corpus.hllRollupOf(
+      overlapCorpus.withColumn("source", lit("x"))).collect()
+      .filter(_.getLong(0) == 1L).head
+    assert(total.head.getLong(2) == one.getLong(2)) // n_hit
+    assert(total.head.getDouble(3) == one.getDouble(3)) // est_raw
+  }
 }
