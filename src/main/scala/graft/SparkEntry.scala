@@ -214,6 +214,8 @@ object SparkEntry {
     "q188_asof_nearest" -> (Temporal.q188AsofNearest _),
     "q189_range_lookup" -> (Layout.q189RangeLookup _),
     "q190_hll_rollup" -> (Corpus.q190HllRollup _),
+    "q191_stream_asof_tws" ->
+      (graft.streaming.EventStream.q191StreamAsofTws _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4079,6 +4081,8 @@ object SparkEntry {
     // over the bounded table — same answer, same oracle, as the
     // native batch operator
     "q187_stream_asof_state" -> asofClickReplaySql,
+    // ...and the same machine on transformWithState + RocksDB (q191)
+    "q191_stream_asof_tws" -> asofClickReplaySql,
     // Exact distinct-trigram overlap per source pair (q181) — the
     // ground truth the q162/q173 sketches estimate, as its own line;
     // zero-overlap pairs kept via the full pair frame

@@ -1601,6 +1601,102 @@ object EventStream {
       }
   }
 
+  /** The [[asOfStream]] candidate as a product type so the
+    * transformWithState ValueState encoder is plain `Encoders.product`.
+    */
+  final case class AsOfCand(ts_us: Long, id: Long)
+
+  /** [[asOfStream]]'s state machine on Spark 4's `transformWithState`
+    * API, with the production knob fMGWS lacks: a per-key state TTL.
+    * An unbounded key domain (users that appear once and vanish) grows
+    * the latest-right map forever under NoTimeout; `TTLConfig` expires
+    * idle keys' candidates in the state store itself — no timer
+    * bookkeeping, no scan — so long-lived deployments hold state
+    * proportional to the ACTIVE key set. The walk is byte-identical to
+    * [[asOfStream]]; only the state plumbing differs.
+    */
+  final class AsOfProcessor(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TaggedEvent, AsOfEnriched] {
+    @transient private var cand: org.apache.spark.sql.streaming.ValueState[AsOfCand] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      cand = getHandle.getValueState[AsOfCand]("cand",
+        org.apache.spark.sql.Encoders.product[AsOfCand],
+        if (ttl == null) org.apache.spark.sql.streaming.TTLConfig.NONE
+        else org.apache.spark.sql.streaming.TTLConfig(ttl))
+
+    override def handleInputRows(user: Long, rows: Iterator[TaggedEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[AsOfEnriched] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts_us, e.side, e.event_id))
+      var c: Option[AsOfCand] = if (cand.exists()) Some(cand.get()) else None
+      val out = Array.newBuilder[AsOfEnriched]
+      var i = 0
+      while (i < sorted.length) {
+        val e = sorted(i)
+        if (e.side == 0) {
+          if (c.forall(p => p.ts_us < e.ts_us ||
+              (p.ts_us == e.ts_us && p.id < e.event_id)))
+            c = Some(AsOfCand(e.ts_us, e.event_id))
+        } else {
+          out += AsOfEnriched(e.event_id, user, e.ts_us,
+            c.map(_.ts_us), c.map(_.id))
+        }
+        i += 1
+      }
+      c.foreach(cand.update)
+      out.result().iterator
+    }
+  }
+
+  /** [[asOfStream]] on transformWithState. `ttl = null` keeps state
+    * forever (the bounded-replay setting); a Duration turns on
+    * store-level expiry of idle keys (TTL is processing-time-based,
+    * hence the ProcessingTime time mode when set).
+    */
+  def asOfStreamTws(
+      tagged: Dataset[TaggedEvent],
+      ttl: java.time.Duration = null): Dataset[AsOfEnriched] = {
+    import tagged.sparkSession.implicits._
+    tagged.groupByKey(_.user_id)
+      .transformWithState(new AsOfProcessor(ttl),
+        if (ttl == null) org.apache.spark.sql.streaming.TimeMode.None()
+        else org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+
+  /** q191 — q187's answer with the as-of state machine on
+    * [[asOfStreamTws]] (transformWithState + mandatory RocksDB
+    * backend) instead of flatMapGroupsWithState: the v2 state API's
+    * as-of is end-to-end oracle-checked against the SAME replay as
+    * the batch operator and the fMGWS form (the q147-vs-q108
+    * discipline). The provider override is scoped and restored.
+    */
+  def q191StreamAsofTws(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    try {
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val tagged = eventsStream(s, d)
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          when(col("event_type") === "click", 0).otherwise(1).as("side"),
+          col("event_id"))
+        .as[TaggedEvent]
+      val enriched = asOfStreamTws(tagged)
+      materializeThenSweep(
+        drainToSpool(s, enriched.toDF(), "q191", eventsBytes(d))
+          .select(col("event_id"), col("user_id"), col("ts_us"),
+            col("asof_click_us"), col("asof_click_id"))
+          .orderBy(col("event_id")))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** q187 — the SIXTEENTH streaming shape: the q180 click-enrichment
     * as-of computed IN-STREAM by [[asOfStream]]'s keyed state (one
     * pair per user), replayed over the bounded events table under the

@@ -613,6 +613,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("q191: transformWithState as-of equals the fMGWS form and the batch operator") {
+    val d = "/root/testdata/sf0.001"
+    val tws = graft.streaming.EventStream.q191StreamAsofTws(spark, d)
+      .collect().map(_.toString).toSeq
+    val batch = graft.operators.Temporal.q180AsofNative(spark, d)
+      .collect().map(_.toString).toSeq
+    assert(tws.nonEmpty)
+    assert(tws == batch)
+  }
+
   test("spool dirs are deleted once the consuming query materializes") {
     // compare against a pre-run snapshot: /tmp may hold spools from
     // OTHER (killed) JVMs, which only that JVM's sweep/hook may own
