@@ -31,6 +31,15 @@ object GraftSession {
       // the engine's native functions (fixed_dot, fixed_quantize,
       // bloom_might_contain, fingerprints) for every session
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // ObjectHashAggregate (every TypedImperativeAggregate: the KMV/
+      // CMS sketch states, collect_*, percentile) falls back to
+      // SORT-based aggregation once a partition's hash map passes this
+      // many groups — the 128 default silently turns a windowed sketch
+      // build into a full sort of the input (the window count alone
+      // exceeds it). Sketch states are KB-bounded by construction, so
+      // 64k in-memory groups is ≤ ~1 GB worst case against a far
+      // larger sort
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
 
   /** Local harness session: `local[cpus]` with shuffle partitions = cpus.
     * `extraConf` lets a harness layer experiment knobs (e.g. Bench's

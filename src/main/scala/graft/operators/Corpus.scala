@@ -878,6 +878,33 @@ object Corpus {
     }
   }
 
+  /** The `(j, bkt)` cells a given key's probe touches — the plain-
+    * Scala mirror of `cmsBucketOf(cmsKey(...))`, byte-for-byte (md5 of
+    * the decimal string, first 15 hex chars, the half-split row hash).
+    * Lets a replay harness pre-compute a probe slate's cell set from
+    * the seeds alone, without reading data (q167 filters its sink to
+    * these).
+    */
+  private[graft] def cmsProbePairs(key: Long): Seq[(Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(key.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val x = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val hi = x >>> CmsReplayHalfBits
+    val lo = x & ((1L << CmsReplayHalfBits) - 1)
+    cmsA.indices.map { j =>
+      (j.toLong, (cmsA(j) * hi + cmsB(j) * lo + cmsC(j)) % CmsReplayP % CmsReplayWidth)
+    }
+  }
+
+  /** Seed arrays for cross-package sketch builders (defensive copies —
+    * [[graft.functions.CmsSketchAgg]] carries them as constructor
+    * state).
+    */
+  private[graft] def cmsSeedsA: Array[Long] = cmsA.clone()
+  private[graft] def cmsSeedsB: Array[Long] = cmsB.clone()
+  private[graft] def cmsSeedsC: Array[Long] = cmsC.clone()
+
   /** The q158 oracle's literal `(j, a, b, c)` VALUES rows — generated
     * from the arrays above so engine and oracle can never drift.
     */

