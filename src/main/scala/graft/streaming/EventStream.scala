@@ -1247,14 +1247,20 @@ object EventStream {
       windowLen: String = "10 minutes",
       watermark: String = "20 minutes"): DataFrame = {
     val x = graft.operators.Corpus.hllKey(col("user_id").cast("string"))
+    // registers build through the NATIVE HllRegistersAgg — one 4 KB
+    // long[512] state row per window, single slot max per event —
+    // where groupBy(window, bkt) held up to 512 state-store entries
+    // per window. Exploding back to observed (bkt, r>0) rows AFTER
+    // aggregation keeps the sink — and the oracle hash — identical.
     events
       .withWatermark("ts", watermark)
-      .select(col("ts"),
-        graft.operators.Corpus.hllBucket(x).as("bkt"),
-        graft.operators.Corpus.hllRho(x).as("rho"))
-      .groupBy(window(col("ts"), windowLen), col("bkt"))
-      .agg(max(col("rho")).as("r"))
-      .select(col("window.start").as("win_start"), col("bkt"), col("r"))
+      .select(col("ts"), x.as("x"))
+      .groupBy(window(col("ts"), windowLen))
+      .agg(graft.functions.HllRegistersAgg.registers(col("x")).as("regs"))
+      .select(col("window.start").as("win_start"),
+        posexplode(col("regs")).as(Seq("pos", "r")))
+      .filter(col("r") > 0)
+      .select(col("win_start"), col("pos").cast("long").as("bkt"), col("r"))
   }
 
   /** Per-window CMS cell build over a `(ts, user_id)` frame —
