@@ -1311,17 +1311,19 @@ object EventStream {
       events: DataFrame, vmin: Double, vmax: Double,
       windowLen: String = "10 minutes",
       watermark: String = "20 minutes"): DataFrame = {
-    val b = lit(graft.operators.Relational.HistBins.toDouble)
+    // bin counts through the NATIVE HistogramAgg — one long[64] state
+    // row per window, single slot increment per event (the CmsSketchAgg
+    // discipline; bin arithmetic IEEE-identical to the Column form, so
+    // the exploded cells and the oracle hash are unchanged)
     events
       .withWatermark("ts", watermark)
-      .select(col("ts"),
-        (if (vmax == vmin) lit(0L)
-         else least(
-           floor((col("value") - lit(vmin)) * b / lit(vmax - vmin)).cast("long"),
-           lit(graft.operators.Relational.HistBins - 1L))).as("bin"))
-      .groupBy(window(col("ts"), windowLen), col("bin"))
-      .agg(count(lit(1)).as("c"))
-      .select(col("window.start").as("win_start"), col("bin"), col("c"))
+      .select(col("ts"), col("value").cast("double").as("v"))
+      .groupBy(window(col("ts"), windowLen))
+      .agg(graft.functions.HistogramAgg.histogram(col("v"), vmin, vmax).as("cells"))
+      .select(col("window.start").as("win_start"),
+        posexplode(col("cells")).as(Seq("pos", "c")))
+      .filter(col("c") > 0)
+      .select(col("win_start"), col("pos").cast("long").as("bin"), col("c"))
   }
 
   /** q174 — the FOURTEENTH streaming shape, completing the
