@@ -985,16 +985,20 @@ object Corpus {
       cmsA.indices.map(j => (j.toLong, cmsA(j), cmsB(j), cmsC(j))))
       .toDF("j", "a", "b", "c")
 
-    // the sketch: one corpus pass, fixed 2048-cell state after the
-    // map-side combine, shuffle volume = cells x partitions; the md5
-    // key is projected BEFORE the depth-way seed join so it is hashed
-    // once per token
+    // the sketch: one corpus pass through the NATIVE CmsSketchAgg —
+    // each token updates depth array slots in a single 16 KB partial
+    // per partition (the relational form crossJoined every token with
+    // the depth seed rows first: a 4x row amplification the aggregate
+    // removes); observed cells explode back out, so the downstream
+    // probe join and the oracle hash are unchanged
     val cells = toks
       .select(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("x"))
-      .crossJoin(broadcast(seeds))
-      .groupBy(col("j"),
-        cmsBucketFromKey(col("x"), col("a"), col("b"), col("c")).as("bkt"))
-      .agg(count(lit(1)).as("cell_cnt"))
+      .agg(graft.functions.CmsSketchAgg.sketch(col("x")).as("cells"))
+      .select(posexplode(col("cells")).as(Seq("pos", "cell_cnt")))
+      .filter(col("cell_cnt") > 0)
+      .select(expr(s"CAST(pos div $CmsReplayWidth AS BIGINT)").as("j"),
+        expr(s"CAST(pos % $CmsReplayWidth AS BIGINT)").as("bkt"),
+        col("cell_cnt"))
 
     val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("tok")).limit(topK)
@@ -1021,21 +1025,23 @@ object Corpus {
     * across sources (the CMS algebra: cells are a linear map of the
     * frequency vector, so sketches add, subtract, and inner-product).
     */
-  private[operators] def cmsSourceCells(s: SparkSession, docs: DataFrame): DataFrame = {
-    val seeds = s.createDataFrame(
-      cmsA.indices.map(j => (j.toLong, cmsA(j), cmsB(j), cmsC(j))))
-      .toDF("j", "a", "b", "c")
+  private[operators] def cmsSourceCells(s: SparkSession, docs: DataFrame): DataFrame =
+    // native per-source grids (no seed crossJoin, no 4x amplification
+    // — see cmsFreqOf); observed cells explode back out unchanged
     docs
       .select(col("source"),
         explode(filter(split(coalesce(col("text"), lit("")), " "),
           t => t =!= "")).as("tok"))
       .select(col("source"),
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("x"))
-      .crossJoin(broadcast(seeds))
-      .groupBy(col("source"), col("j"),
-        cmsBucketFromKey(col("x"), col("a"), col("b"), col("c")).as("bkt"))
-      .agg(count(lit(1)).as("c"))
-  }
+      .groupBy(col("source"))
+      .agg(graft.functions.CmsSketchAgg.sketch(col("x")).as("cells"))
+      .select(col("source"), posexplode(col("cells")).as(Seq("pos", "c")))
+      .filter(col("c") > 0)
+      .select(col("source"),
+        expr(s"CAST(pos div $CmsReplayWidth AS BIGINT)").as("j"),
+        expr(s"CAST(pos % $CmsReplayWidth AS BIGINT)").as("bkt"),
+        col("c"))
 
   /** Cross-source frequency inner product from CMS cells (q163):
     * Σ_t f_A(t)·f_B(t) estimated as min_j Σ_w cellsA[j,w]·cellsB[j,w]
@@ -1243,13 +1249,19 @@ object Corpus {
   private[operators] def hllRegisters(docs: DataFrame): DataFrame =
     registersOfGrams(sourceTrigrams(docs))
 
-  /** Registers from an already-exploded `(source, g)` frame. */
-  private[operators] def registersOfGrams(grams: DataFrame): DataFrame = {
-    val x = hllKey(col("g"))
+  /** Registers from an already-exploded `(source, g)` frame — built by
+    * the native [[graft.functions.HllRegistersAgg]] (one 4 KB array
+    * partial per (partition, source) instead of up to 512 grouped
+    * rows), observed registers exploded back out unchanged.
+    */
+  private[operators] def registersOfGrams(grams: DataFrame): DataFrame =
     grams
-      .select(col("source"), hllBucket(x).as("bkt"), hllRho(x).as("rho"))
-      .groupBy(col("source"), col("bkt")).agg(max(col("rho")).as("r"))
-  }
+      .select(col("source"), hllKey(col("g")).as("x"))
+      .groupBy(col("source"))
+      .agg(graft.functions.HllRegistersAgg.registers(col("x")).as("regs"))
+      .select(col("source"), posexplode(col("regs")).as(Seq("pos", "r")))
+      .filter(col("r") > 0)
+      .select(col("source"), col("pos").cast("long").as("bkt"), col("r"))
 
   /** Cross-source distinct-trigram overlap from HLL register UNIONS
     * (q162): for every unordered source pair, |A∪B| is estimated from
