@@ -173,13 +173,17 @@ class PlanSpec extends SparkSpec {
       s"q160 must not plan any SinglePartition exchange:\n$p")
   }
 
-  test("hll register build: map-side partial max, key-partitioned merge") {
+  test("hll register build: map-side partial sketch, key-partitioned merge") {
     val docs = graft.Tables.documents(spark, d)
     val p = Corpus.hllRegisters(docs).queryExecution
       .explainString(ExplainMode.fromString("formatted"))
-    // the per-partition sketch IS the partial aggregate; the one
-    // exchange carries <= 512 registers per source per partition
-    assert(p.contains("partial_max"), p)
+    // the per-partition sketch IS the partial aggregate (the native
+    // HllRegistersAgg runs partial-then-final through
+    // ObjectHashAggregate); the one exchange carries ONE 512-register
+    // array per source per partition
+    assert(p.contains("partial_hll_registers"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("hashpartitioning(source"), p)
     assert(!p.contains("SinglePartition"), p)
   }
 }
