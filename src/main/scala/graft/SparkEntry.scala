@@ -216,6 +216,7 @@ object SparkEntry {
     "q190_hll_rollup" -> (Corpus.q190HllRollup _),
     "q191_stream_asof_tws" ->
       (graft.streaming.EventStream.q191StreamAsofTws _),
+    "q192_cusum_two_sided" -> (Temporal.q192CusumTwoSided _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4337,5 +4338,35 @@ object SparkEntry {
         |FROM lev GROUP BY 1, 2
         |ORDER BY lvl, source""".stripMargin
     },
+    // Two-sided CUSUM (q192): one prefix sum serves both charts —
+    // s_up off the running MIN, s_down off the running MAX
+    "q192_cusum_two_sided" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    CAST(round(value * 1e6) AS BIGINT) AS x
+        |  FROM events),
+        |k AS (SELECT CAST(SUM(x) // COUNT(*) AS BIGINT) AS k FROM e),
+        |p AS (
+        |  SELECT user_id, event_id, ts_us, k.k,
+        |    SUM(x - k.k) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS p
+        |  FROM e, k),
+        |c AS (
+        |  SELECT user_id, ts_us, k,
+        |    p - LEAST(MIN(p) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING), 0) AS s_up,
+        |    GREATEST(MAX(p) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING), 0) - p AS s_dn
+        |  FROM p)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(s_up) AS BIGINT) AS max_cusum_up,
+        |  CAST(MAX(s_dn) AS BIGINT) AS max_cusum_down,
+        |  CAST(SUM(CASE WHEN s_up > k * ${graft.operators.Temporal.CusumHMult} THEN 1 ELSE 0 END) AS BIGINT) AS n_above_up,
+        |  CAST(SUM(CASE WHEN s_dn > k * ${graft.operators.Temporal.CusumHMult} THEN 1 ELSE 0 END) AS BIGINT) AS n_above_down,
+        |  MIN(CASE WHEN s_up > k * ${graft.operators.Temporal.CusumHMult}
+        |            OR s_dn > k * ${graft.operators.Temporal.CusumHMult}
+        |           THEN ts_us END) AS first_cross_us
+        |FROM c GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

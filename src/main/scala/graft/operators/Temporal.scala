@@ -660,6 +660,45 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** q192: TWO-SIDED CUSUM — the deployment form of q185: an upward
+    * chart (s⁺, accumulating x − k) AND a downward chart (s⁻,
+    * accumulating k − x) walk each user's stream together, so both a
+    * surge and a collapse in the metric are flagged. Each side is the
+    * same reflection identity on its own prefix sum; since the
+    * downward prefix is the NEGATED upward one, both charts fall out
+    * of ONE cumulative sum plus a running min AND a running max —
+    * still two stacked windows over one user_id shuffle, no second
+    * pass. Same exact fixed-point conventions as q185 (allowance =
+    * floored global mean, threshold 8k per side).
+    */
+  def q192CusumTwoSided(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), tsUs.as("ts_us"),
+        round(col("value") * lit(1e6)).cast("long").as("x"))
+    val kRow = e.agg(expr("sum(x) div count(1)").as("k"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = e.crossJoin(broadcast(kRow))
+      .withColumn("p", sum(col("x") - col("k")).over(w))
+    // s_up from the running MIN of p; s_down from the running MAX
+    // (the negated series' running min) — one cumsum serves both
+    val cusum = p
+      .withColumn("s_up", col("p") - least(min(col("p")).over(w), lit(0L)))
+      .withColumn("s_dn", greatest(max(col("p")).over(w), lit(0L)) - col("p"))
+    val h = col("k") * lit(CusumHMult)
+    cusum
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("s_up")).as("max_cusum_up"),
+        max(col("s_dn")).as("max_cusum_down"),
+        sum(when(col("s_up") > h, 1L).otherwise(0L)).as("n_above_up"),
+        sum(when(col("s_dn") > h, 1L).otherwise(0L)).as("n_above_down"),
+        min(when(col("s_up") > h || col("s_dn") > h, col("ts_us")))
+          .as("first_cross_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** q188: NEAREST as-of through the native operator — every error
     * event gains that user's click closest in time in EITHER
     * direction (distance ties to the earlier click; same-time ties

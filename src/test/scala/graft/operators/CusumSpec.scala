@@ -60,6 +60,41 @@ class CusumSpec extends SparkSpec {
     assert(got((1L, 100L)) == 20L && got((1L, 199L)) == 2000L)
   }
 
+  test("downward chart: running-max reflection equals the recursion on k - x") {
+    val rnd = new scala.util.Random(192)
+    val k = 49L
+    for (_ <- 1 to 20) {
+      val xs = Seq.fill(150)(rnd.nextLong(100).abs)
+      // textbook downward recursion: s_i = max(0, s_{i-1} + (k - x_i))
+      val want = xs.scanLeft(0L)((s, x) => math.max(0L, s + (k - x))).drop(1)
+      // one prefix sum serves both charts: s_dn = max(0, runmax(p)) - p
+      val p = xs.scanLeft(0L)((a, x) => a + (x - k)).drop(1)
+      val got = p.zipWithIndex.map { case (pi, i) =>
+        math.max(0L, p.take(i + 1).max) - pi
+      }
+      assert(got == want)
+    }
+  }
+
+  test("a planted collapse is flagged by the downward chart, not the upward") {
+    val k = 50L
+    val rows =
+      (0 until 100).map(i => (1L, i.toLong, k)) ++
+      (100 until 200).map(i => (1L, i.toLong, k - 20L))
+    val out = rows.toDF("user_id", "ts_us", "x")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val c = out
+      .withColumn("p", sum(col("x") - lit(k)).over(w))
+      .withColumn("s_up", col("p") - least(min(col("p")).over(w), lit(0L)))
+      .withColumn("s_dn", greatest(max(col("p")).over(w), lit(0L)) - col("p"))
+      .agg(max(col("s_up")).as("up"), max(col("s_dn")).as("dn"))
+      .collect().head
+    assert(c.getLong(0) == 0L && c.getLong(1) == 2000L)
+  }
+
   test("q185 driver binding returns one row per user, non-negative stats") {
     val out = Temporal.q185Cusum(spark, "/root/testdata/sf0.001").collect()
     assert(out.nonEmpty)
