@@ -217,6 +217,8 @@ object SparkEntry {
     "q191_stream_asof_tws" ->
       (graft.streaming.EventStream.q191StreamAsofTws _),
     "q192_cusum_two_sided" -> (Temporal.q192CusumTwoSided _),
+    "q193_stream_sliding_kmv" ->
+      (graft.streaming.EventStream.q193StreamSlidingKmv _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4368,5 +4370,35 @@ object SparkEntry {
         |           THEN ts_us END) AS first_cross_us
         |FROM c GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    // Sliding-window KMV (q193): the q175 replay with the 6-fold
+    // slide expansion explicit — every event in its 6 slide-aligned
+    // trailing-hour windows, distinct keys per window, rank <= k
+    "q193_stream_sliding_kmv" ->
+      s"""WITH e AS (
+        |  SELECT (epoch_us(ts) - epoch_us(ts) % 600000000) - i * 600000000 AS win_start_us,
+        |    user_id
+        |  FROM events, unnest(range(0, 6)) u(i)),
+        |k AS (
+        |  SELECT DISTINCT win_start_us,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS x
+        |  FROM e),
+        |r AS (
+        |  SELECT win_start_us, x,
+        |    ROW_NUMBER() OVER (PARTITION BY win_start_us ORDER BY x) AS rn
+        |  FROM k),
+        |sk AS (
+        |  SELECT win_start_us, COUNT(*) AS n_kmv, MAX(x) AS kth_min
+        |  FROM r WHERE rn <= ${graft.operators.Corpus.KmvK} GROUP BY 1),
+        |ex AS (
+        |  SELECT win_start_us, COUNT(DISTINCT user_id) AS n_distinct_exact
+        |  FROM e GROUP BY 1)
+        |SELECT sk.win_start_us, ex.n_distinct_exact,
+        |  CAST(sk.n_kmv AS BIGINT) AS n_kmv, sk.kth_min,
+        |  CAST(CASE WHEN sk.n_kmv < ${graft.operators.Corpus.KmvK} THEN sk.n_kmv
+        |    ELSE (${graft.operators.Corpus.KmvK - 1} *
+        |          CAST(${graft.operators.Corpus.KmvDomain} AS HUGEINT)) // sk.kth_min
+        |    END AS BIGINT) AS est_distinct
+        |FROM sk JOIN ex ON ex.win_start_us = sk.win_start_us
+        |ORDER BY sk.win_start_us""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

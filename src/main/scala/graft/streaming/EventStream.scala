@@ -1454,6 +1454,55 @@ object EventStream {
       .orderBy(col("win_start_us"))
   }
 
+  /** q193 — the SEVENTEENTH streaming shape: the trailing-hour
+    * distinct-user monitor ("how many distinct users in the last 60
+    * minutes, updated every 10") via the KMV sketch over SLIDING
+    * windows. Sliding windows are where sketching pays hardest: exact
+    * distinct state duplicates the full per-window key SET across the
+    * overlap factor (6× here), while the sketch duplicates k=64 longs
+    * — per-window state is constant no matter how many users the hour
+    * saw. Spark's window(slide) handles the 6-way row duplication;
+    * the NATIVE [[graft.functions.KmvSketchAgg]] dedupes inside its
+    * O(k) partials, so the duplication never reaches the shuffle as
+    * distinct-set state. Order-independent ⇒ the DuckDB oracle
+    * replays the whole query from the batch table (the q175 program
+    * with the 6-fold window expansion made explicit).
+    */
+  def q193StreamSlidingKmv(s: SparkSession, d: String): DataFrame = {
+    val stream = eventsStream(s, d)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("user_id"))
+    val sk = stream
+      .withWatermark("ts", "80 minutes")
+      .groupBy(window(col("ts"), "60 minutes", "10 minutes"))
+      .agg(graft.functions.KmvSketchAgg.sketch(
+        graft.operators.Corpus.hllKey(col("user_id").cast("string")),
+        graft.operators.Corpus.KmvK).as("sk"))
+      .select(col("window.start").as("win_start"), col("sk"))
+    val qname = "q193_stream_sliding_kmv"
+    withReplayStateWidth(s, eventsBytes(d)) {
+      val q = sk.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Complete).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val sink = s.table(qname)
+      .select(unix_micros(col("win_start")).as("k"), col("sk"))
+    val est = graft.operators.Corpus.kmvReadoutLong(sink)
+      .withColumnRenamed("k", "win_start_us")
+    // exact rider: every event lands in its 6 slide-aligned windows
+    val ev = graft.Tables.events(s, d)
+      .select(expr("ts div 1000").as("ts_us"), col("user_id"))
+      .select(explode(sequence(lit(0L), lit(5L))).as("i"),
+        col("ts_us"), col("user_id"))
+      .select((expr("ts_us - ts_us % 600000000") - col("i") * lit(600000000L))
+        .as("win_start_us"), col("user_id"))
+    val exact = ev.groupBy(col("win_start_us"))
+      .agg(countDistinct(col("user_id")).as("n_distinct_exact"))
+    est.join(exact, "win_start_us")
+      .select(col("win_start_us"), col("n_distinct_exact"), col("n_kmv"),
+        col("kth_min"), col("est_distinct"))
+      .orderBy(col("win_start_us"))
+  }
+
   /** q167 — the TWELFTH streaming shape: a per-window event-frequency
     * monitor via the replayable CMS ([[cmsWindowCells]]) replayed over
     * the bounded events table, probed in batch for the fixed probe

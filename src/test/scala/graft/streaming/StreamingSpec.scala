@@ -623,6 +623,31 @@ class StreamingSpec extends SparkSpec {
     assert(tws == batch)
   }
 
+  test("q193: sliding KMV windows match the explicit 6-fold expansion") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.streaming.EventStream.q193StreamSlidingKmv(spark, d).collect()
+    assert(rows.nonEmpty)
+    // one row per slide-aligned window start, 10-minute grid
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.forall(_.getLong(0) % 600000000L == 0L))
+    // sketch invariants: n_kmv <= k, and below k the estimate is exact
+    rows.foreach { r =>
+      assert(r.getLong(2) <= graft.operators.Corpus.KmvK.toLong)
+      if (r.getLong(2) < graft.operators.Corpus.KmvK.toLong)
+        assert(r.getLong(4) == r.getLong(1),
+          s"below-k estimate not exact: $r")
+    }
+    // each window's distinct count >= any single 10-min sub-window's
+    // (the trailing hour contains it) — spot-check via q175's tumbling
+    val tumbling = graft.streaming.EventStream.q175StreamKmv(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      tumbling.get(r.getLong(0)).foreach { tenMin =>
+        assert(r.getLong(1) >= tenMin, s"hour < its own first 10 min: $r")
+      }
+    }
+  }
+
   test("spool dirs are deleted once the consuming query materializes") {
     // compare against a pre-run snapshot: /tmp may hold spools from
     // OTHER (killed) JVMs, which only that JVM's sweep/hook may own
