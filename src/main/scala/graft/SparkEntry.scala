@@ -219,6 +219,8 @@ object SparkEntry {
     "q192_cusum_two_sided" -> (Temporal.q192CusumTwoSided _),
     "q193_stream_sliding_kmv" ->
       (graft.streaming.EventStream.q193StreamSlidingKmv _),
+    "q194_stream_cusum" ->
+      (graft.streaming.EventStream.q194StreamCusum _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -451,6 +453,33 @@ object SparkEntry {
       |SELECT m.event_id, m.user_id, m.ts_us, m.asof_click_us, t.asof_click_id
       |FROM m LEFT JOIN t ON t.event_id = m.event_id
       |ORDER BY m.event_id""".stripMargin
+
+  /** The one-sided CUSUM replay (prefix-sum reflection identity,
+    * exact fixed-point), shared by q185 (windowed batch) and q194
+    * (keyed stream state) — same answer, one falsifier.
+    */
+  private lazy val cusumReplaySql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |    CAST(round(value * 1e6) AS BIGINT) AS x
+      |  FROM events),
+      |k AS (SELECT CAST(SUM(x) // COUNT(*) AS BIGINT) AS k FROM e),
+      |p AS (
+      |  SELECT user_id, event_id, ts_us, k.k,
+      |    SUM(x - k.k) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS p
+      |  FROM e, k),
+      |c AS (
+      |  SELECT user_id, ts_us, k,
+      |    p - LEAST(MIN(p) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS UNBOUNDED PRECEDING), 0) AS s
+      |  FROM p)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(MAX(s) AS BIGINT) AS max_cusum,
+      |  CAST(SUM(CASE WHEN s > k * ${graft.operators.Temporal.CusumHMult} THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+      |  MIN(CASE WHEN s > k * ${graft.operators.Temporal.CusumHMult} THEN ts_us END) AS first_cross_us
+      |FROM c GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4184,28 +4213,10 @@ object SparkEntry {
     // CUSUM changepoint (q185): prefix-sum reflection identity, exact
     // fixed-point; // floors where Spark's div truncates — identical
     // on this non-negative domain
-    "q185_cusum" ->
-      s"""WITH e AS (
-        |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
-        |    CAST(round(value * 1e6) AS BIGINT) AS x
-        |  FROM events),
-        |k AS (SELECT CAST(SUM(x) // COUNT(*) AS BIGINT) AS k FROM e),
-        |p AS (
-        |  SELECT user_id, event_id, ts_us, k.k,
-        |    SUM(x - k.k) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS p
-        |  FROM e, k),
-        |c AS (
-        |  SELECT user_id, ts_us, k,
-        |    p - LEAST(MIN(p) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |      ROWS UNBOUNDED PRECEDING), 0) AS s
-        |  FROM p)
-        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(MAX(s) AS BIGINT) AS max_cusum,
-        |  CAST(SUM(CASE WHEN s > k * ${graft.operators.Temporal.CusumHMult} THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
-        |  MIN(CASE WHEN s > k * ${graft.operators.Temporal.CusumHMult} THEN ts_us END) AS first_cross_us
-        |FROM c GROUP BY user_id
-        |ORDER BY user_id""".stripMargin,
+    "q185_cusum" -> cusumReplaySql,
+    // ...and the same statistic walked as keyed STREAM state (q194):
+    // same answer, same oracle
+    "q194_stream_cusum" -> cusumReplaySql,
     // KMV A-not-B (q186): merged-sketch sample fraction times the
     // union estimate, two-level HUGEINT floor mirrored exactly
     "q186_kmv_difference" ->

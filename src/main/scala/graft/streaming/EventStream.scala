@@ -1454,6 +1454,93 @@ object EventStream {
       .orderBy(col("win_start_us"))
   }
 
+  /** One tagged CUSUM input row. */
+  final case class CusumEvent(user_id: Long, ts_us: Long, event_id: Long, x: Long)
+
+  /** O(1) per-key CUSUM carry: the prefix sum, its running min, and
+    * the running output stats — the reflection identity s = p −
+    * min(0, runmin(p)) needs nothing else, so the monitor's state per
+    * user is six longs no matter how long the stream runs.
+    */
+  final case class CusumCarry(
+      p: Long, minp: Long, n: Long, maxS: Long, nAbove: Long, firstCross: Long)
+
+  /** q185's per-user CUSUM statistics. `first_cross_us` None = the
+    * user never drifted past h.
+    */
+  final case class CusumStat(
+      user_id: Long, n_events: Long, max_cusum: Long, n_above: Long,
+      first_cross_us: Option[Long])
+
+  /** The q185 one-sided CUSUM walked as keyed STREAM state: each
+    * micro-batch's rows sort by (ts, event_id) and extend the carried
+    * prefix sum + running min, so the statistic is exact over the
+    * whole stream while state stays six longs per user — drift
+    * detection is inherently a monitoring (streaming) concern, and
+    * this is its deployable form. Emits the user's cumulative stats
+    * every batch (Update semantics: latest row per user wins).
+    * Cross-batch contract: per-key event-time-ordered delivery, as
+    * q187.
+    */
+  def cusumStream(
+      events: Dataset[CusumEvent], k: Long, h: Long): Dataset[CusumStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CusumCarry, CusumStat](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[CusumEvent], state: GroupState[CusumCarry]) =>
+          val rows = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.getOrElse(
+            CusumCarry(0L, 0L, 0L, 0L, 0L, -1L))
+          var i = 0
+          while (i < rows.length) {
+            val e = rows(i)
+            val p = st.p + (e.x - k)
+            val minp = if (st.n == 0L) p else math.min(st.minp, p)
+            val s = p - math.min(0L, minp)
+            st = CusumCarry(p, minp, st.n + 1L,
+              math.max(st.maxS, s),
+              st.nAbove + (if (s > h) 1L else 0L),
+              if (st.firstCross >= 0L || s <= h) st.firstCross else e.ts_us)
+            i += 1
+          }
+          state.update(st)
+          Iterator.single(CusumStat(user, st.n, st.maxS, st.nAbove,
+            if (st.firstCross < 0L) None else Some(st.firstCross)))
+      }
+  }
+
+  /** q194 — the EIGHTEENTH streaming shape: [[cusumStream]] replayed
+    * over the bounded events table under the SAME oracle as the
+    * windowed batch form (q185). The allowance k comes from a batch
+    * pre-pass (a production monitor pins it from history); h = 8k as
+    * in q185.
+    */
+  def q194StreamCusum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val kVal = graft.Tables.events(s, d)
+      .select(round(col("value") * lit(1e6)).cast("long").as("x"))
+      .agg(expr("sum(x) div count(1)").as("k"))
+      .collect()(0).getLong(0) // 1-row pre-pass, bounded
+    val stream = eventsStream(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"),
+        round(col("value") * lit(1e6)).cast("long").as("x"))
+      .as[CusumEvent]
+    val stats = cusumStream(stream, kVal,
+      kVal * graft.operators.Temporal.CusumHMult)
+    val qname = "q194_stream_cusum"
+    withReplayStateWidth(s, eventsBytes(d)) {
+      val q = stats.toDF().writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Update).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(qname)
+      .select(col("user_id"), col("n_events"), col("max_cusum"),
+        col("n_above"), col("first_cross_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** q193 — the SEVENTEENTH streaming shape: the trailing-hour
     * distinct-user monitor ("how many distinct users in the last 60
     * minutes, updated every 10") via the KMV sketch over SLIDING

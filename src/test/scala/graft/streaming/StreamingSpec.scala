@@ -648,6 +648,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("cusumStream: carry is cumulative across micro-batches, O(1) per key") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EventStream.CusumEvent]
+    val out = EventStream.cusumStream(input.toDS(), k = 50L, h = 100L)
+    val q = out.toDF().writeStream.format("memory").queryName("cusum_state")
+      .outputMode("update").start()
+    try {
+      // batch 1: steady at k -> s stays 0
+      input.addData((0 until 5).map(i =>
+        EventStream.CusumEvent(1L, i.toLong, i.toLong, 50L)): _*)
+      q.processAllAvailable()
+      // batch 2: +30 drift per event -> s climbs 30, 60, 90, 120, 150;
+      // crosses h=100 at the 4th drifting event (ts 8)
+      input.addData((5 until 10).map(i =>
+        EventStream.CusumEvent(1L, i.toLong, i.toLong, 80L)): _*)
+      q.processAllAvailable()
+      val last = spark.table("cusum_state")
+        .orderBy(org.apache.spark.sql.functions.col("n_events").desc)
+        .collect().head
+      assert(last.getLong(1) == 10L) // cumulative event count
+      assert(last.getLong(2) == 150L) // max s
+      assert(last.getLong(3) == 2L) // s in {120, 150} above h
+      assert(last.getLong(4) == 8L) // first crossing ts
+    } finally q.stop()
+  }
+
+  test("q194: streaming CUSUM equals the windowed batch form on the bounded table") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.EventStream.q194StreamCusum(spark, d)
+      .collect().map(_.toString).toSeq
+    val batch = graft.operators.Temporal.q185Cusum(spark, d)
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("spool dirs are deleted once the consuming query materializes") {
     // compare against a pre-run snapshot: /tmp may hold spools from
     // OTHER (killed) JVMs, which only that JVM's sweep/hook may own
