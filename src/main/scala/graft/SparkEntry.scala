@@ -221,6 +221,9 @@ object SparkEntry {
       (graft.streaming.EventStream.q193StreamSlidingKmv _),
     "q194_stream_cusum" ->
       (graft.streaming.EventStream.q194StreamCusum _),
+    "q195_quantile_sketch" -> (Corpus.q195QuantileSketch _),
+    "q196_split_manifest" -> (Curation.q196SplitManifest _),
+    "q198_trend" -> (Temporal.q198Trend _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4411,5 +4414,73 @@ object SparkEntry {
         |    END AS BIGINT) AS est_distinct
         |FROM sk JOIN ex ON ex.win_start_us = sk.win_start_us
         |ORDER BY sk.win_start_us""".stripMargin,
+    // Quantile sketch (q195): rebuild the identical bottom-k-by-hash
+    // value sample (dedupe equal hashes keeping MIN value — the
+    // engine's order-independent collision rule), then the identical
+    // percentile-disc integer rank read-out
+    "q195_quantile_sketch" ->
+      s"""WITH e AS (
+        |  SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+        |    CAST(round(value * 1e6) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT event_type, h, MIN(v) AS v FROM e GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rh
+        |  FROM d),
+        |t AS (
+        |  SELECT event_type, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rv,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS ns
+        |  FROM r WHERE rh <= ${graft.operators.Corpus.SampleK}),
+        |n AS (SELECT event_type, COUNT(*) AS n_events FROM e GROUP BY 1)
+        |SELECT n.event_type, n.n_events,
+        |  CAST(MAX(t.ns) AS BIGINT) AS n_sample,
+        |  MAX(CASE WHEN rv = (ns * 50 + 99) // 100 THEN v END) AS p50_fx,
+        |  MAX(CASE WHEN rv = (ns * 90 + 99) // 100 THEN v END) AS p90_fx,
+        |  MAX(CASE WHEN rv = (ns * 99 + 99) // 100 THEN v END) AS p99_fx
+        |FROM t JOIN n ON n.event_type = t.event_type
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // Split manifest (q196): the same content-hash bucket rule, counts
+    // and the hash-distinct text count per (source, split)
+    "q196_split_manifest" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(('0x' || substr(md5(COALESCE(text, '')), 1, 15)) AS BIGINT) AS h,
+        |    n_chars
+        |  FROM documents),
+        |s AS (
+        |  SELECT source,
+        |    CASE WHEN h % 10 <= 7 THEN 'train'
+        |         WHEN h % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        |    h, n_chars
+        |  FROM d)
+        |SELECT source, split, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  COUNT(DISTINCT h) AS n_texts
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // OLS trend (q198): the moment sums in HUGEINT, sign + |slope| in
+    // fx units per day, truncating division on nonnegative operands
+    "q198_trend" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) // 60000000 AS x,
+        |    CAST(round(value * 1e6) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM e GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+        |  CAST(CASE WHEN sxy * n - sx * sy > 0 THEN 1
+        |            WHEN sxy * n - sx * sy < 0 THEN -1 ELSE 0 END AS BIGINT)
+        |    AS trend_sign,
+        |  CAST(CASE WHEN sxx * n - sx * sx = 0 THEN 0
+        |            ELSE (abs(sxy * n - sx * sy) * 1440) // (sxx * n - sx * sx)
+        |       END AS BIGINT) AS slope_fx_per_day
+        |FROM m ORDER BY 1""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

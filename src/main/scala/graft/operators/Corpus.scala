@@ -1892,4 +1892,65 @@ object Corpus {
     cnt.unpersist(blocking = false)
     out
   }
+
+  // ===== Quantile sketch (bottom-k value sample) =====
+  //
+  // The FOURTH replayable sketch, completing the quartet: KMV answers
+  // "how many distinct", CMS "how often", the histogram "how shaped
+  // over a KNOWN range" — none can answer "what is p99 of an
+  // unbounded-domain value column". A bottom-k-by-hash sample carrying
+  // the value (Cohen & Kaplan '07 bottom-k sampling) does: the k rows
+  // with the smallest uniform fingerprints are a uniform
+  // without-replacement sample, order statistics of the sample
+  // estimate order statistics of the group, and the state is
+  // mergeable (bottom-k of the union = bottom-k of merged bottom-ks),
+  // so it composes with windows and rollups like the other three.
+  // All arithmetic is integer (md5-derived hashes, 1e6 fixed-point
+  // values, percentile-disc rank read-out), so engine and DuckDB
+  // hash-match bit-for-bit.
+
+  /** Sample size: quantile rank stderr ~ sqrt(q(1-q)/k) — ±3.1% rank
+    * error at the median, ±0.6% at p99.
+    */
+  val SampleK: Int = 256
+
+  /** Per-`event_type` value quantiles (p50/p90/p99) from a bottom-k
+    * sample (q195). ONE aggregation pass: the sketch state (2k longs
+    * per group) and the exact row count share the same map-side
+    * partial, so the corpus is touched once and never sorted — the
+    * exact alternative is a per-group full sort (percentile_disc),
+    * which at 100 TB is a corpus-wide sort per query. Read-out is
+    * O(groups·k) on sketch rows.
+    */
+  def q195QuantileSketch(s: SparkSession, d: String): DataFrame =
+    quantileSketchOf(Tables.events(s, d))
+
+  /** [[q195QuantileSketch]] over any `(event_type, event_id, value)`
+    * frame.
+    */
+  private[operators] def quantileSketchOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val fx = events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        hllKey(col("event_id").cast("string")).as("h"),
+        round(col("value") * lit(1e6)).cast("long").as("v"))
+    val sk = fx.groupBy(col("event_type"))
+      .agg(
+        graft.functions.SamplePairsAgg.sketch(col("h"), col("v"), SampleK)
+          .as("pairs"),
+        count(lit(1)).as("n_events"))
+    sk.as[(String, Seq[Long], Long)]
+      .map { case (et, pairs, nEvents) =>
+        val vals = Array.tabulate(pairs.size / 2)(i => pairs(2 * i + 1))
+        java.util.Arrays.sort(vals)
+        val n = vals.length // a group exists only if it has rows
+        def pick(qnum: Int): Long =
+          vals(graft.functions.SamplePairsAgg.rankOf(n, qnum) - 1)
+        (et, nEvents, n.toLong, pick(50), pick(90), pick(99))
+      }
+      .toDF("event_type", "n_events", "n_sample", "p50_fx", "p90_fx", "p99_fx")
+      .orderBy(col("event_type"))
+  }
 }

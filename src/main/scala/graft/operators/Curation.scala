@@ -1752,4 +1752,48 @@ object Curation {
   /** Driver binding for the blocklist scan on the documents table. */
   def q179BlocklistScan(s: SparkSession, d: String): DataFrame =
     blocklistScan(Tables.documents(s, d))
+
+  /** q196: deterministic, leakage-aware train/val/test split manifest.
+    *
+    * Split assignment is a pure function of the document's CONTENT
+    * hash (the 60-bit md5 key of `text`), not its id or position:
+    * byte-identical duplicates land in the SAME split by construction,
+    * so evaluation text can never also be training text — the split
+    * rule the dedup literature insists on (Lee et al. '21 §5
+    * train/test leakage). 80/10/10 by hash bucket; adding data never
+    * reassigns an existing document (stable under corpus growth, the
+    * property a rand()-based split lacks — and rand() would also be
+    * unreplayable).
+    *
+    * Scale shape: ONE pass, one partial-aggregated exchange on
+    * (source, split). The distinct-text count dedupes on the 8-byte
+    * hash, never on the text itself, so the shuffle carries
+    * 16 bytes/row where a countDistinct(text) would carry the corpus.
+    */
+  def q196SplitManifest(s: SparkSession, d: String): DataFrame =
+    splitManifestOf(Tables.documents(s, d))
+
+  /** Per-document split assignment: `(source, split, h, n_chars)` with
+    * `split` a pure function of the content hash `h`.
+    */
+  private[graft] def splitAssign(docs: DataFrame): DataFrame = {
+    val h = Corpus.hllKey(coalesce(col("text"), lit("")))
+    val bucket = pmod(h, lit(10L))
+    docs.select(col("source"),
+      when(bucket <= 7, lit("train"))
+        .when(bucket === 8, lit("val"))
+        .otherwise(lit("test")).as("split"),
+      h.as("h"), col("n_chars"))
+  }
+
+  /** [[q196SplitManifest]] over any `(source, text, n_chars)` frame. */
+  private[operators] def splitManifestOf(docs: DataFrame): DataFrame = {
+    splitAssign(docs)
+      .groupBy(col("source"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        countDistinct(col("h")).as("n_texts"))
+      .orderBy(col("source"), col("split"))
+  }
 }

@@ -743,4 +743,59 @@ object Temporal {
         col("asof_ts_us").as("next_view_us"), col("asof_view_id"))
       .orderBy(col("event_id"))
   }
+
+  /** q198: exact-arithmetic OLS trend per event_type — the drift-RATE
+    * signal completing the monitor family: the two-population checks
+    * (q100/q110) detect THAT a distribution moved, CUSUM (q185/q192)
+    * detects WHEN a level shifted; the regression slope says how fast
+    * a metric is drifting and in which direction.
+    *
+    * The slope num/den ((nΣxy−ΣxΣy) / (nΣx²−(Σx)²)) is computed
+    * entirely in integers: x = minutes since epoch (BIGINT floor), y
+    * the 1e6 fixed-point value, per-row products in longs (bounded:
+    * x<2^26, y<2^31), sums widened to DECIMAL(38,0) — so engine and
+    * DuckDB (HUGEINT) agree bit-for-bit, where a float OLS never
+    * hashes. Emitted as a sign plus |slope|·1440 (fx units per day,
+    * truncating division on nonnegative operands, so `/` = `//`).
+    *
+    * Scale shape: ONE partial-aggregated pass over events (five
+    * map-side-combined sums per group), then O(groups) driver-free
+    * read-out rows. No window, no sort, no second pass — the moment
+    * matrix is the whole query, which is why OLS is the 100 TB-safe
+    * trend detector.
+    */
+  def q198Trend(s: SparkSession, d: String): DataFrame =
+    trendOf(Tables.events(s, d))
+
+  /** [[q198Trend]] over any `(event_type, ts: Long nanos, value)` frame. */
+  private[graft] def trendOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val e = events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("(ts div 1000) div 60000000").as("x"), // minutes since epoch
+        round(col("value") * lit(1e6)).cast("long").as("y"))
+    val d38 = "decimal(38,0)"
+    val m = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"))
+    m.as[(String, Long, java.math.BigDecimal, java.math.BigDecimal,
+        java.math.BigDecimal, java.math.BigDecimal)]
+      .map { case (et, n, sx0, sy0, sxy0, sxx0) =>
+        val (sx, sy, sxy, sxx) =
+          (BigInt(sx0.toBigInteger), BigInt(sy0.toBigInteger),
+            BigInt(sxy0.toBigInteger), BigInt(sxx0.toBigInteger))
+        val num = sxy * n - sx * sy
+        val den = sxx * n - sx * sx // >= 0 by Cauchy-Schwarz
+        val slope =
+          if (den == 0) 0L else (num.abs * 1440 / den).toLong
+        (et, n, num.signum.toLong, slope)
+      }
+      .toDF("event_type", "n_events", "trend_sign", "slope_fx_per_day")
+      .orderBy(col("event_type"))
+  }
 }
