@@ -223,6 +223,8 @@ object SparkEntry {
       (graft.streaming.EventStream.q194StreamCusum _),
     "q195_quantile_sketch" -> (Corpus.q195QuantileSketch _),
     "q196_split_manifest" -> (Curation.q196SplitManifest _),
+    "q197_stream_quantile" ->
+      (graft.streaming.EventStream.q197StreamQuantile _),
     "q198_trend" -> (Temporal.q198Trend _),
   )
 
@@ -4441,6 +4443,33 @@ object SparkEntry {
         |  MAX(CASE WHEN rv = (ns * 90 + 99) // 100 THEN v END) AS p90_fx,
         |  MAX(CASE WHEN rv = (ns * 99 + 99) // 100 THEN v END) AS p99_fx
         |FROM t JOIN n ON n.event_type = t.event_type
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // Stream window quantiles (q197): the q195 replay bucketed by
+    // 10-minute window — the pair sample is order-independent, so the
+    // whole stream query replays from the batch table
+    "q197_stream_quantile" ->
+      s"""WITH e AS (
+        |  SELECT (epoch_us(ts) - epoch_us(ts) % 600000000) AS win_start_us,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+        |    CAST(round(value * 1e6) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT win_start_us, h, MIN(v) AS v FROM e GROUP BY 1, 2),
+        |r AS (
+        |  SELECT win_start_us, v,
+        |    ROW_NUMBER() OVER (PARTITION BY win_start_us ORDER BY h) AS rh
+        |  FROM d),
+        |t AS (
+        |  SELECT win_start_us, v,
+        |    ROW_NUMBER() OVER (PARTITION BY win_start_us ORDER BY v) AS rv,
+        |    COUNT(*) OVER (PARTITION BY win_start_us) AS ns
+        |  FROM r WHERE rh <= ${graft.operators.Corpus.SampleK}),
+        |n AS (SELECT win_start_us, COUNT(*) AS n_events FROM e GROUP BY 1)
+        |SELECT n.win_start_us, n.n_events,
+        |  CAST(MAX(t.ns) AS BIGINT) AS n_sample,
+        |  MAX(CASE WHEN rv = (ns * 50 + 99) // 100 THEN v END) AS p50_fx,
+        |  MAX(CASE WHEN rv = (ns * 90 + 99) // 100 THEN v END) AS p90_fx,
+        |  MAX(CASE WHEN rv = (ns * 99 + 99) // 100 THEN v END) AS p99_fx
+        |FROM t JOIN n ON n.win_start_us = t.win_start_us
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // Split manifest (q196): the same content-hash bucket rule, counts
     // and the hash-distinct text count per (source, split)

@@ -1953,4 +1953,24 @@ object Corpus {
       .toDF("event_type", "n_events", "n_sample", "p50_fx", "p90_fx", "p99_fx")
       .orderBy(col("event_type"))
   }
+
+  /** Quantile read-out for LONG-keyed sketch frames
+    * `(k: Long, pairs, n_events)` — the windowed (q197) variant;
+    * callers rename `k` to their group column. Same integer
+    * percentile-disc arithmetic as [[quantileSketchOf]].
+    */
+  private[graft] def quantileReadoutLong(sketches: DataFrame): DataFrame = {
+    val s = sketches.sparkSession
+    import s.implicits._
+    sketches.as[(Long, Seq[Long], Long)]
+      .map { case (g, pairs, nEvents) =>
+        val vals = Array.tabulate(pairs.size / 2)(i => pairs(2 * i + 1))
+        java.util.Arrays.sort(vals)
+        val n = vals.length
+        def pick(qnum: Int): Long =
+          vals(graft.functions.SamplePairsAgg.rankOf(n, qnum) - 1)
+        (g, nEvents, n.toLong, pick(50), pick(90), pick(99))
+      }
+      .toDF("k", "n_events", "n_sample", "p50_fx", "p90_fx", "p99_fx")
+  }
 }

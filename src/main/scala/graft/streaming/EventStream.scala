@@ -1590,6 +1590,64 @@ object EventStream {
       .orderBy(col("win_start_us"))
   }
 
+  /** Per-window bottom-k (hash, value) pair sample over a
+    * `(ts, event_id, value)` frame — batch/stream unified like its
+    * four sketch-in-stream siblings: the pair sample is algebraic
+    * (order-independent, mergeable bottom-k union), so the streaming
+    * incremental merge is exact. State per open window is 2k longs.
+    */
+  def samplePairsWindow(
+      events: DataFrame,
+      windowLen: String = "10 minutes",
+      watermark: String = "20 minutes"): DataFrame = {
+    events
+      .filter(col("value").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(
+        graft.functions.SamplePairsAgg.sketch(
+          graft.operators.Corpus.hllKey(col("event_id").cast("string")),
+          round(col("value") * lit(1e6)).cast("long"),
+          graft.operators.Corpus.SampleK).as("pairs"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("pairs"),
+        col("n_events"))
+  }
+
+  /** q197 — the NINETEENTH streaming shape: a per-window VALUE-QUANTILE
+    * monitor from the q195 bottom-k pair sample built in-stream,
+    * making the sketch-in-stream family a QUINTET (HLL cardinality /
+    * CMS frequency / histogram / KMV distinct / sample quantiles).
+    *
+    * What the histogram monitor (q174) cannot do: q174's bins need the
+    * value domain fixed AHEAD of the stream (its driver binding pays a
+    * batch pre-pass for vmin/vmax — impossible for a truly unbounded
+    * production stream) and read out as bin EDGES. The pair sample
+    * needs no domain knowledge at all and reads out actual observed
+    * values, at the cost of sampling error instead of binning error.
+    * Same read-out as q195 (integer percentile-disc ranks), so the
+    * DuckDB oracle replays the whole stream query from the batch
+    * table — the fifth sketch under full hash-match.
+    */
+  def q197StreamQuantile(s: SparkSession, d: String): DataFrame = {
+    val stream = eventsStream(s, d)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_id"), col("value"))
+    val sk = samplePairsWindow(stream)
+    val qname = "q197_stream_quantile"
+    withReplayStateWidth(s, eventsBytes(d)) {
+      val q = sk.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Complete).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val sink = s.table(qname)
+      .select(unix_micros(col("win_start")).as("k"), col("pairs"),
+        col("n_events"))
+    graft.operators.Corpus.quantileReadoutLong(sink)
+      .withColumnRenamed("k", "win_start_us")
+      .orderBy(col("win_start_us"))
+  }
+
   /** q167 — the TWELFTH streaming shape: a per-window event-frequency
     * monitor via the replayable CMS ([[cmsWindowCells]]) replayed over
     * the bounded events table, probed in batch for the fixed probe

@@ -648,6 +648,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q197: in-stream window quantiles equal the batch build of the same sample") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.EventStream.q197StreamQuantile(spark, d)
+      .collect().map(_.toString).toSeq
+    // batch twin: the identical aggregation over the bounded table —
+    // equality proves the incremental merge through the state store
+    val sk = graft.Tables.events(spark, d)
+      .filter(col("value").isNotNull)
+      .select((expr("ts div 1000") - expr("ts div 1000") % 600000000L).as("k"),
+        col("event_id"), col("value"))
+      .groupBy(col("k"))
+      .agg(graft.functions.SamplePairsAgg.sketch(
+          graft.operators.Corpus.hllKey(col("event_id").cast("string")),
+          round(col("value") * lit(1e6)).cast("long"),
+          graft.operators.Corpus.SampleK).as("pairs"),
+        count(lit(1)).as("n_events"))
+    val batch = graft.operators.Corpus.quantileReadoutLong(sk)
+      .withColumnRenamed("k", "win_start_us")
+      .orderBy(col("win_start_us"))
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("cusumStream: carry is cumulative across micro-batches, O(1) per key") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
