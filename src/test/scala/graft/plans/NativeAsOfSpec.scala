@@ -124,6 +124,31 @@ class NativeAsOfSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         .count(row => row.getAs[Long]("k") == 3 && row.getAs[Long]("lid") > 10))
   }
 
+  test("column pruning reaches the scans: an unselected right payload column is never read") {
+    // pruning flows through the foreign node via Catalyst's GENERIC
+    // ColumnPruning case (it works because AsOfJoinPlan#expressions
+    // exposes the key/time/tie-break attrs); this pin makes a silent
+    // break impossible — if the node ever stops exposing them, the
+    // right scan's ReadSchema regrows the dropped column
+    val dir = java.nio.file.Files.createTempDirectory("asof_prune").toString
+    Seq.tabulate(60)(i => (i.toLong % 5, i.toLong, i.toLong))
+      .toDF("k", "t", "lid").write.mode("overwrite").parquet(s"$dir/l")
+    Seq.tabulate(60)(i => (i.toLong % 5, i.toLong, s"keep$i", s"drop$i"))
+      .toDF("k", "t", "wanted", "unused").write.mode("overwrite").parquet(s"$dir/r")
+    val l = spark.read.parquet(s"$dir/l")
+    val r = spark.read.parquet(s"$dir/r")
+    val df = NativeAsOf.asOf(l, r, Seq("k"), "t")
+      .select(col("k"), col("lid"), col("asof_wanted"))
+    val scans = collectWithSubqueries(executed(df)) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size === 2)
+    val readSchemas = scans.map(_.metadata.getOrElse("ReadSchema", ""))
+    assert(readSchemas.exists(_.contains("wanted")), readSchemas.mkString(" | "))
+    assert(readSchemas.forall(!_.contains("unused")),
+      s"unused right column survived pruning: ${readSchemas.mkString(" | ")}")
+  }
+
   // plain-Scala reference for the merge_asof knob set: per left row,
   // filter candidates by direction/strictness/tolerance, then argmax
   // (backward: greatest (t, rid)) or argmin (forward: smallest (t, rid))
