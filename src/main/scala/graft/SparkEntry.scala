@@ -226,6 +226,7 @@ object SparkEntry {
     "q197_stream_quantile" ->
       (graft.streaming.EventStream.q197StreamQuantile _),
     "q198_trend" -> (Temporal.q198Trend _),
+    "q199_quantile_rollup" -> (Corpus.q199QuantileRollup _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4489,6 +4490,48 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  COUNT(DISTINCT h) AS n_texts
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Quantile rollup (q199): both grains replayed directly off the
+    // corpus — legal because bottom-k-of-union = union-of-bottom-ks
+    // (the law the engine exploits in the other direction)
+    "q199_quantile_rollup" ->
+      s"""WITH e AS (
+        |  SELECT source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+        |    n_chars AS v
+        |  FROM documents),
+        |d AS (SELECT source, h, MIN(v) AS v FROM e GROUP BY 1, 2),
+        |g AS (SELECT h, MIN(v) AS v FROM e GROUP BY 1),
+        |r1 AS (
+        |  SELECT source, v,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rh
+        |  FROM d),
+        |t1 AS (
+        |  SELECT source, v,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rv,
+        |    COUNT(*) OVER (PARTITION BY source) AS ns
+        |  FROM r1 WHERE rh <= ${graft.operators.Corpus.SampleK}),
+        |n1 AS (SELECT source, COUNT(*) AS n_docs FROM e GROUP BY 1),
+        |q1 AS (
+        |  SELECT CAST(0 AS BIGINT) AS lvl, n1.source, n1.n_docs,
+        |    CAST(MAX(t1.ns) AS BIGINT) AS n_sample,
+        |    MAX(CASE WHEN rv = (ns * 50 + 99) // 100 THEN v END) AS p50_chars,
+        |    MAX(CASE WHEN rv = (ns * 90 + 99) // 100 THEN v END) AS p90_chars,
+        |    MAX(CASE WHEN rv = (ns * 99 + 99) // 100 THEN v END) AS p99_chars
+        |  FROM t1 JOIN n1 ON n1.source = t1.source GROUP BY 1, 2, 3),
+        |r2 AS (SELECT v, ROW_NUMBER() OVER (ORDER BY h) AS rh FROM g),
+        |t2 AS (
+        |  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rv, COUNT(*) OVER () AS ns
+        |  FROM r2 WHERE rh <= ${graft.operators.Corpus.SampleK}),
+        |n2 AS (SELECT COUNT(*) AS n_docs FROM e),
+        |q2 AS (
+        |  SELECT CAST(1 AS BIGINT) AS lvl, '<all>' AS source, n2.n_docs,
+        |    CAST(MAX(t2.ns) AS BIGINT) AS n_sample,
+        |    MAX(CASE WHEN rv = (ns * 50 + 99) // 100 THEN v END) AS p50_chars,
+        |    MAX(CASE WHEN rv = (ns * 90 + 99) // 100 THEN v END) AS p90_chars,
+        |    MAX(CASE WHEN rv = (ns * 99 + 99) // 100 THEN v END) AS p99_chars
+        |  FROM t2, n2 GROUP BY 1, 2, 3)
+        |SELECT * FROM q1 UNION ALL SELECT * FROM q2
+        |ORDER BY lvl, source""".stripMargin,
     // OLS trend (q198): the moment sums in HUGEINT, sign + |slope| in
     // fx units per day, truncating division on nonnegative operands
     "q198_trend" ->

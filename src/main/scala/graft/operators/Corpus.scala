@@ -1954,6 +1954,73 @@ object Corpus {
       .orderBy(col("event_type"))
   }
 
+  /** q199: quantile-sketch ROLLUP — per-source AND corpus-total
+    * document-length quantiles from ONE sketch build, the q190
+    * (HLL-rollup) program applied to the pair sample: bottom-k of a
+    * union of bottom-ks IS the union's bottom-k, and the min-value
+    * collision rule is associative, so re-aggregating the per-source
+    * sketch MEMBERS (|sources|·k pair rows, never the corpus) at the
+    * total grain reproduces the corpus sketch exactly — the
+    * OLAP-cube form of the quantile sketch, sketch-sized work per
+    * level where the exact answer is a corpus-wide sort per grain.
+    * Values are `n_chars` (already integer), so the whole rollup
+    * hash-matches its DuckDB replay.
+    */
+  def q199QuantileRollup(s: SparkSession, d: String): DataFrame =
+    quantileRollupOf(Tables.documents(s, d))
+
+  /** [[q199QuantileRollup]] over any `(source, doc_id, n_chars)` frame. */
+  private[graft] def quantileRollupOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = docs.select(col("source"),
+      hllKey(col("doc_id").cast("string")).as("h"),
+      col("n_chars").as("v"))
+    val perSrc = base.groupBy(col("source"))
+      .agg(
+        graft.functions.SamplePairsAgg.sketch(col("h"), col("v"), SampleK)
+          .as("pairs"),
+        count(lit(1)).as("n_docs"))
+      .persist()
+    perSrc.count()
+    // sketch members back to (source, h, v) rows — sources·k of them
+    val members = perSrc.select(col("source"),
+        explode(expr("transform(sequence(0, int(size(pairs) / 2) - 1), " +
+          "i -> struct(pairs[2 * i] AS h, pairs[2 * i + 1] AS v))")).as("p"))
+      .select(col("source"), col("p.h").as("h"), col("p.v").as("v"))
+    // one GROUPING SETS pass re-merges the sample at both grains
+    val leveled = members
+      .groupingSets(Seq(Seq(col("source")), Seq()), col("source"))
+      .agg(
+        graft.functions.SamplePairsAgg.sketch(col("h"), col("v"), SampleK)
+          .as("pairs"),
+        grouping(col("source")).as("lvl"))
+      .select(col("lvl").cast("long").as("lvl"),
+        coalesce(col("source"), lit("<all>")).as("source"), col("pairs"))
+    val ns = perSrc.select(col("source"), col("n_docs"))
+      .unionByName(perSrc
+        .agg(sum(col("n_docs")).as("n_docs"))
+        .select(lit("<all>").as("source"), col("n_docs")))
+    val out = leveled.join(broadcast(ns), "source")
+      .select(col("lvl"), col("source"), col("pairs"), col("n_docs"))
+      .as[(Long, String, Seq[Long], Long)]
+      .map { case (lvl, src, pairs, nDocs) =>
+        val vals = Array.tabulate(pairs.size / 2)(i => pairs(2 * i + 1))
+        java.util.Arrays.sort(vals)
+        val n = vals.length
+        def pick(qnum: Int): Long =
+          vals(graft.functions.SamplePairsAgg.rankOf(n, qnum) - 1)
+        (lvl, src, nDocs, n.toLong, pick(50), pick(90), pick(99))
+      }
+      .toDF("lvl", "source", "n_docs", "n_sample",
+        "p50_chars", "p90_chars", "p99_chars")
+      .orderBy(col("lvl"), col("source"))
+      .persist()
+    out.count()
+    perSrc.unpersist(blocking = false)
+    out
+  }
+
   /** Quantile read-out for LONG-keyed sketch frames
     * `(k: Long, pairs, n_events)` — the windowed (q197) variant;
     * callers rename `k` to their group column. Same integer

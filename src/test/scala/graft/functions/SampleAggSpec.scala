@@ -102,6 +102,23 @@ class SampleAggSpec extends SparkSpec {
     assert(got == Seq(2L, 20L, 3L, 30L))
   }
 
+  test("rollup law: re-merging per-source sketch members reproduces the corpus sketch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val docs = (1 to 3000).map(i =>
+      (i.toLong, s"s${rnd.nextInt(5)}", rnd.nextInt(4000).toLong))
+      .toDF("doc_id", "source", "n_chars")
+    val rollup = graft.operators.Corpus.quantileRollupOf(docs)
+      .filter(col("lvl") === 1L).collect().head
+    // direct corpus sketch: everything in one group
+    val direct = graft.operators.Corpus.quantileRollupOf(
+      docs.withColumn("source", lit("one")))
+      .filter(col("lvl") === 1L).collect().head
+    assert(rollup.toSeq.drop(2) == direct.toSeq.drop(2),
+      s"rollup $rollup vs direct $direct")
+    assert(rollup.getLong(2) == 3000L && rollup.getLong(3) == 256L)
+  }
+
   test("sample quantiles land inside the binomial rank bound on planted data") {
     import spark.implicits._
     // 20k rows, value = row index: exact pXX is XX% of N. A k=256
