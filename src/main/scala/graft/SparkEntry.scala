@@ -2181,7 +2181,7 @@ object SparkEntry {
         |q AS (
         |  SELECT DISTINCT query_id, tok FROM (
         |    SELECT doc_id AS query_id, unnest(t[1:8]) AS tok
-        |    FROM tok WHERE doc_id % 101 = 0)),
+        |    FROM tok WHERE doc_id % 101 = 0 AND doc_id < 5000)),
         |hits AS (
         |  SELECT q.query_id, tf.doc_id, tf.tf, dfq.df, dl.dl, tot.n_docs, tot.l_total
         |  FROM q JOIN tf USING (tok) JOIN dfq USING (tok)

@@ -18,7 +18,7 @@ object DebugBm25 {
       println(f"[debug] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    val parts = TextOps.bm25Build(spark, d, forcePrune = Some(true))
+    val parts = TextOps.bm25Build(spark, d, forcePrune = sys.env.get("BM25_PRUNE").map(_ == "1"))
     val nEss = t("essential.count")(parts.essential.count())
     val nCand = t("candidates.count")(parts.candidates.count())
     if (sys.env.contains("BM25_EXPLAIN")) parts.ranked.explain("formatted")

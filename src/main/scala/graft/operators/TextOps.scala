@@ -299,10 +299,18 @@ object TextOps {
     * fixed arithmetic sequence shared with the oracle.
     */
   val Bm25TopK = 5
-  /** Probe selection (`doc_id % 101 == 0`) and query width (first 8
-    * tokens) for the q107 binding.
+  /** Probe selection (`doc_id % 101 == 0 AND doc_id < 5000`) and query
+    * width (first 8 tokens) for the q107 binding. The cap makes the
+    * probe slate a FIXED workload: a search benchmark prices "corpus
+    * grew 10x" at constant query volume (the production contract —
+    * query traffic doesn't scale with the index), where the uncapped
+    * `% 101` slate grew queries WITH the corpus and priced an
+    * inherently quadratic queries x postings product: the sf1->sf10
+    * canary ran it past 10 min. sf0.1-and-below doc_ids all sit
+    * below the cap, so driver hashes are unchanged.
     */
   val Bm25ProbeMod = 101
+  val Bm25ProbeCap = 5000L
   val Bm25QueryTerms = 8
 
   /** BM25-ranked retrieval (q107): each probe document's first-8-token
@@ -384,7 +392,8 @@ object TextOps {
 
   private[operators] def bm25Build(
       s: SparkSession, d: String, forcePrune: Option[Boolean],
-      probeFilter: Column = col("doc_id") % Bm25ProbeMod === 0,
+      probeFilter: Column =
+        col("doc_id") % Bm25ProbeMod === 0 && col("doc_id") < Bm25ProbeCap,
       topK: Int = Bm25TopK): Bm25Parts = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
@@ -396,10 +405,16 @@ object TextOps {
     // three corpus-keyed shuffles saved per call). tf, df and dl all
     // derive from this frame. Lifetime: LRU/clearCache (lazily
     // returned frame, same contract as q52's perDoc)
+    // dl = the doc's token count, known AT EXPLODE TIME (size of the
+    // token array) — riding it through the groupBy key costs nothing
+    // (it is functionally dependent on doc_id), where the former
+    // `sum(tf) over (partition by doc_id)` window paid a full-corpus
+    // sort per index build (the sf10 canary's dominant stage)
     val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("tok"))
+      .groupBy(col("tok"), col("doc_id"), col("dl")).agg(count(lit(1)).as("tf"))
       .persist()
     val totals = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(tf.agg(sum(col("tf")).as("l_total")))
@@ -426,10 +441,27 @@ object TextOps {
     // to the query count when probes share common terms, which is the
     // sf1-canary regime where the unpruned plan went 50x super-linear.
     // nq comes off the slate-sized qterms aggregate, one tiny job.
-    val nqByTok = qterms.groupBy(col("tok")).agg(count(lit(1)).as("nq"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val qtermRows = qterms.collect() // bounded: ≤ (cap/mod+1)·width ≈ 400 rows
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nqByTok = qtermRows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
     val matchedVolume = dfqRows.map { case (t, df) => df * nqByTok.getOrElse(t, 0L) }.sum
-    val prune = forcePrune.getOrElse(matchedVolume >= Bm25PruneMinPostings)
+    // second guard, also free off the slates: even perfect max-score
+    // must scan each query's RAREST term's postings (the top-ub term
+    // is always essential), so Σ_q min_t df(t) lower-bounds candidate
+    // pairs and ×(1+width) lower-bounds the pruned path's expansion
+    // volume. When that floor already reaches the unpruned matched
+    // volume — a corpus whose query terms are all stopwords, the sf10
+    // canary's regime (floor 15.2M×9 = 137M vs matched 112M; measured
+    // 69 s pruned vs 38 s unpruned) — pruning cannot win: skip it
+    // WITHOUT paying the θ probe. Zipf corpora keep rare terms, a tiny
+    // floor, and the pruned path. Same answer either way (Bm25Spec).
+    val dfByTok = dfqRows.toMap
+    val essFloor = qtermRows.groupBy(_._1).map { case (_, ts) =>
+      ts.map(t => dfByTok.getOrElse(t._2, 0L)).min
+    }.sum
+    val prune = forcePrune.getOrElse(
+      matchedVolume >= Bm25PruneMinPostings &&
+        essFloor * (1L + Bm25QueryTerms) < matchedVolume)
     val dfq = dfqRows.toDF("tok", "df")
 
     // ONE fixed IEEE sequence per posting, shared verbatim by the θ
@@ -494,33 +526,7 @@ object TextOps {
         .filter(col("theta").isNull || (col("_cum") + lit(1e-6) >= col("theta")))
         .select(col("query_id"), col("tok"))
 
-      // candidates: docs matching >= 1 essential term of that query —
-      // essential postings read straight off tf (high-idf terms =
-      // short posting lists, the whole point of max-score); persisted
-      // because both the doc restriction and the final semi read it
-      val cand = tf.join(broadcast(ess), "tok")
-        .select(col("query_id"), col("doc_id")).distinct()
-        .persist()
-
-      // final scoring input: each candidate PAIR expanded with its
-      // query's terms (a broadcast of the slate), then one shuffle
-      // join against tf on (doc_id, tok) keeps exactly the matched
-      // postings of candidate pairs — volume bounded by |cand| x
-      // query width, NEVER corpus x queries (the candidate-DOC
-      // restriction tried first degenerated to the full matched frame
-      // on corpora where candidates span most documents — the sf1
-      // canary's regime). Each surviving row is the same
-      // (tf, df, dl, totals) tuple the unpruned path feeds sterm, so
-      // surviving scores stay bit-identical.
-      val candTerms = cand
-        .join(broadcast(qterms), "query_id")
-        .select(col("query_id"), col("doc_id"), col("tok"))
-      val scored = tf.join(candTerms, Seq("doc_id", "tok"))
-        .join(broadcast(dfq), "tok")
-        .crossJoin(broadcast(totals))
-        .withColumn("sterm", sterm)
-
-      (ess, cand, scored)
+      bm25PrunedTail(tf, qterms, dfq, totals, sterm, ess)
     }
 
     val byScore = Window.partitionBy(col("query_id"))
@@ -536,6 +542,34 @@ object TextOps {
         col("score_dec").cast("double").as("score"), col("n_terms"))
       .orderBy(col("query_id"), col("rnk"))
     Bm25Parts(essential, candidates, ranked)
+  }
+
+  /** The max-score candidate machinery, split out so the
+    * essential-share guard can bypass it: candidates = docs matching
+    * >= 1 essential term of that query (essential postings read
+    * straight off tf — high-idf terms = short posting lists, the whole
+    * point of max-score), persisted because both the expansion and the
+    * final join read it; each candidate PAIR is then expanded with its
+    * query's terms (a broadcast of the slate) and joined ONCE against
+    * tf on (doc_id, tok), so every surviving row is the same
+    * (tf, df, dl, totals) tuple the unpruned path feeds sterm —
+    * surviving scores stay bit-identical.
+    */
+  private def bm25PrunedTail(
+      tf: DataFrame, qterms: DataFrame, dfq: DataFrame,
+      totals: DataFrame, sterm: Column, ess: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val cand = tf.join(broadcast(ess), "tok")
+      .select(col("query_id"), col("doc_id")).distinct()
+      .persist()
+    val candTerms = cand
+      .join(broadcast(qterms), "query_id")
+      .select(col("query_id"), col("doc_id"), col("tok"))
+    val scored = tf.join(candTerms, Seq("doc_id", "tok"))
+      .join(broadcast(dfq), "tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("sterm", sterm)
+    (ess, cand, scored)
   }
 
   /** Source-overlap matrix (q144): for every unordered source pair the
