@@ -227,6 +227,8 @@ object SparkEntry {
       (graft.streaming.EventStream.q197StreamQuantile _),
     "q198_trend" -> (Temporal.q198Trend _),
     "q199_quantile_rollup" -> (Corpus.q199QuantileRollup _),
+    "q200_incremental_sketch" -> (Corpus.q200IncrementalSketch _),
+    "q201_priority_sample" -> (Curation.q201PrioritySample _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4532,6 +4534,72 @@ object SparkEntry {
         |  FROM t2, n2 GROUP BY 1, 2, 3)
         |SELECT * FROM q1 UNION ALL SELECT * FROM q2
         |ORDER BY lvl, source""".stripMargin,
+    // Incremental sketch through storage (q200): the KMV union law
+    // makes history-sketch (parquet round-trip) + delta-sketch equal
+    // the whole-corpus sketch, so the oracle replays the one-pass form
+    "q200_incremental_sketch" ->
+      s"""WITH e AS (
+        |  SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS x
+        |  FROM events),
+        |k AS (SELECT DISTINCT event_type, x FROM e),
+        |r AS (
+        |  SELECT event_type, x,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn
+        |  FROM k),
+        |sk AS (
+        |  SELECT event_type, COUNT(*) AS n_kmv, MAX(x) AS kth_min
+        |  FROM r WHERE rn <= ${graft.operators.Corpus.KmvK} GROUP BY 1),
+        |ex AS (SELECT event_type, COUNT(*) AS n_distinct_exact FROM k GROUP BY 1)
+        |SELECT sk.event_type, ex.n_distinct_exact,
+        |  CAST(sk.n_kmv AS BIGINT) AS n_kmv, sk.kth_min,
+        |  CAST(CASE WHEN sk.n_kmv < ${graft.operators.Corpus.KmvK} THEN sk.n_kmv
+        |    ELSE (${graft.operators.Corpus.KmvK - 1} *
+        |          CAST(${graft.operators.Corpus.KmvDomain} AS HUGEINT)) // sk.kth_min
+        |    END AS BIGINT) AS est_distinct
+        |FROM sk JOIN ex ON ex.event_type = sk.event_type
+        |ORDER BY sk.event_type""".stripMargin,
+    // Priority sampling (q201): same integer priorities ((h+1)//w
+    // ascending = w/u descending), tau at rank k+1, DLT estimator in
+    // HUGEINT with the same floor division
+    "q201_priority_sample" ->
+      s"""WITH b AS (
+        |  SELECT source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+        |    n_chars AS w
+        |  FROM documents WHERE n_chars > 0),
+        |kd AS (SELECT source, (h + 1) // w AS key, h, w FROM b),
+        |r AS (
+        |  SELECT source, key, h, w,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY key, h, w) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM kd),
+        |t AS (
+        |  SELECT source,
+        |    MAX(CASE WHEN rn = ${graft.operators.Curation.PriorityK + 1} THEN key END) AS tau
+        |  FROM r GROUP BY 1),
+        |kept AS (
+        |  SELECT r.source, r.w, r.n, t.tau
+        |  FROM r JOIN t ON t.source = r.source
+        |  WHERE r.rn <= ${graft.operators.Curation.PriorityK}),
+        |agg AS (
+        |  SELECT source, MAX(n) AS n, MAX(tau) AS tau,
+        |    CAST(SUM(w) AS BIGINT) AS wsum,
+        |    SUM(GREATEST(CAST(w AS HUGEINT) * tau,
+        |      CAST(1152921504606846976 AS HUGEINT))) AS sgt
+        |  FROM kept GROUP BY 1),
+        |ex AS (
+        |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS w_total_exact
+        |  FROM b GROUP BY 1)
+        |SELECT a.source, ex.n_docs, ex.w_total_exact,
+        |  CAST(CASE WHEN a.n <= ${graft.operators.Curation.PriorityK} THEN a.n
+        |    ELSE ${graft.operators.Curation.PriorityK} END AS BIGINT) AS n_sample,
+        |  CAST(CASE WHEN a.n <= ${graft.operators.Curation.PriorityK} THEN 0
+        |    ELSE a.tau END AS BIGINT) AS tau_key,
+        |  CAST(CASE WHEN a.n <= ${graft.operators.Curation.PriorityK} OR a.tau = 0
+        |    THEN a.wsum ELSE a.sgt // a.tau END AS BIGINT) AS est_w_total
+        |FROM agg a JOIN ex ON ex.source = a.source
+        |ORDER BY a.source""".stripMargin,
     // OLS trend (q198): the moment sums in HUGEINT, sign + |slope| in
     // fx units per day, truncating division on nonnegative operands
     "q198_trend" ->

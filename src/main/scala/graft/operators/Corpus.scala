@@ -1574,7 +1574,7 @@ object Corpus {
     * `//`): below k observed keys the sketch IS the distinct set, so
     * the estimate is exact by construction.
     */
-  private[operators] def kmvReadout(sketches: DataFrame): DataFrame = {
+  private[graft] def kmvReadout(sketches: DataFrame): DataFrame = {
     val s = sketches.sparkSession
     import s.implicits._
     sketches.as[(String, Seq[Long])]
@@ -2019,6 +2019,61 @@ object Corpus {
     out.count()
     perSrc.unpersist(blocking = false)
     out
+  }
+
+  /** q200: incremental statistics through STORAGE — the sketch-table
+    * pattern every 100 TB pipeline ends at: yesterday's corpus is
+    * never rescanned; its per-group sketch states live in a parquet
+    * table, and today's delta is sketched alone and MERGED in. The
+    * query splits events into a "history" half (even epoch-day) and a
+    * "delta" half (odd), writes the history sketches to parquet, reads
+    * them back, and re-aggregates the stored members with the delta's
+    * — the KMV union law makes the result provably identical to
+    * sketching the whole corpus in one pass, which is exactly what the
+    * DuckDB oracle replays (so the storage round-trip is
+    * hash-falsified, not trusted). State per group is k longs on disk
+    * and in flight; the store is swept after the result materializes.
+    */
+  def q200IncrementalSketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        hllKey(col("user_id").cast("string")).as("x"))
+    def halfSketch(parity: Int): DataFrame = ev
+      .filter(pmod(col("day"), lit(2L)) === parity)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvSketchAgg.sketch(col("x"), KmvK).as("sk"))
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_sketch_store").toFile
+    try {
+      halfSketch(0).write.mode("overwrite")
+        .parquet(new java.io.File(store, "history").toString)
+      val history = s.read
+        .parquet(new java.io.File(store, "history").toString)
+      val members = history.unionByName(halfSketch(1))
+        .select(col("event_type"), explode(col("sk")).as("x"))
+      val merged = members.groupBy(col("event_type"))
+        .agg(graft.functions.KmvSketchAgg.sketch(col("x"), KmvK).as("sk"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("x")).as("n_distinct_exact"))
+      val out = kmvReadout(merged.withColumnRenamed("event_type", "source"))
+        .withColumnRenamed("source", "event_type")
+        .join(exact, "event_type")
+        .select(col("event_type"), col("n_distinct_exact"), col("n_kmv"),
+          col("kth_min"), col("est_distinct"))
+        .orderBy(col("event_type"))
+        .persist()
+      out.count() // materialize before the store is deleted
+      out
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(store)
+    }
   }
 
   /** Quantile read-out for LONG-keyed sketch frames

@@ -1786,6 +1786,76 @@ object Curation {
       h.as("h"), col("n_chars"))
   }
 
+  /** Weighted sample size for q201 (stderr of the subset-sum estimate
+    * is ≤ W/sqrt(k−1), Duffield–Lund–Thorup '07 Thm 1).
+    */
+  val PriorityK = 32
+
+  /** q201: deterministic PRIORITY SAMPLING (Duffield, Lund & Thorup,
+    * JACM '07) — a k-row weighted sample per source whose
+    * Horvitz–Thompson read-out estimates the source's total token
+    * mass, the "how big is each slice really" question a 100 TB
+    * pipeline must answer WITHOUT a full scan per slice definition.
+    *
+    * Priorities q_i = w_i/u_i are realized exactly in integers: u_i
+    * comes from the 60-bit content-id hash, and ordering by q_i
+    * DESCENDING equals ordering by `key_i = (h_i+1) div w_i` ASCENDING
+    * — one long division per row, no floats. The k smallest keys per
+    * source are kept by the O(k) [[graft.functions.BottomKTriples]]
+    * aggregator (map-side partial merge, never a per-source sort); the
+    * (k+1)-th key is the threshold τ, and the DLT estimator
+    * Σ max(w_i, 2^60/τ) is evaluated as Σ max(w_i·τ, 2^60) // τ — all
+    * BigInt/HUGEINT, so the whole estimator hash-matches its replay.
+    * Sources with ≤ k rows are exact by construction. The exact total
+    * rides from the same pass's partial aggregates (O(groups) rows).
+    */
+  def q201PrioritySample(s: SparkSession, d: String): DataFrame =
+    prioritySampleOf(Tables.documents(s, d))
+
+  /** [[q201PrioritySample]] over any `(source, doc_id, n_chars)` frame. */
+  private[graft] def prioritySampleOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val base = docs
+      .filter(col("n_chars") > 0)
+      .select(col("source"),
+        Corpus.hllKey(col("doc_id").cast("string")).as("h"),
+        col("n_chars").as("w"))
+      .withColumn("key", expr("(h + 1) div w"))
+    val bottomK = new graft.functions.BottomKTriples[(String, Long, Long, Long)](
+      PriorityK + 1, { case (_, key, h, w) => (key, h, w) })
+    val tops = base.select(col("source"), col("key"), col("h"), col("w"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1).agg(bottomK.toColumn.name("top"))
+      .toDF("source", "top")
+    val exact = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).cast("long").as("w_total_exact"))
+    val dom = BigInt(1) << 60 // the hllKey domain: u = (h+1)/2^60
+    val est = tops.as[(String, Seq[(Long, Long, Long)])]
+      .map { case (src, top) =>
+        if (top.size <= PriorityK) {
+          // the sample IS the population: estimate exact, no threshold
+          (src, top.size.toLong, 0L, top.map(_._3).sum)
+        } else {
+          val tau = top(PriorityK)._1 // (k+1)-th smallest key
+          val kept = top.take(PriorityK)
+          val e =
+            if (tau == 0L) kept.map(_._3).sum // all-zero keys: degenerate
+            else (kept.map { case (_, _, w) =>
+              val wt = BigInt(w) * tau
+              if (wt > dom) wt else dom
+            }.sum / tau).toLong
+          (src, PriorityK.toLong, tau, e)
+        }
+      }
+      .toDF("source", "n_sample", "tau_key", "est_w_total")
+    est.join(exact, "source")
+      .select(col("source"), col("n_docs"), col("w_total_exact"),
+        col("n_sample"), col("tau_key"), col("est_w_total"))
+      .orderBy(col("source"))
+  }
+
   /** [[q196SplitManifest]] over any `(source, text, n_chars)` frame. */
   private[operators] def splitManifestOf(docs: DataFrame): DataFrame = {
     splitAssign(docs)

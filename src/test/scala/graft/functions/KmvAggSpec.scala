@@ -84,6 +84,37 @@ class KmvAggSpec extends SparkSpec {
     for ((g, sk) <- want) assert(got(g) == sk, s"group $g")
   }
 
+  test("q200: history-parquet + delta merge equals the one-pass corpus sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val before = java.io.File.createTempFile("probe", "").getParentFile
+      .listFiles().count(_.getName.startsWith("graft_sketch_store"))
+    val inc = graft.operators.Corpus.q200IncrementalSketch(spark, d)
+      .collect().map(_.toString).toSeq
+    // one-pass twin: sketch the whole table directly, same read-out
+    val ev = graft.Tables.events(spark, d)
+      .select(col("event_type"),
+        graft.operators.Corpus.hllKey(col("user_id").cast("string")).as("x"))
+    val direct = graft.operators.Corpus.kmvReadout(
+        ev.groupBy(col("event_type"))
+          .agg(KmvSketchAgg.sketch(col("x"), graft.operators.Corpus.KmvK).as("sk"))
+          .withColumnRenamed("event_type", "source"))
+      .withColumnRenamed("source", "event_type")
+      .join(ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("x")).as("n_distinct_exact")), "event_type")
+      .select(col("event_type"), col("n_distinct_exact"), col("n_kmv"),
+        col("kth_min"), col("est_distinct"))
+      .orderBy(col("event_type"))
+      .collect().map(_.toString).toSeq
+    assert(inc.nonEmpty)
+    assert(inc == direct)
+    // the sketch store is swept even though the query succeeded
+    val after = java.io.File.createTempFile("probe", "").getParentFile
+      .listFiles().count(_.getName.startsWith("graft_sketch_store"))
+    assert(after <= before, "sketch store directory leaked")
+  }
+
   test("null inputs are ignored") {
     import spark.implicits._
     val df = Seq(Some(3L), None, Some(1L), None, Some(3L))
