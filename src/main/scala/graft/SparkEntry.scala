@@ -229,6 +229,7 @@ object SparkEntry {
     "q199_quantile_rollup" -> (Corpus.q199QuantileRollup _),
     "q200_incremental_sketch" -> (Corpus.q200IncrementalSketch _),
     "q201_priority_sample" -> (Curation.q201PrioritySample _),
+    "q202_cms_rollup" -> (Corpus.q202CmsRollup _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4534,6 +4535,61 @@ object SparkEntry {
         |  FROM t2, n2 GROUP BY 1, 2, 3)
         |SELECT * FROM q1 UNION ALL SELECT * FROM q2
         |ORDER BY lvl, source""".stripMargin,
+    // CMS rollup (q202): per-source cells re-summed at both grains
+    // (cell-wise SUM = the union's grid, CMS linearity), absent cells
+    // read as 0 through the left join — the true point query
+    "q202_cms_rollup" ->
+      s"""WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(COALESCE(text, ''), ' '), t -> t <> '')) AS tok
+        |  FROM documents),
+        |seeds(j, a, b, c) AS (SELECT * FROM (VALUES ${graft.operators.Corpus.cmsSeedValuesSql}) v),
+        |keyed AS (
+        |  SELECT source, tok, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS x
+        |  FROM toks),
+        |cs AS (
+        |  SELECT source, j,
+        |    ((a * (x >> 30) + b * (x & 1073741823) + c) % 2147483647) % 512 AS bkt,
+        |    COUNT(*) AS c
+        |  FROM keyed, seeds GROUP BY 1, 2, 3),
+        |ca AS (SELECT j, bkt, SUM(c) AS c FROM cs GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1
+        |    ORDER BY n DESC, tok LIMIT 5)),
+        |pb AS (
+        |  SELECT p.tok, s.j,
+        |    ((s.a * (k.x >> 30) + s.b * (k.x & 1073741823) + s.c) % 2147483647) % 512 AS bkt
+        |  FROM pr p, seeds s,
+        |    (SELECT DISTINCT tok, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS x
+        |     FROM toks) k
+        |  WHERE k.tok = p.tok),
+        |grains AS (
+        |  SELECT CAST(0 AS BIGINT) AS lvl, source FROM (SELECT DISTINCT source FROM toks)
+        |  UNION ALL SELECT CAST(1 AS BIGINT), '<all>'),
+        |joined AS (
+        |  SELECT g.lvl, g.source, p.tok,
+        |    COALESCE(CASE WHEN g.lvl = 0 THEN cs.c ELSE ca.c END, 0) AS c
+        |  FROM grains g
+        |  CROSS JOIN pb p
+        |  LEFT JOIN cs ON g.lvl = 0 AND cs.source = g.source
+        |    AND cs.j = p.j AND cs.bkt = p.bkt
+        |  LEFT JOIN ca ON g.lvl = 1 AND ca.j = p.j AND ca.bkt = p.bkt),
+        |est AS (
+        |  SELECT lvl, source, tok, CAST(MIN(c) AS BIGINT) AS est_cnt
+        |  FROM joined GROUP BY 1, 2, 3),
+        |exacts AS (
+        |  SELECT CAST(0 AS BIGINT) AS lvl, source, tok, COUNT(*) AS exact_cnt
+        |  FROM toks WHERE tok IN (SELECT tok FROM pr) GROUP BY 2, 3
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), '<all>', tok, COUNT(*)
+        |  FROM toks WHERE tok IN (SELECT tok FROM pr) GROUP BY 3)
+        |SELECT e.lvl, e.source, e.tok,
+        |  COALESCE(x.exact_cnt, 0) AS exact_cnt, e.est_cnt,
+        |  e.est_cnt - COALESCE(x.exact_cnt, 0) AS over_err
+        |FROM est e LEFT JOIN exacts x
+        |  ON x.lvl = e.lvl AND x.source = e.source AND x.tok = e.tok
+        |ORDER BY 1, 2, 3""".stripMargin,
     // Incremental sketch through storage (q200): the KMV union law
     // makes history-sketch (parquet round-trip) + delta-sketch equal
     // the whole-corpus sketch, so the oracle replays the one-pass form

@@ -2021,6 +2021,80 @@ object Corpus {
     out
   }
 
+  /** q202: CMS ROLLUP — per-source AND corpus-total frequency
+    * estimates for a probe slate from ONE grid build, completing the
+    * rollup trio (HLL q190 = register MAX, quantile q199 = bottom-k
+    * re-merge, CMS = cell-wise SUM): the sketch is a linear map of the
+    * frequency vector (Cormode & Muthukrishnan '05), so summing
+    * per-source grids at any GROUPING SETS grain IS the union's grid.
+    * Work per level is |sources|·depth·width cells, never the corpus;
+    * absent cells read as 0 through the left join, the true CMS point
+    * query (a grain that never saw the token estimates 0 exactly).
+    */
+  def q202CmsRollup(s: SparkSession, d: String): DataFrame =
+    cmsRollupOf(s, Tables.documents(s, d))
+
+  /** [[q202CmsRollup]] over any `(source, text)` frame. */
+  private[graft] def cmsRollupOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"),
+        explode(filter(split(coalesce(col("text"), lit("")), " "),
+          t => t =!= "")).as("tok"))
+      .persist()
+    val seeds = s.createDataFrame(
+      cmsA.indices.map(j => (j.toLong, cmsA(j), cmsB(j), cmsC(j))))
+      .toDF("j", "a", "b", "c")
+    val cells = toks
+      .select(col("source"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("x"))
+      .groupBy(col("source"))
+      .agg(graft.functions.CmsSketchAgg.sketch(col("x")).as("cells"))
+      .select(col("source"), posexplode(col("cells")).as(Seq("pos", "c")))
+      .filter(col("c") > 0)
+      .select(col("source"),
+        expr(s"CAST(pos div $CmsReplayWidth AS BIGINT)").as("j"),
+        expr(s"CAST(pos % $CmsReplayWidth AS BIGINT)").as("bkt"), col("c"))
+    // one GROUPING SETS pass re-sums the cells at both grains
+    val leveled = cells
+      .groupingSets(
+        Seq(Seq(col("source"), col("j"), col("bkt")), Seq(col("j"), col("bkt"))),
+        col("source"), col("j"), col("bkt"))
+      .agg(sum(col("c")).as("c"), grouping(col("source")).as("lvl"))
+      .select(col("lvl").cast("long").as("lvl"),
+        coalesce(col("source"), lit("<all>")).as("source"),
+        col("j"), col("bkt"), col("c"))
+      .persist()
+    // probe slate: global exact top-5 tokens (the q158 convention)
+    val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(5).select(col("tok"))
+    val probeCells = probes.crossJoin(broadcast(seeds))
+      .select(col("tok"), col("j"),
+        cmsBucket(col("tok"), col("a"), col("b"), col("c")).as("bkt"))
+    val grains = leveled.select(col("lvl"), col("source")).distinct()
+    val est = grains.crossJoin(broadcast(probeCells))
+      .join(leveled, Seq("lvl", "source", "j", "bkt"), "left")
+      .groupBy(col("lvl"), col("source"), col("tok"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_cnt"))
+    val exacts = toks.join(broadcast(probes), "tok")
+      .groupingSets(Seq(Seq(col("source"), col("tok")), Seq(col("tok"))),
+        col("source"), col("tok"))
+      .agg(count(lit(1)).as("exact_cnt"), grouping(col("source")).as("xlvl"))
+      .select(col("xlvl").cast("long").as("lvl"),
+        coalesce(col("source"), lit("<all>")).as("source"),
+        col("tok"), col("exact_cnt"))
+    val out = est.join(exacts, Seq("lvl", "source", "tok"), "left")
+      .select(col("lvl"), col("source"), col("tok"),
+        coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
+        col("est_cnt"),
+        (col("est_cnt") - coalesce(col("exact_cnt"), lit(0L))).as("over_err"))
+      .orderBy(col("lvl"), col("source"), col("tok"))
+      .persist()
+    out.count()
+    toks.unpersist(blocking = false)
+    leveled.unpersist(blocking = false)
+    out
+  }
+
   /** q200: incremental statistics through STORAGE — the sketch-table
     * pattern every 100 TB pipeline ends at: yesterday's corpus is
     * never rescanned; its per-group sketch states live in a parquet

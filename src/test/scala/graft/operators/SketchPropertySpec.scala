@@ -37,6 +37,27 @@ class SketchPropertySpec extends SparkSpec {
     }
   }
 
+  test("CMS rollup law: the total grain equals the one-group corpus grid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(83)
+    val docs = corpus(31, 150).map(t => (s"s${rnd.nextInt(4)}", t))
+      .toDF("source", "text")
+    val rollup = Corpus.cmsRollupOf(spark, docs)
+    val total = rollup.filter(col("lvl") === 1L)
+      .select(col("tok"), col("exact_cnt"), col("est_cnt"), col("over_err"))
+      .collect().map(_.toString).sorted.toSeq
+    val direct = Corpus.cmsRollupOf(spark, docs.withColumn("source", lit("one")))
+      .filter(col("lvl") === 1L)
+      .select(col("tok"), col("exact_cnt"), col("est_cnt"), col("over_err"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(total.nonEmpty && total == direct)
+    // the one-sided law holds at every grain
+    Corpus.cmsRollupOf(spark, docs).collect().foreach { r =>
+      assert(r.getLong(4) >= r.getLong(3), r.toString)
+    }
+  }
+
   /** Independent register reference: md5 via MessageDigest directly,
     * 60-bit key from the hex string, bucket/rho in plain Scala — no
     * shared code with the engine's Column expressions.
