@@ -230,6 +230,8 @@ object SparkEntry {
     "q200_incremental_sketch" -> (Corpus.q200IncrementalSketch _),
     "q201_priority_sample" -> (Curation.q201PrioritySample _),
     "q202_cms_rollup" -> (Corpus.q202CmsRollup _),
+    "q203_stream_sliding_quantile" ->
+      (graft.streaming.EventStream.q203StreamSlidingQuantile _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4535,6 +4537,33 @@ object SparkEntry {
         |  FROM t2, n2 GROUP BY 1, 2, 3)
         |SELECT * FROM q1 UNION ALL SELECT * FROM q2
         |ORDER BY lvl, source""".stripMargin,
+    // Sliding window quantiles (q203): the q197 replay with the
+    // 6-fold slide expansion explicit — every event in its 6
+    // slide-aligned trailing-hour windows
+    "q203_stream_sliding_quantile" ->
+      s"""WITH e AS (
+        |  SELECT (epoch_us(ts) - epoch_us(ts) % 600000000) - i * 600000000 AS win_start_us,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+        |    CAST(round(value * 1e6) AS BIGINT) AS v
+        |  FROM events, unnest(range(0, 6)) u(i) WHERE value IS NOT NULL),
+        |d AS (SELECT win_start_us, h, MIN(v) AS v FROM e GROUP BY 1, 2),
+        |r AS (
+        |  SELECT win_start_us, v,
+        |    ROW_NUMBER() OVER (PARTITION BY win_start_us ORDER BY h) AS rh
+        |  FROM d),
+        |t AS (
+        |  SELECT win_start_us, v,
+        |    ROW_NUMBER() OVER (PARTITION BY win_start_us ORDER BY v) AS rv,
+        |    COUNT(*) OVER (PARTITION BY win_start_us) AS ns
+        |  FROM r WHERE rh <= ${graft.operators.Corpus.SampleK}),
+        |n AS (SELECT win_start_us, COUNT(*) AS n_events FROM e GROUP BY 1)
+        |SELECT n.win_start_us, n.n_events,
+        |  CAST(MAX(t.ns) AS BIGINT) AS n_sample,
+        |  MAX(CASE WHEN rv = (ns * 50 + 99) // 100 THEN v END) AS p50_fx,
+        |  MAX(CASE WHEN rv = (ns * 90 + 99) // 100 THEN v END) AS p90_fx,
+        |  MAX(CASE WHEN rv = (ns * 99 + 99) // 100 THEN v END) AS p99_fx
+        |FROM t JOIN n ON n.win_start_us = t.win_start_us
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // CMS rollup (q202): per-source cells re-summed at both grains
     // (cell-wise SUM = the union's grid, CMS linearity), absent cells
     // read as 0 through the left join — the true point query

@@ -1648,6 +1648,47 @@ object EventStream {
       .orderBy(col("win_start_us"))
   }
 
+  /** q203 — the TWENTIETH streaming shape: the trailing-hour value
+    * quantile updated every 10 minutes, i.e. [[q197StreamQuantile]]
+    * slid the way [[q193StreamSlidingKmv]] slides the distinct
+    * monitor. Sliding is where the sample pays hardest: an exact
+    * per-window quantile duplicates the full value MULTISET across
+    * the 6× overlap; the pair sample duplicates 2k longs. Spark's
+    * window(slide) does the row duplication and the aggregate's O(k)
+    * partials absorb it before the shuffle. Same read-out, same
+    * oracle family — the whole stream query replays from the batch
+    * table with the 6-fold expansion explicit.
+    */
+  def q203StreamSlidingQuantile(s: SparkSession, d: String): DataFrame = {
+    val stream = eventsStream(s, d)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_id"), col("value"))
+    val sk = stream
+      .filter(col("value").isNotNull)
+      .withWatermark("ts", "80 minutes")
+      .groupBy(window(col("ts"), "60 minutes", "10 minutes"))
+      .agg(
+        graft.functions.SamplePairsAgg.sketch(
+          graft.operators.Corpus.hllKey(col("event_id").cast("string")),
+          round(col("value") * lit(1e6)).cast("long"),
+          graft.operators.Corpus.SampleK).as("pairs"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("pairs"),
+        col("n_events"))
+    val qname = "q203_stream_sliding_quantile"
+    withReplayStateWidth(s, eventsBytes(d)) {
+      val q = sk.writeStream.format("memory").queryName(qname)
+        .outputMode(OutputMode.Complete).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val sink = s.table(qname)
+      .select(unix_micros(col("win_start")).as("k"), col("pairs"),
+        col("n_events"))
+    graft.operators.Corpus.quantileReadoutLong(sink)
+      .withColumnRenamed("k", "win_start_us")
+      .orderBy(col("win_start_us"))
+  }
+
   /** q167 — the TWELFTH streaming shape: a per-window event-frequency
     * monitor via the replayable CMS ([[cmsWindowCells]]) replayed over
     * the bounded events table, probed in batch for the fixed probe

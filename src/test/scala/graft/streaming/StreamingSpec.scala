@@ -673,6 +673,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("q203: sliding quantile windows match the explicit 6-fold batch expansion") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val streamed = graft.streaming.EventStream
+      .q203StreamSlidingQuantile(spark, d).collect().map(_.toString).toSeq
+    // batch twin: every event in its 6 slide-aligned windows, same agg
+    val sk = graft.Tables.events(spark, d)
+      .filter(col("value").isNotNull)
+      .select(expr("ts div 1000").as("ts_us"), col("event_id"), col("value"))
+      .select(explode(sequence(lit(0L), lit(5L))).as("i"),
+        col("ts_us"), col("event_id"), col("value"))
+      .select((expr("ts_us - ts_us % 600000000") - col("i") * lit(600000000L))
+        .as("k"), col("event_id"), col("value"))
+      .groupBy(col("k"))
+      .agg(graft.functions.SamplePairsAgg.sketch(
+          graft.operators.Corpus.hllKey(col("event_id").cast("string")),
+          round(col("value") * lit(1e6)).cast("long"),
+          graft.operators.Corpus.SampleK).as("pairs"),
+        count(lit(1)).as("n_events"))
+    val batch = graft.operators.Corpus.quantileReadoutLong(sk)
+      .withColumnRenamed("k", "win_start_us")
+      .orderBy(col("win_start_us"))
+      .collect().map(_.toString).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // each trailing hour holds >= its own first 10 minutes' events
+    val tumbling = graft.streaming.EventStream.q197StreamQuantile(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    streamed.map(_.split(",")(0).drop(1).toLong).zip(
+      streamed.map(_.split(",")(1).toLong)).foreach { case (w, n) =>
+      tumbling.get(w).foreach(tn => assert(n >= tn, s"window $w"))
+    }
+  }
+
   test("cusumStream: carry is cumulative across micro-batches, O(1) per key") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
