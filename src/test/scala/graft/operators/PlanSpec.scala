@@ -186,4 +186,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(source"), p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("quantile sketch build: map-side partial pair sample, key-partitioned merge") {
+    val ev = graft.Tables.events(spark, d)
+    val p = graft.operators.Corpus.q195QuantileSketch(spark, d)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the per-partition sample IS the partial aggregate (SamplePairsAgg
+    // through ObjectHashAggregate — a silent fall to SortAggregate
+    // would re-sort the corpus per group); the one exchange carries
+    // 2k longs per event_type per partition
+    assert(p.contains("partial_sample_pairs"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("hashpartitioning(event_type"), p)
+    assert(!p.contains("SinglePartition"),
+      s"q195 must not plan any SinglePartition exchange:\n$p")
+    ev.unpersist()
+  }
 }
