@@ -232,6 +232,7 @@ object SparkEntry {
     "q202_cms_rollup" -> (Corpus.q202CmsRollup _),
     "q203_stream_sliding_quantile" ->
       (graft.streaming.EventStream.q203StreamSlidingQuantile _),
+    "q204_mad_outliers" -> (Temporal.q204MadOutliers _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4537,6 +4538,51 @@ object SparkEntry {
         |  FROM t2, n2 GROUP BY 1, 2, 3)
         |SELECT * FROM q1 UNION ALL SELECT * FROM q2
         |ORDER BY lvl, source""".stripMargin,
+    // MAD outliers (q204): the q195 sample replay twice (median of v,
+    // then median of |v - med|), then the integer outlier test
+    "q204_mad_outliers" ->
+      s"""WITH e AS (
+        |  SELECT event_type,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+        |    CAST(round(value * 1e6) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |d1 AS (SELECT event_type, h, MIN(v) AS v FROM e GROUP BY 1, 2),
+        |r1 AS (
+        |  SELECT event_type, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rh
+        |  FROM d1),
+        |t1 AS (
+        |  SELECT event_type, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rv,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS ns
+        |  FROM r1 WHERE rh <= ${graft.operators.Corpus.SampleK}),
+        |med AS (
+        |  SELECT event_type, MAX(CASE WHEN rv = (ns * 50 + 99) // 100 THEN v END) AS med_fx
+        |  FROM t1 GROUP BY 1),
+        |dv AS (
+        |  SELECT e.event_type, e.h, abs(e.v - med.med_fx) AS dev
+        |  FROM e JOIN med ON med.event_type = e.event_type),
+        |d2 AS (SELECT event_type, h, MIN(dev) AS dev FROM dv GROUP BY 1, 2),
+        |r2 AS (
+        |  SELECT event_type, dev,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rh
+        |  FROM d2),
+        |t2 AS (
+        |  SELECT event_type, dev,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rv,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS ns
+        |  FROM r2 WHERE rh <= ${graft.operators.Corpus.SampleK}),
+        |mad AS (
+        |  SELECT event_type, MAX(CASE WHEN rv = (ns * 50 + 99) // 100 THEN dev END) AS mad_fx
+        |  FROM t2 GROUP BY 1)
+        |SELECT dv.event_type, COUNT(*) AS n_events,
+        |  MAX(med.med_fx) AS med_fx, MAX(mad.mad_fx) AS mad_fx,
+        |  CAST(SUM(CASE WHEN dv.dev * 10000 > mad.mad_fx * 44478 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dv
+        |JOIN med ON med.event_type = dv.event_type
+        |JOIN mad ON mad.event_type = dv.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Sliding window quantiles (q203): the q197 replay with the
     // 6-fold slide expansion explicit — every event in its 6
     // slide-aligned trailing-hour windows

@@ -744,6 +744,65 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** q204: robust outlier detection via median/MAD — the monitor
+    * family's robust member: z-scores (exact-moment profiling, q47)
+    * break down when the contamination itself inflates the mean and
+    * std; median and MAD have a 50% breakdown point (Hampel '74).
+    * Exact per-group medians cost a corpus sort per group at 100 TB,
+    * so both location and scale come from the q195 bottom-k pair
+    * sample: three LINEAR passes (sample → deviation sample → count),
+    * each map-side combined with 2k longs of state per group, medians
+    * broadcast back as O(groups) rows. The outlier test
+    * |x − med| > 3·1.4826·MAD is evaluated as the integer comparison
+    * dev·10000 > 44478·mad, so the whole query hash-matches its
+    * replay.
+    */
+  def q204MadOutliers(s: SparkSession, d: String): DataFrame =
+    madOutliersOf(Tables.events(s, d))
+
+  /** [[q204MadOutliers]] over any `(event_type, event_id, value)` frame. */
+  private[graft] def madOutliersOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val k = graft.operators.Corpus.SampleK
+    val fx = events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        graft.operators.Corpus.hllKey(col("event_id").cast("string")).as("h"),
+        round(col("value") * lit(1e6)).cast("long").as("v"))
+      .persist()
+    // sample p50 of a (event_type, h, metric) frame — the q195
+    // read-out restricted to the median
+    def sampleP50(df: DataFrame, metric: String): DataFrame = df
+      .groupBy(col("event_type"))
+      .agg(graft.functions.SamplePairsAgg
+        .sketch(col("h"), col(metric), k).as("pairs"))
+      .as[(String, Seq[Long])]
+      .map { case (et, pairs) =>
+        val vals = Array.tabulate(pairs.size / 2)(i => pairs(2 * i + 1))
+        java.util.Arrays.sort(vals)
+        (et, vals(graft.functions.SamplePairsAgg.rankOf(vals.length, 50) - 1))
+      }
+      .toDF("event_type", metric + "_p50")
+    val med = sampleP50(fx, "v").withColumnRenamed("v_p50", "med_fx")
+    val dev = fx.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("v") - col("med_fx")))
+    val mad = sampleP50(dev.select(col("event_type"), col("h"), col("dev")),
+      "dev").withColumnRenamed("dev_p50", "mad_fx")
+    val out = dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("med_fx")).as("med_fx"), // constant per group
+        max(col("mad_fx")).as("mad_fx"),
+        sum(when(col("dev") * lit(10000L) > col("mad_fx") * lit(44478L), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+      .persist()
+    out.count()
+    fx.unpersist(blocking = false)
+    out
+  }
+
   /** q198: exact-arithmetic OLS trend per event_type — the drift-RATE
     * signal completing the monitor family: the two-population checks
     * (q100/q110) detect THAT a distribution moved, CUSUM (q185/q192)
