@@ -1217,29 +1217,62 @@ object SparkEntry {
         |SELECT doc_id, src_w, src_h, dst_w, dst_h,
         |  CAST(dst_w * dst_h * 3 AS BIGINT) AS out_bytes
         |FROM r ORDER BY doc_id""".stripMargin,
-    // ANALYTIC oracle: the driver corpus carries zero digits and zero
-    // PII shapes anywhere in `text` (verified per SF), so every match
-    // the engine's regex chain can produce comes from the suffix q63
-    // plants deterministically from doc_id — one email
-    // (user{d}@example.com -> 16+len(d) chars, token 7), one IPv4
-    // (10.{d%250}.0.{d%199+1} -> 6+len(a)+len(b) chars, token 4), one
-    // phone (+1-555-xxx-yyyy, fixed 15 chars, token 7), and a date the
-    // guard must NOT match. Deriving the expected counts and removed
-    // chars from that arithmetic is an INDEPENDENT derivation (the
-    // regexes never run here), so a drift in either the planting or the
-    // regex semantics hash-mismatches. Not a regex replay: the chain
-    // needs lookbehind AND lookahead, and DuckDB's RE2 has neither.
+    // REGEX-REPLAY oracle (was analytic through r15): the redaction
+    // chain re-runs in DuckDB on the same planted text — email replayed
+    // verbatim (no lookarounds), IPv4's lookarounds re-expressed as
+    // prefix/suffix captures restored by group reference (RE2-safe),
+    // and the engine's date guard realized as a LENGTH-PRESERVING
+    // digit->letter mask of the 4-2-2 date shape before the phone rule
+    // runs: the corpus text carries zero digits (verified per SF), so
+    // the only 4-2-2 run IS the planted date, and masking it replays
+    // exactly what the engine's negative lookahead refuses. The phone
+    // rule's separated-block core then replays structurally
+    // (+country / paren group / 2-4-digit dash-dot-space blocks) with
+    // capture-restored boundaries. chars_removed falls out of the
+    // replayed lengths — the mask keeps them engine-identical — so a
+    // drift in planting OR regex semantics hash-mismatches on real
+    // regex execution, not on planting arithmetic.
     "q63_pii_redact" ->
-      """SELECT source,
+      """WITH p AS (
+        |  SELECT source,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      || ' or +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' via 10.' || CAST(doc_id % 250 AS VARCHAR)
+        |      || '.0.' || CAST(doc_id % 199 + 1 AS VARCHAR)
+        |      || ' on 2026-08-12' AS t
+        |  FROM documents),
+        |r1 AS (
+        |  SELECT source, t,
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS t1
+        |  FROM p),
+        |r2 AS (
+        |  SELECT source, t, t1,
+        |    regexp_replace(t1,
+        |      '(^|[^0-9.])((?:[0-9]{1,3}\.){3}[0-9]{1,3})($|[^0-9.])',
+        |      '\1<IP>\3', 'g') AS t2
+        |  FROM r1),
+        |r3 AS (
+        |  SELECT source, t, t1, t2,
+        |    regexp_replace(t2, '[0-9]{4}-[0-9]{2}-[0-9]{2}', 'DDDD-DD-DD', 'g') AS t2m
+        |  FROM r2),
+        |r4 AS (
+        |  SELECT source, t, t1, t2m,
+        |    regexp_replace(t2m,
+        |      '(^|[^0-9])(\+?(?:[0-9]{1,3}[-. ])?(?:\([0-9]{2,4}\)[-. ]?)?[0-9]{2,4}(?:[-. ][0-9]{2,4}){1,3})($|[^0-9])',
+        |      '\1<PHONE>\3', 'g') AS t3
+        |  FROM r3)
+        |SELECT source,
         |  count(*) AS n_docs,
-        |  count(*) AS n_emails,
-        |  count(*) AS n_ips,
-        |  count(*) AS n_phones,
-        |  CAST(sum(19
-        |    + length(CAST(doc_id AS VARCHAR))
-        |    + length(CAST(doc_id % 250 AS VARCHAR))
-        |    + length(CAST(doc_id % 199 + 1 AS VARCHAR))) AS BIGINT) AS chars_removed
-        |FROM documents
+        |  CAST(sum(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+        |  CAST(sum(len(regexp_extract_all(t1,
+        |    '(^|[^0-9.])((?:[0-9]{1,3}\.){3}[0-9]{1,3})($|[^0-9.])'))) AS BIGINT) AS n_ips,
+        |  CAST(sum(len(regexp_extract_all(t2m,
+        |    '(^|[^0-9])(\+?(?:[0-9]{1,3}[-. ])?(?:\([0-9]{2,4}\)[-. ]?)?[0-9]{2,4}(?:[-. ][0-9]{2,4}){1,3})($|[^0-9])'))) AS BIGINT) AS n_phones,
+        |  CAST(sum(length(t) - length(t3)) AS BIGINT) AS chars_removed
+        |FROM r4
         |GROUP BY source
         |ORDER BY source""".stripMargin,
     "q64_span_dedup" ->

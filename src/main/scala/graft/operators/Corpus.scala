@@ -236,7 +236,27 @@ object Corpus {
     * graph up to ~2^20 diameter, and if it is ever still unconverged
     * the operator throws rather than mislabel.
     */
-  private[operators] def connectedComponents(
+  /** One CC propagate round: each node takes the min label among its
+    * neighbors (self-loops in `e` deliver its own). Extracted so
+    * PlanSpec can pin the round's scale shape — `e` arrives cached
+    * with HashPartitioning(src), so only the label frame shuffles.
+    */
+  private[graft] def ccPropagate(e: DataFrame, labels: DataFrame): DataFrame =
+    e.join(labels, col("src") === col("p"))
+      .select(col("dst").as("p"), col("lbl"))
+      .groupBy(col("p")).agg(min(col("lbl")).as("lbl"))
+
+  /** Pointer-doubling shortcut: label := label's own label. Extracted
+    * for the same PlanSpec pin — both sides are the (checkpointed)
+    * stepped frame, node-sized.
+    */
+  private[graft] def ccShortcut(stepped: DataFrame): DataFrame =
+    stepped.as("a")
+      .join(stepped.select(col("p").as("lp"), col("lbl").as("llbl")),
+        col("a.lbl") === col("lp"))
+      .select(col("a.p").as("p"), col("llbl").as("lbl"))
+
+  private[graft] def connectedComponents(
       nodes: DataFrame, edges: DataFrame): DataFrame = {
     // the convergence invariant sums node ids — DECIMAL(38,0), not
     // BIGINT, so it cannot overflow at any realistic id range x corpus
@@ -270,16 +290,9 @@ object Corpus {
       // checkpoint BEFORE the self-join: the doubling join needs the
       // stepped frame as a leaf, and it truncates lineage so round N
       // never replays rounds 1..N-1
-      val stepped = e.join(labels, col("src") === col("p"))
-        .select(col("dst").as("p"), col("lbl"))
-        .groupBy(col("p")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(eager = false)
+      val stepped = ccPropagate(e, labels).localCheckpoint(eager = false)
       // pointer doubling: replace each label by that label's own label
-      val next = stepped.as("a")
-        .join(stepped.select(col("p").as("lp"), col("lbl").as("llbl")),
-          col("a.lbl") === col("lp"))
-        .select(col("a.p").as("p"), col("llbl").as("lbl"))
-        .localCheckpoint(eager = false)
+      val next = ccShortcut(stepped).localCheckpoint(eager = false)
       val s2 = labelSum(next)
       // next is materialized now; the previous round's checkpoints
       // (labels and the intermediate stepped) are dead — release their
@@ -332,6 +345,22 @@ object Corpus {
     * and the checkpoint being materialized is only the node-sized rank
     * frame, never the edges.
     */
+  /** One PageRank update: contributions along the cached degree-joined
+    * edge frame, damped re-seed over the node set. Extracted so
+    * PlanSpec can pin the round's scale shape — `e` arrives cached
+    * with HashPartitioning(src), so each round shuffles only
+    * node-sized frames.
+    */
+  private[graft] def pageRankStep(
+      e: DataFrame, n: DataFrame, ranks: DataFrame, base: Long): DataFrame = {
+    val contrib = e.join(ranks, col("src") === col("p"))
+      .select(col("dst"), expr("r div deg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+    n.join(contrib, col("p") === col("dst"), "left")
+      .select(col("p"),
+        (lit(base) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("r"))
+  }
+
   def pageRank(
       nodes: DataFrame, edges: DataFrame,
       iterations: Int = PageRankIterations): DataFrame = {
@@ -347,13 +376,7 @@ object Corpus {
     val n = nodes.select(col("p")).persist()
     var ranks = n.select(col("p"), lit(PrScale).as("r"))
     for (_ <- 1 to iterations) {
-      val contrib = e.join(ranks, col("src") === col("p"))
-        .select(col("dst"), expr("r div deg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
-      val next = n
-        .join(contrib, col("p") === col("dst"), "left")
-        .select(col("p"),
-          (lit(base) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("r"))
+      val next = pageRankStep(e, n, ranks, base)
         .localCheckpoint(eager = true) // truncate: constant-depth plans
       freeCheckpoint(ranks) // no-op on the non-checkpoint seed frame
       ranks = next
@@ -421,6 +444,18 @@ object Corpus {
     * dynamics: scores ≤ scale, sums ≤ max-degree·scale — plain BIGINTs
     * both engines.
     */
+  /** One HITS authority update: hub scores summed along the cached
+    * edge frame, renormalized against the broadcast 1-row max.
+    * Extracted so PlanSpec can pin the round's scale shape (the hub
+    * update is the same plan with the roles swapped).
+    */
+  private[graft] def hitsAuthorityStep(e: DataFrame, h: DataFrame): DataFrame = {
+    val araw = e.join(h, "c").groupBy(col("p")).agg(sum(col("h")).as("ar"))
+    araw.crossJoin(broadcast(
+        araw.agg(greatest(max(col("ar")), lit(1L)).as("m"))))
+      .select(col("p"), expr(s"(ar * ${HitsScale}L) div m").as("a"))
+  }
+
   def hits(edges: DataFrame, iterations: Int = HitsIterations): DataFrame = {
     val e = edges.select(col("c"), col("p")).repartition(col("c")).persist()
     var h = e.select(col("c")).distinct()
@@ -428,11 +463,7 @@ object Corpus {
       .localCheckpoint(eager = true)
     var a: DataFrame = null
     for (k <- 1 to iterations) {
-      val araw = e.join(h, "c").groupBy(col("p")).agg(sum(col("h")).as("ar"))
-      val anext = araw.crossJoin(broadcast(
-          araw.agg(greatest(max(col("ar")), lit(1L)).as("m"))))
-        .select(col("p"), expr(s"(ar * ${HitsScale}L) div m").as("a"))
-        .localCheckpoint(eager = true)
+      val anext = hitsAuthorityStep(e, h).localCheckpoint(eager = true)
       if (a != null) freeCheckpoint(a)
       a = anext
       if (k < iterations) {
@@ -2034,26 +2065,40 @@ object Corpus {
   def q202CmsRollup(s: SparkSession, d: String): DataFrame =
     cmsRollupOf(s, Tables.documents(s, d))
 
-  /** [[q202CmsRollup]] over any `(source, text)` frame. */
+  /** [[q202CmsRollup]] over any `(source, text)` frame.
+    *
+    * ONE corpus pass: the token stream collapses to `(source, tok, n)`
+    * counts — vocabulary-sized, eagerly materialized — and EVERYTHING
+    * downstream (the grid cells, the probe slate, the exact counts)
+    * derives from that frame, so the documents table is tokenized
+    * exactly once. The r15 form persisted the raw exploded token
+    * stream lazily and let AQE race the probes' broadcast stage
+    * against the cells stage — both missed the unpopulated cache and
+    * tokenized the corpus independently (sf10 canary: 4.0x per
+    * decade). Pre-aggregated counts also shrink the depth-way seed
+    * join from corpus-sized to vocab-sized: the CMS is a linear map,
+    * so summing `n` per (source, j, bkt) IS the row-count grid the
+    * native aggregate builds (cell identity spec-pinned, hash
+    * unchanged).
+    */
   private[graft] def cmsRollupOf(s: SparkSession, docs: DataFrame): DataFrame = {
-    val toks = docs
+    val tokCounts = docs
       .select(col("source"),
         explode(filter(split(coalesce(col("text"), lit("")), " "),
           t => t =!= "")).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("n"))
       .persist()
+    tokCounts.count() // eager: the ONE corpus-linear pass
     val seeds = s.createDataFrame(
       cmsA.indices.map(j => (j.toLong, cmsA(j), cmsB(j), cmsC(j))))
       .toDF("j", "a", "b", "c")
-    val cells = toks
-      .select(col("source"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("x"))
-      .groupBy(col("source"))
-      .agg(graft.functions.CmsSketchAgg.sketch(col("x")).as("cells"))
-      .select(col("source"), posexplode(col("cells")).as(Seq("pos", "c")))
-      .filter(col("c") > 0)
-      .select(col("source"),
-        expr(s"CAST(pos div $CmsReplayWidth AS BIGINT)").as("j"),
-        expr(s"CAST(pos % $CmsReplayWidth AS BIGINT)").as("bkt"), col("c"))
+    val cells = tokCounts
+      .select(col("source"), cmsKey(col("tok")).as("x"), col("n"))
+      .crossJoin(broadcast(seeds))
+      .groupBy(col("source"), col("j"),
+        cmsBucketFromKey(col("x"), col("a"), col("b"), col("c")).as("bkt"))
+      .agg(sum(col("n")).as("c"))
     // one GROUPING SETS pass re-sums the cells at both grains
     val leveled = cells
       .groupingSets(
@@ -2064,8 +2109,9 @@ object Corpus {
         coalesce(col("source"), lit("<all>")).as("source"),
         col("j"), col("bkt"), col("c"))
       .persist()
-    // probe slate: global exact top-5 tokens (the q158 convention)
-    val probes = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    // probe slate: global exact top-5 tokens (the q158 convention) —
+    // a vocab-sized re-aggregation of the cached counts, not a pass
+    val probes = tokCounts.groupBy(col("tok")).agg(sum(col("n")).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(5).select(col("tok"))
     val probeCells = probes.crossJoin(broadcast(seeds))
       .select(col("tok"), col("j"),
@@ -2075,10 +2121,10 @@ object Corpus {
       .join(leveled, Seq("lvl", "source", "j", "bkt"), "left")
       .groupBy(col("lvl"), col("source"), col("tok"))
       .agg(min(coalesce(col("c"), lit(0L))).as("est_cnt"))
-    val exacts = toks.join(broadcast(probes), "tok")
+    val exacts = tokCounts.join(broadcast(probes), "tok")
       .groupingSets(Seq(Seq(col("source"), col("tok")), Seq(col("tok"))),
         col("source"), col("tok"))
-      .agg(count(lit(1)).as("exact_cnt"), grouping(col("source")).as("xlvl"))
+      .agg(sum(col("n")).as("exact_cnt"), grouping(col("source")).as("xlvl"))
       .select(col("xlvl").cast("long").as("lvl"),
         coalesce(col("source"), lit("<all>")).as("source"),
         col("tok"), col("exact_cnt"))
@@ -2090,7 +2136,7 @@ object Corpus {
       .orderBy(col("lvl"), col("source"), col("tok"))
       .persist()
     out.count()
-    toks.unpersist(blocking = false)
+    tokCounts.unpersist(blocking = false)
     leveled.unpersist(blocking = false)
     out
   }
@@ -2137,9 +2183,12 @@ object Corpus {
         .select(col("event_type"), col("n_distinct_exact"), col("n_kmv"),
           col("kth_min"), col("est_distinct"))
         .orderBy(col("event_type"))
-        .persist()
-      out.count() // materialize before the store is deleted
-      out
+      // O(event_types) rows: collect-and-recreate severs the lineage
+      // from the store entirely — a merely-CACHED frame would recompute
+      // through the deleted parquet path if its blocks were later
+      // evicted (clearCache per the repo's LRU contract, executor loss)
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally {
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles()

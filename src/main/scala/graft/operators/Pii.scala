@@ -102,15 +102,14 @@ object Pii {
     * IPv4, and one phone planted DETERMINISTICALLY from its doc_id
     * (plus an ISO date that must NOT be counted as a phone) — the
     * counts are non-vacuous and every column is reproducible run to
-    * run. The regex chain needs lookbehind AND lookahead, neither of
-    * which DuckDB's RE2 can express — so the oracle is ANALYTIC, not a
-    * regex replay: because the corpus text carries zero digits, every
-    * possible match comes from the planted suffix, and the oracle
-    * derives the expected counts and removed-character totals from the
-    * planting arithmetic alone (an independent derivation that
-    * hash-mismatches if either the planting or the regex semantics
-    * drift). The redaction semantics themselves are pinned by PiiSpec
-    * fixtures.
+    * run. The oracle is a REGEX REPLAY in DuckDB (analytic through
+    * r15): email verbatim, IPv4 with the lookarounds re-expressed as
+    * RE2 prefix/suffix captures restored by group reference, and the
+    * date guard realized as a length-preserving digit mask of the
+    * 4-2-2 date shape before the phone rule — sound because the corpus
+    * text carries zero digits, so the only 4-2-2 run is the planted
+    * date. The full lookaround semantics on arbitrary inputs are
+    * pinned by PiiSpec fixtures.
     *
     * Scale shape: one codegen'd pass over the corpus (regexp chain in
     * whole-stage codegen, no UDFs) into a ~20-row per-source aggregate.

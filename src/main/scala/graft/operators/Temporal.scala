@@ -794,7 +794,13 @@ object Temporal {
       .agg(count(lit(1)).as("n_events"),
         max(col("med_fx")).as("med_fx"), // constant per group
         max(col("mad_fx")).as("mad_fx"),
-        sum(when(col("dev") * lit(10000L) > col("mad_fx") * lit(44478L), 1L)
+        // widened BEFORE the multiply: dev and mad are value-domain
+        // longs, and a long product would wrap silently past 2^63
+        // (dev >= ~9.2e14) while the DuckDB replay multiplies in
+        // HUGEINT — decimal(19,0) holds any long, and the products
+        // stay at 24 digits, far under the decimal ceiling
+        sum(when(col("dev").cast("decimal(19,0)") * lit(10000L).cast("decimal(5,0)")
+            > col("mad_fx").cast("decimal(19,0)") * lit(44478L).cast("decimal(5,0)"), 1L)
           .otherwise(0L)).as("n_outliers"))
       .orderBy(col("event_type"))
       .persist()
@@ -840,8 +846,16 @@ object Temporal {
       .agg(count(lit(1)).as("n"),
         sum(col("x").cast(d38)).as("sx"),
         sum(col("y").cast(d38)).as("sy"),
-        sum((col("x") * col("y")).cast(d38)).as("sxy"),
-        sum((col("x") * col("x")).cast(d38)).as("sxx"))
+        // per-row products widened BEFORE the multiply: y is a
+        // value-domain long (|value| > ~3e5 would push x*y past 2^63
+        // and a long product wraps silently, where the DuckDB oracle
+        // multiplies in HUGEINT) — decimal(12,0) holds any
+        // minutes-epoch x, decimal(25,0) any long y, and the product
+        // precision (38) never overflows
+        sum((col("x").cast("decimal(12,0)") * col("y").cast("decimal(25,0)"))
+          .cast(d38)).as("sxy"),
+        sum((col("x").cast("decimal(12,0)") * col("x").cast("decimal(12,0)"))
+          .cast(d38)).as("sxx"))
     m.as[(String, Long, java.math.BigDecimal, java.math.BigDecimal,
         java.math.BigDecimal, java.math.BigDecimal)]
       .map { case (et, n, sx0, sy0, sxy0, sxx0) =>

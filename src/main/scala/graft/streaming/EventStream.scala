@@ -168,6 +168,50 @@ object EventStream {
     spoolDirs.add(dir); ()
   }
 
+  /** Drain everything available, then wait for the watermark-advance
+    * NO-DATA micro-batch that flushes eviction-driven output (outer
+    * join nulls, final per-key windows) — the one batch
+    * `processAllAvailable` does not wait for, because it has no input
+    * offsets to commit. The poll watches `recentProgress` for a
+    * zero-input batch; observing its progress event means the batch —
+    * including its foreachBatch sink write — has COMPLETED.
+    *
+    * The flush batch itself runs promptly, but Spark rate-limits
+    * ZERO-data progress REPORTING to once per
+    * `spark.sql.streaming.noDataProgressEventInterval` (default 10 s)
+    * — so a poll on recentProgress waits up to 10 s for an event whose
+    * batch finished long ago (r15's q137: 7.6-15.1 s standalone, all
+    * suppression). Callers must start the query under
+    * [[withPromptNoDataProgress]] so the event lands within ~100 ms of
+    * the flush.
+    */
+  private def drainThenAwaitNoDataFlush(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable()
+    val deadline = System.nanoTime() + 120L * 1000000000L
+    while (!q.recentProgress.exists(_.numInputRows == 0) &&
+           System.nanoTime() < deadline)
+      Thread.sleep(10)
+    q.processAllAvailable()
+  }
+
+  /** Run `body` (a replay whose drain awaits the no-data flush batch)
+    * with zero-data progress reporting unsuppressed — see
+    * [[drainThenAwaitNoDataFlush]]. Scoped: the conf is read at query
+    * start, so it is set for the query's whole lifetime and restored
+    * after; a production always-on stream keeps the 10 s default (the
+    * rate limit exists to keep idle streams from flooding listeners).
+    */
+  private def withPromptNoDataProgress[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.noDataProgressEventInterval"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "100ms")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Materialize a spool-reading query's FINAL frame (persist +
     * count), then delete every spool dir registered so far — deletion
     * strictly after the consumer has read the spooled bytes, so a
@@ -646,18 +690,15 @@ object EventStream {
     val joined = attributionJoinOuter(
       src.filter(col("event_type") === "view"),
       src.filter(col("event_type") === "purchase"))
-    // pair-sized result -> spool (see drainToSpool); the drain still
-    // polls for the watermark-advance NO-DATA batch that flushes the
-    // outer-null rows, which processAllAvailable does not wait for
+    // pair-sized result -> spool (see drainToSpool); the drain awaits
+    // the watermark-advance NO-DATA batch that flushes the outer-null
+    // rows, with zero-data progress reporting unsuppressed so the
+    // wait tracks the flush itself, not the 10 s reporting rate limit
     materializeThenSweep(
-      drainToSpool(s, joined, "q137", eventsBytes(d), afterDrain = { q =>
-        q.processAllAvailable()
-        val deadline = System.nanoTime() + 120L * 1000000000L
-        while (!q.recentProgress.exists(_.numInputRows == 0) &&
-               System.nanoTime() < deadline)
-          Thread.sleep(50)
-        q.processAllAvailable()
-      })
+      withPromptNoDataProgress(s) {
+        drainToSpool(s, joined, "q137", eventsBytes(d),
+          afterDrain = drainThenAwaitNoDataFlush)
+      }
         .filter(col("user_id") =!= -1L)
         .groupBy(col("user_id"))
         .agg(
@@ -1140,19 +1181,14 @@ object EventStream {
         .parquet(fixtureDir)
         .as[RadiusFp]
       val survivors = radiusDedupStream(src)
-      // survivor (doc-sized) result -> spool (see drainToSpool); poll
-      // for the watermark-advance NO-DATA batch that flushes the last
-      // per-doc windows
+      // survivor (doc-sized) result -> spool (see drainToSpool); await
+      // the watermark-advance NO-DATA batch that flushes the last
+      // per-doc windows (unsuppressed — see drainThenAwaitNoDataFlush)
       materializeThenSweep(
-        drainToSpool(s, survivors.toDF(), "q156", tableBytes(fixtureDir),
-          afterDrain = { q =>
-            q.processAllAvailable()
-            val deadline = System.nanoTime() + 120L * 1000000000L
-            while (!q.recentProgress.exists(_.numInputRows == 0) &&
-                   System.nanoTime() < deadline)
-              Thread.sleep(50)
-            q.processAllAvailable()
-          })
+        withPromptNoDataProgress(s) {
+          drainToSpool(s, survivors.toDF(), "q156", tableBytes(fixtureDir),
+            afterDrain = drainThenAwaitNoDataFlush)
+        }
           .filter(col("doc_id") >= 0L)
           .select(
             expr(s"CAST(unix_micros(ts) div 1000000 - $baseSec AS BIGINT)").as("arrival"),

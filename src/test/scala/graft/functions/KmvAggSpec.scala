@@ -88,8 +88,14 @@ class KmvAggSpec extends SparkSpec {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val d = "/root/testdata/sf0.001"
-    val before = java.io.File.createTempFile("probe", "").getParentFile
-      .listFiles().count(_.getName.startsWith("graft_sketch_store"))
+    // tmp dir straight from the property — no probe-file litter, and
+    // the count is a <=-comparison against a pre-run snapshot so other
+    // suites' concurrent stores can only make it conservative
+    def storeCount(): Int = {
+      val kids = new java.io.File(System.getProperty("java.io.tmpdir")).listFiles()
+      if (kids == null) 0 else kids.count(_.getName.startsWith("graft_sketch_store"))
+    }
+    val before = storeCount()
     val inc = graft.operators.Corpus.q200IncrementalSketch(spark, d)
       .collect().map(_.toString).toSeq
     // one-pass twin: sketch the whole table directly, same read-out
@@ -110,9 +116,7 @@ class KmvAggSpec extends SparkSpec {
     assert(inc.nonEmpty)
     assert(inc == direct)
     // the sketch store is swept even though the query succeeded
-    val after = java.io.File.createTempFile("probe", "").getParentFile
-      .listFiles().count(_.getName.startsWith("graft_sketch_store"))
-    assert(after <= before, "sketch store directory leaked")
+    assert(storeCount() <= before, "sketch store directory leaked")
   }
 
   test("null inputs are ignored") {

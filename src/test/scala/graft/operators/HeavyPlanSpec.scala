@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.mr.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.functions._
+
+/** Plan-shape pins for the standing BENCH HEAVIES (q123, q79, q166,
+  * q73, q137) — the queries whose wall time dominates every round's
+  * artifact. They are iterative (graph loops) or streaming, so the
+  * whole-query `explain` pins in [[PlanSpec]] can't see their hot
+  * inner plans; instead each loop's STEP builder is extracted
+  * (`ccPropagate`/`ccShortcut`, `pageRankStep`, `hitsAuthorityStep`,
+  * `editDistanceJoin`) and pinned here at the per-round grain. With
+  * these counts pinned, a bench jump on a heavy is adjudicable
+  * forever: plan drift fails CI, so a slow artifact means load.
+  *
+  * Counts are measured under AQE OFF and auto-broadcast OFF — the
+  * deterministic worst-case shape, which IS the 100 TB shape (at
+  * scale nothing auto-broadcasts; only explicit `broadcast()` hints
+  * survive, and the pins assert exactly those survive). Collected
+  * programmatically off the physical tree: `collect` does not descend
+  * into `InMemoryRelation`'s cached plan, so persist-time shuffles
+  * (paid once, by design) never pollute the per-round counts.
+  */
+class HeavyPlanSpec extends SparkSpec {
+
+  private case class Shape(shuffles: Int, single: Int, broadcasts: Int, inMemScans: Int)
+
+  private def shapeOf(df: DataFrame): Shape = {
+    val p = df.queryExecution.executedPlan
+    val sh = p.collect { case e: ShuffleExchangeExec => e }
+    Shape(
+      sh.size,
+      sh.count(_.outputPartitioning == SinglePartition),
+      p.collect { case e: BroadcastExchangeExec => e }.size,
+      p.collect { case s if s.nodeName.contains("InMemoryTableScan") => s }.size)
+  }
+
+  /** AQE + auto-broadcast off for the measurement, restored after. */
+  private def pinned[A](body: => A): A = {
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+    }
+  }
+
+  test("CC round (q79/q123/q20 core): cached edges never re-shuffle; " +
+    "2 label-sized shuffles per propagate, 1 per shortcut, no global partition") {
+    pinned {
+      import spark.implicits._
+      val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+      val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("p")
+      // exactly connectedComponents' edge prep: self-loops folded, key-
+      // partitioned BEFORE caching so rounds reuse the layout
+      val e = edges.union(nodes.select(col("p").as("src"), col("p").as("dst")))
+        .repartition(col("src")).persist()
+      e.count()
+      val labels = nodes.select(col("p"), col("p").as("lbl"))
+        .localCheckpoint(eager = true)
+      val prop = Corpus.ccPropagate(e, labels)
+      val ps = shapeOf(prop)
+      // 2 shuffles: labels into the join + the min-label agg; the edge
+      // side reads the cache in place (inMemScans=1, and a third
+      // shuffle would mean the persisted partitioning stopped lining up
+      // with the join key)
+      assert(ps == Shape(2, 0, 0, 1), s"ccPropagate shape drifted: $ps")
+      val ss = shapeOf(Corpus.ccShortcut(prop.localCheckpoint(eager = true)))
+      // 1 shuffle: only the label side re-keys on lbl; the checkpointed
+      // frame's hash(p) layout serves the lp side as-is
+      assert(ss == Shape(1, 0, 0, 0), s"ccShortcut shape drifted: $ss")
+      e.unpersist(blocking = false)
+    }
+  }
+
+  test("PageRank round (q73): cached degree-edges never re-shuffle; " +
+    "2 node-sized shuffles per iteration, no global partition") {
+    pinned {
+      import spark.implicits._
+      val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+      val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("p")
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val e = edges.join(deg, "src").repartition(col("src")).persist()
+      e.count()
+      val n = nodes.select(col("p")).persist()
+      n.count()
+      val ranks = n.select(col("p"), lit(1000000L).as("r"))
+      val s = shapeOf(Corpus.pageRankStep(e, n, ranks, 150000L))
+      // 2 shuffles: ranks into the contribution join + the per-dst sum;
+      // both cached frames (edges, nodes) read in place (inMemScans=2)
+      assert(s == Shape(2, 0, 0, 2), s"pageRankStep shape drifted: $s")
+      e.unpersist(blocking = false)
+      n.unpersist(blocking = false)
+    }
+  }
+
+  test("HITS round (q166): renorm max is THE one broadcast and THE one " +
+    "single-partition point; cached edges never re-shuffle") {
+    pinned {
+      import spark.implicits._
+      val he = Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("c", "p")
+        .repartition(col("c")).persist()
+      he.count()
+      val h = he.select(col("c")).distinct()
+        .select(col("c"), lit(Corpus.HitsScale).as("h"))
+        .localCheckpoint(eager = true)
+      val s = shapeOf(Corpus.hitsAuthorityStep(he, h))
+      // 3 shuffles: hub frame in, per-p sum, the 1-ROW renorm gather
+      // (the single=1 — a second SinglePartition would mean node-sized
+      // data through one partition); 1 broadcast: the renorm scalar
+      // back out. Edge cache read twice in place (join + araw reuse).
+      assert(s == Shape(3, 1, 1, 2), s"hitsAuthorityStep shape drifted: $s")
+      he.unpersist(blocking = false)
+    }
+  }
+
+  test("editDistanceJoin (q123/q84 core): probe segments broadcast even " +
+    "with auto-broadcast off; master side never shuffles before the join") {
+    pinned {
+      import spark.implicits._
+      val probes = Seq((1L, "hello world"), (2L, "goodbye moon")).toDF("pid", "pname")
+      val master = Seq((10L, "hello world"), (11L, "goodbye man")).toDF("mid", "mname")
+      val s = shapeOf(Linkage.editDistanceJoin(probes, master, 2))
+      // 1 broadcast: the explicit probe-side hint (the whole point —
+      // the master corpus streams map-side); 1 shuffle: the pair
+      // distinct AFTER the join, pair-sized not corpus-sized
+      assert(s == Shape(1, 0, 1, 0), s"editDistanceJoin shape drifted: $s")
+    }
+  }
+
+  test("q137 stream outer attribution: BOTH sides watermarked and the join " +
+    "stays left_outer (state eviction is what emits the null rows)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+      .toDF().select(col("_2").as("user_id"), col("_1").as("ts"))
+    val purchases = MemoryStream[(java.sql.Timestamp, Long, Double)]
+      .toDF().select(col("_2").as("user_id"), col("_1").as("ts"),
+        col("_3").as("value"))
+    val joined = graft.streaming.EventStream
+      .attributionJoinOuter(clicks, purchases)
+    val analyzed = joined.queryExecution.analyzed
+    val wms = analyzed.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
+    }
+    // one watermark per side: dropping either would make the outer
+    // join's state unbounded (nothing could ever be proven unmatched)
+    assert(wms.size == 2, s"expected 2 EventTimeWatermark nodes, got ${wms.size}")
+    val joins = analyzed.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty && joins.head.joinType.sql == "LEFT OUTER",
+      s"join type drifted: ${joins.map(_.joinType.sql)}")
+  }
+}
