@@ -134,7 +134,11 @@ object SparkEntry {
     "q113_approx_profile" -> (Relational.q113ApproxProfile _),
     "q114_bpe_merges" -> (Curation.q114BpeMerges _),
     "q115_path_mining" -> (Temporal.q115PathMining _),
-    "q116_knn_ivfpq" -> (Similarity.q116KnnIvfPq _),
+    // q116 (Spark-internal-seed IVF-PQ, rows-only) RETIRED from the
+    // driver surface in r16: its replayable twin q169 is strictly
+    // stronger (same two-stage IVF-PQ, hash-matched end to end) and
+    // AnnRecallSpec still pins the q116 build's recall >= 0.9 — the
+    // rows-only binding only added bench time.
     "q117_stream_compaction" ->
       (graft.streaming.EventStream.q117StreamCompaction _),
     "q118_bpe_encode" -> (Curation.q118BpeEncode _),

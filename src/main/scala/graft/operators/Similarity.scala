@@ -910,6 +910,9 @@ object Similarity {
     * Approximate by design (two quantization stages) -> rows-only
     * oracle; AnnRecallSpec pins recall@3 >= 0.9 on planted clusters
     * at the >= 8x compression the codes guarantee structurally.
+    * (Driver binding retired in r16 — the replayable twin q169 covers
+    * the driver surface; this build stays as the internal-seed variant
+    * under AnnRecallSpec.)
     */
   def q116KnnIvfPq(s: SparkSession, d: String): DataFrame =
     ivfPqBuild(Tables.embeddings(s, d), 3).ranked

