@@ -237,6 +237,7 @@ object SparkEntry {
     "q203_stream_sliding_quantile" ->
       (graft.streaming.EventStream.q203StreamSlidingQuantile _),
     "q204_mad_outliers" -> (Temporal.q204MadOutliers _),
+    "q205_mixture_plan" -> (Curation.q205MixturePlan _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4790,5 +4791,36 @@ object SparkEntry {
         |            ELSE (abs(sxy * n - sx * sy) * 1440) // (sxx * n - sx * sx)
         |       END AS BIGINT) AS slope_fx_per_day
         |FROM m ORDER BY 1""".stripMargin,
+    // Mixture plan (q205): exact integer sqrt weights (float sqrt with
+    // the same +/-1 correction), budget/alloc floors in HUGEINT
+    "q205_mixture_plan" ->
+      s"""WITH t AS (
+        |  SELECT source,
+        |    CAST(SUM(len(list_filter(string_split(COALESCE(text, ''), ' '),
+        |      x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_tokens,
+        |    CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
+        |         WHEN s0 * s0 > n_tokens THEN s0 - 1 ELSE s0 END AS weight
+        |  FROM (SELECT source, n_tokens,
+        |          CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0
+        |        FROM t)),
+        |ws AS (SELECT SUM(weight) AS w_sum FROM w),
+        |b AS (
+        |  SELECT MIN(CAST(n_tokens AS HUGEINT) * ${graft.operators.Curation.MixtureEpochCap}
+        |    * w_sum // weight) AS t_budget
+        |  FROM w, ws),
+        |a AS (
+        |  SELECT source, n_tokens, weight, w_sum, t_budget,
+        |    CAST(weight AS HUGEINT) * t_budget // w_sum AS alloc_tokens
+        |  FROM w, ws, b)
+        |SELECT source, n_tokens, CAST(weight AS BIGINT) AS weight,
+        |  CAST(t_budget AS BIGINT) AS t_budget,
+        |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+        |  CAST(CAST(alloc_tokens AS HUGEINT) * 1000000 // n_tokens AS BIGINT) AS epochs_fp,
+        |  (CAST(n_tokens AS HUGEINT) * ${graft.operators.Curation.MixtureEpochCap}
+        |    * w_sum // weight) = t_budget AS binding
+        |FROM a ORDER BY source""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

@@ -1856,6 +1856,82 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Epoch cap for [[q205MixturePlan]]: no source may be repeated more
+    * than this many times to satisfy its mixture share — part of the
+    * SEMANTICS (engine and oracle evaluate the same bound), and the
+    * number real recipes use (repeating data beyond ~4 epochs degrades,
+    * Muennighoff et al. '23).
+    */
+  val MixtureEpochCap = 4L
+
+  /** q205: data-mixture planning — the allocation step every
+    * pre-training run does after curation: given per-source token
+    * counts, choose per-source draw sizes that (a) follow SQUARE-ROOT
+    * scaling of the natural sizes (the standard mixture smoothing —
+    * upweights small high-quality sources without letting the giant
+    * crawl dominate; cf. multilingual sampling in Conneau & Lample '19
+    * and the Pile's weights, Gao et al. '21) and (b) never repeat any
+    * source more than [[MixtureEpochCap]] epochs. The largest feasible
+    * total budget is T = min_s floor(n_s · E · W / w_s) (the binding
+    * source runs out of repeats first); every source then draws
+    * alloc_s = floor(w_s · T / W).
+    *
+    * All arithmetic is integer-exact and replayable: weights are
+    * EXACT integer square roots (float sqrt corrected by ±1 against
+    * the integer squares — both engines apply the same correction, so
+    * a perfect-square boundary cannot diverge), and the budget/alloc
+    * divisions run in DECIMAL(38,0)/HUGEINT floor arithmetic (at the
+    * 100 TB analogue n_s·E·W overflows a BIGINT: 1e12 tokens x 4 x
+    * Σsqrt ~ 2e7 = 8e19 > 2^63).
+    *
+    * Scale shape: ONE map-side-combined pass over the corpus (token
+    * counts ride the tokenize explode as array sizes — no explode
+    * materialization), then O(sources) rows through two broadcast
+    * 1-row aggregates (W, T). The plan math never touches the corpus
+    * again at any data size.
+    */
+  def q205MixturePlan(s: SparkSession, d: String): DataFrame =
+    mixturePlanOf(Tables.documents(s, d))
+
+  /** [[q205MixturePlan]] over any `(source, text)` frame. */
+  private[graft] def mixturePlanOf(docs: DataFrame): DataFrame = {
+    val perSrc = docs
+      .select(col("source"),
+        size(filter(split(coalesce(col("text"), lit("")), " "),
+          t => t =!= "")).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("n_tokens"))
+    // exact integer sqrt: float sqrt then +/-1 correction against the
+    // integer squares (double sqrt of a < 2^52 input errs by < 1)
+    val s0 = floor(sqrt(col("n_tokens").cast("double"))).cast("long")
+    val weighted = perSrc.withColumn("weight",
+      when((s0 + 1) * (s0 + 1) <= col("n_tokens"), s0 + 1)
+        .when(s0 * s0 > col("n_tokens"), s0 - 1)
+        .otherwise(s0))
+    val totals = weighted.agg(sum(col("weight")).as("w_sum"))
+    val withW = weighted.crossJoin(broadcast(totals))
+    // feasible budget: the binding source exhausts its epoch cap first
+    val budget = withW
+      .select(expr(
+        s"""CAST(n_tokens AS DECIMAL(38,0)) * $MixtureEpochCap * w_sum
+           | div weight""".stripMargin).as("t_max"))
+      .agg(min(col("t_max")).as("t_budget"))
+    withW.crossJoin(broadcast(budget))
+      .select(col("source"), col("n_tokens"), col("weight"), col("w_sum"),
+        col("t_budget"),
+        expr("CAST(weight AS DECIMAL(38,0)) * t_budget div w_sum")
+          .as("alloc_tokens"))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        col("t_budget"), col("alloc_tokens"),
+        // fixed-point epochs this draw implies (1e6 units; <= cap by
+        // construction, == cap at the binding source modulo floors)
+        expr("CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000 div n_tokens")
+          .as("epochs_fp"),
+        (expr(s"CAST(n_tokens AS DECIMAL(38,0)) * $MixtureEpochCap * w_sum div weight")
+          === col("t_budget")).as("binding"))
+      .orderBy(col("source"))
+  }
+
   /** [[q196SplitManifest]] over any `(source, text, n_chars)` frame. */
   private[operators] def splitManifestOf(docs: DataFrame): DataFrame = {
     splitAssign(docs)
