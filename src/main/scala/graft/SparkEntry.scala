@@ -238,6 +238,7 @@ object SparkEntry {
       (graft.streaming.EventStream.q203StreamSlidingQuantile _),
     "q204_mad_outliers" -> (Temporal.q204MadOutliers _),
     "q205_mixture_plan" -> (Curation.q205MixturePlan _),
+    "q206_boilerplate" -> (Curation.q206Boilerplate _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4822,5 +4823,44 @@ object SparkEntry {
         |  (CAST(n_tokens AS HUGEINT) * ${graft.operators.Curation.MixtureEpochCap}
         |    * w_sum // weight) = t_budget AS binding
         |FROM a ORDER BY source""".stripMargin,
+    // Boilerplate (q206): per-doc DISTINCT 3-grams over the planted
+    // footer text, doc-frequency threshold in tenths, top offender =
+    // (max df, lexicographically-last gram) — same tiebreak as the
+    // engine's max(struct)
+    "q206_boilerplate" ->
+      s"""WITH p AS (
+        |  SELECT source, doc_id,
+        |    COALESCE(text, '') || ' copyright ' || source
+        |      || ' legal footer all rights reserved worldwide' AS t
+        |  FROM documents),
+        |tk AS (
+        |  SELECT source, doc_id,
+        |    list_filter(string_split(t, ' '), x -> x <> '') AS toks
+        |  FROM p),
+        |g AS (
+        |  SELECT source, doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(toks) - 2, 0)),
+        |      i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+        |  FROM tk),
+        |df AS (SELECT source, gram, COUNT(*) AS df FROM g GROUP BY 1, 2),
+        |nd AS (SELECT source, COUNT(*) AS n_docs FROM p GROUP BY 1),
+        |f AS (
+        |  SELECT df.source, df.gram, df.df, nd.n_docs,
+        |    df.df * 10 >= nd.n_docs * ${graft.operators.Curation.BoilerplateDfTenths} AS is_bp
+        |  FROM df JOIN nd ON nd.source = df.source),
+        |top AS (
+        |  SELECT source, gram FROM (
+        |    SELECT source, gram,
+        |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY df DESC, gram DESC) AS rn
+        |    FROM f WHERE is_bp) WHERE rn = 1)
+        |SELECT f.source,
+        |  CAST(MAX(f.n_docs) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_distinct_grams,
+        |  CAST(SUM(CASE WHEN f.is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+        |  CAST(MAX(f.df) AS BIGINT) AS max_df,
+        |  MAX(top.gram) AS top_gram
+        |FROM f LEFT JOIN top ON top.source = f.source
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

@@ -1932,6 +1932,73 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Boilerplate document-frequency threshold, in tenths: a 3-gram
+    * present in >= 6/10 of a source's documents is template text, not
+    * content. The corpus's natural max per-source gram df is ~12%
+    * (measured per SF), so 60% separates cleanly; real pipelines use
+    * the same df-based rule (CCNet's paragraph dedup, Wenzek '20;
+    * RefinedWeb's line-wise filters, Penedo '23).
+    */
+  val BoilerplateDfTenths = 6L
+
+  /** q206: per-source boilerplate detection — the template-stripping
+    * signal a crawl-curation pipeline computes before training:
+    * n-grams that recur across MOST documents of one source (nav
+    * menus, legal footers, cookie banners) are structure, not content,
+    * and inflate that source's apparent token count. A 3-gram's
+    * per-source DOCUMENT frequency (distinct docs containing it, not
+    * occurrences) against [[BoilerplateDfTenths]] flags them; the
+    * driver corpus carries no real boilerplate, so each document gets
+    * a per-source legal-footer sentence planted deterministically (the
+    * q63 planting discipline) — grams interior to the plant hit
+    * df = n_docs, grams straddling the content/plant boundary stay
+    * rare, and the detector must recover exactly the planted template.
+    *
+    * Scale shape: tokenize -> per-doc DISTINCT grams (array_distinct
+    * before the explode, so a gram repeated inside one doc costs one
+    * row) -> one (source, gram) count with map-side combine -> an
+    * O(sources) rollup. No windows, no joins against the corpus; the
+    * (source, gram) aggregate is the only shuffle and it shrinks
+    * map-side. The top offender per source rides a max(struct) —
+    * deterministic (max df, ties to the lexicographically-last gram).
+    */
+  def q206Boilerplate(s: SparkSession, d: String): DataFrame =
+    boilerplateOf(Tables.documents(s, d))
+
+  /** [[q206Boilerplate]] over any `(source, doc_id, text)` frame. */
+  private[graft] def boilerplateOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val planted = docs.select(col("source"), col("doc_id"),
+      concat(coalesce(col("text"), lit("")),
+        lit(" copyright "), col("source"),
+        lit(" legal footer all rights reserved worldwide")).as("t"))
+    // per-doc DISTINCT grams via the q64 typed-flatMap idiom: the
+    // expression-tree form (slice inside a transform lambda) re-splits
+    // the text once per window position — O(tokens^2) per doc
+    val gramRows = planted.select(col("source"), col("t")).as[(String, String)]
+      .flatMap { case (src, t) =>
+        grams(tokenize(t), 3).toSet.iterator.map((g: String) => (src, g))
+      }
+      .toDF("source", "gram")
+    val df = gramRows.groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("df")) // per-doc distinct -> count = doc freq
+    val nd = planted.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val flagged = df.join(broadcast(nd), "source")
+      .withColumn("is_bp", col("df") * lit(10L) >= col("n_docs") * lit(BoilerplateDfTenths))
+    flagged.groupBy(col("source"))
+      .agg(
+        max(col("n_docs")).as("n_docs"), // constant per group
+        count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("is_bp"), 1L).otherwise(0L)).as("n_boilerplate"),
+        max(col("df")).as("max_df"),
+        max(when(col("is_bp"), struct(col("df"), col("gram")))).as("top"))
+      .select(col("source"), col("n_docs"), col("n_distinct_grams"),
+        col("n_boilerplate"), col("max_df"),
+        col("top.gram").as("top_gram"))
+      .orderBy(col("source"))
+  }
+
   /** [[q196SplitManifest]] over any `(source, text, n_chars)` frame. */
   private[operators] def splitManifestOf(docs: DataFrame): DataFrame = {
     splitAssign(docs)
