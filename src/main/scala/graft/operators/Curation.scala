@@ -1904,10 +1904,15 @@ object Curation {
     // exact integer sqrt: float sqrt then +/-1 correction against the
     // integer squares (double sqrt of a < 2^52 input errs by < 1)
     val s0 = floor(sqrt(col("n_tokens").cast("double"))).cast("long")
+    // eagerly cached O(sources) rows: three consumers (W, T, the final
+    // select) would otherwise each re-run the corpus aggregation —
+    // same AQE broadcast-stage race that double-tokenized q202
     val weighted = perSrc.withColumn("weight",
       when((s0 + 1) * (s0 + 1) <= col("n_tokens"), s0 + 1)
         .when(s0 * s0 > col("n_tokens"), s0 - 1)
         .otherwise(s0))
+      .persist()
+    weighted.count()
     val totals = weighted.agg(sum(col("weight")).as("w_sum"))
     val withW = weighted.crossJoin(broadcast(totals))
     // feasible budget: the binding source exhausts its epoch cap first
@@ -1975,15 +1980,28 @@ object Curation {
         lit(" legal footer all rights reserved worldwide")).as("t"))
     // per-doc DISTINCT grams via the q64 typed-flatMap idiom: the
     // expression-tree form (slice inside a transform lambda) re-splits
-    // the text once per window position — O(tokens^2) per doc
+    // the text once per window position — O(tokens^2) per doc. Each
+    // doc also emits ONE marker row (a lone space — unproducible by
+    // joining non-empty tokens), so the per-source doc count rides the
+    // same pass instead of a second corpus scan — the corpus is read
+    // exactly once (OnePassSpec pins it with a scan-counting
+    // accumulator).
+    val docMarker = " "
     val gramRows = planted.select(col("source"), col("t")).as[(String, String)]
       .flatMap { case (src, t) =>
-        grams(tokenize(t), 3).toSet.iterator.map((g: String) => (src, g))
+        (grams(tokenize(t), 3).toSet.iterator ++ Iterator(docMarker))
+          .map((g: String) => (src, g))
       }
       .toDF("source", "gram")
-    val df = gramRows.groupBy(col("source"), col("gram"))
+    // eagerly cached: the doc-count split and the gram stats both read
+    // this aggregate — uncached, each consumer re-derives the corpus
+    val counts = gramRows.groupBy(col("source"), col("gram"))
       .agg(count(lit(1)).as("df")) // per-doc distinct -> count = doc freq
-    val nd = planted.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .persist()
+    counts.count()
+    val df = counts.filter(col("gram") =!= docMarker)
+    val nd = counts.filter(col("gram") === docMarker)
+      .select(col("source"), col("df").as("n_docs"))
     val flagged = df.join(broadcast(nd), "source")
       .withColumn("is_bp", col("df") * lit(10L) >= col("n_docs") * lit(BoilerplateDfTenths))
     flagged.groupBy(col("source"))

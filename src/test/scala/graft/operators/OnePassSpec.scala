@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.mr.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.util.LongAccumulator
+
+/** One-corpus-pass pins: an accumulator increments once per input row
+  * EVALUATION, so a query whose plan re-derives the corpus (a lazy
+  * cache racing AQE broadcast stages — the r15 q202 defect — or an
+  * uncached frame with several consumers — the r16 q205 draft) fails
+  * with a multiple of the row count. This is the property that
+  * separates "reads 100 TB once" from "reads it three times"; `.explain`
+  * can't show it because the re-derivation hides inside broadcast
+  * subqueries that race at runtime.
+  */
+class OnePassSpec extends SparkSpec {
+
+  private def countedDocs(n: Int): (DataFrame, LongAccumulator) = {
+    val acc = spark.sparkContext.longAccumulator("docRowScans")
+    import spark.implicits._
+    val df = spark.range(0L, n.toLong).as[Long].map { i =>
+      acc.add(1)
+      (s"s${i % 5}", i,
+        s"tok${i % 7} tok${(i + 1) % 11} tok${(i + 2) % 7} tok${(i + 3) % 5} tok${i % 3}")
+    }.toDF("source", "doc_id", "text")
+    (df, acc)
+  }
+
+  test("q202 CMS rollup reads the corpus exactly once") {
+    val (docs, acc) = countedDocs(400)
+    Corpus.cmsRollupOf(spark, docs).count()
+    assert(acc.value == 400, s"corpus evaluated ${acc.value / 400.0}x")
+  }
+
+  test("q205 mixture plan reads the corpus exactly once") {
+    val (docs, acc) = countedDocs(400)
+    Curation.mixturePlanOf(docs).count()
+    assert(acc.value == 400, s"corpus evaluated ${acc.value / 400.0}x")
+  }
+
+  test("q206 boilerplate reads the corpus exactly once") {
+    val (docs, acc) = countedDocs(400)
+    Curation.boilerplateOf(docs).count()
+    assert(acc.value == 400, s"corpus evaluated ${acc.value / 400.0}x")
+  }
+}
