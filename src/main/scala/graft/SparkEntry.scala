@@ -239,6 +239,7 @@ object SparkEntry {
     "q204_mad_outliers" -> (Temporal.q204MadOutliers _),
     "q205_mixture_plan" -> (Curation.q205MixturePlan _),
     "q206_boilerplate" -> (Curation.q206Boilerplate _),
+    "q207_stratified_sample" -> (Curation.q207StratifiedSample _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4861,6 +4862,38 @@ object SparkEntry {
         |  CAST(MAX(f.df) AS BIGINT) AS max_df,
         |  MAX(top.gram) AS top_gram
         |FROM f LEFT JOIN top ON top.source = f.source
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Stratified sample (q207): Hamilton apportionment (floor quotas +
+    // largest remainders, same tiebreak), membership = k_s smallest
+    // doc-id hashes per source via ROW_NUMBER
+    "q207_stratified_sample" ->
+      s"""WITH b AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (SELECT source, COUNT(*) AS n FROM b GROUP BY 1),
+        |t AS (SELECT SUM(n) AS nn FROM c),
+        |q AS (SELECT source, n,
+        |        (${graft.operators.Curation.StratifiedK} * n) // nn AS q0,
+        |        (${graft.operators.Curation.StratifiedK} * n) % nn AS rem
+        |      FROM c, t),
+        |l AS (SELECT ${graft.operators.Curation.StratifiedK} - SUM(q0) AS lv FROM q),
+        |r AS (SELECT source, n, q0, rem,
+        |        ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rr
+        |      FROM q),
+        |kq AS (SELECT source, n,
+        |         LEAST(n, q0 + CASE WHEN rr <= (SELECT lv FROM l) THEN 1 ELSE 0 END) AS quota
+        |       FROM r),
+        |s AS (SELECT source, h, n_chars,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+        |      FROM b)
+        |SELECT kq.source,
+        |  CAST(MAX(kq.n) AS BIGINT) AS n_docs,
+        |  CAST(MAX(kq.quota) AS BIGINT) AS quota,
+        |  CAST(COUNT(s.h) AS BIGINT) AS n_sampled,
+        |  MAX(s.h) AS h_threshold,
+        |  CAST(COALESCE(SUM(s.n_chars), 0) AS BIGINT) AS sum_chars_sampled
+        |FROM kq LEFT JOIN s ON s.source = kq.source AND s.rn <= kq.quota
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

@@ -85,6 +85,44 @@ class BottomKTriples[IN](k: Int, extract: IN => (Long, Long, Long))(
   def outputEncoder: Encoder[Seq[(Long, Long, Long)]] = enc
 }
 
+/** [[BottomKTriples]] fused with the group's COUNT and the SUM of the
+  * triple's third slot — one aggregation buffer instead of a second
+  * corpus pass for the exact totals a sampler reports next to its
+  * sample (q201's n_docs/w_total, q207's n_docs). Same bounded O(k)
+  * insert; the two extra longs ride the partial merge for free.
+  */
+class BottomKTriplesWithStats[IN](k: Int, extract: IN => (Long, Long, Long))(
+    implicit enc: Encoder[(Seq[(Long, Long, Long)], Long, Long)])
+    extends Aggregator[IN, (Seq[(Long, Long, Long)], Long, Long),
+      (Seq[(Long, Long, Long)], Long, Long)] {
+
+  private val ord = Ordering[(Long, Long, Long)]
+
+  private def insert(buf: Seq[(Long, Long, Long)], x: (Long, Long, Long)): Seq[(Long, Long, Long)] = {
+    if (buf.size >= k && ord.lt(buf.last, x)) buf
+    else {
+      val (before, after) = buf.span(ord.lt(_, x))
+      val merged = before ++ (x +: after)
+      if (merged.size > k) merged.take(k) else merged
+    }
+  }
+
+  def zero: (Seq[(Long, Long, Long)], Long, Long) = (Vector.empty, 0L, 0L)
+
+  def reduce(buf: (Seq[(Long, Long, Long)], Long, Long), x: IN): (Seq[(Long, Long, Long)], Long, Long) = {
+    val t = extract(x)
+    (insert(buf._1, t), buf._2 + 1L, buf._3 + t._3)
+  }
+
+  def merge(a: (Seq[(Long, Long, Long)], Long, Long), b: (Seq[(Long, Long, Long)], Long, Long)): (Seq[(Long, Long, Long)], Long, Long) =
+    (b._1.foldLeft(a._1)(insert), a._2 + b._2, a._3 + b._3)
+
+  def finish(buf: (Seq[(Long, Long, Long)], Long, Long)): (Seq[(Long, Long, Long)], Long, Long) = buf
+
+  def bufferEncoder: Encoder[(Seq[(Long, Long, Long)], Long, Long)] = enc
+  def outputEncoder: Encoder[(Seq[(Long, Long, Long)], Long, Long)] = enc
+}
+
 /** KMV (k-minimum-values) sketch accumulator: the k smallest DISTINCT
   * long keys per group, kept sorted ascending. The bounded O(k) buffer
   * combines map-side like [[TopKByScore]], but additionally DEDUPES on

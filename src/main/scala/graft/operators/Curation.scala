@@ -1822,21 +1822,24 @@ object Curation {
         Corpus.hllKey(col("doc_id").cast("string")).as("h"),
         col("n_chars").as("w"))
       .withColumn("key", expr("(h + 1) div w"))
-    val bottomK = new graft.functions.BottomKTriples[(String, Long, Long, Long)](
+    // ONE corpus pass: the exact totals (n_docs, Σw) ride the same
+    // aggregation buffer as the bottom-(k+1) triples — the r16 form
+    // ran a second groupBy over the uncached base for them
+    // (OnePassSpec pins the single pass)
+    val bottomK = new graft.functions.BottomKTriplesWithStats[(String, Long, Long, Long)](
       PriorityK + 1, { case (_, key, h, w) => (key, h, w) })
     val tops = base.select(col("source"), col("key"), col("h"), col("w"))
       .as[(String, Long, Long, Long)]
-      .groupByKey(_._1).agg(bottomK.toColumn.name("top"))
-      .toDF("source", "top")
-    val exact = base.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("w")).cast("long").as("w_total_exact"))
+      .groupByKey(_._1).agg(bottomK.toColumn.name("st"))
+      .toDF("source", "st")
+      .select(col("source"), col("st._1").as("top"),
+        col("st._2").as("n_docs"), col("st._3").as("w_total_exact"))
     val dom = BigInt(1) << 60 // the hllKey domain: u = (h+1)/2^60
-    val est = tops.as[(String, Seq[(Long, Long, Long)])]
-      .map { case (src, top) =>
+    tops.as[(String, Seq[(Long, Long, Long)], Long, Long)]
+      .map { case (src, top, nDocs, wTotal) =>
         if (top.size <= PriorityK) {
           // the sample IS the population: estimate exact, no threshold
-          (src, top.size.toLong, 0L, top.map(_._3).sum)
+          (src, nDocs, wTotal, top.size.toLong, 0L, top.map(_._3).sum)
         } else {
           val tau = top(PriorityK)._1 // (k+1)-th smallest key
           val kept = top.take(PriorityK)
@@ -1846,13 +1849,82 @@ object Curation {
               val wt = BigInt(w) * tau
               if (wt > dom) wt else dom
             }.sum / tau).toLong
-          (src, PriorityK.toLong, tau, e)
+          (src, nDocs, wTotal, PriorityK.toLong, tau, e)
         }
       }
-      .toDF("source", "n_sample", "tau_key", "est_w_total")
-    est.join(exact, "source")
-      .select(col("source"), col("n_docs"), col("w_total_exact"),
-        col("n_sample"), col("tau_key"), col("est_w_total"))
+      .toDF("source", "n_docs", "w_total_exact",
+        "n_sample", "tau_key", "est_w_total")
+      .orderBy(col("source"))
+  }
+
+  /** Total sample size for [[q207StratifiedSample]] — part of the
+    * semantics (the oracle apportions the same k).
+    */
+  val StratifiedK = 100L
+
+  /** q207: exact stratified sampling with Hamilton (largest-remainder)
+    * apportionment — the balanced-eval-set constructor: per-source
+    * quotas k_s proportional to document counts, summing EXACTLY to
+    * [[StratifiedK]] (floor quotas + one extra to the largest
+    * remainders — the apportionment rule that keeps every rounding
+    * decision deterministic and integer), then the k_s
+    * smallest-content-hash documents per source (the q49/q196 hash
+    * discipline: membership is stable under growth and reordering,
+    * never a rand()).
+    *
+    * Scale shape: ONE corpus pass — the per-source bottom-k triples,
+    * doc count and char total all ride one O(k) aggregation buffer
+    * ([[graft.functions.BottomKTriplesWithStats]]); no per-group sort,
+    * no window over the corpus. The apportionment runs on the
+    * O(sources) aggregate (a single-partition window over rows bounded
+    * by the source domain, the house's bounded-small-side stance), and
+    * the sample read-out is a map over the same tiny frame. At 100 TB
+    * the corpus is touched once and everything after is
+    * dimension-sized.
+    */
+  def q207StratifiedSample(s: SparkSession, d: String): DataFrame =
+    stratifiedSampleOf(Tables.documents(s, d))
+
+  /** [[q207StratifiedSample]] over any `(source, doc_id, n_chars)` frame. */
+  private[graft] def stratifiedSampleOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val k = StratifiedK
+    val base = docs.select(col("source"), col("doc_id").as("id"),
+      col("n_chars").as("w"),
+      Corpus.hllKey(col("doc_id").cast("string")).as("h"))
+    val agg = new graft.functions.BottomKTriplesWithStats[(String, Long, Long, Long)](
+      k.toInt, { case (_, h, id, w) => (h, id, w) })
+    val stats = base.select(col("source"), col("h"), col("id"), col("w"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1).agg(agg.toColumn.name("st"))
+      .toDF("source", "st")
+      .select(col("source"), col("st._1").as("top"), col("st._2").as("n"))
+    // Hamilton apportionment over the O(sources) frame: floor quotas,
+    // then +1 to the (k - Σfloor) largest remainders, ties to the
+    // lexicographically-first source; quotas capped at n. k·n stays in
+    // longs for any n < 9.2e16 docs.
+    val tot = stats.agg(sum(col("n")).as("nn"))
+    val quotas = stats.crossJoin(broadcast(tot))
+      .withColumn("q0", expr(s"(${k}L * n) div nn"))
+      .withColumn("rem", expr(s"(${k}L * n) % nn"))
+    val leftover = quotas.agg((lit(k) - sum(col("q0"))).as("lv"))
+    val ranked = quotas.crossJoin(broadcast(leftover))
+      .withColumn("rr", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("source").asc)))
+      .withColumn("quota", least(col("n"),
+        col("q0") + when(col("rr") <= col("lv"), 1L).otherwise(0L)))
+    ranked.select(col("source"), col("top"), col("n"), col("quota"))
+      .as[(String, Seq[(Long, Long, Long)], Long, Long)]
+      .map { case (src, top, n, quota) =>
+        val take = top.take(quota.toInt)
+        (src, n, quota, take.size.toLong,
+          if (take.isEmpty) None else Some(take.last._1),
+          take.map(_._3).sum)
+      }
+      .toDF("source", "n_docs", "quota", "n_sampled",
+        "h_threshold", "sum_chars_sampled")
       .orderBy(col("source"))
   }
 

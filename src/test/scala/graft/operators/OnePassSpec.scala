@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.mr.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
 
 /** One-corpus-pass pins: an accumulator increments once per input row
@@ -41,6 +42,18 @@ class OnePassSpec extends SparkSpec {
   test("q206 boilerplate reads the corpus exactly once") {
     val (docs, acc) = countedDocs(400)
     Curation.boilerplateOf(docs).count()
+    assert(acc.value == 400, s"corpus evaluated ${acc.value / 400.0}x")
+  }
+
+  test("q201 priority sample reads the corpus exactly once") {
+    val (docs, acc) = countedDocs(400)
+    Curation.prioritySampleOf(docs.withColumn("n_chars", length(col("text")).cast("long"))).count()
+    assert(acc.value == 400, s"corpus evaluated ${acc.value / 400.0}x")
+  }
+
+  test("q207 stratified sample reads the corpus exactly once") {
+    val (docs, acc) = countedDocs(400)
+    Curation.stratifiedSampleOf(docs.withColumn("n_chars", length(col("text")).cast("long"))).count()
     assert(acc.value == 400, s"corpus evaluated ${acc.value / 400.0}x")
   }
 }
