@@ -4800,7 +4800,8 @@ object SparkEntry {
         |  SELECT source,
         |    CAST(SUM(len(list_filter(string_split(COALESCE(text, ''), ' '),
         |      x -> x <> ''))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY source),
+        |  FROM documents GROUP BY source
+        |  HAVING n_tokens > 0),
         |w AS (
         |  SELECT source, n_tokens,
         |    CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1

@@ -1973,6 +1973,12 @@ object Curation {
           t => t =!= "")).cast("long").as("nt"))
       .groupBy(col("source"))
       .agg(sum(col("nt")).as("n_tokens"))
+      // an all-empty source has weight 0 and no defined epoch budget
+      // (n_tokens * cap * w_sum div weight divides by zero — Spark's
+      // div returns null silently where DuckDB's // raises): it can
+      // contribute no training tokens, so it is out of the plan by
+      // definition, and the oracle filters identically
+      .filter(col("n_tokens") > 0)
     // exact integer sqrt: float sqrt then +/-1 correction against the
     // integer squares (double sqrt of a < 2^52 input errs by < 1)
     val s0 = floor(sqrt(col("n_tokens").cast("double"))).cast("long")
@@ -2058,7 +2064,7 @@ object Curation {
     // same pass instead of a second corpus scan — the corpus is read
     // exactly once (OnePassSpec pins it with a scan-counting
     // accumulator).
-    val docMarker = " "
+    val docMarker = " "
     val gramRows = planted.select(col("source"), col("t")).as[(String, String)]
       .flatMap { case (src, t) =>
         (grams(tokenize(t), 3).toSet.iterator ++ Iterator(docMarker))

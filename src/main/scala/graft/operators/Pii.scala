@@ -127,9 +127,21 @@ object Pii {
         lit(".0."), (col("doc_id") % 199 + 1).cast("string"),
         lit(" on 2026-08-12")))
     val (e, i, p) = counts(col("t"))
+    // The date-guard replay's soundness premise — the RAW corpus text
+    // carries zero digits, so the only 4-2-2 digit run in `t` is the
+    // planted date — is asserted here, not assumed: any digit in raw
+    // `text` raises loudly instead of silently vacating the oracle.
+    // The term is 0 on every compliant row, so `delta` (and the hash)
+    // is unchanged, and the check rides the same corpus pass.
+    val digitFreePremise = when(col("text").rlike("[0-9]"),
+      raise_error(concat(
+        lit("q63 oracle premise violated: raw corpus text contains a "
+          + "digit (date-guard replay unsound) at doc_id="),
+        col("doc_id").cast("string")))).otherwise(lit(0L))
     planted
       .select(col("source"), e.as("ne"), i.as("ni"), p.as("np"),
-        (length(col("t")) - length(redact(col("t")))).cast("long").as("delta"))
+        (length(col("t")) - length(redact(col("t"))) + digitFreePremise)
+          .cast("long").as("delta"))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

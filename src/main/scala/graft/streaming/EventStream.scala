@@ -152,7 +152,13 @@ object EventStream {
       // both restart lazily at the next replay's first store load. A
       // production continuous stream never calls this — it is the
       // bounded-replay harness's exit hygiene, not query semantics.
-      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      // stop() is JVM-GLOBAL (it would yank providers out from under
+      // any concurrently running streaming query), safe only because
+      // this harness serializes replays; if a caller ever overlaps
+      // queries on this session, skip the sweep — stale providers and
+      // stray maintenance ticks are the lesser evil vs mid-run unload.
+      if (s.streams.active.isEmpty)
+        org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     }
   }
 
@@ -224,8 +230,20 @@ object EventStream {
   private def drainThenAwaitNoDataFlush(
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     q.processAllAvailable()
+    // A zero-input event recorded BEFORE the final data batch must not
+    // satisfy the wait (the 100 ms unsuppression makes mid-drain
+    // no-data events likely): anchor on the last DATA batch observed
+    // after the drain and require a zero-input event with a strictly
+    // larger batchId. Batch ids are monotone in time, so any no-data
+    // event past that anchor ran after all input was committed — and
+    // the idle-trigger progress path reports currentBatchId
+    // (= lastCommitted + 1), so the loop also exits promptly when no
+    // eviction flush is pending.
+    val lastData = q.recentProgress.iterator
+      .filter(_.numInputRows > 0).map(_.batchId).foldLeft(-1L)(math.max)
     val deadline = System.nanoTime() + 120L * 1000000000L
-    while (!q.recentProgress.exists(_.numInputRows == 0) &&
+    while (!q.recentProgress.exists(p =>
+             p.numInputRows == 0 && p.batchId > lastData) &&
            System.nanoTime() < deadline)
       Thread.sleep(10)
     q.processAllAvailable()
