@@ -86,6 +86,7 @@ object Bench {
       .getOrElse(Map.empty[String, String])
     val spark = GraftSession.local(GraftSession.envCpus(), extraConf = extraConf)
     spark.sparkContext.setLogLevel("ERROR")
+    StreamCensus.maybeInstall(spark) // SPARK_GRAFT_STREAM_CENSUS=1 (stderr)
 
     val hoist = sys.env.get("SPARK_GRAFT_HOIST")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -105,7 +106,7 @@ object Bench {
       (sec, cached)
     }
 
-    val measured = qs.map { case (name, fn) =>
+    val swept = qs.map { case (name, fn) =>
       val load = load1() // host contention sample, taken as this query starts
       val base = Seq(timeOne(fn), timeOne(fn), timeOne(fn), timeOne(fn))
       val ok0 = base.map(_._1).drop(1).filter(_ >= 0) // pass 0 is warmup
@@ -120,6 +121,68 @@ object Bench {
       val ok = all.map(_._1).drop(1).filter(_ >= 0)
       (name, all, if (ok.isEmpty) -1.0 else ok.min, load)
     }
+
+    // RECONCILIATION (closes the r16 gap): the start gate + variance
+    // retry cannot see SUSTAINED mid-run load — under a co-tenant that
+    // stays busy, every pass of a query inflates together and the min
+    // stays inflated (r16: q147 recorded 4.96 s with uniform 4.9-5.8 s
+    // passes under load1_mean 4.7, while the idle re-time gave 2.0 s).
+    // Defense: after the sweep, re-time any query whose min exceeds the
+    // PRIOR ROUND's artifact by >1.5x AND >0.3 s (absolute guard — tiny
+    // queries jitter past 1.5x on scheduler noise alone) behind a fresh
+    // load gate. By reconciliation time the suite's own 32 threads are
+    // parked, so load1 again separates co-tenants from self-load, and
+    // the re-time either absorbs the honest min or confirms the
+    // regression AT CLEAN LOAD on the artifact itself. Prior source:
+    // SPARK_GRAFT_PRIOR=<path>, else the newest BENCH_r*.json in cwd
+    // (the driver's own artifact layout); no prior -> pass disabled.
+    // Suspects are capped at the 15 worst absolute deltas so a fully
+    // contaminated run re-times the heavies first within a bounded tail.
+    def priorQueries(): Map[String, Double] = {
+      val path = sys.env.get("SPARK_GRAFT_PRIOR").orElse {
+        val fs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty[java.io.File])
+        fs.map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
+          .sorted.lastOption
+      }
+      path.fold(Map.empty[String, Double]) { p =>
+        try {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(new java.io.File(p))
+          val base = Option(root.get("parsed")).filterNot(_.isNull).getOrElse(root)
+          val q = base.get("queries")
+          if (q == null || !q.isObject) Map.empty
+          else {
+            val b = Map.newBuilder[String, Double]
+            q.properties().forEach { e =>
+              if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+            }
+            b.result()
+          }
+        } catch { case _: Throwable => Map.empty }
+      }
+    }
+    val prior = priorQueries()
+    val fnMap = qs.toMap
+    val suspects = swept.iterator.flatMap { case (name, _, best, _) =>
+      prior.get(name.takeWhile(_ != '_')) match {
+        case Some(p) if best >= 0 && p > 0 && best > p * 1.5 && best - p > 0.3 =>
+          Iterator.single(name -> (best - p))
+        case _ => Iterator.empty
+      }
+    }.toSeq.sortBy(-_._2).take(15).map(_._1).toSet
+    var reconGateWaited = 0 // shared budget: one co-tenant burst, one wait
+    val measured = swept.map {
+      case (name, all, best, load) if suspects(name) =>
+        while (gateMax > 0 && load1() > gateMax && reconGateWaited < 180) {
+          Thread.sleep(5000); reconGateWaited += 5
+        }
+        val extra = Seq(timeOne(fnMap(name)), timeOne(fnMap(name)))
+        val merged = all ++ extra
+        val ok = merged.map(_._1).drop(1).filter(_ >= 0)
+        (name, merged, if (ok.isEmpty) -1.0 else ok.min, load)
+      case m => m
+    }
+    val reconciled = suspects.size
     val loads = measured.map(_._4).filter(_ >= 0)
 
     def fmtMap(rows: Seq[(String, String)]): String =
@@ -155,9 +218,9 @@ object Bench {
     val total = measured.map(_._3).filter(_ >= 0).sum
     val loadStats = // host-contention context for every perf claim
       if (loads.isEmpty)
-        s""""load1_start":${s2(load1Start)},"load1_raw":${s2(load1Raw)},"gate_waited":$gateWaited,"load1_mean":-1,"load1_max":-1"""
+        s""""load1_start":${s2(load1Start)},"load1_raw":${s2(load1Raw)},"gate_waited":$gateWaited,"reconciled":$reconciled,"load1_mean":-1,"load1_max":-1"""
       else
-        s""""load1_start":${s2(load1Start)},"load1_raw":${s2(load1Raw)},"gate_waited":$gateWaited,"load1_mean":${s2(loads.sum / loads.size)},"load1_max":${s2(loads.max)}"""
+        s""""load1_start":${s2(load1Start)},"load1_raw":${s2(load1Raw)},"gate_waited":$gateWaited,"reconciled":$reconciled,"load1_mean":${s2(loads.sum / loads.size)},"load1_max":${s2(loads.max)}"""
     // The driver artifact records ONLY the last ~2000 chars of output,
     // and it parses the contract line out of that window — r9's 141
     // queries fit (1780 chars, parsed OK) while r10-r12's 166-175 did

@@ -67,9 +67,11 @@ object MakeScale {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: MakeScale <srcDir> <outDir> [copies]")
+    require(args.length >= 2,
+      "usage: MakeScale <srcDir> <outDir> [copies] [mode: full|shared-docs]")
     val src = args(0); val out = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else "full"
     val spark = GraftSession.local(GraftSession.envCpus())
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -77,6 +79,34 @@ object MakeScale {
     def tbl(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def keyOffset(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
+
+    // mode shared-docs: documents.parquet ONLY, doc_id shifted, text
+    // VERBATIM — copies share one vocabulary, the way a real corpus
+    // grows (more documents drawn from the same language), versus the
+    // default salting that makes 40% of each copy's tokens unique BY
+    // CONSTRUCTION. This is the q206 decade-canary fixture: it grows
+    // the corpus N x while the per-source distinct-gram space stays
+    // FIXED, so a vocab-bounded aggregate must go decade-flat on the
+    // shuffle and ~linear on the scan — measurable, not argued.
+    // (salted-docs is the same cut with the default salting kept — the
+    // documents-only counterpart for a same-host A/B against shared-docs)
+    if (mode == "shared-docs" || mode == "salted-docs") {
+      val docOff0 = keyOffset(tbl("documents"), "doc_id")
+      val base = tbl("documents")
+      val salt = udf((id: Long, c: Int, t: String) => saltText(id, c, t))
+      (0 until copies).map { i =>
+          val shifted = base.withColumn("doc_id", col("doc_id") + lit(docOff0 * i))
+          if (mode == "salted-docs")
+            shifted.withColumn("text",
+              salt(col("doc_id") - lit(docOff0 * i), lit(i), col("text")))
+          else shifted
+        }
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println(s"documents: ${copies}x $mode written")
+      spark.stop()
+      return
+    }
 
     // copy-as-is dims
     Seq("region", "nation").foreach { t =>

@@ -17,33 +17,7 @@ object TimeQuery {
       sys.error(s"unknown query '$name'; valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     val spark = GraftSession.local(GraftSession.envCpus())
     spark.sparkContext.setLogLevel("ERROR")
-    // SPARK_GRAFT_STREAM_CENSUS=1: per-batch census for streaming
-    // replays — batchId, input rows, the durationMs breakdown and
-    // state-operator row counts of EVERY micro-batch, straight from
-    // the listener bus. This is the probe the q137/q147 timing
-    // adjudications need: recentProgress on the query object is gone
-    // by the time the wrapper returns, but the listener sees each
-    // progress event as it lands, slow mode or fast.
-    if (sys.env.get("SPARK_GRAFT_STREAM_CENSUS").contains("1"))
-      spark.streams.addListener(
-        new org.apache.spark.sql.streaming.StreamingQueryListener {
-          import org.apache.spark.sql.streaming.StreamingQueryListener._
-          override def onQueryStarted(e: QueryStartedEvent): Unit =
-            println(s"census: started ${e.id} at ${e.timestamp}")
-          override def onQueryProgress(e: QueryProgressEvent): Unit = {
-            val p = e.progress
-            val dur = p.durationMs
-            val st = p.stateOperators.map(so =>
-              s"${so.operatorName}:total=${so.numRowsTotal},upd=${so.numRowsUpdated},commit=${so.allUpdatesTimeMs + so.commitTimeMs}ms").mkString(" ")
-            println(s"census: batch=${p.batchId} in=${p.numInputRows} " +
-              s"trigger=${dur.get("triggerExecution")}ms add=${dur.get("addBatch")}ms " +
-              s"getBatch=${dur.get("getBatch")}ms latestOffset=${dur.get("latestOffset")}ms " +
-              s"queryPlanning=${dur.get("queryPlanning")}ms walCommit=${dur.get("walCommit")}ms " +
-              s"stateCommit=${dur.get("commitOffsets")}ms $st")
-          }
-          override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-            println(s"census: terminated ${e.id}")
-        })
+    StreamCensus.maybeInstall(spark) // SPARK_GRAFT_STREAM_CENSUS=1
     val times = (0 to passes).map { i =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()

@@ -2044,6 +2044,18 @@ object Curation {
     * (source, gram) aggregate is the only shuffle and it shrinks
     * map-side. The top offender per source rides a max(struct) —
     * deterministic (max df, ties to the lexicographically-last gram).
+    *
+    * The r16 canary's 3.2x/decade growth was the SYNTHESIS, not the
+    * operator — measured (r17, same host, MakeScale shared-docs vs
+    * salted-docs, documents-only fixtures off sf0.1): with a SHARED
+    * vocabulary (doc_ids shifted, text verbatim — how a real corpus
+    * grows) the (source, gram) space is BYTE-CONSTANT across scale
+    * (211,788 rows at 1x and at 100x; 500k docs) and wall time runs
+    * 1.24 / 1.74 / 3.33 s at 1x/10x/100x — 2.7x total for 100x data.
+    * The salted synthesis makes ~40% of each copy's tokens unique by
+    * construction, exploding the gram space 96x (20.3M rows at 100x)
+    * and wall to 9.69 s. On a real corpus the aggregate is
+    * vocab-bounded and the scan linear — the 100 TB shape.
     */
   def q206Boilerplate(s: SparkSession, d: String): DataFrame =
     boilerplateOf(Tables.documents(s, d))
