@@ -240,6 +240,7 @@ object SparkEntry {
     "q205_mixture_plan" -> (Curation.q205MixturePlan _),
     "q206_boilerplate" -> (Curation.q206Boilerplate _),
     "q207_stratified_sample" -> (Curation.q207StratifiedSample _),
+    "q208_exact_substr" -> (Curation.q208ExactSubstr _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4895,6 +4896,47 @@ object SparkEntry {
         |  MAX(s.h) AS h_threshold,
         |  CAST(COALESCE(SUM(s.n_chars), 0) AS BIGINT) AS sum_chars_sampled
         |FROM kq LEFT JOIN s ON s.source = kq.source AND s.rn <= kq.quota
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Exact-substring duplication census (q208): per-doc DISTINCT
+    // 8-token windows, corpus-wide doc frequency, per-source rollup;
+    // top offender = ROW_NUMBER(total DESC, win DESC) — Spark's
+    // max(struct) tiebreak
+    "q208_exact_substr" ->
+      s"""WITH p AS (
+        |  SELECT source, doc_id,
+        |    COALESCE(text, '') || CASE WHEN doc_id % 17 = 0
+        |      THEN '${graft.operators.Curation.exactSubstrPlantSql}'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |tk AS (
+        |  SELECT source, doc_id,
+        |    list_filter(string_split(t, ' '), x -> x <> '') AS toks
+        |  FROM p),
+        |w AS (
+        |  SELECT source, doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(toks) - ${graft.operators.Curation.ExactSubstrL - 1}, 0)),
+        |      i -> array_to_string(toks[i:i+${graft.operators.Curation.ExactSubstrL - 1}], ' ')))) AS win
+        |  FROM tk),
+        |ps AS (SELECT source, win, COUNT(*) AS df FROM w GROUP BY 1, 2),
+        |g AS (SELECT win, CAST(SUM(df) AS BIGINT) AS total_docs FROM ps GROUP BY 1),
+        |f AS (
+        |  SELECT ps.source, ps.win, ps.df, g.total_docs,
+        |    g.total_docs >= 2 AS is_dup
+        |  FROM ps JOIN g ON g.win = ps.win),
+        |top AS (
+        |  SELECT source, win FROM (
+        |    SELECT source, win,
+        |      ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY total_docs DESC, win DESC) AS rn
+        |    FROM f WHERE is_dup) WHERE rn = 1)
+        |SELECT f.source,
+        |  COUNT(*) AS n_windows,
+        |  CAST(SUM(CASE WHEN f.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        |  CAST(SUM(CASE WHEN f.is_dup THEN f.df ELSE 0 END) AS BIGINT) AS dup_doc_mass,
+        |  CAST(MAX(CASE WHEN f.is_dup THEN f.total_docs END) AS BIGINT) AS max_docs,
+        |  MAX(top.win) AS top_win
+        |FROM f LEFT JOIN top ON top.source = f.source
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

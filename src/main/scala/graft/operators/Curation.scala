@@ -2117,4 +2117,90 @@ object Curation {
         countDistinct(col("h")).as("n_texts"))
       .orderBy(col("source"), col("split"))
   }
+
+  /** Window length (tokens) for [[q208ExactSubstr]]. Short relative to
+    * the published 50-token threshold (Lee et al. '21 §4.1 — the
+    * dedup that measurably improves LMs) because the driver corpus's
+    * documents run 10-99 tokens; the OPERATOR is length-agnostic.
+    */
+  val ExactSubstrL = 8
+
+  /** The global license sentence [[q208ExactSubstr]] plants on every
+    * 17th document (q63/q206 planting discipline): 10 tokens, so the
+    * planted docs share exactly 10 − L + 1 = 3 interior windows while
+    * the windows straddling the content/plant boundary carry each
+    * doc's own text and stay unique — the detector must recover
+    * CROSS-SOURCE duplication that per-source df thresholds (q206)
+    * cannot see.
+    */
+  private val ExactSubstrPlant =
+    " license plate sentence shared verbatim across documents for dedup canary"
+
+  /** [[ExactSubstrPlant]] for the oracle-SQL interpolation (the plant
+    * carries no single quotes, so it drops into a SQL literal as-is).
+    */
+  private[graft] def exactSubstrPlantSql: String = ExactSubstrPlant
+
+  /** q208: cross-document exact-substring duplication signal — the
+    * window-level census behind ExactSubstr dedup (Lee et al. '21,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * every L-token window that appears in two or more documents
+    * ANYWHERE in the corpus is memorization-prone duplicated text,
+    * regardless of source and regardless of whether the documents are
+    * near-duplicates as wholes. Complementary to the rest of the
+    * dedup family: q19/q88/q109 compare documents, q206 thresholds
+    * per-source grams — this counts corpus-wide repeated SPANS, the
+    * quantity a dedup pass would actually cut. Per source it reports
+    * the distinct-window census, how many of its windows are
+    * duplicated corpus-wide, the document mass riding them, and the
+    * top offender (most documents, ties to the lexicographically-last
+    * window — the q206 tiebreak).
+    *
+    * Scale shape: tokenize → per-doc DISTINCT windows (a window
+    * repeated inside one doc costs one row) → ONE (source, window)
+    * doc-frequency aggregate off a single corpus pass (persisted and
+    * materialized before reuse — OnePassSpec pins 1.0×), then the
+    * corpus-wide roll-up and the join back are both WINDOW-VOCABULARY
+    * sized, never corpus-sized. Grouping is by the window STRING at
+    * oracle SF for bit-exact DuckDB parity; at 100 TB the group key
+    * becomes a 128-bit hash of the window (the Lee et al. layout) and
+    * nothing else changes.
+    */
+  def q208ExactSubstr(s: SparkSession, d: String): DataFrame =
+    exactSubstrOf(Tables.documents(s, d))
+
+  /** [[q208ExactSubstr]] over any `(source, doc_id, text)` frame. */
+  private[graft] def exactSubstrOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val planted = docs.select(col("source"), col("doc_id"),
+      concat(coalesce(col("text"), lit("")),
+        when(col("doc_id") % 17 === 0, lit(ExactSubstrPlant))
+          .otherwise(lit(""))).as("t"))
+    val winRows = planted.select(col("source"), col("t")).as[(String, String)]
+      .flatMap { case (src, t) =>
+        grams(tokenize(t), ExactSubstrL).toSet.iterator
+          .map((w: String) => (src, w))
+      }
+      .toDF("source", "win")
+    // the single corpus-pass product: (source, window) -> doc frequency
+    val perSource = winRows.groupBy(col("source"), col("win"))
+      .agg(count(lit(1)).as("df"))
+      .persist()
+    perSource.count() // materialize BEFORE the self-derived join reuses it
+    val global = perSource.groupBy(col("win"))
+      .agg(sum(col("df")).cast("long").as("total_docs"))
+    perSource.join(global, "win") // vocab-sized both sides
+      .withColumn("is_dup", col("total_docs") >= 2L)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_windows"),
+        sum(when(col("is_dup"), col("df")).otherwise(0L)).as("dup_doc_mass"),
+        max(when(col("is_dup"), col("total_docs"))).as("max_docs"),
+        max(when(col("is_dup"), struct(col("total_docs"), col("win")))).as("top"))
+      .select(col("source"), col("n_windows"), col("n_dup_windows"),
+        col("dup_doc_mass"), col("max_docs"), col("top.win").as("top_win"))
+      .orderBy(col("source"))
+  }
 }

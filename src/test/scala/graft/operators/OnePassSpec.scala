@@ -56,4 +56,10 @@ class OnePassSpec extends SparkSpec {
     Curation.stratifiedSampleOf(docs.withColumn("n_chars", length(col("text")).cast("long"))).count()
     assert(acc.value == 400, s"corpus evaluated ${acc.value / 400.0}x")
   }
+
+  test("q208 exact-substring census reads the corpus exactly once") {
+    val (docs, acc) = countedDocs(400)
+    Curation.exactSubstrOf(docs).count()
+    assert(acc.value == 400, s"corpus evaluated ${acc.value / 400.0}x")
+  }
 }
