@@ -41,6 +41,41 @@ import org.apache.spark.sql.SparkSession
   *     from self-load.
   */
 object Bench {
+  /** The prior round's per-query seconds, keyed by qNN prefix — the
+    * reconciliation baseline. `explicitPath` (SPARK_GRAFT_PRIOR) wins;
+    * otherwise the lexicographically-newest BENCH_r*.json in `dir`
+    * (the driver's artifact layout: either a raw contract line with a
+    * top-level "queries" map, or the driver wrapper with it under
+    * "parsed"). Any parse failure yields an EMPTY map — reconciliation
+    * silently disabled is the acceptable failure mode; a crash that
+    * kills the whole artifact is not. BenchPriorSpec pins both layouts
+    * and the failure modes.
+    */
+  private[graft] def priorQueries(
+      explicitPath: Option[String], dir: java.io.File): Map[String, Double] = {
+    val path = explicitPath.orElse {
+      val fs = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+      fs.filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .map(_.getPath).sorted.lastOption
+    }
+    path.fold(Map.empty[String, Double]) { p =>
+      try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(p))
+        val base = Option(root.get("parsed")).filterNot(_.isNull).getOrElse(root)
+        val q = base.get("queries")
+        if (q == null || !q.isObject) Map.empty
+        else {
+          val b = Map.newBuilder[String, Double]
+          q.properties().forEach { e =>
+            if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+          }
+          b.result()
+        }
+      } catch { case _: Throwable => Map.empty }
+    }
+  }
+
   /** 1-minute load average from /proc/loadavg; -1 if unreadable. */
   private def load1(): Double =
     try {
@@ -138,30 +173,8 @@ object Bench {
     // (the driver's own artifact layout); no prior -> pass disabled.
     // Suspects are capped at the 15 worst absolute deltas so a fully
     // contaminated run re-times the heavies first within a bounded tail.
-    def priorQueries(): Map[String, Double] = {
-      val path = sys.env.get("SPARK_GRAFT_PRIOR").orElse {
-        val fs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty[java.io.File])
-        fs.map(_.getName).filter(_.matches("BENCH_r\\d+\\.json"))
-          .sorted.lastOption
-      }
-      path.fold(Map.empty[String, Double]) { p =>
-        try {
-          val root = new com.fasterxml.jackson.databind.ObjectMapper()
-            .readTree(new java.io.File(p))
-          val base = Option(root.get("parsed")).filterNot(_.isNull).getOrElse(root)
-          val q = base.get("queries")
-          if (q == null || !q.isObject) Map.empty
-          else {
-            val b = Map.newBuilder[String, Double]
-            q.properties().forEach { e =>
-              if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
-            }
-            b.result()
-          }
-        } catch { case _: Throwable => Map.empty }
-      }
-    }
-    val prior = priorQueries()
+    val prior = priorQueries(
+      sys.env.get("SPARK_GRAFT_PRIOR"), new java.io.File("."))
     val fnMap = qs.toMap
     val suspects = swept.iterator.flatMap { case (name, _, best, _) =>
       prior.get(name.takeWhile(_ != '_')) match {
