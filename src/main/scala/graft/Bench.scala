@@ -43,34 +43,53 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** The prior round's per-query seconds, keyed by qNN prefix — the
     * reconciliation baseline. `explicitPath` (SPARK_GRAFT_PRIOR) wins;
-    * otherwise the lexicographically-newest BENCH_r*.json in `dir`
-    * (the driver's artifact layout: either a raw contract line with a
+    * otherwise the HIGHEST-ROUND BENCH_r*.json in `dir` (numeric on
+    * the round, not lexicographic — r100 must beat r99) in the
+    * driver's artifact layout: either a raw contract line with a
     * top-level "queries" map, or the driver wrapper with it under
-    * "parsed"). Any parse failure yields an EMPTY map — reconciliation
-    * silently disabled is the acceptable failure mode; a crash that
-    * kills the whole artifact is not. BenchPriorSpec pins both layouts
-    * and the failure modes.
+    * "parsed". A prior recorded at a DIFFERENT scale factor than
+    * `sfDir` is rejected whole: comparing an sf1 run against sf0.1
+    * times would flag nearly every query and burn the reconciliation
+    * budget on bogus re-times (the artifact's "sf" is matched on its
+    * trailing sf token — the wrapper stores a bare number, the
+    * contract line the full dir path). Any parse failure yields an
+    * EMPTY map — reconciliation silently disabled is the acceptable
+    * failure mode; a crash that kills the whole artifact is not.
+    * BenchPriorSpec pins the layouts, the ordering, the sf guard, and
+    * the failure modes.
     */
   private[graft] def priorQueries(
-      explicitPath: Option[String], dir: java.io.File): Map[String, Double] = {
+      explicitPath: Option[String], dir: java.io.File,
+      sfDir: String): Map[String, Double] = {
+    val roundRe = "BENCH_r(\\d+)\\.json".r
     val path = explicitPath.orElse {
       val fs = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-      fs.filter(_.getName.matches("BENCH_r\\d+\\.json"))
-        .map(_.getPath).sorted.lastOption
+      fs.flatMap(f => f.getName match {
+        case roundRe(n) => Some((n.toInt, f.getPath))
+        case _ => None
+      }).sortBy(_._1).lastOption.map(_._2)
     }
+    // "…/sf0.1" and 0.1 both normalize to "0.1"
+    def sfToken(s: String): String =
+      s.reverse.takeWhile(c => c != '/' && c != 'f').reverse
     path.fold(Map.empty[String, Double]) { p =>
       try {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(new java.io.File(p))
         val base = Option(root.get("parsed")).filterNot(_.isNull).getOrElse(root)
-        val q = base.get("queries")
-        if (q == null || !q.isObject) Map.empty
+        val priorSf = Option(base.get("sf")).filterNot(_.isNull)
+          .map(n => sfToken(n.asText()))
+        if (priorSf.exists(_ != sfToken(sfDir))) Map.empty
         else {
-          val b = Map.newBuilder[String, Double]
-          q.properties().forEach { e =>
-            if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+          val q = base.get("queries")
+          if (q == null || !q.isObject) Map.empty
+          else {
+            val b = Map.newBuilder[String, Double]
+            q.properties().forEach { e =>
+              if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+            }
+            b.result()
           }
-          b.result()
         }
       } catch { case _: Throwable => Map.empty }
     }
@@ -174,7 +193,7 @@ object Bench {
     // Suspects are capped at the 15 worst absolute deltas so a fully
     // contaminated run re-times the heavies first within a bounded tail.
     val prior = priorQueries(
-      sys.env.get("SPARK_GRAFT_PRIOR"), new java.io.File("."))
+      sys.env.get("SPARK_GRAFT_PRIOR"), new java.io.File("."), sfDir)
     val fnMap = qs.toMap
     val suspects = swept.iterator.flatMap { case (name, _, best, _) =>
       prior.get(name.takeWhile(_ != '_')) match {
@@ -184,11 +203,16 @@ object Bench {
       }
     }.toSeq.sortBy(-_._2).take(15).map(_._1).toSet
     var reconGateWaited = 0 // shared budget: one co-tenant burst, one wait
+    // re-times that ran with load1 STILL above the gate (budget burned)
+    // — recorded on the contract line so a "reconciled" min is never
+    // mistaken for a clean-load confirmation when it wasn't one
+    var reconLoaded = 0
     val measured = swept.map {
       case (name, all, best, load) if suspects(name) =>
         while (gateMax > 0 && load1() > gateMax && reconGateWaited < 180) {
           Thread.sleep(5000); reconGateWaited += 5
         }
+        if (gateMax > 0 && load1() > gateMax) reconLoaded += 1
         val extra = Seq(timeOne(fnMap(name)), timeOne(fnMap(name)))
         val merged = all ++ extra
         val ok = merged.map(_._1).drop(1).filter(_ >= 0)
@@ -231,9 +255,9 @@ object Bench {
     val total = measured.map(_._3).filter(_ >= 0).sum
     val loadStats = // host-contention context for every perf claim
       if (loads.isEmpty)
-        s""""load1_start":${s2(load1Start)},"load1_raw":${s2(load1Raw)},"gate_waited":$gateWaited,"reconciled":$reconciled,"load1_mean":-1,"load1_max":-1"""
+        s""""load1_start":${s2(load1Start)},"load1_raw":${s2(load1Raw)},"gate_waited":$gateWaited,"reconciled":$reconciled,"recon_gate_waited":$reconGateWaited,"recon_loaded":$reconLoaded,"load1_mean":-1,"load1_max":-1"""
       else
-        s""""load1_start":${s2(load1Start)},"load1_raw":${s2(load1Raw)},"gate_waited":$gateWaited,"reconciled":$reconciled,"load1_mean":${s2(loads.sum / loads.size)},"load1_max":${s2(loads.max)}"""
+        s""""load1_start":${s2(load1Start)},"load1_raw":${s2(load1Raw)},"gate_waited":$gateWaited,"reconciled":$reconciled,"recon_gate_waited":$reconGateWaited,"recon_loaded":$reconLoaded,"load1_mean":${s2(loads.sum / loads.size)},"load1_max":${s2(loads.max)}"""
     // The driver artifact records ONLY the last ~2000 chars of output,
     // and it parses the contract line out of that window — r9's 141
     // queries fit (1780 chars, parsed OK) while r10-r12's 166-175 did

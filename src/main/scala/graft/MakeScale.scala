@@ -99,6 +99,10 @@ object MakeScale {
           if (mode == "salted-docs")
             shifted.withColumn("text",
               salt(col("doc_id") - lit(docOff0 * i), lit(i), col("text")))
+              // salting appends "~cN" to ~40% of tokens — n_chars must
+              // track the new text or n_chars consumers read fiction
+              .withColumn("n_chars",
+                length(coalesce(col("text"), lit(""))).cast("long"))
           else shifted
         }
         .reduce(_ unionByName _)

@@ -6,9 +6,12 @@ import java.nio.file.Files
 /** Pins for the reconciliation baseline parser: a silent parse bug
   * here would disable Bench's load-reconciliation pass without any
   * visible failure (it degrades to an empty prior), so both driver
-  * artifact layouts and the failure modes are pinned. Pure JVM.
+  * artifact layouts, the numeric newest-round ordering, the
+  * scale-factor guard, and the failure modes are pinned. Pure JVM.
   */
 class BenchPriorSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.1"
 
   private def tmpDir(): java.io.File = {
     val d = Files.createTempDirectory("graft_prior").toFile
@@ -24,35 +27,56 @@ class BenchPriorSpec extends AnyFunSuite {
   test("raw contract line: top-level queries map") {
     val d = tmpDir()
     val p = write(d, "line.json",
-      """{"metric":"total","value":10.0,"queries":{"q01":0.5,"q137":5.69},"sf":"x"}""")
-    assert(Bench.priorQueries(Some(p), d) == Map("q01" -> 0.5, "q137" -> 5.69))
+      s"""{"metric":"total","value":10.0,"queries":{"q01":0.5,"q137":5.69},"sf":"$sf"}""")
+    assert(Bench.priorQueries(Some(p), d, sf) == Map("q01" -> 0.5, "q137" -> 5.69))
   }
 
-  test("driver wrapper: queries under parsed") {
+  test("driver wrapper: queries under parsed, numeric sf field") {
     val d = tmpDir()
     val p = write(d, "BENCH_r09.json",
-      """{"n":9,"rc":0,"tail":"...","parsed":{"metric":"total","queries":{"q73":3.94}}}""")
-    assert(Bench.priorQueries(None, d) == Map("q73" -> 3.94))
+      """{"n":9,"rc":0,"tail":"...","parsed":{"metric":"total","queries":{"q73":3.94},"sf":0.1}}""")
+    assert(Bench.priorQueries(None, d, sf) == Map("q73" -> 3.94))
   }
 
-  test("newest BENCH_r file wins (zero-padded round names sort correctly)") {
+  test("highest ROUND wins numerically: r100 beats r99, unpadded r9 never shadows") {
     val d = tmpDir()
-    write(d, "BENCH_r09.json", """{"queries":{"q01":9.0}}""")
-    write(d, "BENCH_r16.json", """{"queries":{"q01":16.0}}""")
-    write(d, "OTHER.json", """{"queries":{"q01":99.0}}""")
-    assert(Bench.priorQueries(None, d) == Map("q01" -> 16.0))
+    write(d, "BENCH_r9.json", """{"queries":{"q01":9.0}}""")
+    write(d, "BENCH_r99.json", """{"queries":{"q01":99.0}}""")
+    write(d, "BENCH_r100.json", """{"queries":{"q01":100.0}}""")
+    write(d, "OTHER.json", """{"queries":{"q01":777.0}}""")
+    assert(Bench.priorQueries(None, d, sf) == Map("q01" -> 100.0))
+  }
+
+  test("a prior recorded at a DIFFERENT scale factor is rejected whole") {
+    val d = tmpDir()
+    // sf0.1 prior vs an sf1 run: without the guard nearly every query
+    // would trip the 1.5x threshold and burn the reconciliation budget
+    val p = write(d, "BENCH_r16.json",
+      s"""{"queries":{"q01":0.5},"sf":"$sf"}""")
+    assert(Bench.priorQueries(Some(p), d, "/tmp/sf1").isEmpty)
+    assert(Bench.priorQueries(Some(p), d, sf) == Map("q01" -> 0.5))
+    // wrapper with bare-number sf matches the dir-path form of the same sf
+    val w = write(d, "wrapper.json", """{"parsed":{"queries":{"q02":1.0},"sf":0.1}}""")
+    assert(Bench.priorQueries(Some(w), d, sf) == Map("q02" -> 1.0))
+    assert(Bench.priorQueries(Some(w), d, "/root/testdata/sf0.01").isEmpty)
+  }
+
+  test("a prior WITHOUT an sf field is accepted (cannot be checked)") {
+    val d = tmpDir()
+    val p = write(d, "BENCH_r01.json", """{"queries":{"q01":1.0}}""")
+    assert(Bench.priorQueries(Some(p), d, sf) == Map("q01" -> 1.0))
   }
 
   test("failure modes degrade to empty, never throw") {
     val d = tmpDir()
-    assert(Bench.priorQueries(None, d).isEmpty) // no artifacts at all
-    assert(Bench.priorQueries(Some("/nonexistent/x.json"), d).isEmpty)
+    assert(Bench.priorQueries(None, d, sf).isEmpty) // no artifacts at all
+    assert(Bench.priorQueries(Some("/nonexistent/x.json"), d, sf).isEmpty)
     val bad = write(d, "BENCH_r01.json", "{not json")
-    assert(Bench.priorQueries(Some(bad), d).isEmpty)
+    assert(Bench.priorQueries(Some(bad), d, sf).isEmpty)
     val noQ = write(d, "BENCH_r02.json", """{"parsed":null,"queries":"nope"}""")
-    assert(Bench.priorQueries(Some(noQ), d).isEmpty)
+    assert(Bench.priorQueries(Some(noQ), d, sf).isEmpty)
     // non-numeric entries are skipped, numeric kept
     val mixed = write(d, "BENCH_r03.json", """{"queries":{"q01":1.5,"q02":"-"}}""")
-    assert(Bench.priorQueries(Some(mixed), d) == Map("q01" -> 1.5))
+    assert(Bench.priorQueries(Some(mixed), d, sf) == Map("q01" -> 1.5))
   }
 }
