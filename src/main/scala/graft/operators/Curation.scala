@@ -2169,8 +2169,21 @@ object Curation {
   def q208ExactSubstr(s: SparkSession, d: String): DataFrame =
     exactSubstrOf(Tables.documents(s, d))
 
-  /** [[q208ExactSubstr]] over any `(source, doc_id, text)` frame. */
-  private[graft] def exactSubstrOf(docs: DataFrame): DataFrame = {
+  /** [[q208ExactSubstr]] over any `(source, doc_id, text)` frame.
+    *
+    * `hashKeys` selects the group/join key: the window STRING (oracle
+    * mode — bit-exact DuckDB parity at driver SF) or its `xxhash64`
+    * (the 100 TB mode, Lee et al.'s layout): the shuffle keys and the
+    * corpus-wide rollup/join-back then move 8-byte longs instead of
+    * L-token strings, with the window text reduced to one per-group
+    * WITNESS (`max(win)` — under no collision, the window itself) that
+    * only rides the aggregation buffer. The two modes share this one
+    * code path and return identical results absent a 64-bit collision
+    * (~n²/2⁶⁵ at vocabulary n — ExactSubstrPropertySpec pins the
+    * equality on random corpora).
+    */
+  private[graft] def exactSubstrOf(
+      docs: DataFrame, hashKeys: Boolean = false): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val planted = docs.select(col("source"), col("doc_id"),
@@ -2183,14 +2196,23 @@ object Curation {
           .map((w: String) => (src, w))
       }
       .toDF("source", "win")
-    // the single corpus-pass product: (source, window) -> doc frequency
-    val perSource = winRows.groupBy(col("source"), col("win"))
-      .agg(count(lit(1)).as("df"))
-      .persist()
+    // the single corpus-pass product: (source, window) -> doc frequency.
+    // String mode aggregates on the window itself (one string per
+    // pre-combine row); hashed mode keys on xxhash64 and reduces the
+    // text to a per-group witness that only rides the agg buffer.
+    val perSource = (if (hashKeys)
+        winRows.select(col("source"), xxhash64(col("win")).as("k"), col("win"))
+          .groupBy(col("source"), col("k"))
+          .agg(count(lit(1)).as("df"), max(col("win")).as("win"))
+      else
+        winRows.groupBy(col("source"), col("win"))
+          .agg(count(lit(1)).as("df"))
+          .withColumn("k", col("win")) // post-aggregate: vocab-sized
+      ).persist()
     perSource.count() // materialize BEFORE the self-derived join reuses it
-    val global = perSource.groupBy(col("win"))
+    val global = perSource.groupBy(col("k"))
       .agg(sum(col("df")).cast("long").as("total_docs"))
-    perSource.join(global, "win") // vocab-sized both sides
+    perSource.join(global, "k") // vocab-sized both sides
       .withColumn("is_dup", col("total_docs") >= 2L)
       .groupBy(col("source"))
       .agg(

@@ -47,6 +47,19 @@ class ExactSubstrPropertySpec extends SparkSpec {
     }
   }
 
+  test("hashed-key (100 TB) mode == string-key (oracle) mode on random corpora") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 2) {
+      val rows = (0 until 80).map { i =>
+        (s"s${i % 5}", i.toLong, doc(rnd))
+      }
+      val df = rows.toDF("source", "doc_id", "text")
+      val str = Curation.exactSubstrOf(df, hashKeys = false).collect().toSeq
+      val hsh = Curation.exactSubstrOf(df, hashKeys = true).collect().toSeq
+      assert(str == hsh, s"trial $trial: modes diverge")
+    }
+  }
+
   test("distributed census == brute force on random small-vocabulary corpora") {
     val rnd = new scala.util.Random(23)
     for (trial <- 1 to 3) {
