@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 /** Dev tool: generate ATLAS.md — the operator atlas the repo needs now
@@ -13,34 +13,58 @@ import scala.jdk.CollectionConverters._
   * the binding target, its `def` site, and the test files that
   * mention it — so the atlas can never drift from the code: a rename
   * that breaks the scan shows up as "inline" / no-spec rows on the
-  * next regeneration, and regeneration is one command:
+  * next regeneration, regeneration is one command:
   *
   *   sbt "runMain graft.Atlas"
+  *
+  * and AtlasSpec fails the build if the committed ATLAS.md differs
+  * from a fresh [[generate]] (the r17 advice: generated-but-unpinned
+  * docs go stale silently).
   */
 object Atlas {
-  private def read(p: java.nio.file.Path): String =
+  private def read(p: Path): String =
     new String(Files.readAllBytes(p), "UTF-8")
 
-  def main(args: Array[String]): Unit = {
-    val out = if (args.nonEmpty) args(0) else "ATLAS.md"
+  /** `Files.walk` with the stream CLOSED (it holds directory handles
+    * open until then — the r17-advice leak: two per run, unbounded in
+    * a long-lived test JVM that regenerates per suite).
+    */
+  private def scalaFiles(root: String): Vector[Path] = {
+    val s = Files.walk(Paths.get(root))
+    try s.iterator().asScala.filter(_.toString.endsWith(".scala")).toVector
+    finally s.close()
+  }
+
+  /** The full atlas markdown, deterministic for a given tree. */
+  def generate(): String = {
     val entryPath = Paths.get("src/main/scala/graft/SparkEntry.scala")
     val entryLines = read(entryPath).linesIterator.toVector
 
-    val mainFiles = Files.walk(Paths.get("src/main/scala")).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala")).toVector
-    val testFiles = Files.walk(Paths.get("src/test/scala")).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala")).toVector
+    val mainFiles = scalaFiles("src/main/scala")
+    val testFiles = scalaFiles("src/test/scala")
 
-    // def-site index: method name -> (file, line) across main sources
-    val defSite: Map[String, (String, Int)] = {
-      val defRe = """^\s*(?:private\s+|final\s+)*def\s+([A-Za-z0-9_]+)""".r
-      val b = scala.collection.mutable.Map.empty[String, (String, Int)]
+    // def-site index: method name -> ALL (file, line) sites across main
+    // sources, first-seen order preserved per name
+    val defSites: Map[String, Vector[(String, Int)]] = {
+      val defRe = """^\s*(?:private(?:\[\w+\])?\s+|final\s+)*def\s+([A-Za-z0-9_]+)""".r
+      val b = scala.collection.mutable.Map
+        .empty[String, Vector[(String, Int)]]
       for (f <- mainFiles; (l, i) <- read(f).linesIterator.zipWithIndex)
         defRe.findFirstMatchIn(l).foreach { m =>
-          b.getOrElseUpdate(m.group(1), (f.toString, i + 1))
+          b.updateWith(m.group(1)) {
+            case Some(v) => Some(v :+ ((f.toString, i + 1)))
+            case None => Some(Vector((f.toString, i + 1)))
+          }
         }
       b.toMap
     }
+    // a duplicate method name in an unrelated file must not mislabel a
+    // query's file:line (the r17 advice): prefer the def site whose
+    // file matches the binding's qualified OBJECT name
+    def defSiteFor(obj: String, method: String): Option[(String, Int)] =
+      defSites.get(method).flatMap { sites =>
+        sites.find(_._1.endsWith(s"/$obj.scala")).orElse(sites.headOption)
+      }
 
     // spec index: test files are read once; a query's specs are the
     // files mentioning its registry name or its implementing method
@@ -74,9 +98,12 @@ object Atlas {
       // qualified method ref like graft.streaming.EventStream.q147TwsSessions _
       val methRe = """([A-Za-z0-9_.]+)\.([A-Za-z0-9_]+)\s*_?\)?,?$""".r
       val (method, site) = methRe.findFirstMatchIn(bindTail.stripSuffix(",")) match {
-        case Some(m) if defSite.contains(m.group(2)) =>
-          val (f, ln) = defSite(m.group(2))
-          (s"${m.group(1).split('.').last}.${m.group(2)}", s"$f:$ln")
+        case Some(m) =>
+          val obj = m.group(1).split('.').last
+          defSiteFor(obj, m.group(2)) match {
+            case Some((f, ln)) => (s"$obj.${m.group(2)}", s"$f:$ln")
+            case None => ("inline", s"$entryPath:${bindIdx + 1}")
+          }
         case _ =>
           // inline lambda: the query lives in SparkEntry itself; find a
           // called graft method inside the binding region if any
@@ -106,7 +133,13 @@ object Atlas {
         (if (specs.size > 4) s" (+${specs.size - 4})" else "")
       sb ++= s"| $name | $method | $site | $oracle | $specCell |\n"
     }
-    Files.write(Paths.get(out), sb.toString.getBytes("UTF-8"))
-    println(s"wrote $out (${rows.size} rows)")
+    sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "ATLAS.md"
+    val text = generate()
+    Files.write(Paths.get(out), text.getBytes("UTF-8"))
+    println(s"wrote $out (${text.linesIterator.count(_.startsWith("| q"))} rows)")
   }
 }

@@ -241,6 +241,10 @@ object SparkEntry {
     "q206_boilerplate" -> (Curation.q206Boilerplate _),
     "q207_stratified_sample" -> (Curation.q207StratifiedSample _),
     "q208_exact_substr" -> (Curation.q208ExactSubstr _),
+    "q209_exact_substr_dedup" -> (Curation.q209ExactSubstrDedup _),
+    "q210_exact_substr_hashed" -> (Curation.q210ExactSubstrHashed _),
+    "q211_stream_exact_substr" ->
+      (graft.streaming.EventStream.q211StreamExactSubstr _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -500,6 +504,50 @@ object SparkEntry {
       |  MIN(CASE WHEN s > k * ${graft.operators.Temporal.CusumHMult} THEN ts_us END) AS first_cross_us
       |FROM c GROUP BY user_id
       |ORDER BY user_id""".stripMargin
+
+  /** Shared q208/q210 census replay: per-doc DISTINCT 8-token windows,
+    * corpus-wide doc frequency, per-source rollup; top offender =
+    * ROW_NUMBER(total DESC, win DESC) — Spark's max(struct) tiebreak.
+    * q210 (the hashed-key 100 TB mode) is checked against this SAME
+    * string-mode SQL: the surrogate key must be invisible in results.
+    */
+  private val ExactSubstrCensusSql: String =
+    s"""WITH p AS (
+      |  SELECT source, doc_id,
+      |    COALESCE(text, '') || CASE WHEN doc_id % 17 = 0
+      |      THEN '${graft.operators.Curation.exactSubstrPlantSql}'
+      |      ELSE '' END AS t
+      |  FROM documents),
+      |tk AS (
+      |  SELECT source, doc_id,
+      |    list_filter(string_split(t, ' '), x -> x <> '') AS toks
+      |  FROM p),
+      |w AS (
+      |  SELECT source, doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      generate_series(1, greatest(len(toks) - ${graft.operators.Curation.ExactSubstrL - 1}, 0)),
+      |      i -> array_to_string(toks[i:i+${graft.operators.Curation.ExactSubstrL - 1}], ' ')))) AS win
+      |  FROM tk),
+      |ps AS (SELECT source, win, COUNT(*) AS df FROM w GROUP BY 1, 2),
+      |g AS (SELECT win, CAST(SUM(df) AS BIGINT) AS total_docs FROM ps GROUP BY 1),
+      |f AS (
+      |  SELECT ps.source, ps.win, ps.df, g.total_docs,
+      |    g.total_docs >= 2 AS is_dup
+      |  FROM ps JOIN g ON g.win = ps.win),
+      |top AS (
+      |  SELECT source, win FROM (
+      |    SELECT source, win,
+      |      ROW_NUMBER() OVER (PARTITION BY source
+      |        ORDER BY total_docs DESC, win DESC) AS rn
+      |    FROM f WHERE is_dup) WHERE rn = 1)
+      |SELECT f.source,
+      |  COUNT(*) AS n_windows,
+      |  CAST(SUM(CASE WHEN f.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+      |  CAST(SUM(CASE WHEN f.is_dup THEN f.df ELSE 0 END) AS BIGINT) AS dup_doc_mass,
+      |  CAST(MAX(CASE WHEN f.is_dup THEN f.total_docs END) AS BIGINT) AS max_docs,
+      |  MAX(top.win) AS top_win
+      |FROM f LEFT JOIN top ON top.source = f.source
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4901,7 +4949,21 @@ object SparkEntry {
     // 8-token windows, corpus-wide doc frequency, per-source rollup;
     // top offender = ROW_NUMBER(total DESC, win DESC) — Spark's
     // max(struct) tiebreak
-    "q208_exact_substr" ->
+    "q208_exact_substr" -> ExactSubstrCensusSql,
+    // q210 is the census in its hashed (128-bit surrogate key) mode;
+    // the STRING-MODE oracle is reused verbatim — the driver compare
+    // is then a standing proof that the 100 TB key layout changes
+    // nothing but the shuffle-key width
+    "q210_exact_substr_hashed" -> ExactSubstrCensusSql,
+    // ExactSubstr dedup transform (q209): duplicated = window in >= 2
+    // docs; keep the (doc_id, pos)-minimal occurrence, cut the rest;
+    // gaps-and-islands merges cut windows (consecutive starts <= L
+    // apart chain into one contiguous removed span, so the island
+    // range IS the covered union); the rewrite drops covered token
+    // indexes and re-joins on single spaces. md5 witnesses certify the
+    // rewritten text itself, not just the counts.
+    "q209_exact_substr_dedup" -> {
+      val L = graft.operators.Curation.ExactSubstrL
       s"""WITH p AS (
         |  SELECT source, doc_id,
         |    COALESCE(text, '') || CASE WHEN doc_id % 17 = 0
@@ -4912,31 +4974,116 @@ object SparkEntry {
         |  SELECT source, doc_id,
         |    list_filter(string_split(t, ' '), x -> x <> '') AS toks
         |  FROM p),
+        |occ AS (
+        |  SELECT doc_id, u['pos'] AS pos, u['win'] AS win FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(
+        |        generate_series(1, greatest(len(toks) - ${L - 1}, 0)),
+        |        i -> {'pos': i, 'win': array_to_string(toks[i:i+${L - 1}], ' ')})) AS u
+        |    FROM tk)),
+        |dupw AS (
+        |  SELECT win FROM occ GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+        |keep AS (
+        |  SELECT win, doc_id AS kd, pos AS kp FROM (
+        |    SELECT o.win, o.doc_id, o.pos,
+        |      ROW_NUMBER() OVER (PARTITION BY o.win
+        |        ORDER BY o.doc_id, o.pos) AS rn
+        |    FROM occ o JOIN dupw d ON d.win = o.win) WHERE rn = 1),
+        |marked AS (
+        |  SELECT DISTINCT o.doc_id, o.pos
+        |  FROM occ o JOIN keep k ON k.win = o.win
+        |  WHERE NOT (o.doc_id = k.kd AND o.pos = k.kp)),
+        |isl AS (
+        |  SELECT doc_id, pos, SUM(brk) OVER (
+        |      PARTITION BY doc_id ORDER BY pos) AS isl_id
+        |  FROM (
+        |    SELECT doc_id, pos,
+        |      CASE WHEN pos - LAG(pos) OVER (
+        |          PARTITION BY doc_id ORDER BY pos) > $L
+        |        THEN 1 ELSE 0 END AS brk
+        |    FROM marked)),
+        |spans AS (
+        |  SELECT doc_id, isl_id, MIN(pos) AS s, MAX(pos) + ${L - 1} AS e
+        |  FROM isl GROUP BY 1, 2),
+        |st AS (
+        |  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS n_removed,
+        |    CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |    CAST(MAX(e - s + 1) AS BIGINT) AS max_span
+        |  FROM spans GROUP BY 1),
+        |cov AS (
+        |  -- islands are disjoint per doc, so no dedup needed
+        |  SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans),
+        |tok_rows AS (
+        |  SELECT source, doc_id, u['i'] AS i, u['tok'] AS tok FROM (
+        |    SELECT source, doc_id,
+        |      unnest(list_transform(generate_series(1, len(toks)),
+        |        i -> {'i': i, 'tok': toks[i]})) AS u
+        |    FROM tk)),
+        |rw AS (
+        |  SELECT tr.doc_id,
+        |    string_agg(tr.tok, ' ' ORDER BY tr.i)
+        |      FILTER (WHERE cov.i IS NULL) AS rewritten
+        |  FROM tok_rows tr LEFT JOIN cov
+        |    ON cov.doc_id = tr.doc_id AND cov.i = tr.i
+        |  GROUP BY 1),
+        |docg AS (
+        |  SELECT tk.source, tk.doc_id, len(tk.toks) AS n_toks,
+        |    COALESCE(rw.rewritten, '') AS rewritten,
+        |    COALESCE(st.n_removed, 0) AS n_removed,
+        |    COALESCE(st.n_spans, 0) AS n_spans,
+        |    COALESCE(st.max_span, 0) AS max_span
+        |  FROM tk LEFT JOIN rw ON rw.doc_id = tk.doc_id
+        |          LEFT JOIN st ON st.doc_id = tk.doc_id)
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_modified,
+        |  CAST(SUM(n_toks) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(n_removed) AS BIGINT) AS tokens_removed,
+        |  CAST(SUM(n_toks - n_removed) AS BIGINT) AS tokens_retained,
+        |  CAST(SUM(n_spans) AS BIGINT) AS spans_removed,
+        |  CAST(MAX(max_span) AS BIGINT) AS max_span_tokens,
+        |  CAST(COUNT(DISTINCT md5(rewritten)) AS BIGINT) AS n_distinct_texts,
+        |  MAX(md5(rewritten)) AS sig_max
+        |FROM docg GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // Streaming ExactSubstr burst monitor (q211): the census is a pure
+    // algebraic windowed COUNT, so the WHOLE stream query replays from
+    // the batch table — arrival window = doc_id div 100 (1 doc/sec
+    // fixture, 100 s tumble aligned to the base epoch), per-doc
+    // DISTINCT windows, df >= 2 WITHIN the arrival window, q208's
+    // (df, win) max-struct tiebreak for the top offender
+    "q211_stream_exact_substr" ->
+      s"""WITH p AS (
+        |  SELECT doc_id // 100 AS win_id,
+        |    COALESCE(text, '') || CASE WHEN doc_id % 17 = 0
+        |      THEN '${graft.operators.Curation.exactSubstrPlantSql}'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |tk AS (
+        |  SELECT win_id,
+        |    list_filter(string_split(t, ' '), x -> x <> '') AS toks
+        |  FROM p),
         |w AS (
-        |  SELECT source, doc_id,
+        |  SELECT win_id,
         |    unnest(list_distinct(list_transform(
         |      generate_series(1, greatest(len(toks) - ${graft.operators.Curation.ExactSubstrL - 1}, 0)),
         |      i -> array_to_string(toks[i:i+${graft.operators.Curation.ExactSubstrL - 1}], ' ')))) AS win
         |  FROM tk),
-        |ps AS (SELECT source, win, COUNT(*) AS df FROM w GROUP BY 1, 2),
-        |g AS (SELECT win, CAST(SUM(df) AS BIGINT) AS total_docs FROM ps GROUP BY 1),
-        |f AS (
-        |  SELECT ps.source, ps.win, ps.df, g.total_docs,
-        |    g.total_docs >= 2 AS is_dup
-        |  FROM ps JOIN g ON g.win = ps.win),
+        |d AS (
+        |  SELECT win_id, win, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM w GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         |top AS (
-        |  SELECT source, win FROM (
-        |    SELECT source, win,
-        |      ROW_NUMBER() OVER (PARTITION BY source
-        |        ORDER BY total_docs DESC, win DESC) AS rn
-        |    FROM f WHERE is_dup) WHERE rn = 1)
-        |SELECT f.source,
-        |  COUNT(*) AS n_windows,
-        |  CAST(SUM(CASE WHEN f.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
-        |  CAST(SUM(CASE WHEN f.is_dup THEN f.df ELSE 0 END) AS BIGINT) AS dup_doc_mass,
-        |  CAST(MAX(CASE WHEN f.is_dup THEN f.total_docs END) AS BIGINT) AS max_docs,
+        |  SELECT win_id, win FROM (
+        |    SELECT win_id, win,
+        |      ROW_NUMBER() OVER (PARTITION BY win_id
+        |        ORDER BY df DESC, win DESC) AS rn
+        |    FROM d) WHERE rn = 1)
+        |SELECT d.win_id,
+        |  COUNT(*) AS n_dup_windows,
+        |  CAST(SUM(d.df) AS BIGINT) AS dup_doc_mass,
+        |  CAST(MAX(d.df) AS BIGINT) AS max_df,
         |  MAX(top.win) AS top_win
-        |FROM f LEFT JOIN top ON top.source = f.source
+        |FROM d LEFT JOIN top ON top.win_id = d.win_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   ).map { case (k, v) => k -> mat(v) } // every CTE MATERIALIZED — see [[mat]]
 }

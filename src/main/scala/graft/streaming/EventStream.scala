@@ -1806,6 +1806,102 @@ object EventStream {
       .orderBy(col("win_start_us"))
   }
 
+  /** q211 — the TWENTY-FIRST streaming shape: the ExactSubstr census
+    * (q208, Lee et al. '21) as an INGEST MONITOR. Documents arrive as
+    * a stream (event time = arrival); per 100-second tumbling arrival
+    * window the monitor emits every L-token text window shared by >=2
+    * documents THAT ARRIVED TOGETHER — the duplication-burst signal a
+    * crawl-ingest pipeline alarms on (a template flood or a re-crawl
+    * storm shows up as a df spike long before the nightly batch census
+    * q208 sees it; cross-batch duplication remains the batch pass's
+    * job, exactly the q156-stream / q117-compaction division).
+    *
+    * Stream shape: per-doc DISTINCT windows flatMapped from each
+    * arriving doc (the q208 census rule), watermarked windowed
+    * COUNT — a pure algebraic aggregate, so the DuckDB oracle replays
+    * the whole query from the batch table (the q161/q167 program) —
+    * then `df >= 2` filtered IN-STREAM so the sink only materializes
+    * duplicated cells (the q167 probe-slate discipline: state holds
+    * the full per-window vocabulary, the spool holds only bursts).
+    * Append mode + watermark = each arrival window emits ONCE, final,
+    * when the watermark passes it — per-key state lives one watermark
+    * horizon, the production bound; the replay flushes the last
+    * windows with the sentinel + no-data-batch machinery shared with
+    * q156/q137. At 100 TB/day the group key becomes the 128-bit
+    * [[graft.operators.Curation.exactSubstrKey]] surrogate and the
+    * emitted cells stay burst-sized; nothing else changes.
+    *
+    * Read-out: per arrival window `win_id` (= doc_id div 100 under
+    * the fixture's 1 doc/sec arrival; windows align because the base
+    * epoch is a multiple of the window length) — duplicated-window
+    * count, duplicated doc mass, max df, top offender by the q208
+    * (df, win) max-struct tiebreak.
+    */
+  def q211StreamExactSubstr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val L = graft.operators.Curation.ExactSubstrL
+    withRocksDbReplay(s) {
+      val baseSec = 1704096000L // 2024-01-01 08:00:00 UTC; % 100 == 0
+      val fixtureDir = cachedFixture(s"q211:$d") { dir =>
+        val docs = graft.Tables.documents(s, d)
+          .select(col("doc_id"),
+            concat(coalesce(col("text"), lit("")),
+              when(col("doc_id") % 17 === 0,
+                lit(graft.operators.Curation.exactSubstrPlantSql))
+                .otherwise(lit(""))).as("text"))
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        docs
+          .select(timestamp_micros((col("doc_id") + baseSec) * 1000000L)
+            .as("ts"), col("doc_id"), col("text"))
+          // sentinel past everything (the q137/q156 trick): drags the
+          // watermark over the last real arrival window so append
+          // mode flushes it; its lone marker cell has df=1 and dies
+          // at the in-stream filter
+          .unionByName(Seq((new java.sql.Timestamp(
+              (baseSec + maxId + 100000L) * 1000L), -1L, ""))
+            .toDF("ts", "doc_id", "text"))
+          .write.mode("overwrite").parquet(dir)
+      }
+      val src = s.readStream
+        .schema(s.read.parquet(fixtureDir).schema)
+        .parquet(fixtureDir)
+        .as[Doc]
+      val cells = src
+        .flatMap { doc =>
+          if (doc.doc_id < 0L) Iterator.single((doc.ts, " wm"))
+          else {
+            val toks = doc.text.split(" ").filter(_.nonEmpty)
+            (0 to toks.length - L).iterator
+              .map(i => toks.slice(i, i + L).mkString(" "))
+              .toSet.iterator.map((w: String) => (doc.ts, w))
+          }
+        }
+        .toDF("ts", "win")
+        .withWatermark("ts", "10 seconds")
+        .groupBy(window(col("ts"), "100 seconds"), col("win"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2L)
+        .select(
+          expr(s"(unix_micros(window.start) div 1000000 - ${baseSec}L) div 100")
+            .as("win_id"),
+          col("win"), col("df"))
+      val sink = materializeThenSweep(
+        withPromptNoDataProgress(s) {
+          drainToSpool(s, cells, "q211", tableBytes(s"$d/documents.parquet"),
+            afterDrain = drainThenAwaitNoDataFlush)
+        })
+      sink.groupBy(col("win_id"))
+        .agg(
+          count(lit(1)).as("n_dup_windows"),
+          sum(col("df")).cast("long").as("dup_doc_mass"),
+          max(col("df")).as("max_df"),
+          max(struct(col("df"), col("win"))).as("top"))
+        .select(col("win_id"), col("n_dup_windows"), col("dup_doc_mass"),
+          col("max_df"), col("top.win").as("top_win"))
+        .orderBy(col("win_id"))
+    }
+  }
+
   /** q167 — the TWELFTH streaming shape: a per-window event-frequency
     * monitor via the replayable CMS ([[cmsWindowCells]]) replayed over
     * the bounded events table, probed in batch for the fixed probe

@@ -47,6 +47,37 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(Bench.priorQueries(None, d, sf) == Map("q01" -> 100.0))
   }
 
+  test("detail layout: per-query min over timed passes, warmup dropped, failures filtered, qNN keying") {
+    val d = tmpDir()
+    write(d, "BENCH_DETAIL.json",
+      s"""{"detail":"bench_passes","passes_ms":{
+         |"q01_pricing_summary":[4813,504,513,478],
+         |"q99_flaky":[100,-1,250,240],
+         |"q98_all_failed":[100,-1,-1],
+         |"q97_warmup_only":[100]},"sf":"$sf"}""".stripMargin)
+    val got = Bench.priorQueries(None, d, sf)
+    assert(got == Map("q01" -> 0.478, "q99" -> 0.24),
+      s"warmup must not win, -1 passes and empty arrays must drop: $got")
+  }
+
+  test("precedence: explicit > BENCH_DETAIL.json > newest BENCH_r*.json; sf-mismatched sources fall through") {
+    val d = tmpDir()
+    write(d, "BENCH_r05.json", s"""{"queries":{"q01":5.0},"sf":"$sf"}""")
+    // contract line alone -> round artifact
+    assert(Bench.priorQueries(None, d, sf) == Map("q01" -> 5.0))
+    // detail present -> wins over the round artifact (full coverage)
+    write(d, "BENCH_DETAIL.json",
+      s"""{"passes_ms":{"q01_pricing_summary":[900,800]},"sf":"$sf"}""")
+    assert(Bench.priorQueries(None, d, sf) == Map("q01" -> 0.8))
+    // explicit wins over both
+    val p = write(d, "explicit.json", s"""{"queries":{"q01":0.5},"sf":"$sf"}""")
+    assert(Bench.priorQueries(Some(p), d, sf) == Map("q01" -> 0.5))
+    // a detail recorded at another SF falls through to the round artifact
+    write(d, "BENCH_DETAIL.json",
+      """{"passes_ms":{"q01_pricing_summary":[900,800]},"sf":"/tmp/sf1"}""")
+    assert(Bench.priorQueries(None, d, sf) == Map("q01" -> 5.0))
+  }
+
   test("a prior recorded at a DIFFERENT scale factor is rejected whole") {
     val d = tmpDir()
     // sf0.1 prior vs an sf1 run: without the guard nearly every query

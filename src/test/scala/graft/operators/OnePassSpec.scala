@@ -62,4 +62,17 @@ class OnePassSpec extends SparkSpec {
     Curation.exactSubstrOf(docs).count()
     assert(acc.value == 400, s"corpus evaluated ${acc.value / 400.0}x")
   }
+
+  test("q209 exact-substring dedup reads the corpus exactly three times (census build / apply / rewrite)") {
+    // three scans is the DESIGN, not an accident: (1) occurrence
+    // stream -> duplicated-window census, (2) occurrence stream again
+    // joined against the census for cut positions, (3) document pass
+    // for the rewrite. Collapsing any pair needs an O(L * corpus)
+    // occurrence cache — worse than a scan at 100 TB. The pin fails in
+    // BOTH directions: a 4th scan (lost cache on the dup frame) and a
+    // 2nd-scan elision (someone caching the corpus) both break it.
+    val (docs, acc) = countedDocs(400)
+    Curation.exactSubstrDedupOf(docs).count()
+    assert(acc.value == 3 * 400, s"corpus evaluated ${acc.value / 400.0}x, want 3.0x")
+  }
 }
