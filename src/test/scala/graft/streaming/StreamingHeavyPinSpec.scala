@@ -128,4 +128,50 @@ class StreamingHeavyPinSpec extends SparkSpec {
           s"(0, ${4L * fixtureDocs}] — LSH fan-out bound broken")
     }
   }
+
+  test("q211 pin: state == per-window vocabulary at the data batch, EVICTED to the sentinel cell after the flush") {
+    import spark.implicits._
+    val L = graft.operators.Curation.ExactSubstrL
+    val docs = graft.Tables.documents(spark, d)
+    val nDocs = docs.count()
+    // expected state keys: distinct (arrival window, text window) pairs
+    // — the per-window VOCABULARY (never rows x positions), computed
+    // from the input table with the operator's own census rule
+    val vocabPairs = docs
+      .select((col("doc_id") / 100).cast("long").as("win_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 17 === 0,
+            lit(graft.operators.Curation.exactSubstrPlantSql))
+            .otherwise(lit(""))).as("t"))
+      .as[(Long, String)]
+      .flatMap { case (w, t) =>
+        val toks = t.split(" ").filter(_.nonEmpty)
+        (0 to toks.length - L).iterator
+          .map(i => toks.slice(i, i + L).mkString(" "))
+          .toSet.iterator.map((win: String) => (w, win))
+      }
+      .distinct().count()
+    val (rows, ps) = withCensus {
+      graft.SparkEntry.queries("q211_stream_exact_substr")(spark, d).count()
+    }
+    assert(rows > 0)
+    val data = dataBatches(ps)
+    assert(data.size == 1, s"bounded replay must deliver ONE data batch, got ${data.size}")
+    assert(data.head.numInputRows == nDocs + 1L, // + sentinel
+      s"batch read ${data.head.numInputRows} rows, fixture has ${nDocs + 1}")
+    val so = data.head.stateOperators
+    assert(so.length == 1, s"one stateful operator expected, got ${so.length}")
+    assert(so.head.numRowsTotal == vocabPairs + 1L, // + the sentinel marker cell
+      s"state rows ${so.head.numRowsTotal} != vocabulary ${vocabPairs + 1} — " +
+        "the census state must be per-window-vocabulary sized")
+    // the production bound: append mode EVICTS each arrival window when
+    // the watermark passes it — after the no-data flush batch only the
+    // sentinel's own (never-closing) window cell may remain in state
+    val afterFlush = ps.reverse.find(p =>
+      p.numInputRows == 0 && p.stateOperators.nonEmpty)
+    assert(afterFlush.nonEmpty, "no post-flush progress event observed")
+    assert(afterFlush.get.stateOperators.head.numRowsTotal == 1L,
+      s"post-flush state ${afterFlush.get.stateOperators.head.numRowsTotal} != 1 — " +
+        "watermark eviction contract broken (state must be one horizon, not history)")
+  }
 }
