@@ -140,6 +140,6 @@ object Atlas {
     val out = if (args.nonEmpty) args(0) else "ATLAS.md"
     val text = generate()
     Files.write(Paths.get(out), text.getBytes("UTF-8"))
-    println(s"wrote $out (${text.linesIterator.count(_.startsWith("| q"))} rows)")
+    println(s"wrote $out (${text.linesIterator.count(_.matches("""\| q\d.*"""))} rows)")
   }
 }

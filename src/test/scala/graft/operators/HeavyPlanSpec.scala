@@ -133,6 +133,32 @@ class HeavyPlanSpec extends SparkSpec {
     }
   }
 
+  test("q209 ExactSubstr rewrite: census cache read in place, no extra " +
+    "shuffles past the three keyed exchanges, nothing broadcast at scale shape") {
+    pinned {
+      import spark.implicits._
+      val span = (1 to Curation.ExactSubstrL).map(i => s"s$i").mkString(" ")
+      val docs = Seq(
+        ("a", 1L, span),
+        ("b", 2L, s"b1 b2 $span b3 b4"),
+        ("c", 3L, (1 to 16).map(i => s"f$i").mkString(" ")))
+        .toDF("source", "doc_id", "text")
+      val (rw, release) = Curation.exactSubstrRewrite(docs)
+      val s = shapeOf(rw)
+      // 3 shuffles, each keyed and irreducible: the occurrence stream
+      // onto the window key for the census-apply join, the cut
+      // positions onto doc_id (per-doc collapse), and the document
+      // side onto doc_id for the rewrite join (the cuts side reuses
+      // its agg partitioning). The duplicated-window census reads its
+      // cache in place (inMemScans=1 — a second scan or a 4th shuffle
+      // means the persist stopped covering the census build), and
+      // NOTHING broadcasts: at 100 TB no side of any join here is
+      // small, so the scale shape is all co-partitioned joins.
+      assert(s == Shape(3, 0, 0, 1), s"exactSubstrRewrite shape drifted: $s")
+      release()
+    }
+  }
+
   test("q137 stream outer attribution: BOTH sides watermarked and the join " +
     "stays left_outer (state eviction is what emits the null rows)") {
     import spark.implicits._
