@@ -21,4 +21,14 @@ class ExactSubstrScaleModeSpec extends SparkSpec {
     val hsh = Curation.exactSubstrOf(docs, hashKeys = true).collect().toSeq
     assert(str == hsh, "scale-mode divergence on the driver corpus")
   }
+
+  test("q209 dedup rollup: hashed mode == string mode on the sf0.1 documents corpus") {
+    assume(new java.io.File(s"$d/documents.parquet").exists())
+    val docs = graft.Tables.documents(spark, d)
+    val str = Curation.exactSubstrDedupOf(docs).collect().toSeq
+    val hsh = Curation.exactSubstrDedupOf(docs, hashKeys = true).collect().toSeq
+    // the md5 witnesses ride the rollup, so this equality certifies the
+    // REWRITTEN TEXT byte-identical across key modes, not just counts
+    assert(str == hsh, "rewrite scale-mode divergence on the driver corpus")
+  }
 }
