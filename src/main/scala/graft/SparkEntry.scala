@@ -245,6 +245,8 @@ object SparkEntry {
     "q210_exact_substr_hashed" -> (Curation.q210ExactSubstrHashed _),
     "q211_stream_exact_substr" ->
       (graft.streaming.EventStream.q211StreamExactSubstr _),
+    "q212_exact_substr_incremental" ->
+      (Curation.q212ExactSubstrIncremental _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -4955,6 +4957,11 @@ object SparkEntry {
     // is then a standing proof that the 100 TB key layout changes
     // nothing but the shuffle-key width
     "q210_exact_substr_hashed" -> ExactSubstrCensusSql,
+    // q212 is the census maintained INCREMENTALLY (two disjoint
+    // doc_id % 3 batches, states merged); the one-shot oracle is
+    // reused verbatim — the driver compare proves incremental ==
+    // one-shot on the real corpus
+    "q212_exact_substr_incremental" -> ExactSubstrCensusSql,
     // ExactSubstr dedup transform (q209): duplicated = window in >= 2
     // docs; keep the (doc_id, pos)-minimal occurrence, cut the rest;
     // gaps-and-islands merges cut windows (consecutive starts <= L

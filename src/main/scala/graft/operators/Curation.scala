@@ -2210,6 +2210,25 @@ object Curation {
     struct(h1.as("h1"), h2.as("h2"))
   }
 
+  /** One row per (document, distinct L-token window): the census's
+    * occurrence-collapsed grain, planted per the %17 rule. Shared by
+    * the single-batch census and the incremental state builder.
+    */
+  private def exactSubstrWinRows(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("source"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 17 === 0, lit(ExactSubstrPlant))
+            .otherwise(lit(""))).as("t"))
+      .as[(String, String)]
+      .flatMap { case (src, t) =>
+        grams(tokenize(t), ExactSubstrL).toSet.iterator
+          .map((w: String) => (src, w))
+      }
+      .toDF("source", "win")
+  }
+
   /** [[q208ExactSubstr]] over any `(source, doc_id, text)` frame.
     *
     * `hashKeys` selects the group/join key: the window STRING (oracle
@@ -2230,23 +2249,12 @@ object Curation {
       docs: DataFrame, hashKeys: Boolean = false,
       keyNarrowMod: Option[Long] = None,
       keySingle: Boolean = false): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val planted = docs.select(col("source"), col("doc_id"),
-      concat(coalesce(col("text"), lit("")),
-        when(col("doc_id") % 17 === 0, lit(ExactSubstrPlant))
-          .otherwise(lit(""))).as("t"))
-    val winRows = planted.select(col("source"), col("t")).as[(String, String)]
-      .flatMap { case (src, t) =>
-        grams(tokenize(t), ExactSubstrL).toSet.iterator
-          .map((w: String) => (src, w))
-      }
-      .toDF("source", "win")
+    val winRows = exactSubstrWinRows(docs)
     // the single corpus-pass product: (source, window) -> doc frequency.
     // String mode aggregates on the window itself (one string per
     // pre-combine row); hashed mode keys on xxhash64 and reduces the
     // text to a per-group witness that only rides the agg buffer.
-    val perSource = (if (hashKeys)
+    val perSource = if (hashKeys)
         winRows.select(col("source"),
             exactSubstrKey(col("win"), keyNarrowMod, keySingle).as("k"),
             col("win"))
@@ -2256,7 +2264,22 @@ object Curation {
         winRows.groupBy(col("source"), col("win"))
           .agg(count(lit(1)).as("df"))
           .withColumn("k", col("win")) // post-aggregate: vocab-sized
-      ).persist()
+    exactSubstrReport(perSource)
+  }
+
+  /** The census report over a `(source, k, win, df)` state frame —
+    * shared by the single-batch census ([[exactSubstrOf]]) and the
+    * incremental merge ([[q212ExactSubstrIncremental]]): corpus-wide
+    * roll-up, the >=2-docs duplication rule, per-source read-out with
+    * the (total_docs, win) max-struct top tiebreak. The state is
+    * persisted for its self-derived join and RELEASED after the
+    * bounded per-source result is eagerly pinned (the
+    * quantileNormalize idiom — r17 verdict item #3: composing these
+    * operators in a longer session must not leak vocabulary-sized
+    * cache blocks).
+    */
+  private[graft] def exactSubstrReport(perSource0: DataFrame): DataFrame = {
+    val perSource = perSource0.persist()
     perSource.count() // materialize BEFORE the self-derived join reuses it
     val global = perSource.groupBy(col("k"))
       .agg(sum(col("df")).cast("long").as("total_docs"))
@@ -2272,10 +2295,6 @@ object Curation {
       .select(col("source"), col("n_windows"), col("n_dup_windows"),
         col("dup_doc_mass"), col("max_docs"), col("top.win").as("top_win"))
       .orderBy(col("source"))
-    // eagerly pin the (per-source, bounded) result, then release the
-    // vocabulary-sized intermediate — composing this operator in a
-    // longer session must not leak a corpus-vocabulary cache block
-    // (r17 verdict item #3); the quantileNormalize idiom
     out.persist().count()
     perSource.unpersist(blocking = false)
     out
@@ -2293,6 +2312,55 @@ object Curation {
     */
   def q210ExactSubstrHashed(s: SparkSession, d: String): DataFrame =
     exactSubstrOf(Tables.documents(s, d), hashKeys = true)
+
+  /** The census STATE one document batch contributes: `(source, k,
+    * win, df)` with df the batch's per-doc-distinct window frequency.
+    * States are ADDITIVE across disjoint document batches — per-doc
+    * distinctness is a per-document rule and the plant rides the
+    * doc_id, so no cross-batch interaction exists — which is what
+    * makes the census incrementally maintainable: each ingest batch
+    * pays ONE corpus pass over ITS OWN documents, the standing state
+    * stays window-vocabulary sized, and [[exactSubstrMerge]] is a
+    * vocabulary-sized sum. String-keyed here (the oracle-replayable
+    * grain); a 100 TB deployment keys the stored state on
+    * [[exactSubstrKey]] exactly as q210 does the one-shot census.
+    */
+  private[graft] def exactSubstrState(docs: DataFrame): DataFrame =
+    exactSubstrWinRows(docs)
+      .groupBy(col("source"), col("win"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("k", col("win"))
+
+  /** Merge census states (any number, any batch boundaries) into the
+    * q208 report: sum df by (source, k) — associative and commutative,
+    * so daily states fold in any order — then the shared
+    * [[exactSubstrReport]] read-out.
+    */
+  private[graft] def exactSubstrMerge(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "exactSubstrMerge needs at least one state")
+    val merged = states.reduce(_.unionByName(_))
+      .groupBy(col("source"), col("k"))
+      .agg(sum(col("df")).cast("long").as("df"), max(col("win")).as("win"))
+    exactSubstrReport(merged)
+  }
+
+  /** q212: INCREMENTAL census maintenance — the operational form of
+    * q208 for a pipeline that ingests continuously: yesterday's
+    * standing state plus today's batch state, merged, must equal the
+    * full-corpus census exactly. The driver binding splits the
+    * documents table into two disjoint batches (doc_id % 3) and is
+    * checked against THE SAME string-mode oracle as q208 — the driver
+    * hash-match is a standing proof that incremental == one-shot on
+    * the real corpus. ExactSubstrIncrementalSpec pins the algebra
+    * (associativity, commutativity, empty-batch neutrality, arbitrary
+    * split equality) on random corpora.
+    */
+  def q212ExactSubstrIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    exactSubstrMerge(Seq(
+      exactSubstrState(docs.filter(col("doc_id") % 3 =!= 0)),
+      exactSubstrState(docs.filter(col("doc_id") % 3 === 0))))
+  }
 
   /** q209: the ExactSubstr dedup TRANSFORM (Lee et al. '21 §4 — the
     * deliverable the q208 census only measures): every L-token window

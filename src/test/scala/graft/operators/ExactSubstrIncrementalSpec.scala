@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.mr.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** q212 — incremental ExactSubstr census maintenance. The load-bearing
+  * law is BATCH-BOUNDARY INVARIANCE: however a corpus is split into
+  * disjoint ingest batches, merging the per-batch states must equal
+  * the one-shot census (which the driver also checks against the q208
+  * oracle on the real corpus). The algebra that makes the law hold at
+  * a daily 100 TB cadence — associativity, commutativity, empty-batch
+  * neutrality — is pinned here on random small-vocabulary corpora.
+  */
+class ExactSubstrIncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Vector("a", "b", "c")
+  private def doc(rnd: scala.util.Random): String =
+    Seq.fill(Curation.ExactSubstrL + rnd.nextInt(2 * Curation.ExactSubstrL))(
+      vocab(rnd.nextInt(vocab.length))).mkString(" ")
+
+  private def corpus(seed: Int, n: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (s"s${i % 4}", i.toLong,
+      if (i == 7) null else doc(rnd))).toDF("source", "doc_id", "text")
+  }
+
+  private def report(df: DataFrame): Seq[org.apache.spark.sql.Row] =
+    df.collect().toSeq
+
+  test("merge of ANY disjoint batch split == the one-shot census") {
+    val docs = corpus(31, 60)
+    val oneShot = report(Curation.exactSubstrOf(docs))
+    for (mod <- Seq(2, 3, 5)) {
+      val states = (0 until mod).map(r =>
+        Curation.exactSubstrState(
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % mod
+            === r.toLong)))
+      assert(report(Curation.exactSubstrMerge(states)) == oneShot,
+        s"split mod $mod diverged from the one-shot census")
+    }
+  }
+
+  test("merge is order-invariant (fold yesterday-into-today or today-into-yesterday)") {
+    val docs = corpus(47, 40)
+    import org.apache.spark.sql.functions.col
+    val a = Curation.exactSubstrState(docs.filter(col("doc_id") < 20))
+    val b = Curation.exactSubstrState(docs.filter(col("doc_id") >= 20))
+    assert(report(Curation.exactSubstrMerge(Seq(a, b))) ==
+      report(Curation.exactSubstrMerge(Seq(b, a))))
+  }
+
+  test("an empty batch is the merge identity") {
+    val docs = corpus(53, 30)
+    val empty = Curation.exactSubstrState(docs.limit(0))
+    val full = Curation.exactSubstrState(docs)
+    assert(report(Curation.exactSubstrMerge(Seq(full, empty))) ==
+      report(Curation.exactSubstrOf(docs)))
+  }
+
+  test("the driver binding's %3 split equals q208 on the same frame") {
+    val docs = corpus(67, 50)
+    import org.apache.spark.sql.functions.col
+    val got = Curation.exactSubstrMerge(Seq(
+      Curation.exactSubstrState(docs.filter(col("doc_id") % 3 =!= 0)),
+      Curation.exactSubstrState(docs.filter(col("doc_id") % 3 === 0))))
+    assert(report(got) == report(Curation.exactSubstrOf(docs)))
+  }
+}

@@ -75,4 +75,17 @@ class OnePassSpec extends SparkSpec {
     Curation.exactSubstrDedupOf(docs).count()
     assert(acc.value == 3 * 400, s"corpus evaluated ${acc.value / 400.0}x, want 3.0x")
   }
+
+  test("q212 incremental census reads EACH ingest batch exactly once") {
+    // two separate batch inputs (the deployment shape — an ingest
+    // batch is its own table, not a filter over the full corpus): the
+    // state build must pay one pass per batch, the merge none
+    val (a, accA) = countedDocs(300)
+    val (b, accB) = countedDocs(100)
+    Curation.exactSubstrMerge(Seq(
+      Curation.exactSubstrState(a),
+      Curation.exactSubstrState(b))).count()
+    assert(accA.value == 300, s"batch A evaluated ${accA.value / 300.0}x")
+    assert(accB.value == 100, s"batch B evaluated ${accB.value / 100.0}x")
+  }
 }
