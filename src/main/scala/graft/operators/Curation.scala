@@ -39,13 +39,17 @@ object Curation {
     */
   val BenchmarkMod = 97
 
-  private def tokenize(text0: String): Array[String] = {
+  private[graft] def tokenize(text0: String): Array[String] = {
     val text = if (text0 == null) "" else text0 // crash-free on null docs
     text.split(" ").filter(_.nonEmpty)
   }
 
-  /** Complete n-gram strings of `toks` (no partial tail windows). */
-  private def grams(toks: Array[String], n: Int): Iterator[String] =
+  /** Complete n-gram strings of `toks` (no partial tail windows).
+    * `private[graft]` with [[tokenize]]: the streaming ExactSubstr
+    * monitor (q211) and its pin spec must share the batch census's
+    * exact tokenization, not re-implement it.
+    */
+  private[graft] def grams(toks: Array[String], n: Int): Iterator[String] =
     (0 to toks.length - n).iterator.map { i =>
       val sb = new StringBuilder(toks(i))
       var j = 1
@@ -2146,6 +2150,14 @@ object Curation {
   private val ExactSubstrPlant =
     " license plate sentence shared verbatim across documents for dedup canary"
 
+  /** [[ExactSubstrPlant]] for Spark-side consumers outside this file
+    * (the q211 stream fixture, pin specs) — the RAW text, never the
+    * SQL form: if the plant ever needs SQL escaping the two accessors
+    * diverge and a fixture built from the SQL form would silently
+    * plant different bytes than the batch operators.
+    */
+  private[graft] def exactSubstrPlant: String = ExactSubstrPlant
+
   /** [[ExactSubstrPlant]] for the oracle-SQL interpolation (the plant
     * carries no single quotes, so it drops into a SQL literal as-is).
     */
@@ -2357,9 +2369,14 @@ object Curation {
     */
   def q212ExactSubstrIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // null-safe split: a NULL doc_id makes BOTH plain %-predicates
+    // false and the row would vanish from the incremental census
+    // (breaking incremental == one-shot); coalesce routes it to
+    // exactly one batch
+    val inNew = coalesce(col("doc_id") % 3 === 0, lit(true))
     exactSubstrMerge(Seq(
-      exactSubstrState(docs.filter(col("doc_id") % 3 =!= 0)),
-      exactSubstrState(docs.filter(col("doc_id") % 3 === 0))))
+      exactSubstrState(docs.filter(!inNew)),
+      exactSubstrState(docs.filter(inNew))))
   }
 
   /** q209: the ExactSubstr dedup TRANSFORM (Lee et al. '21 §4 — the
@@ -2415,6 +2432,14 @@ object Curation {
     * max_span)` — one row per input document, `rewritten` the text
     * with every non-first occurrence of every corpus-duplicated
     * L-token window cut (overlapping cuts merged into maximal spans).
+    *
+    * PRECONDITION: `doc_id` is the document identity and must be
+    * UNIQUE across the frame (the driver tables guarantee it) —
+    * occurrences are keyed by doc_id, so two rows sharing an id would
+    * have their cut sets merged. The rewrite walk clamps every cut to
+    * its own row's token range, so even a violated precondition
+    * degrades to a wrong-but-local rewrite instead of an
+    * ArrayIndexOutOfBounds that kills a 100 TB job mid-run.
     *
     * Returns the frame UNMATERIALIZED plus a release thunk for the
     * one persisted intermediate (the duplicated-window frame): the
@@ -2486,8 +2511,11 @@ object Curation {
       .map { case (src, id, t, cutStarts) =>
         val toks = tokenize(t)
         val covered = new Array[Boolean](toks.length)
-        for (p <- cutStarts.getOrElse(Seq.empty); j <- p until p + L)
-          covered(j) = true // p <= toks.length - L by construction
+        // p <= toks.length - L by construction when doc_id is unique;
+        // the min() clamp keeps a violated precondition local
+        for (p <- cutStarts.getOrElse(Seq.empty);
+             j <- math.max(p, 0) until math.min(p + L, toks.length))
+          covered(j) = true
         var removed = 0; var spans = 0; var maxSpan = 0; var run = 0
         var i = 0
         while (i < covered.length) {

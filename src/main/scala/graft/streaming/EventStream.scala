@@ -1847,7 +1847,7 @@ object EventStream {
           .select(col("doc_id"),
             concat(coalesce(col("text"), lit("")),
               when(col("doc_id") % 17 === 0,
-                lit(graft.operators.Curation.exactSubstrPlantSql))
+                lit(graft.operators.Curation.exactSubstrPlant))
                 .otherwise(lit(""))).as("text"))
         val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
         docs
@@ -1870,9 +1870,12 @@ object EventStream {
         .flatMap { doc =>
           if (doc.doc_id < 0L) Iterator.single((doc.ts, " wm"))
           else {
-            val toks = doc.text.split(" ").filter(_.nonEmpty)
-            (0 to toks.length - L).iterator
-              .map(i => toks.slice(i, i + L).mkString(" "))
+            // the BATCH census's own tokenize/grams — the oracle
+            // equality depends on the stream window rule staying
+            // byte-identical to exactSubstrWinRows, so it is shared,
+            // not re-implemented
+            graft.operators.Curation.grams(
+                graft.operators.Curation.tokenize(doc.text), L)
               .toSet.iterator.map((w: String) => (doc.ts, w))
           }
         }

@@ -125,6 +125,24 @@ class ExactSubstrDedupSpec extends SparkSpec {
     assert(b.getString(9) == Seq("b1 b2 b3 b4", "tiny doc").map(md5hex).max)
   }
 
+  test("a violated unique-doc_id precondition degrades locally (clamped), never crashes the job") {
+    // two rows share doc_id=5: a long doc whose duplicated span sits
+    // past the short doc's end. The merged cut set is wrong BY
+    // CONTRACT (doc_id is the identity), but the clamp keeps every
+    // cut inside its own row's token range — no
+    // ArrayIndexOutOfBoundsException killing a 100 TB job mid-run.
+    val s8 = span("s", L)
+    val rows = Seq(
+      ("a", 5L, s"${span("f", 12)} $s8"), // span at pos 12..19
+      ("a", 5L, span("g", L)),            // only 8 tokens
+      ("b", 6L, s"x1 $s8"))               // makes the span duplicated
+    val (rw, release) = Curation.exactSubstrRewrite(
+      rows.toDF("source", "doc_id", "text"))
+    val got = rw.collect() // must not throw
+    release()
+    assert(got.length == 3)
+  }
+
   test("the %17 plant itself deduplicates: interior plant windows survive only once") {
     // two planted docs (ids 0 and 17) share the 3 interior plant
     // windows; the keeper is doc 0, so doc 17 loses the union of the

@@ -58,12 +58,18 @@ class ExactSubstrIncrementalSpec extends SparkSpec {
       report(Curation.exactSubstrOf(docs)))
   }
 
-  test("the driver binding's %3 split equals q208 on the same frame") {
-    val docs = corpus(67, 50)
-    import org.apache.spark.sql.functions.col
+  test("the driver binding's %3 split equals q208 on the same frame — " +
+    "INCLUDING a NULL doc_id row (plain % predicates would drop it from both batches)") {
+    val base = corpus(67, 50)
+    val docs = base.unionByName(
+      Seq(("s0", Option.empty[Long],
+        Seq.fill(Curation.ExactSubstrL)("nulldoc").mkString(" ")))
+        .toDF("source", "doc_id", "text"))
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val inNew = coalesce(col("doc_id") % 3 === 0, lit(true))
     val got = Curation.exactSubstrMerge(Seq(
-      Curation.exactSubstrState(docs.filter(col("doc_id") % 3 =!= 0)),
-      Curation.exactSubstrState(docs.filter(col("doc_id") % 3 === 0))))
+      Curation.exactSubstrState(docs.filter(!inNew)),
+      Curation.exactSubstrState(docs.filter(inNew))))
     assert(report(got) == report(Curation.exactSubstrOf(docs)))
   }
 }

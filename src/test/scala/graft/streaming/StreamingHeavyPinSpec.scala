@@ -141,13 +141,12 @@ class StreamingHeavyPinSpec extends SparkSpec {
       .select((col("doc_id") / 100).cast("long").as("win_id"),
         concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % 17 === 0,
-            lit(graft.operators.Curation.exactSubstrPlantSql))
+            lit(graft.operators.Curation.exactSubstrPlant))
             .otherwise(lit(""))).as("t"))
       .as[(Long, String)]
       .flatMap { case (w, t) =>
-        val toks = t.split(" ").filter(_.nonEmpty)
-        (0 to toks.length - L).iterator
-          .map(i => toks.slice(i, i + L).mkString(" "))
+        graft.operators.Curation.grams(
+            graft.operators.Curation.tokenize(t), L)
           .toSet.iterator.map((win: String) => (w, win))
       }
       .distinct().count()
