@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   * Cache hygiene: a few queries (.cache() inside q20/q21/q43) persist
   * intermediate blocks; without eviction those blocks both pre-warm later
   * passes (timing the cache, not the query) and accumulate storage-memory
-  * pressure across all 50 queries. clearCache() before every timed run
+  * pressure across the 200+ queries. clearCache() before every timed run
   * makes each pass pay for its own cache population inside the timed
   * region and start from identical storage state.
   *
@@ -46,18 +46,25 @@ object Bench {
     * the byte-budgeted contract line folds the slower tail into
     * qother — BENCH_r17 omitted 94 of 207 queries — so roughly half
     * the suite could never be flagged as a suspect from it):
-    *   1. `explicitPath` (SPARK_GRAFT_PRIOR) — either artifact layout;
-    *   2. BENCH_DETAIL.json in `dir` (the FULL per-query passes_ms
-    *      map the previous bench run left behind: per-query prior =
-    *      min over timed passes, warmup dropped, failures filtered);
+    *   1. `explicitPath` (SPARK_GRAFT_PRIOR) — either artifact
+    *      layout, and AUTHORITATIVE when set: a pinned prior that
+    *      fails to parse or sf-mismatches DISABLES reconciliation
+    *      rather than falling through to an implicit source the
+    *      operator may have pinned specifically to avoid (e.g. a
+    *      load-contaminated resident detail file);
+    *   2. `detailOverride`-or-BENCH_DETAIL.json in `dir` (the FULL
+    *      per-query passes_ms map the previous bench run left
+    *      behind — the override mirrors SPARK_GRAFT_DETAIL so a
+    *      relocated write is also the read source): per-query prior
+    *      = min over timed passes, warmup dropped, failures filtered;
     *   3. the HIGHEST-ROUND BENCH_r*.json in `dir` (numeric on the
     *      round, not lexicographic — r100 must beat r99) in the
     *      driver's artifact layout: a raw contract line with a
     *      top-level "queries" map, or the driver wrapper with it
     *      under "parsed".
     * A prior recorded at a DIFFERENT scale factor than `sfDir` is
-    * rejected (per source, falling through to the next): comparing an
-    * sf1 run against sf0.1 times would flag nearly every query and
+    * rejected (implicit sources fall through to the next): comparing
+    * an sf1 run against sf0.1 times would flag nearly every query and
     * burn the reconciliation budget on bogus re-times (the "sf" field
     * is matched on its trailing sf token — the wrapper stores a bare
     * number, the contract line and detail file the full dir path).
@@ -69,7 +76,8 @@ object Bench {
     */
   private[graft] def priorQueries(
       explicitPath: Option[String], dir: java.io.File,
-      sfDir: String): Map[String, Double] = {
+      sfDir: String, detailOverride: Option[String] = None)
+      : Map[String, Double] = {
     // "…/sf0.1" and 0.1 both normalize to "0.1"
     def sfToken(s: String): String =
       s.reverse.takeWhile(c => c != '/' && c != 'f').reverse
@@ -111,7 +119,8 @@ object Bench {
         }
       } catch { case _: Throwable => Map.empty }
     def detailPath: Option[String] = {
-      val f = new java.io.File(dir, "BENCH_DETAIL.json")
+      val f = detailOverride.map(new java.io.File(_))
+        .getOrElse(new java.io.File(dir, "BENCH_DETAIL.json"))
       if (f.isFile) Some(f.getPath) else None
     }
     def newestRound: Option[String] = {
@@ -122,8 +131,12 @@ object Bench {
         case _ => None
       }).sortBy(_._1).lastOption.map(_._2)
     }
-    (explicitPath.iterator ++ detailPath.iterator ++ newestRound.iterator)
-      .map(parseAny).find(_.nonEmpty).getOrElse(Map.empty)
+    explicitPath match {
+      case Some(p) => parseAny(p) // authoritative: bad pin = disabled
+      case None =>
+        (detailPath.iterator ++ newestRound.iterator)
+          .map(parseAny).find(_.nonEmpty).getOrElse(Map.empty)
+    }
   }
 
   /** 1-minute load average from /proc/loadavg; -1 if unreadable. */
@@ -151,8 +164,13 @@ object Bench {
     // loaded one — with the gate's outcome on the contract line
     // (load1_start + gate_waited) so the judge can read the conditions
     // off the artifact itself.
-    val gateMax = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble).getOrElse(2.5)
-    val gateBudgetSec = sys.env.get("SPARK_GRAFT_LOAD_GATE_WAIT").map(_.toInt).getOrElse(600)
+    // toDoubleOption/toIntOption: a malformed knob must degrade to the
+    // default, not NumberFormatException-kill the run before any
+    // artifact is written (the file's own stated failure-mode policy)
+    val gateMax = sys.env.get("SPARK_GRAFT_LOAD_GATE")
+      .flatMap(_.toDoubleOption).getOrElse(2.5)
+    val gateBudgetSec = sys.env.get("SPARK_GRAFT_LOAD_GATE_WAIT")
+      .flatMap(_.toIntOption).getOrElse(600)
     var gateWaited = 0
     while (gateMax > 0 && load1() > gateMax && gateWaited < gateBudgetSec) {
       Thread.sleep(15000)
@@ -160,6 +178,10 @@ object Bench {
     }
     val load1Start = load1()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // escaped once for BOTH json emissions: a quote/backslash in the
+    // env-provided path must not break the contract line the driver
+    // parses (the defect class Verify.jsonEscape exists for)
+    val sfJson = Verify.jsonEscape(sfDir)
     // experiment knobs (default off; the driver run never sets them):
     //  - SPARK_GRAFT_PERIODIC_GC=30s probes the "driver-heap accretion
     //    by slot ~140 inflates q83/q137" hypothesis
@@ -229,7 +251,8 @@ object Bench {
     // capped at the 15 worst absolute deltas so a fully contaminated
     // run re-times the heavies first within a bounded tail.
     val prior = priorQueries(
-      sys.env.get("SPARK_GRAFT_PRIOR"), new java.io.File("."), sfDir)
+      sys.env.get("SPARK_GRAFT_PRIOR"), new java.io.File("."), sfDir,
+      detailOverride = sys.env.get("SPARK_GRAFT_DETAIL"))
     val fnMap = qs.toMap
     val suspects = swept.iterator.flatMap { case (name, _, best, _) =>
       prior.get(name.takeWhile(_ != '_')) match {
@@ -264,7 +287,9 @@ object Bench {
     // The driver artifact keeps only the LAST ~2000 chars of stdout (r7
     // lost its per-query times this way), so the contract line is kept
     // under that budget: per-query keys are the qNN prefix (unique by
-    // construction) and times are fixed 3-decimal seconds — 105 queries
+    // construction) and times are fixed 3-decimal seconds — ~105 of the
+    // 200+ queries fit; the rest fold into qother/qomitted (so the fold
+    // is ALWAYS active at current suite size — r17 omitted 94)
     // in ~1.5 KB. Everything bigger (per-pass arrays, cache residency,
     // full names) goes to BENCH_DETAIL.json on disk AND an earlier
     // stdout line, both outside the tail window by design.
@@ -278,7 +303,7 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val loadSamples = fmtMap(measured.map { case (n, _, _, ld) => n -> s2(ld) })
     val detail =
-      s"""{"detail":"bench_passes","passes_ms":$passes,"cache_bytes":$cacheBytes,"load1_samples":$loadSamples,"sf":"$sfDir"}"""
+      s"""{"detail":"bench_passes","passes_ms":$passes,"cache_bytes":$cacheBytes,"load1_samples":$loadSamples,"sf":$sfJson}"""
     println(detail)
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
@@ -309,7 +334,7 @@ object Bench {
       (key, if (best < 0) "-1" else s3(best), math.max(best, 0.0))
     }
     def contractFor(qjson: String, extra: String): String =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qjson,$extra$loadStats,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qjson,$extra$loadStats,"sf":$sfJson}"""
     val full = contractFor(fmtMap(entries.map(e => e._1 -> e._2)), "")
     val budget = 1700 // tail window 2000 minus sbt's trailing "[success] ..." line + margin
     val contract =

@@ -12,7 +12,13 @@ object TimeQuery {
     require(args.nonEmpty, "usage: TimeQuery <query_name> [sfDir] [passes]")
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val passes = if (args.length > 2) args(2).toInt else 3
+    // validated BEFORE any work: a bad passes arg must fail with the
+    // usage line up front, not burn a full warmup pass and then die on
+    // empty.min
+    val passes = (if (args.length > 2) args(2).toIntOption else Some(3))
+      .filter(_ >= 1)
+      .getOrElse(sys.error("passes must be a positive integer — " +
+        "usage: TimeQuery <query_name> [sfDir] [passes]"))
     val fn = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name'; valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     val spark = GraftSession.local(GraftSession.envCpus())

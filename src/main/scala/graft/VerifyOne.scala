@@ -19,17 +19,12 @@ object VerifyOne {
     new java.io.File(outDir).mkdirs()
     fn(spark, sfDir).coalesce(1).write.mode("overwrite")
       .parquet(s"$outDir/$name")
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // Verify's own escaper — the dev loop must validate with EXACTLY
+    // the escaping the real run uses, or it masks the bug class the
+    // escaper exists to catch
     val json = SparkEntry.oracleSql.get(name)
-      .map(sql => s"${q(name)}: ${q(sql)}").mkString("{", ",", "}")
+      .map(sql => s"${Verify.jsonEscape(name)}: ${Verify.jsonEscape(sql)}")
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -78,6 +78,33 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(Bench.priorQueries(None, d, sf) == Map("q01" -> 5.0))
   }
 
+  test("an explicit pin is AUTHORITATIVE: a bad pin disables reconciliation, never falls through to a valid implicit source") {
+    val d = tmpDir()
+    // a perfectly valid resident detail file the operator may have
+    // pinned specifically to avoid (e.g. load-contaminated)
+    write(d, "BENCH_DETAIL.json",
+      s"""{"passes_ms":{"q01_pricing_summary":[900,800]},"sf":"$sf"}""")
+    write(d, "BENCH_r05.json", s"""{"queries":{"q01":5.0},"sf":"$sf"}""")
+    assert(Bench.priorQueries(Some("/nonexistent/pin.json"), d, sf).isEmpty,
+      "a typo'd pin must disable, not silently use the resident detail")
+    val mismatched = write(d, "pin.json",
+      """{"queries":{"q01":0.5},"sf":"/tmp/sf1"}""")
+    assert(Bench.priorQueries(Some(mismatched), d, sf).isEmpty,
+      "an sf-mismatched pin must disable, not fall through")
+  }
+
+  test("detailOverride (SPARK_GRAFT_DETAIL) relocates the detail READ with the write") {
+    val d = tmpDir()
+    val elsewhere = write(d, "archived_detail.json",
+      s"""{"passes_ms":{"q02_filter_project":[500,400]},"sf":"$sf"}""")
+    assert(Bench.priorQueries(None, d, sf,
+      detailOverride = Some(elsewhere)) == Map("q02" -> 0.4))
+    // an override pointing nowhere falls through to the round artifact
+    write(d, "BENCH_r04.json", s"""{"queries":{"q03":3.0},"sf":"$sf"}""")
+    assert(Bench.priorQueries(None, d, sf,
+      detailOverride = Some("/nonexistent/detail.json")) == Map("q03" -> 3.0))
+  }
+
   test("a prior recorded at a DIFFERENT scale factor is rejected whole") {
     val d = tmpDir()
     // sf0.1 prior vs an sf1 run: without the guard nearly every query
