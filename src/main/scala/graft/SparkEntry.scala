@@ -2383,7 +2383,7 @@ object SparkEntry {
         |    (CAST(ns.n_s * g.o_t AS DOUBLE) / CAST(tot.n AS DOUBLE))
         |    ELSE 0.0 END
         |    AS DECIMAL(25,9))) AS DOUBLE) AS chi2,
-        |  CAST(49 AS BIGINT) AS dof
+        |  CAST(COUNT(*) - 1 AS BIGINT) AS dof
         |FROM grid g JOIN ns USING (source), tot
         |GROUP BY g.source ORDER BY g.source""".stripMargin,
     // the PLAIN join: the salted rewrite must be output-identical

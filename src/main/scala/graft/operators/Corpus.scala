@@ -655,13 +655,17 @@ object Corpus {
     while (round < rounds && !converged) {
       round += 1
       val prevN = aliveN
+      val prev = alive
       alive = induced(alive, prevN)
         .filter(col("deg") >= k)
         .select(col("src").as("v"))
         .localCheckpoint(true) // eager: materialize + truncate lineage
       aliveN = alive.count()
-      // prior rounds' checkpoint blocks are released by the context
-      // cleaner once unreferenced — node-sized frames, bounded residue
+      // the new checkpoint is eager, so the superseded round's blocks
+      // are dead NOW — release them deterministically rather than
+      // waiting for the ContextCleaner (freeCheckpoint: Dataset
+      // .unpersist is a no-op for checkpointed frames)
+      freeCheckpoint(prev)
       converged = toFixpoint && aliveN == prevN
     }
     // materialize the node-sized result BEFORE releasing the caches it
@@ -671,7 +675,7 @@ object Corpus {
       .select(col("src").as("v"), col("deg").as("core_degree"))
       .persist()
     out.count()
-    alive.unpersist(blocking = false)
+    freeCheckpoint(alive) // checkpointed: plain unpersist is a no-op
     e.unpersist(blocking = false)
     out
   }
@@ -829,8 +833,11 @@ object Corpus {
       .withColumn("contrib", when(e > lit(0.0), diff * diff / e).otherwise(lit(0.0)))
       .groupBy(col("source"))
       .agg(max(col("n_s")).as("n_tok_v"),
-        sum(col("contrib").cast("decimal(25,9)")).cast("double").as("chi2"))
-      .withColumn("dof", lit(DriftVocab - 1).cast("long"))
+        sum(col("contrib").cast("decimal(25,9)")).cast("double").as("chi2"),
+        // dof from the ACTUAL vocab size (grid holds one cell per vocab
+        // token per source): a corpus with under DriftVocab distinct
+        // tokens must not report the 50-token dof its cells never had
+        (count(lit(1)) - 1).cast("long").as("dof"))
       .orderBy(col("source"))
   }
 
@@ -1012,9 +1019,7 @@ object Corpus {
       .select(explode(filter(split(coalesce(col("text"), lit("")), " "),
         t => t =!= "")).as("tok"))
       .persist()
-    val seeds = s.createDataFrame(
-      cmsA.indices.map(j => (j.toLong, cmsA(j), cmsB(j), cmsC(j))))
-      .toDF("j", "a", "b", "c")
+    val seeds = cmsSeedsDf(s) // the ONE seed-frame builder (q167 shares it)
 
     // the sketch: one corpus pass through the NATIVE CmsSketchAgg —
     // each token updates depth array slots in a single 16 KB partial
@@ -1236,18 +1241,15 @@ object Corpus {
   }
 
   private[operators] def hllDistinctOf(docs: DataFrame): DataFrame = {
-    val grams = docs
-      .select(col("source"),
-        filter(split(coalesce(col("text"), lit("")), " "), t => t =!= "").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("source"), explode(expr(
-        "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
-        .as("g"))
-      .persist()
-    val x = hllKey(col("g"))
-    val regs = grams
-      .select(col("source"), hllBucket(x).as("bkt"), hllRho(x).as("rho"))
-      .groupBy(col("source"), col("bkt")).agg(max(col("rho")).as("r"))
+    // ONE tokenize+explode pass (sourceTrigrams — the q162/q172/q190
+    // family's shared gram rule, not a re-implementation that could
+    // drift) feeds both the registers and the exact ground truth; the
+    // registers come from the native HllRegistersAgg (one 4 KB array
+    // partial per partition-source) rather than the grouped-row
+    // groupBy(source, bkt).max(rho) form, whose shuffle carries up to
+    // 512 rows per source
+    val grams = sourceTrigrams(docs).persist()
+    val regs = registersOfGrams(grams)
     val exact = grams.groupBy(col("source"))
       .agg(countDistinct(col("g")).as("n_distinct_exact"))
     val out = hllReadout(regs, Seq("source")).join(exact, "source")
@@ -1491,6 +1493,7 @@ object Corpus {
     val e = edges.repartition(col("src")).persist()
     var dist = seeds.select(col("v"), lit(0L).as("hop")).localCheckpoint(true)
     var frontier = dist.select(col("v"))
+    var prevNxt: DataFrame = null // round r's frontier checkpoint
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
@@ -1501,9 +1504,16 @@ object Corpus {
         .localCheckpoint(true)
       val settled = dist.union(nxt).localCheckpoint(true)
       freeCheckpoint(dist)
+      // the prior round's frontier checkpoint fed THIS round's join
+      // (both eager checkpoints above have materialized) and is dead
+      // now — without this a deep BFS pins one frontier-sized block
+      // set per hop until the ContextCleaner happens to run
+      if (prevNxt != null) freeCheckpoint(prevNxt)
+      prevNxt = nxt
       dist = settled
       frontier = nxt.select(col("v"))
     }
+    if (prevNxt != null) freeCheckpoint(prevNxt) // dist is independent
     e.unpersist(blocking = false)
     dist
   }
@@ -1560,17 +1570,18 @@ object Corpus {
   }
 
   /** Driver binding (q141): predicted next co-purchase links over the
-    * q85 graph (parts sharing a high-quantity order). `exactBucketPairs`
-    * emits per-order pairs, so the same pair from two orders repeats —
-    * distinct() first, or every wedge double-counts. Oracle: the same
-    * wedge self-join + NOT EXISTS in SQL.
+    * q85 graph (parts sharing a high-quantity order).
+    * `exactBucketPairs` already returns DISTINCT (a, b) pairs (its own
+    * final distinct — LshJoin.scala) — a second distinct here would be
+    * a redundant full shuffle of the edge set. Oracle: the same wedge
+    * self-join + NOT EXISTS in SQL.
     */
   def q141LinkPrediction(s: SparkSession, d: String): DataFrame = {
     val hi = Tables.lineitem(s, d)
       .filter(col("l_quantity") >= 49)
       .select(col("l_orderkey"), col("l_partkey"))
     val edges = LshJoin.exactBucketPairs(hi, "l_partkey",
-      LshJoin.MaxBucket, "l_orderkey").select(col("a"), col("b")).distinct()
+      LshJoin.MaxBucket, "l_orderkey").select(col("a"), col("b"))
     linkPrediction(edges, topK = 25)
   }
 
@@ -1684,6 +1695,34 @@ object Corpus {
   def q173KmvOverlap(s: SparkSession, d: String): DataFrame =
     kmvOverlapOf(Tables.documents(s, d))
 
+  /** The merged (bottom-k of the key union) sketch for every unordered
+    * source pair, membership-tagged:
+    * `(src_a, src_b, x, ia, ib)` with rn <= [[KmvK]] applied — tag both
+    * sides' sketch members with the pair, dedupe keys (max of the
+    * tags), keep the k smallest of the union. The ONE merge law both
+    * the overlap (q173) and difference (q186) estimators rank on,
+    * extracted so a tie-handling or cap change can never leave one of
+    * them stale. Pair math is sources²·k — never corpus-sized.
+    */
+  private def mergedKmvPairs(rows: DataFrame): DataFrame = {
+    val srcs = rows.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .crossJoin(srcs.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val tagged = pairs.join(rows, col("source") === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("x"),
+        lit(1L).as("ia"), lit(0L).as("ib"))
+      .unionByName(pairs.join(rows, col("source") === col("src_b"))
+        .select(col("src_a"), col("src_b"), col("x"),
+          lit(0L).as("ia"), lit(1L).as("ib")))
+      .groupBy(col("src_a"), col("src_b"), col("x"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    tagged.withColumn("rn",
+      row_number().over(Window.partitionBy(col("src_a"), col("src_b"))
+        .orderBy(col("x"))))
+      .filter(col("rn") <= KmvK)
+  }
+
   /** [[q173KmvOverlap]] over any `(source, text)` frame. */
   private[operators] def kmvOverlapOf(
       docs: DataFrame, exactRider: Boolean = false): DataFrame = {
@@ -1694,24 +1733,7 @@ object Corpus {
       grams.select(col("source"), hllKey(col("g")).as("x")))
       .select(col("source"), explode(col("sk")).as("x"))
       .persist()
-    val srcs = rows.select(col("source")).distinct()
-    val pairs = srcs.select(col("source").as("src_a"))
-      .crossJoin(srcs.select(col("source").as("src_b")))
-      .filter(col("src_a") < col("src_b"))
-    // tag both sides' sketch members with the pair, dedupe keys, keep
-    // the k smallest of the union — the merged sketch
-    val tagged = pairs.join(rows, col("source") === col("src_a"))
-      .select(col("src_a"), col("src_b"), col("x"),
-        lit(1L).as("ia"), lit(0L).as("ib"))
-      .unionByName(pairs.join(rows, col("source") === col("src_b"))
-        .select(col("src_a"), col("src_b"), col("x"),
-          lit(0L).as("ia"), lit(1L).as("ib")))
-      .groupBy(col("src_a"), col("src_b"), col("x"))
-      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
-    val ranked = tagged.withColumn("rn",
-      row_number().over(Window.partitionBy(col("src_a"), col("src_b"))
-        .orderBy(col("x"))))
-      .filter(col("rn") <= KmvK)
+    val ranked = mergedKmvPairs(rows)
     val est = ranked.groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_merged"),
         sum(col("ia") * col("ib")).as("n_both"))
@@ -1804,22 +1826,7 @@ object Corpus {
       sourceTrigrams(docs).select(col("source"), hllKey(col("g")).as("x")))
       .select(col("source"), explode(col("sk")).as("x"))
       .persist()
-    val srcs = rows.select(col("source")).distinct()
-    val pairs = srcs.select(col("source").as("src_a"))
-      .crossJoin(srcs.select(col("source").as("src_b")))
-      .filter(col("src_a") < col("src_b"))
-    val tagged = pairs.join(rows, col("source") === col("src_a"))
-      .select(col("src_a"), col("src_b"), col("x"),
-        lit(1L).as("ia"), lit(0L).as("ib"))
-      .unionByName(pairs.join(rows, col("source") === col("src_b"))
-        .select(col("src_a"), col("src_b"), col("x"),
-          lit(0L).as("ia"), lit(1L).as("ib")))
-      .groupBy(col("src_a"), col("src_b"), col("x"))
-      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
-    val ranked = tagged.withColumn("rn",
-      row_number().over(Window.partitionBy(col("src_a"), col("src_b"))
-        .orderBy(col("x"))))
-      .filter(col("rn") <= KmvK)
+    val ranked = mergedKmvPairs(rows) // the q173-shared merge law
     val agg = ranked.groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_merged"),
         sum(col("ia") * (lit(1L) - col("ib"))).as("n_anotb"),
@@ -2090,9 +2097,7 @@ object Corpus {
       .agg(count(lit(1)).as("n"))
       .persist()
     tokCounts.count() // eager: the ONE corpus-linear pass
-    val seeds = s.createDataFrame(
-      cmsA.indices.map(j => (j.toLong, cmsA(j), cmsB(j), cmsC(j))))
-      .toDF("j", "a", "b", "c")
+    val seeds = cmsSeedsDf(s) // the ONE seed-frame builder (q167 shares it)
     val cells = tokCounts
       .select(col("source"), cmsKey(col("tok")).as("x"), col("n"))
       .crossJoin(broadcast(seeds))

@@ -37,6 +37,20 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     call_function("fixed_dot", a, b)
 
+  /** Guarded cosine from a precomputed dot and the two self-dots: NULL
+    * when either norm is zero. Unguarded, a zero vector (all
+    * |x| < 5e-7 quantizes to zeros; empty arrays too) makes 0/0 = NaN,
+    * which Spark ranks ABOVE every real cosine under desc — the zero
+    * vector would take rank 1 in EVERY probe's top-k — while DuckDB's
+    * x/0 is NULL and sorts last. The guard aligns the engines (Spark
+    * desc is NULLS LAST too) and keeps degenerates out of every
+    * top-k; [[embedDecontaminate]]/[[semDedup]] guard the same case
+    * on their own paths.
+    */
+  private def cosineOf(d: Column, nx: Column, ny: Column): Column =
+    when(nx > 0 && ny > 0,
+      d.cast("double") / sqrt(nx.cast("double") * ny.cast("double")))
+
   /** Brute-force cosine top-5 for probe vectors (vec_id < 10) — all
     * codegen'd higher-order functions, probes broadcast, single pass over
     * the corpus.
@@ -56,8 +70,7 @@ object Similarity {
       .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("nrm").as("pn"))
     q.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"),
-        (dot(col("pq"), col("q")).cast("double") /
-          sqrt(col("pn").cast("double") * col("nrm").cast("double"))).as("cosine"))
+        cosineOf(dot(col("pq"), col("q")), col("pn"), col("nrm")).as("cosine"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
@@ -162,6 +175,15 @@ object Similarity {
     * @return `(dropped_id, kept_id, cosine)` — kept_id is the smallest
     *         qualifying lower id (row_number over (a) per dropped b).
     */
+  /** Per-sign-bucket population cap for [[semDedup]]'s exact pair
+    * generation: ~500k pairs from a worst-case bucket stays bounded,
+    * and past it the operator demands more `signBits` LOUDLY (the
+    * require inside exactBucketPairs) instead of silently going
+    * O(m²) when a corpus collapses into one bucket — e.g. non-negative
+    * feature embeddings, whose first-8-dims signs are all 1.
+    */
+  val SemDedupMaxBucket = 1024
+
   def semDedup(emb: DataFrame,
       signBits: Int = SemDedupSignBits,
       threshold: Double = SemDedupThreshold): DataFrame = {
@@ -175,12 +197,22 @@ object Similarity {
     val q = emb.select(col("vec_id"), quantized.as("q"))
       .withColumn("nrm", dot(col("q"), col("q")))
       .withColumn("bucket", bucket)
-    val a = q.select(col("bucket"), col("vec_id").as("a"),
-      col("q").as("qa"), col("nrm").as("na"))
-    val b = q.select(col("bucket"), col("vec_id").as("b"),
-      col("q").as("qb"), col("nrm").as("nb"))
-    val pairs = a.join(b, Seq("bucket"))
-      .filter(col("a") < col("b") && col("na") > 0 && col("nb") > 0)
+    // pair generation through the capped exact generator (the q44/q85
+    // discipline) instead of a hand-rolled bucket self-join: a
+    // degenerate sign bucket (e.g. non-negative feature embeddings
+    // collapsing everything into one bucket) now fails LOUDLY at the
+    // cap instead of silently going O(m²); emits a < b sorted pairs,
+    // payloads joined back by id (pair-sized probes, never the
+    // corpus through the bucket shuffle twice)
+    val pr = graft.operators.LshJoin.exactBucketPairs(
+      q.select(col("vec_id"), col("bucket")),
+      "vec_id", SemDedupMaxBucket, "bucket")
+    val pairs = pr
+      .join(q.select(col("vec_id").as("a"), col("q").as("qa"),
+        col("nrm").as("na")), "a")
+      .join(q.select(col("vec_id").as("b"), col("q").as("qb"),
+        col("nrm").as("nb")), "b")
+      .filter(col("na") > 0 && col("nb") > 0)
       .withColumn("cosine", dot(col("qa"), col("qb")).cast("double") /
         sqrt(col("na").cast("double") * col("nb").cast("double")))
       .filter(col("cosine") >= threshold)
@@ -301,8 +333,7 @@ object Similarity {
           .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("nrm").as("pn"))),
         "probe_id")
       .select(col("probe_id"), col("doc_id"), col("jaccard"),
-        (dot(col("pq"), col("cq")).cast("double") /
-          sqrt(col("pn").cast("double") * col("cn").cast("double"))).as("cosine"))
+        cosineOf(dot(col("pq"), col("cq")), col("pn"), col("cn")).as("cosine"))
       .select(col("probe_id"), col("doc_id"), col("jaccard"), col("cosine"),
         (lit(0.5) * col("jaccard") + lit(0.5) * col("cosine")).as("score"))
     val rw = Window.partitionBy(col("probe_id"))
@@ -404,8 +435,7 @@ object Similarity {
         .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("nrm").as("pn"))), "probe_id")
       .join(q, "vec_id")
       .select(col("probe_id"), col("vec_id"),
-        (dot(col("pq"), col("q")).cast("double") /
-          sqrt(col("pn").cast("double") * col("nrm").cast("double"))).as("cosine"))
+        cosineOf(dot(col("pq"), col("q")), col("pn"), col("nrm")).as("cosine"))
 
     scored.withColumn("rnk", row_number().over(
         Window.partitionBy(col("probe_id"))
@@ -580,8 +610,7 @@ object Similarity {
       .filter(col("probe_id") =!= col("vec_id"))
     cand.join(broadcast(probeVecs), Seq("probe_id"))
       .select(col("probe_id"), col("vec_id"),
-        (dot(col("pq"), col("q")).cast("double") /
-          sqrt(col("pn").cast("double") * col("nrm").cast("double"))).as("cosine"))
+        cosineOf(dot(col("pq"), col("q")), col("pn"), col("nrm")).as("cosine"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
@@ -813,8 +842,7 @@ object Similarity {
       .join(q.select(col("vec_id").as("a"), col("q").as("qa"), col("nrm").as("na")), "a")
       .join(q.select(col("vec_id").as("b"), col("q").as("qb"), col("nrm").as("nb")), "b")
       .select(col("a"), col("b"),
-        (dot(col("qa"), col("qb")).cast("double") /
-          sqrt(col("na").cast("double") * col("nb").cast("double"))).as("cosine"))
+        cosineOf(dot(col("qa"), col("qb")), col("na"), col("nb")).as("cosine"))
 
     val perVec = scored.select(col("a").as("vec_id"), col("cosine"))
       .union(scored.select(col("b").as("vec_id"), col("cosine")))
@@ -1273,9 +1301,19 @@ object Similarity {
     * (PcaSpec plants directional corpora through this).
     */
   private[operators] def pcaProjectOf(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
     val q = emb.select(col("vec_id"), col("label").cast("long").as("label"),
       quantized.as("q")).persist()
-    val dim = q.select(size(col("q")).as("n")).head().getInt(0)
+    // empty-corpus guard: head() on an empty frame throws — return the
+    // typed empty frame like the rest of the family (knnIvfOf,
+    // ivfPqBuild) instead of being the one member that hard-crashes
+    val dimRow = q.select(size(col("q")).as("n")).limit(1).collect()
+    if (dimRow.isEmpty) {
+      q.unpersist(blocking = false)
+      return Seq.empty[(Long, Long, Long)].toDF("vec_id", "label", "proj1")
+    }
+    val dim = dimRow(0).getInt(0)
 
     // Gram upper triangle: ONE tight per-partition accumulator loop
     // over a dim*(dim+1)/2 Long array, emitting <= 2080 partial cells
@@ -1287,7 +1325,6 @@ object Similarity {
     // outgrow Long (~10^6 rows per partition at |q|<=1e6) fail
     // loudly instead of corrupting the matrix; the cross-partition
     // merge is exact DECIMAL(38,0).
-    import emb.sparkSession.implicits._
     val tri = q.select(col("q")).as[Array[Long]]
       .mapPartitions { it =>
         var acc: Array[Long] = null
