@@ -122,7 +122,23 @@ object LshJoin {
     * the capped API, which drops hot buckets BEFORE the collect.
     */
   def exactBucketPairs(
-      buckets: DataFrame, idCol: String, cap: Int, bucketCols: String*): DataFrame = {
+      buckets: DataFrame, idCol: String, cap: Int, bucketCols: String*): DataFrame =
+    exactPairsCore(buckets, idCol, cap, bucketCols).distinct()
+
+  /** [[exactBucketPairs]] minus the trailing pair-level distinct, for
+    * callers whose id lands in EXACTLY ONE bucket (a PARTITION of the
+    * id space — semDedup's sign signature — rather than a multi-probe
+    * or multi-order bucketing): the same (a, b) pair can then never be
+    * emitted by two buckets, so the dedup shuffle the general form
+    * pays (one full pass over the pair set) is provably dead work.
+    */
+  def exactBucketPairsPartitioned(
+      buckets: DataFrame, idCol: String, cap: Int, bucketCols: String*): DataFrame =
+    exactPairsCore(buckets, idCol, cap, bucketCols)
+
+  private def exactPairsCore(
+      buckets: DataFrame, idCol: String, cap: Int,
+      bucketCols: Seq[String]): DataFrame = {
     val s = buckets.sparkSession
     import s.implicits._
     buckets.schema(idCol).dataType match {
@@ -146,7 +162,6 @@ object LshJoin {
           yield (v(i), v(j))
       }
       .toDF("a", "b")
-      .distinct()
   }
 
   /** The dropped (oversized) buckets — one row per bucket with its

@@ -204,7 +204,10 @@ object Similarity {
     // cap instead of silently going O(m²); emits a < b sorted pairs,
     // payloads joined back by id (pair-sized probes, never the
     // corpus through the bucket shuffle twice)
-    val pr = graft.operators.LshJoin.exactBucketPairs(
+    // Partitioned variant: each vector has ONE sign signature, so no
+    // pair can repeat across buckets — the general form's pair-level
+    // dedup shuffle would be dead work here
+    val pr = graft.operators.LshJoin.exactBucketPairsPartitioned(
       q.select(col("vec_id"), col("bucket")),
       "vec_id", SemDedupMaxBucket, "bucket")
     val pairs = pr
