@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomMightContain, FixedPointDot, FixedPointQuantize, LuhnValid, MinWindowFingerprint, RollingFingerprint, SortedIntersectCount}
+import graft.functions.{BloomMightContain, FixedPointDot, FixedPointQuantize, LuhnValid, MinWindowFingerprint, PngDims, RollingFingerprint, SortedIntersectCount, TokenWindowKeys}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -52,6 +52,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_intersect_count",
         "sorted_intersect_count(a, b) - |a intersect b| of two SORTED-DISTINCT BIGINT arrays (undercounts on unsorted input)"),
       (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+    e.injectFunction((
+      FunctionIdentifier("token_window_keys"),
+      info("token_window_keys",
+        "token_window_keys(text, L) - every L-token window's two-seed rolling 128-bit fingerprint as array<struct<pos,h1,h2>>"),
+      (es: Seq[Expression]) => TokenWindowKeys(
+        es(0), es(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("png_dims"),
+      info("png_dims",
+        "png_dims(blob) - struct<width,height> from a PNG IHDR header, NULL if not well-formed PNG"),
+      (es: Seq[Expression]) => PngDims(es.head)))
     // the native as-of join: planner strategy for the custom logical
     // node, plus the filter-transposition rule (runs inside the
     // operator-optimization fixed-point batch, so stock pushdown rules

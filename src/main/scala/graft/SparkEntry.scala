@@ -247,6 +247,10 @@ object SparkEntry {
       (graft.streaming.EventStream.q211StreamExactSubstr _),
     "q212_exact_substr_incremental" ->
       (Curation.q212ExactSubstrIncremental _),
+    "q213_exact_substr_inc_dedup" -> (Curation.q213ExactSubstrIncDedup _),
+    "q214_exact_substr_dedup_rolled" ->
+      (Curation.q214ExactSubstrDedupRolled _),
+    "q215_png_header" -> (Multimodal.q215PngHeader _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -550,6 +554,99 @@ object SparkEntry {
       |  MAX(top.win) AS top_win
       |FROM f LEFT JOIN top ON top.source = f.source
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Shared q209/q213/q214 dedup-transform replay: duplicated =
+    * window in >= 2 docs; keep the (doc_id, pos)-minimal occurrence,
+    * cut the rest; gaps-and-islands merges cut windows; md5 witnesses
+    * certify the rewritten text byte-exactly. q213 (incremental
+    * maintain-then-rewrite) and q214 (two-seed rolling 128-bit keys)
+    * are checked against this SAME string-mode one-shot SQL: batch
+    * boundaries and the key layout must be invisible in results.
+    */
+  private val ExactSubstrDedupSql: String = {
+    val L = graft.operators.Curation.ExactSubstrL
+    s"""WITH p AS (
+      |  SELECT source, doc_id,
+      |    COALESCE(text, '') || CASE WHEN doc_id % 17 = 0
+      |      THEN '${graft.operators.Curation.exactSubstrPlantSql}'
+      |      ELSE '' END AS t
+      |  FROM documents),
+      |tk AS (
+      |  SELECT source, doc_id,
+      |    list_filter(string_split(t, ' '), x -> x <> '') AS toks
+      |  FROM p),
+      |occ AS (
+      |  SELECT doc_id, u['pos'] AS pos, u['win'] AS win FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(
+      |        generate_series(1, greatest(len(toks) - ${L - 1}, 0)),
+      |        i -> {'pos': i, 'win': array_to_string(toks[i:i+${L - 1}], ' ')})) AS u
+      |    FROM tk)),
+      |dupw AS (
+      |  SELECT win FROM occ GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+      |keep AS (
+      |  SELECT win, doc_id AS kd, pos AS kp FROM (
+      |    SELECT o.win, o.doc_id, o.pos,
+      |      ROW_NUMBER() OVER (PARTITION BY o.win
+      |        ORDER BY o.doc_id, o.pos) AS rn
+      |    FROM occ o JOIN dupw d ON d.win = o.win) WHERE rn = 1),
+      |marked AS (
+      |  SELECT DISTINCT o.doc_id, o.pos
+      |  FROM occ o JOIN keep k ON k.win = o.win
+      |  WHERE NOT (o.doc_id = k.kd AND o.pos = k.kp)),
+      |isl AS (
+      |  SELECT doc_id, pos, SUM(brk) OVER (
+      |      PARTITION BY doc_id ORDER BY pos) AS isl_id
+      |  FROM (
+      |    SELECT doc_id, pos,
+      |      CASE WHEN pos - LAG(pos) OVER (
+      |          PARTITION BY doc_id ORDER BY pos) > $L
+      |        THEN 1 ELSE 0 END AS brk
+      |    FROM marked)),
+      |spans AS (
+      |  SELECT doc_id, isl_id, MIN(pos) AS s, MAX(pos) + ${L - 1} AS e
+      |  FROM isl GROUP BY 1, 2),
+      |st AS (
+      |  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS n_removed,
+      |    CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |    CAST(MAX(e - s + 1) AS BIGINT) AS max_span
+      |  FROM spans GROUP BY 1),
+      |cov AS (
+      |  -- islands are disjoint per doc, so no dedup needed
+      |  SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans),
+      |tok_rows AS (
+      |  SELECT source, doc_id, u['i'] AS i, u['tok'] AS tok FROM (
+      |    SELECT source, doc_id,
+      |      unnest(list_transform(generate_series(1, len(toks)),
+      |        i -> {'i': i, 'tok': toks[i]})) AS u
+      |    FROM tk)),
+      |rw AS (
+      |  SELECT tr.doc_id,
+      |    string_agg(tr.tok, ' ' ORDER BY tr.i)
+      |      FILTER (WHERE cov.i IS NULL) AS rewritten
+      |  FROM tok_rows tr LEFT JOIN cov
+      |    ON cov.doc_id = tr.doc_id AND cov.i = tr.i
+      |  GROUP BY 1),
+      |docg AS (
+      |  SELECT tk.source, tk.doc_id, len(tk.toks) AS n_toks,
+      |    COALESCE(rw.rewritten, '') AS rewritten,
+      |    COALESCE(st.n_removed, 0) AS n_removed,
+      |    COALESCE(st.n_spans, 0) AS n_spans,
+      |    COALESCE(st.max_span, 0) AS max_span
+      |  FROM tk LEFT JOIN rw ON rw.doc_id = tk.doc_id
+      |          LEFT JOIN st ON st.doc_id = tk.doc_id)
+      |SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_modified,
+      |  CAST(SUM(n_toks) AS BIGINT) AS tokens_total,
+      |  CAST(SUM(n_removed) AS BIGINT) AS tokens_removed,
+      |  CAST(SUM(n_toks - n_removed) AS BIGINT) AS tokens_retained,
+      |  CAST(SUM(n_spans) AS BIGINT) AS spans_removed,
+      |  CAST(MAX(max_span) AS BIGINT) AS max_span_tokens,
+      |  CAST(COUNT(DISTINCT md5(rewritten)) AS BIGINT) AS n_distinct_texts,
+      |  MAX(md5(rewritten)) AS sig_max
+      |FROM docg GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -4962,97 +5059,54 @@ object SparkEntry {
     // reused verbatim — the driver compare proves incremental ==
     // one-shot on the real corpus
     "q212_exact_substr_incremental" -> ExactSubstrCensusSql,
-    // ExactSubstr dedup transform (q209): duplicated = window in >= 2
-    // docs; keep the (doc_id, pos)-minimal occurrence, cut the rest;
-    // gaps-and-islands merges cut windows (consecutive starts <= L
-    // apart chain into one contiguous removed span, so the island
-    // range IS the covered union); the rewrite drops covered token
-    // indexes and re-joins on single spaces. md5 witnesses certify the
-    // rewritten text itself, not just the counts.
-    "q209_exact_substr_dedup" -> {
-      val L = graft.operators.Curation.ExactSubstrL
-      s"""WITH p AS (
-        |  SELECT source, doc_id,
-        |    COALESCE(text, '') || CASE WHEN doc_id % 17 = 0
-        |      THEN '${graft.operators.Curation.exactSubstrPlantSql}'
-        |      ELSE '' END AS t
+    // ExactSubstr dedup transform (q209) and its two driver-proofed
+    // variants: q213 maintains the occurrence state incrementally
+    // (disjoint doc_id % 3 batches, merged, each batch rewritten
+    // against the standing state) and q214 runs the rewrite under
+    // the two-seed ROLLING 128-bit keys — all three reuse the
+    // one-shot string-mode oracle verbatim, so the driver compare
+    // proves incremental == one-shot and rolling-key == string-key
+    // on the real corpus, md5 witnesses included.
+    "q209_exact_substr_dedup" -> ExactSubstrDedupSql,
+    "q213_exact_substr_inc_dedup" -> ExactSubstrDedupSql,
+    "q214_exact_substr_dedup_rolled" -> ExactSubstrDedupSql,
+    // Genuine PNG header parse (q215): BOTH engines construct the
+    // identical planted blob from the parquet table (shared
+    // hex/lpad/unhex construction), then PARSE it independently —
+    // Spark with the native PngDims byte walk, DuckDB with hex-string
+    // slicing and 0x-cast blob arithmetic. The two malformed classes
+    // (%7=3 truncated mid-header, %7=5 corrupted signature) must
+    // round-trip to NULL dims on both engines, so the hash-match
+    // certifies the null-safety contract as well as the happy path.
+    "q215_png_header" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    BLOB '\x89PNG\x0D\x0A\x1A\x0A\x00\x00\x00\x0DIHDR'
+        |      || unhex(lpad(hex(doc_id % 640 + 1), 8, '0'))
+        |      || unhex(lpad(hex(doc_id % 480 + 1), 8, '0'))
+        |      || encode(COALESCE(text, '')) AS png
         |  FROM documents),
-        |tk AS (
-        |  SELECT source, doc_id,
-        |    list_filter(string_split(t, ' '), x -> x <> '') AS toks
-        |  FROM p),
-        |occ AS (
-        |  SELECT doc_id, u['pos'] AS pos, u['win'] AS win FROM (
-        |    SELECT doc_id,
-        |      unnest(list_transform(
-        |        generate_series(1, greatest(len(toks) - ${L - 1}, 0)),
-        |        i -> {'pos': i, 'win': array_to_string(toks[i:i+${L - 1}], ' ')})) AS u
-        |    FROM tk)),
-        |dupw AS (
-        |  SELECT win FROM occ GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
-        |keep AS (
-        |  SELECT win, doc_id AS kd, pos AS kp FROM (
-        |    SELECT o.win, o.doc_id, o.pos,
-        |      ROW_NUMBER() OVER (PARTITION BY o.win
-        |        ORDER BY o.doc_id, o.pos) AS rn
-        |    FROM occ o JOIN dupw d ON d.win = o.win) WHERE rn = 1),
-        |marked AS (
-        |  SELECT DISTINCT o.doc_id, o.pos
-        |  FROM occ o JOIN keep k ON k.win = o.win
-        |  WHERE NOT (o.doc_id = k.kd AND o.pos = k.kp)),
-        |isl AS (
-        |  SELECT doc_id, pos, SUM(brk) OVER (
-        |      PARTITION BY doc_id ORDER BY pos) AS isl_id
-        |  FROM (
-        |    SELECT doc_id, pos,
-        |      CASE WHEN pos - LAG(pos) OVER (
-        |          PARTITION BY doc_id ORDER BY pos) > $L
-        |        THEN 1 ELSE 0 END AS brk
-        |    FROM marked)),
-        |spans AS (
-        |  SELECT doc_id, isl_id, MIN(pos) AS s, MAX(pos) + ${L - 1} AS e
-        |  FROM isl GROUP BY 1, 2),
-        |st AS (
-        |  SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS n_removed,
-        |    CAST(COUNT(*) AS BIGINT) AS n_spans,
-        |    CAST(MAX(e - s + 1) AS BIGINT) AS max_span
-        |  FROM spans GROUP BY 1),
-        |cov AS (
-        |  -- islands are disjoint per doc, so no dedup needed
-        |  SELECT doc_id, unnest(generate_series(s, e)) AS i FROM spans),
-        |tok_rows AS (
-        |  SELECT source, doc_id, u['i'] AS i, u['tok'] AS tok FROM (
-        |    SELECT source, doc_id,
-        |      unnest(list_transform(generate_series(1, len(toks)),
-        |        i -> {'i': i, 'tok': toks[i]})) AS u
-        |    FROM tk)),
-        |rw AS (
-        |  SELECT tr.doc_id,
-        |    string_agg(tr.tok, ' ' ORDER BY tr.i)
-        |      FILTER (WHERE cov.i IS NULL) AS rewritten
-        |  FROM tok_rows tr LEFT JOIN cov
-        |    ON cov.doc_id = tr.doc_id AND cov.i = tr.i
-        |  GROUP BY 1),
-        |docg AS (
-        |  SELECT tk.source, tk.doc_id, len(tk.toks) AS n_toks,
-        |    COALESCE(rw.rewritten, '') AS rewritten,
-        |    COALESCE(st.n_removed, 0) AS n_removed,
-        |    COALESCE(st.n_spans, 0) AS n_spans,
-        |    COALESCE(st.max_span, 0) AS max_span
-        |  FROM tk LEFT JOIN rw ON rw.doc_id = tk.doc_id
-        |          LEFT JOIN st ON st.doc_id = tk.doc_id)
-        |SELECT source,
-        |  COUNT(*) AS n_docs,
-        |  CAST(SUM(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_modified,
-        |  CAST(SUM(n_toks) AS BIGINT) AS tokens_total,
-        |  CAST(SUM(n_removed) AS BIGINT) AS tokens_removed,
-        |  CAST(SUM(n_toks - n_removed) AS BIGINT) AS tokens_retained,
-        |  CAST(SUM(n_spans) AS BIGINT) AS spans_removed,
-        |  CAST(MAX(max_span) AS BIGINT) AS max_span_tokens,
-        |  CAST(COUNT(DISTINCT md5(rewritten)) AS BIGINT) AS n_distinct_texts,
-        |  MAX(md5(rewritten)) AS sig_max
-        |FROM docg GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+        |i AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3 THEN unhex(substr(hex(png), 1, 20))
+        |         WHEN doc_id % 7 = 5 THEN unhex('00' || substr(hex(png), 3))
+        |         ELSE png END AS img
+        |  FROM b),
+        |p AS (
+        |  SELECT doc_id, CAST(octet_length(img) AS BIGINT) AS n_bytes,
+        |    CASE WHEN octet_length(img) >= 24
+        |          AND substr(hex(img), 1, 32) = '89504E470D0A1A0A0000000D49484452'
+        |      THEN CAST('0x' || substr(hex(img), 33, 8) AS BIGINT) END AS w0,
+        |    CASE WHEN octet_length(img) >= 24
+        |          AND substr(hex(img), 1, 32) = '89504E470D0A1A0A0000000D49484452'
+        |      THEN CAST('0x' || substr(hex(img), 41, 8) AS BIGINT) END AS h0
+        |  FROM i)
+        |SELECT doc_id, n_bytes,
+        |  CASE WHEN w0 BETWEEN 1 AND 2147483647 AND h0 BETWEEN 1 AND 2147483647
+        |    THEN w0 END AS width,
+        |  CASE WHEN w0 BETWEEN 1 AND 2147483647 AND h0 BETWEEN 1 AND 2147483647
+        |    THEN h0 END AS height
+        |FROM p ORDER BY doc_id""".stripMargin,
     // Streaming ExactSubstr burst monitor (q211): the census is a pure
     // algebraic windowed COUNT, so the WHOLE stream query replays from
     // the batch table — arrival window = doc_id div 100 (1 doc/sec

@@ -90,6 +90,130 @@ case class MinWindowFingerprint(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Static kernel + constants for [[TokenWindowKeys]] (separate object so
+  * the generated code can call a stable JVM entry point).
+  */
+object TokenWindowKeys {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
+
+  /** Two independent base pairs (all mod 2^61-1): one pair for the
+    * per-token byte hashes, one for the window-level roll over token
+    * hashes. The TOKEN level must be two-seeded too — if both window
+    * components rolled over the SAME token-hash values, a char-level
+    * token collision would collide h1 and h2 simultaneously and the
+    * second component would add nothing (the same trap as the trailing
+    * xxhash64 literal in [[graft.operators.Curation.exactSubstrKey]]'s
+    * scaladoc). With independent pairs a distinct-window collision
+    * needs two unrelated mod-p collisions at once: ~n²/2¹²² at
+    * vocabulary n — the Lee et al. '21 128-bit layout budget.
+    */
+  final val TokBase1: Long = Fingerprints.Base
+  final val TokBase2: Long = 998244353L
+  final val WinBase1: Long = 1000000007L
+  final val WinBase2: Long = 1610612741L
+
+  val OutType: ArrayType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+
+  /** All L-token window keys of `s` in one pass, ZERO window-string (or
+    * even token-string) allocation: tokens are maximal runs of
+    * non-0x20 bytes walked directly off the UTF8String (byte-identical
+    * to `Curation.tokenize` — split on single spaces, drop empties —
+    * and safe without decoding because 0x20 never occurs inside a
+    * UTF-8 multibyte sequence), each hashed to a two-seed 61-bit pair
+    * as its bytes stream past; the window keys then roll over the
+    * token-hash arrays in O(1) per slide. Token bytes are offset by +1
+    * so a leading 0x00 byte cannot vanish from the polynomial (\x00a
+    * and a must not collide in BOTH seeds); the window level needs no
+    * such guard because every window is exactly L tokens. Output rows
+    * are `(pos, h1, h2)` with `pos` the 0-based token index of the
+    * window start — the same position grain as the string-mode
+    * occurrence stream.
+    */
+  def keys(s: UTF8String, l: Int): ArrayData = {
+    import Fingerprints.{Mod, mulMod}
+    val n = s.numBytes()
+    var cap = 16
+    var t1 = new Array[Long](cap)
+    var t2 = new Array[Long](cap)
+    var nt = 0
+    var i = 0
+    while (i < n) {
+      if (s.getByte(i) == 0x20) i += 1
+      else {
+        var h1 = 0L; var h2 = 0L
+        while (i < n && s.getByte(i) != 0x20) {
+          val c = (s.getByte(i) & 0xFF).toLong + 1L
+          h1 = (mulMod(h1, TokBase1) + c) % Mod
+          h2 = (mulMod(h2, TokBase2) + c) % Mod
+          i += 1
+        }
+        if (nt == cap) {
+          cap *= 2
+          t1 = java.util.Arrays.copyOf(t1, cap)
+          t2 = java.util.Arrays.copyOf(t2, cap)
+        }
+        t1(nt) = h1; t2(nt) = h2; nt += 1
+      }
+    }
+    val m = nt - l + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    var pw1 = 1L; var pw2 = 1L // WinBase^(l-1): the roll-out weights
+    var j = 0
+    while (j < l - 1) { pw1 = mulMod(pw1, WinBase1); pw2 = mulMod(pw2, WinBase2); j += 1 }
+    var h1 = 0L; var h2 = 0L
+    j = 0
+    while (j < l) {
+      h1 = (mulMod(h1, WinBase1) + t1(j)) % Mod
+      h2 = (mulMod(h2, WinBase2) + t2(j)) % Mod
+      j += 1
+    }
+    val out = new Array[Any](m)
+    out(0) = new GenericInternalRow(Array[Any](0, h1, h2))
+    var p = 1
+    while (p < m) {
+      h1 = (h1 + Mod - mulMod(t1(p - 1), pw1)) % Mod
+      h1 = (mulMod(h1, WinBase1) + t1(p + l - 1)) % Mod
+      h2 = (h2 + Mod - mulMod(t2(p - 1), pw2)) % Mod
+      h2 = (mulMod(h2, WinBase2) + t2(p + l - 1)) % Mod
+      out(p) = new GenericInternalRow(Array[Any](p, h1, h2))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `text`'s L-token rolling window keys as a Column. */
+  def of(text: org.apache.spark.sql.Column, l: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.GraftColumns
+    GraftColumns.ofExpr(TokenWindowKeys(GraftColumns.exprOf(text), l))
+  }
+}
+
+/** `token_window_keys(text, L)`: every L-token window's two-seed
+  * rolling 128-bit fingerprint, `array<struct<pos,h1,h2>>` — the
+  * hashed-mode key stream of the ExactSubstr rewrite
+  * ([[graft.operators.Curation.exactSubstrRewrite]]). The r18 verdict's
+  * allocation item: hashed mode used to BUILD every L-token window
+  * string only to hash it (L× transient string bytes per token at
+  * 100 TB); this expression emits the keys straight off the token
+  * stream inside whole-stage codegen, allocating nothing but the
+  * result array.
+  */
+case class TokenWindowKeys(child: Expression, l: Int) extends UnaryExpression {
+  require(l >= 1, s"token_window_keys: window length must be >= 1, got $l")
+  override def dataType: DataType = TokenWindowKeys.OutType
+  override protected def nullSafeEval(input: Any): Any =
+    TokenWindowKeys.keys(input.asInstanceOf[UTF8String], l)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenWindowKeys.keys($c, $l)")
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowKeys =
+    copy(child = newChild)
+}
+
 object FingerprintFunctions {
   /** Registers the engine's native expressions (`rolling_fingerprint`,
     * `min_window_fingerprint`, `fixed_dot`) for `expr(...)`/SQL use in
@@ -112,5 +236,11 @@ object FingerprintFunctions {
       "luhn_valid", es => LuhnValid(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "sorted_intersect_count", es => SortedIntersectCount(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "token_window_keys",
+      es => TokenWindowKeys(es(0), es(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "png_dims", es => PngDims(es.head), "built-in")
   }
 }

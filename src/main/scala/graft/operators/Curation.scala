@@ -2410,7 +2410,20 @@ object Curation {
   private[graft] def exactSubstrDedupOf(
       docs: DataFrame, hashKeys: Boolean = false): DataFrame = {
     val (rw, release) = exactSubstrRewrite(docs, hashKeys)
-    val out = rw.groupBy(col("source"))
+    val out = exactSubstrDedupRollup(rw)
+    out.persist().count() // pin the bounded rollup, then release
+    release()
+    out
+  }
+
+  /** The q209 per-source rollup over a document-grain rewrite frame —
+    * shared by the one-shot transform ([[exactSubstrDedupOf]]) and the
+    * incremental transform ([[exactSubstrDedupIncrementalOf]]), whose
+    * driver hash-match against the SAME oracle depends on the read-out
+    * being literally this one aggregate.
+    */
+  private def exactSubstrDedupRollup(rw: DataFrame): DataFrame =
+    rw.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("n_removed") > 0L, 1L).otherwise(0L)).as("docs_modified"),
@@ -2422,10 +2435,6 @@ object Curation {
         countDistinct(md5(col("rewritten"))).as("n_distinct_texts"),
         max(md5(col("rewritten"))).as("sig_max"))
       .orderBy(col("source"))
-    out.persist().count() // pin the bounded rollup, then release
-    release()
-    out
-  }
 
   /** The document-grain ExactSubstr rewrite:
     * `(source, doc_id, rewritten, n_toks, n_removed, n_spans,
@@ -2453,11 +2462,14 @@ object Curation {
     *      `(n_distinct_docs, first occurrence)` aggregate, FILTERED to
     *      duplicated windows before it ever persists — the pinned
     *      frame is duplicated-vocabulary-sized, not corpus-sized;
-    *   2. census apply: the occurrence stream again, equi-joined
-    *      (shuffle on the window key — 16-byte hash structs in
-    *      `hashKeys` mode) against the duplicated frame, collapsed to
-    *      per-doc sorted cut positions (state per doc bounded by doc
-    *      length);
+    *   2. census apply: the occurrence stream again, Bloom-probed
+    *      against the duplicated keys BELOW the join (non-duplicated
+    *      occurrences — typically the vast majority — never reach the
+    *      exchange; false positives removed by the exact join), then
+    *      equi-joined (shuffle on the window key — 16-byte rolling
+    *      hash structs in `hashKeys` mode) against the duplicated
+    *      frame, collapsed to per-doc sorted cut positions (state per
+    *      doc bounded by doc length);
     *   3. rewrite: one pass over the documents, left-joined with the
     *      cut positions (co-partitioned shuffle on doc_id), covered
     *      tokens dropped in a single linear walk per document.
@@ -2470,41 +2482,160 @@ object Curation {
   private[graft] def exactSubstrRewrite(
       docs: DataFrame, hashKeys: Boolean = false)
       : (DataFrame, () => Unit) = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val L = ExactSubstrL
-    val planted = docs.select(col("source"), col("doc_id"),
+    val planted = exactSubstrPlanted(docs)
+    val (dup, bloom, release) =
+      exactSubstrDupOf(exactSubstrOccState(docs, hashKeys))
+    val cuts = exactSubstrCuts(planted, dup, bloom, hashKeys)
+    (exactSubstrApplyCuts(planted, cuts), release)
+  }
+
+  /** The planted `(source, doc_id, t)` document frame shared by every
+    * ExactSubstr rewrite-side consumer: text with the %17 plant
+    * appended, null text blanked.
+    */
+  private def exactSubstrPlanted(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("doc_id"),
       concat(coalesce(col("text"), lit("")),
         when(col("doc_id") % 17 === 0, lit(ExactSubstrPlant))
           .otherwise(lit(""))).as("t"))
-    // occurrence grain: one row per (doc, window start position)
-    def occ = planted.select(col("doc_id"), col("t")).as[(Long, String)]
-      .flatMap { case (id, t) =>
-        val toks = tokenize(t)
-        (0 to toks.length - L).iterator.map { i =>
-          val sb = new StringBuilder(toks(i))
-          var j = 1
-          while (j < L) { sb.append(' ').append(toks(i + j)); j += 1 }
-          (id, i, sb.toString)
-        }
-      }.toDF("doc_id", "pos", "win")
-    def keyed =
-      (if (hashKeys) occ.withColumn("k", exactSubstrKey(col("win")))
-       else occ.withColumn("k", col("win")))
-        .select(col("k"), col("doc_id"), col("pos"))
-    // duplicated windows + their kept (first-in-total-order) occurrence
-    val dup = keyed.groupBy(col("k"))
+
+  /** Keyed occurrence stream `(k, doc_id, pos)` over a planted frame —
+    * one row per L-token window start. String mode keys on the window
+    * text (the oracle-replayable grain). Hashed (100 TB) mode keys on
+    * the two-seed ROLLING 128-bit fingerprint from the native
+    * [[graft.functions.TokenWindowKeys]] codegen expression: the r18
+    * verdict's allocation item was that hashed mode BUILT every
+    * L-token window string only to xxhash64 it (L× transient string
+    * bytes per corpus token); now the key stream is project + explode
+    * inside whole-stage codegen with no window strings and no Dataset
+    * encoder barrier. The two modes induce the same equality classes
+    * on windows absent a simultaneous two-seed collision (~n²/2¹²² at
+    * vocabulary n): TokenWindowKeysSpec pins the class structure
+    * against string grams on random corpora, ExactSubstrPropertySpec
+    * pins the whole rewrite differential in both modes, and q214 pins
+    * the hashed transform against the string-mode DuckDB oracle on the
+    * driver corpus every round.
+    */
+  private[graft] def exactSubstrOcc(
+      planted: DataFrame, hashKeys: Boolean): DataFrame =
+    if (hashKeys)
+      planted.select(col("doc_id"),
+          explode(graft.functions.TokenWindowKeys.of(col("t"), ExactSubstrL))
+            .as("w"))
+        .select(struct(col("w.h1").as("h1"), col("w.h2").as("h2")).as("k"),
+          col("doc_id"), col("w.pos").as("pos"))
+    else {
+      val s = planted.sparkSession
+      import s.implicits._
+      val L = ExactSubstrL
+      planted.select(col("doc_id"), col("t")).as[(Long, String)]
+        .flatMap { case (id, t) =>
+          val toks = tokenize(t)
+          (0 to toks.length - L).iterator.map { i =>
+            val sb = new StringBuilder(toks(i))
+            var j = 1
+            while (j < L) { sb.append(' ').append(toks(i + j)); j += 1 }
+            (id, i, sb.toString)
+          }
+        }.toDF("doc_id", "pos", "win")
+        .select(col("win").as("k"), col("doc_id"), col("pos"))
+    }
+
+  /** Per-window occurrence STATE of one document batch: `(k, nd,
+    * keep)` — `nd` the batch's distinct-document count for the window,
+    * `keep` its first occurrence `min(struct(doc_id, pos))`. ADDITIVE
+    * across document-disjoint batches (nd by sum — distinct-doc sets
+    * of disjoint batches are disjoint; keep by min — min of mins),
+    * which extends the q212 census-state argument to the dedup
+    * TRANSFORM: the standing state stays window-vocabulary sized and
+    * carries exactly what a batch rewrite needs (is the window
+    * corpus-duplicated, and which occurrence is the global keeper).
+    */
+  private[graft] def exactSubstrOccState(
+      docs: DataFrame, hashKeys: Boolean = false): DataFrame =
+    exactSubstrOcc(exactSubstrPlanted(docs), hashKeys)
+      .groupBy(col("k"))
       .agg(countDistinct(col("doc_id")).as("nd"),
         min(struct(col("doc_id"), col("pos"))).as("keep"))
-      .where(col("nd") >= 2L)
+
+  /** Merge occurrence states from disjoint document batches —
+    * associative and commutative, so daily states fold in any order.
+    */
+  private[graft] def exactSubstrOccMerge(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "exactSubstrOccMerge needs at least one state")
+    states.reduce(_.unionByName(_))
+      .groupBy(col("k"))
+      .agg(sum(col("nd")).cast("long").as("nd"), min(col("keep")).as("keep"))
+  }
+
+  /** False-positive budget of the census-apply Bloom probe — removed
+    * by the exact join that follows, so it only prices how many
+    * non-duplicated occurrences slip into the exchange.
+    */
+  private[graft] final val ExactSubstrBloomFpp = 0.01
+
+  /** Duplicated-window frame `(k, kd, kp)` from a merged occurrence
+    * state, persisted + eagerly materialized, paired with the Bloom
+    * membership summary of its keys that [[exactSubstrCuts]] probes
+    * below the census-apply join. The filter is built distributed over
+    * the (already persisted, duplicated-vocabulary-sized) frame and
+    * ships as a broadcast HANDLE (the q54 discipline — a plan literal
+    * would ride in every task binary). Returns the release thunk for
+    * the one persisted intermediate.
+    */
+  private def exactSubstrDupOf(state: DataFrame)
+      : (DataFrame,
+         org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+         () => Unit) = {
+    val s = state.sparkSession
+    val dup = state.where(col("nd") >= 2L)
       .select(col("k"), col("keep.doc_id").as("kd"), col("keep.pos").as("kp"))
       .persist()
-    dup.count() // materialize before the second corpus scan probes it
-    // every occurrence of a duplicated window except the kept one
-    val cuts = keyed.join(dup, Seq("k"))
+    val nDup = dup.count() // materialize before anything probes it
+    val bloom =
+      if (nDup == 0)
+        org.apache.spark.util.sketch.BloomFilter.create(1, ExactSubstrBloomFpp)
+      else dup.select(xxhash64(col("k")).as("kh"))
+        .stat.bloomFilter("kh", nDup, ExactSubstrBloomFpp)
+    val bcast = s.sparkContext.broadcast(bloom)
+    (dup, bcast, () => { dup.unpersist(blocking = false); () })
+  }
+
+  /** Census apply: per-doc sorted cut positions of a planted batch
+    * against the duplicated-window frame — every occurrence of a
+    * duplicated window except the kept (globally first) one. The Bloom
+    * probe (the q54/q78 sideways-information-passing idiom, the same
+    * `xxhash64(k)` probe key in both key modes) sits BELOW the join,
+    * inside the occurrence scan's whole-stage codegen: the occurrence
+    * stream is corpus × ~doc_len rows while duplicated windows are
+    * typically a small minority of the window vocabulary, so without
+    * the probe every occurrence shuffles on the window key only to be
+    * dropped by the join (the r18 verdict's single biggest open 100 TB
+    * cost in the family); with it, non-duplicated occurrences never
+    * reach the exchange, and the probe's false positives (bounded by
+    * [[ExactSubstrBloomFpp]]) are removed by the exact join that
+    * follows. HeavyPlanSpec pins the probe's below-the-join position.
+    */
+  private def exactSubstrCuts(
+      planted: DataFrame, dup: DataFrame,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      hashKeys: Boolean): DataFrame =
+    exactSubstrOcc(planted, hashKeys)
+      .filter(graft.functions.BloomMightContainBc.column(xxhash64(col("k")), bloom))
+      .join(dup, Seq("k"))
       .where(!(col("doc_id") === col("kd") && col("pos") === col("kp")))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("cuts"))
+
+  /** The rewrite walk: planted docs left-joined with their cut
+    * positions (co-partitioned shuffle on doc_id), covered tokens
+    * dropped in one linear pass per document.
+    */
+  private def exactSubstrApplyCuts(
+      planted: DataFrame, cuts: DataFrame): DataFrame = {
+    val s = planted.sparkSession
+    import s.implicits._
+    val L = ExactSubstrL
     val rw = planted.join(cuts, Seq("doc_id"), "left")
       .select(col("source"), col("doc_id"), col("t"), col("cuts"))
       .as[(String, Long, String, Option[Seq[Int]])]
@@ -2540,6 +2671,97 @@ object Curation {
       }
       .toDF("source", "doc_id", "rewritten", "n_toks", "n_removed",
         "n_spans", "max_span")
-    (rw, () => { dup.unpersist(blocking = false); () })
+    rw
   }
+
+  /** q213: the INCREMENTAL ExactSubstr dedup transform — the
+    * operational form of q209 for a pipeline that ingests in batches.
+    * Phase 1 maintains the occurrence state incrementally exactly as
+    * q212 maintains the census (one corpus pass per arriving batch,
+    * vocabulary-sized additive states, [[exactSubstrOccMerge]] a
+    * vocabulary-sized fold); phase 2 rewrites each batch INDEPENDENTLY
+    * against the standing merged state — embarrassingly parallel
+    * across batches, no single corpus-wide job. The state's
+    * `min(struct(doc_id, pos))` keeper is what makes keep-first
+    * globally correct across batches: a batch whose duplicate's keeper
+    * lives in an EARLIER batch cuts its own occurrence and leaves the
+    * keeper untouched (ExactSubstrIncrementalSpec pins exactly that
+    * case). Union of the per-batch rewrites equals the one-shot q209
+    * rewrite for ANY batch split — each occurrence's fate depends only
+    * on its own document and the global (nd, keeper) of its window,
+    * both of which the merged state carries — so the driver binding is
+    * checked against THE SAME q209 oracle SQL (the q212 proof
+    * pattern).
+    *
+    * Deliberately NOT prefix-state (rewriting each batch against only
+    * the batches seen so far): an occurrence's one-shot fate can
+    * depend on FUTURE data — a window repeated twice inside one early
+    * document is cut at the second position iff a later batch ever
+    * duplicates it corpus-wide — so a prefix rewrite that has already
+    * emitted the early document can never be exactly the one-shot
+    * transform. Maintain-then-rewrite is the strongest contract an
+    * emit-once pipeline can honor, and the one this operator proves.
+    */
+  def q213ExactSubstrIncDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // null-safe split (the q212 discipline): a NULL doc_id must land in
+    // exactly one batch, not vanish from both %-predicates
+    val inNew = coalesce(col("doc_id") % 3 === 0, lit(true))
+    exactSubstrDedupIncrementalOf(Seq(docs.filter(!inNew), docs.filter(inNew)))
+  }
+
+  /** [[q213ExactSubstrIncDedup]] over explicit document-DISJOINT
+    * batches (doc_id unique across the union — the q209 precondition).
+    * Scale shape: per batch, one occurrence pass for its state, one
+    * occurrence pass for its cuts (Bloom-pruned below the join exactly
+    * as the one-shot rewrite), one document pass for the rewrite walk —
+    * 3 passes per batch, the same 3× total as one-shot q209
+    * (OnePassSpec pins it on separately-counted batch inputs). The
+    * duplicated-window frame and its Bloom are built ONCE from the
+    * merged state and shared by every batch rewrite; the only persists
+    * are that frame and the bounded per-source rollup, both released
+    * here.
+    */
+  private[graft] def exactSubstrDedupIncrementalOf(
+      batches: Seq[DataFrame], hashKeys: Boolean = false): DataFrame = {
+    val (rw, release) = exactSubstrRewriteIncremental(batches, hashKeys)
+    val out = exactSubstrDedupRollup(rw)
+    out.persist().count() // pin the bounded rollup, then release
+    release()
+    out
+  }
+
+  /** The document-grain maintain-then-rewrite pipeline under
+    * [[q213ExactSubstrIncDedup]] — same contract as
+    * [[exactSubstrRewrite]] (unmaterialized frame + release thunk for
+    * the shared duplicated-window persist), with the input arriving as
+    * document-disjoint batches: states merged once, every batch
+    * rewritten independently against the standing merged state.
+    */
+  private[graft] def exactSubstrRewriteIncremental(
+      batches: Seq[DataFrame], hashKeys: Boolean = false)
+      : (DataFrame, () => Unit) = {
+    require(batches.nonEmpty, "exactSubstrRewriteIncremental needs at least one batch")
+    val state = exactSubstrOccMerge(batches.map(exactSubstrOccState(_, hashKeys)))
+    val (dup, bloom, release) = exactSubstrDupOf(state)
+    val rw = batches.map { b =>
+      val planted = exactSubstrPlanted(b)
+      exactSubstrApplyCuts(planted, exactSubstrCuts(planted, dup, bloom, hashKeys))
+    }.reduce(_.unionByName(_))
+    (rw, release)
+  }
+
+  /** q214: the ExactSubstr dedup transform in its hashed (100 TB)
+    * rolling-key mode, registered against THE STRING-MODE q209 oracle —
+    * the q210 proof pattern applied to the TRANSFORM: the driver's
+    * hash compare (including the md5 witnesses of the rewritten text)
+    * is a standing proof on the real corpus that the two-seed rolling
+    * 128-bit keys from [[graft.functions.TokenWindowKeys]] change
+    * nothing but the shuffle-key width and the key-side allocation
+    * profile. At 10¹² distinct windows the census-apply exchange moves
+    * 16-byte structs instead of ~50-byte window strings, and the key
+    * stream never materializes a window (or token) string at all.
+    */
+  def q214ExactSubstrDedupRolled(s: SparkSession, d: String): DataFrame =
+    exactSubstrDedupOf(Tables.documents(s, d), hashKeys = true)
 }

@@ -144,6 +144,58 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** The 16 bytes of a PNG prefix that precede the dimensions: the
+    * 8-byte signature, the IHDR length (13, big-endian) and the IHDR
+    * tag — public layout, ISO/IEC 15948 §5.2/§11.2.2.
+    */
+  private val PngPrefix16: Array[Byte] = Array(
+    0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, // signature
+    0x00, 0x00, 0x00, 0x0D,                                 // IHDR length = 13
+    0x49, 0x48, 0x44, 0x52)                                 // "IHDR"
+
+  /** q215: GENUINE multimodal byte-format read — PNG header parse over
+    * a binary column via the native [[graft.functions.PngDims]] codegen
+    * expression (the first media op here whose payload step actually
+    * reads the format rather than stubbing it). The fixture plants a
+    * REAL PNG prefix per document — signature, IHDR length/tag, and
+    * big-endian dimensions derived from doc_id, followed by the
+    * document text as opaque payload bytes — built declaratively with
+    * `hex/lpad/unhex/concat` so the DuckDB oracle constructs the
+    * IDENTICAL blob from the parquet table and then parses it with its
+    * own independent machinery (hex-string slicing + 0x-cast blob
+    * arithmetic): construction is shared, PARSING is cross-engine
+    * differential. Two deterministic malformed classes ride the same
+    * column — doc_id % 7 == 3 truncates mid-header, % 7 == 5 corrupts
+    * the signature byte — and must parse to NULL on both engines, so
+    * the driver hash-match certifies the null-safety contract too,
+    * every round. At 100 TB this is one codegen projection per scan
+    * row: no shuffle, no UDF, no driver involvement.
+    */
+  def q215PngHeader(s: SparkSession, d: String): DataFrame = {
+    val be32 = (v: org.apache.spark.sql.Column) =>
+      unhex(lpad(hex(v), 8, "0"))
+    val wellFormed = concat(
+      lit(PngPrefix16),
+      be32(col("doc_id") % 640 + 1),
+      be32(col("doc_id") % 480 + 1),
+      encode(coalesce(col("text"), lit("")), "UTF-8"))
+    val img = when(col("doc_id") % 7 === 3,
+        substring(wellFormed, 1, 10)) // truncated mid-header
+      .when(col("doc_id") % 7 === 5,
+        concat(lit(Array[Byte](0x00.toByte)),
+          substring(wellFormed, 2, 1 << 30))) // corrupted signature
+      .otherwise(wellFormed)
+    Tables.documents(s, d)
+      .select(col("doc_id"), img.as("img"))
+      .select(
+        col("doc_id"),
+        octet_length(col("img")).cast("long").as("n_bytes"),
+        call_function("png_dims", col("img")).as("dims"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("dims.width").as("width"), col("dims.height").as("height"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Feature extraction into typed scalar/fixed-point columns. */
   def q46MultimodalFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

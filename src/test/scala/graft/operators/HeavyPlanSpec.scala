@@ -155,6 +155,30 @@ class HeavyPlanSpec extends SparkSpec {
       // NOTHING broadcasts: at 100 TB no side of any join here is
       // small, so the scale shape is all co-partitioned joins.
       assert(s == Shape(3, 0, 0, 1), s"exactSubstrRewrite shape drifted: $s")
+      // the Bloom sideways pass (r18 verdict #1): the census-apply
+      // occurrence stream must be probed BELOW its exchange — inside
+      // the pre-shuffle subtree — so non-duplicated occurrences never
+      // reach the window-key exchange. The probe is a broadcast HANDLE
+      // (BloomMightContainBc), so the broadcasts=0 count above still
+      // holds: no plan-level BroadcastExchange, no per-task literal.
+      val plan = rw.queryExecution.executedPlan
+      val bloomFilters = plan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.exists(_.isInstanceOf[graft.functions.BloomMightContainBc]) => f
+      }
+      // 1 probe on the occurrence side is the design; Catalyst's
+      // constraint propagation may MIRROR it onto the (vocab-sized,
+      // always-true modulo FPP) cached dup side too — harmless, so the
+      // pin allows it rather than fighting the optimizer
+      assert(bloomFilters.size == 1 || bloomFilters.size == 2,
+        s"Bloom probe count drifted: ${bloomFilters.size}")
+      val preExchange = plan.collect {
+        case e: ShuffleExchangeExec
+            if bloomFilters.exists(f => e.child.exists(_ eq f)) => e
+      }
+      assert(preExchange.nonEmpty,
+        "the Bloom probe must sit BELOW a shuffle exchange (pre-exchange pruning), " +
+          "not above the census-apply join")
       release()
     }
   }

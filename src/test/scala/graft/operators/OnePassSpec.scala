@@ -76,6 +76,18 @@ class OnePassSpec extends SparkSpec {
     assert(acc.value == 3 * 400, s"corpus evaluated ${acc.value / 400.0}x, want 3.0x")
   }
 
+  test("q213 incremental dedup reads EACH ingest batch exactly three times " +
+    "(its state build / its cuts / its rewrite) — the one-shot 3x, batch-local") {
+    val (a, accA) = countedDocs(300)
+    val (b0, accB) = countedDocs(100)
+    // disjoint doc_ids (the q209 identity precondition); the shift maps
+    // rows AFTER the accumulator fires, so counts are unaffected
+    val b = b0.withColumn("doc_id", col("doc_id") + 1000L)
+    Curation.exactSubstrDedupIncrementalOf(Seq(a, b)).count()
+    assert(accA.value == 3 * 300, s"batch A evaluated ${accA.value / 300.0}x, want 3.0x")
+    assert(accB.value == 3 * 100, s"batch B evaluated ${accB.value / 100.0}x, want 3.0x")
+  }
+
   test("q212 incremental census reads EACH ingest batch exactly once") {
     // two separate batch inputs (the deployment shape — an ingest
     // batch is its own table, not a filter over the full corpus): the
