@@ -5119,7 +5119,9 @@ object SparkEntry {
         |    COALESCE(text, '') || CASE WHEN doc_id % 17 = 0
         |      THEN '${graft.operators.Curation.exactSubstrPlantSql}'
         |      ELSE '' END AS t
-        |  FROM documents),
+        |  -- NULL doc_id has no arrival time: dropped on BOTH engines
+        |  -- (the stream fixture filters identically)
+        |  FROM documents WHERE doc_id IS NOT NULL),
         |tk AS (
         |  SELECT win_id,
         |    list_filter(string_split(t, ' '), x -> x <> '') AS toks

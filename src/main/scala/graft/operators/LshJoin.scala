@@ -136,6 +136,61 @@ object LshJoin {
       buckets: DataFrame, idCol: String, cap: Int, bucketCols: String*): DataFrame =
     exactPairsCore(buckets, idCol, cap, bucketCols)
 
+  /** [[exactBucketPairsPartitioned]] with GRACEFUL over-cap degrade for
+    * operators whose semantics genuinely require every in-bucket pair
+    * (semDedup — the r18 advice item: a skewed corpus that previously
+    * computed correctly, if slowly, must not start FAILING at the cap,
+    * and the in-flight `require` is not even a memory bound because the
+    * bucket's id list is materialized before it fires). Buckets are
+    * ROUTED by a histogram pass: populations ≤ `cap` take the
+    * list-collect generator (one aggregate, no join); populations
+    * > `cap` never reach a `collect_list` at all — their pairs come
+    * from a co-partitioned self-join on the bucket key, which
+    * sort-merge spills instead of holding the bucket in one aggregation
+    * buffer, so a degenerate corpus (every embedding in one sign
+    * bucket) completes with bounded memory and honest quadratic work
+    * rather than killing the job. The emitted pair SET is identical to
+    * the un-routed generator on every input — ExactPairsRoutedSpec pins
+    * equality across the cap boundary — so results never depend on
+    * which route fired. Same partition precondition as the
+    * partitioned variant (each id in exactly one bucket); duplicate
+    * (id, bucket) rows are deduped per route (the list path's
+    * `ids.distinct`, the join path's pre-distinct — hot-rows-sized).
+    * Costs one extra aggregate over the (narrow) bucket frame vs the
+    * single-pass generator; the hot list is tiny by construction and
+    * broadcasts to both routes.
+    */
+  def exactBucketPairsRouted(
+      buckets: DataFrame, idCol: String, cap: Int, bucketCols: String*): DataFrame = {
+    val s = buckets.sparkSession
+    buckets.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"exactBucketPairsRouted: id column '$idCol' must be integral (widened to BIGINT), got $other")
+    }
+    val withB = buckets.select(
+      col(idCol).cast(LongType).as("id"), struct(bucketCols.map(col): _*).as("bucket"))
+    // tiny by construction (<= rows/cap buckets); persisted so the
+    // histogram subtree runs once for both routes — LRU lifetime, the
+    // boundedBucketPairsWithStats policy
+    val hot = withB.groupBy(col("bucket"))
+      .agg(countDistinct(col("id")).as("n"))
+      .filter(col("n") > cap)
+      .select(col("bucket"))
+      .persist()
+    val small = withB.join(broadcast(hot), Seq("bucket"), "left_anti")
+    // every surviving bucket holds <= cap distinct ids: the require can
+    // only fire on a histogram/anti-join inconsistency (a real bug)
+    val smallPairs = exactPairsCore(small, "id", cap, Seq("bucket"))
+    val hotRows = withB.join(broadcast(hot), Seq("bucket"), "left_semi")
+      .distinct() // (id, bucket) dedup BEFORE the quadratic fan-out
+    val hotPairs = hotRows.as("x")
+      .join(hotRows.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    smallPairs.unionByName(hotPairs)
+  }
+
   private def exactPairsCore(
       buckets: DataFrame, idCol: String, cap: Int,
       bucketCols: Seq[String]): DataFrame = {

@@ -176,11 +176,14 @@ object Similarity {
     *         qualifying lower id (row_number over (a) per dropped b).
     */
   /** Per-sign-bucket population cap for [[semDedup]]'s exact pair
-    * generation: ~500k pairs from a worst-case bucket stays bounded,
-    * and past it the operator demands more `signBits` LOUDLY (the
-    * require inside exactBucketPairs) instead of silently going
-    * O(m²) when a corpus collapses into one bucket — e.g. non-negative
-    * feature embeddings, whose first-8-dims signs are all 1.
+    * generation — the ROUTING threshold, not a failure point: buckets
+    * under it take the fast collect_list fan-out (~500k pairs from a
+    * worst-case in-cap bucket), buckets over it (a corpus collapsing
+    * into one sign bucket — e.g. non-negative feature embeddings,
+    * whose first-8-dims signs are all 1) divert to a spill-safe
+    * self-join with the identical pair set, so skewed corpora DEGRADE
+    * (quadratic work, bounded memory) instead of failing a 100 TB job
+    * at a tripwire or silently OOMing a collect buffer.
     */
   val SemDedupMaxBucket = 1024
 
@@ -197,17 +200,19 @@ object Similarity {
     val q = emb.select(col("vec_id"), quantized.as("q"))
       .withColumn("nrm", dot(col("q"), col("q")))
       .withColumn("bucket", bucket)
-    // pair generation through the capped exact generator (the q44/q85
-    // discipline) instead of a hand-rolled bucket self-join: a
-    // degenerate sign bucket (e.g. non-negative feature embeddings
-    // collapsing everything into one bucket) now fails LOUDLY at the
-    // cap instead of silently going O(m²); emits a < b sorted pairs,
-    // payloads joined back by id (pair-sized probes, never the
-    // corpus through the bucket shuffle twice)
-    // Partitioned variant: each vector has ONE sign signature, so no
-    // pair can repeat across buckets — the general form's pair-level
-    // dedup shuffle would be dead work here
-    val pr = graft.operators.LshJoin.exactBucketPairsPartitioned(
+    // pair generation through the ROUTED exact generator (the r18
+    // advice item): buckets <= the cap take the collect_list fan-out,
+    // and a degenerate sign bucket (e.g. non-negative feature
+    // embeddings collapsing everything into one bucket) is diverted to
+    // a spill-safe co-partitioned self-join — identical pair set,
+    // bounded memory, honest quadratic work instead of a job-killing
+    // require (and instead of the silent O(m²) collect the pre-r18
+    // code paid). Emits a < b pairs, payloads joined back by id
+    // (pair-sized probes, never the corpus through the bucket shuffle
+    // twice). Partition precondition (each vector has ONE sign
+    // signature) pinned by SimilaritySpec, so no cross-bucket pair can
+    // repeat and no pair-level dedup shuffle is needed
+    val pr = graft.operators.LshJoin.exactBucketPairsRouted(
       q.select(col("vec_id"), col("bucket")),
       "vec_id", SemDedupMaxBucket, "bucket")
     val pairs = pr

@@ -1844,12 +1844,23 @@ object EventStream {
       val baseSec = 1704096000L // 2024-01-01 08:00:00 UTC; % 100 == 0
       val fixtureDir = cachedFixture(s"q211:$d") { dir =>
         val docs = graft.Tables.documents(s, d)
+          // a NULL doc_id has no arrival time in this fixture (ts
+          // derives from the id): DROPPED, and the oracle SQL drops
+          // the same rows with WHERE doc_id IS NOT NULL — the r18
+          // advice item: without the filter a NULL id became a NULL
+          // ts plus a null in the primitive-Long Doc encoder (runtime
+          // failure) while the oracle silently kept the row
+          .filter(col("doc_id").isNotNull)
           .select(col("doc_id"),
             concat(coalesce(col("text"), lit("")),
               when(col("doc_id") % 17 === 0,
                 lit(graft.operators.Curation.exactSubstrPlant))
                 .otherwise(lit(""))).as("text"))
-        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        // empty-corpus guard: max() over zero rows is NULL, and a bare
+        // getLong NPEs — an empty table must yield an empty monitor
+        // result, not a dead fixture builder
+        val maxRow = docs.agg(max(col("doc_id"))).head()
+        val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
         docs
           .select(timestamp_micros((col("doc_id") + baseSec) * 1000000L)
             .as("ts"), col("doc_id"), col("text"))

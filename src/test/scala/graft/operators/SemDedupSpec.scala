@@ -47,6 +47,42 @@ class SemDedupSpec extends SparkSpec {
     assert(run(Seq(1L -> v, 2L -> w), threshold = 0.97) == Seq(2L -> 1L))
   }
 
+  test("a corpus collapsing into ONE over-cap sign bucket DEGRADES (spill-safe " +
+    "self-join route) instead of failing — identical drop semantics (r18 advice)") {
+    // 1050 all-positive vectors -> every one lands in the all-ones sign
+    // bucket, 26 past SemDedupMaxBucket = 1024; the pre-r19 require
+    // killed this job even though the quadratic work is tiny here
+    assert(Similarity.SemDedupMaxBucket < 1050)
+    val rnd = new scala.util.Random(4099)
+    val base = (1L to 1047L).map { i =>
+      // distinct directions, pairwise cosine far under the threshold
+      i -> Seq.fill(4)(0.05f + rnd.nextFloat())
+    }
+    val copies = Seq(
+      2001L -> base(0)._2.map(_ * 2.0f),  // scaled copy of id 1
+      2002L -> base(0)._2.map(_ * 0.5f),  // and another
+      2003L -> base(4)._2.map(_ * 3.0f))  // scaled copy of id 5
+    val got = run(base ++ copies, threshold = 0.999999)
+    assert(got == Seq(2001L -> 1L, 2002L -> 1L, 2003L -> 5L),
+      s"over-cap route changed the drop semantics: $got")
+  }
+
+  test("partition precondition of the no-pair-dedup routing (r18 advice): the " +
+    "q89 input frame carries each vec_id exactly once, so each id has ONE " +
+    "sign bucket and no pair can be emitted twice") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val planted = emb.filter(col("vec_id") < 15)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val input = emb.select(col("vec_id"), col("embedding")).unionByName(planted)
+    val (rows, ids) = (input.count(),
+      input.select(col("vec_id")).distinct().count())
+    assert(rows == ids,
+      s"q89's input has duplicate vec_ids ($rows rows, $ids ids): the bucket " +
+        "assignment is no longer a partition and the routed generator would " +
+        "silently double-count pairs — use the dedup'd general form instead")
+  }
+
   test("q89 binding drops exactly the planted copies") {
     val got = Similarity.q89SemDedup(spark, "/root/testdata/sf0.01").collect()
     assert(got.length == 15)
