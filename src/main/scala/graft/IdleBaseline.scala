@@ -1,0 +1,78 @@
+package graft
+
+/** Generates BASELINE_IDLE.json — the committed idle-prior table for the
+  * bench heavies (r18 verdict item #7): per-query best-of-N wall time
+  * measured STANDALONE at a quiet moment, with the /proc/loadavg sample
+  * around each measurement recorded next to the number. BENCH_DETAIL
+  * gives per-round minima under whatever co-tenant load the round
+  * happened to get; this table gives future rounds (and judges) a
+  * load-annotated reference to adjudicate regressions against without
+  * re-timing from scratch. Regenerate when a heavy's code changes:
+  *
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.IdleBaseline <names,csv>"
+  *
+  * Methodology = the TimeQuery loop (warmup + best-of-N, cache cleared
+  * between passes) run query-after-query in one JVM; streaming replays
+  * carry their own exit hygiene (StateStore sweep), so a later query
+  * never pays an earlier one's providers. Entries whose load1 sample
+  * exceeded [[MaxTrustedLoad]] at either end are marked
+  * `"loaded": true` — present but not to be trusted as priors.
+  */
+object IdleBaseline {
+
+  /** Above this load1, a "best-of" is co-tenant-contaminated on this
+    * host (32 hardware threads; the bench gate uses 2.5).
+    */
+  val MaxTrustedLoad = 2.5
+
+  private def load1(): Double =
+    scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: IdleBaseline <names,csv> [sfDir] [passes] [out]")
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val passes = if (args.length > 2) args(2).toInt else 3
+    val out = if (args.length > 3) args(3) else "BASELINE_IDLE.json"
+    val cpus = GraftSession.envCpus()
+    val spark = GraftSession.local(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    val entries = names.map { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query '$name'"))
+      val l0 = load1()
+      val times = (0 to passes).map { i =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val l1 = load1()
+      val best = times.drop(1).min
+      println(f"[idle-baseline] $name%-36s best-of-$passes $best%6.3f s  load1 $l0%.2f -> $l1%.2f")
+      val loaded = l0 > MaxTrustedLoad || l1 > MaxTrustedLoad
+      val ps = times.drop(1).map(t => f"$t%.3f").mkString("[", ", ", "]")
+      s"""    "$name": {"best_sec": ${f"$best%.3f"}, "passes_sec": $ps, """ +
+        s""""load1_before": $l0, "load1_after": $l1, "loaded": $loaded}"""
+    }
+    val body = entries.mkString(",\n")
+    val json =
+      s"""{
+         |  "sf_dir": "$sfDir",
+         |  "cpus": $cpus,
+         |  "passes": $passes,
+         |  "max_trusted_load1": $MaxTrustedLoad,
+         |  "generated_at": "${java.time.Instant.now()}",
+         |  "git_head": "${sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD")).!!.trim}",
+         |  "methodology": "TimeQuery loop: warmup + best-of-N, catalog cache cleared per pass, one JVM, queries serialized; regenerate when a heavy's code changes",
+         |  "queries": {
+         |$body
+         |  }
+         |}
+         |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"wrote $out (${names.length} queries)")
+    spark.stop()
+  }
+}

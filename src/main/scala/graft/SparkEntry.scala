@@ -251,6 +251,8 @@ object SparkEntry {
     "q214_exact_substr_dedup_rolled" ->
       (Curation.q214ExactSubstrDedupRolled _),
     "q215_png_header" -> (Multimodal.q215PngHeader _),
+    "q216_curation_rewrite_pipeline" ->
+      (Curation.q216CurationRewritePipeline _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -555,22 +557,22 @@ object SparkEntry {
       |FROM f LEFT JOIN top ON top.source = f.source
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Shared q209/q213/q214 dedup-transform replay: duplicated =
-    * window in >= 2 docs; keep the (doc_id, pos)-minimal occurrence,
-    * cut the rest; gaps-and-islands merges cut windows; md5 witnesses
-    * certify the rewritten text byte-exactly. q213 (incremental
-    * maintain-then-rewrite) and q214 (two-seed rolling 128-bit keys)
-    * are checked against this SAME string-mode one-shot SQL: batch
-    * boundaries and the key layout must be invisible in results.
+  /** The q209 rewrite CTE chain (`p` through `docg`, the document-grain
+    * rewritten corpus) over `rel`, any relation with (source, doc_id,
+    * text) — shared VERBATIM by the one-shot transform oracle
+    * ([[ExactSubstrDedupSql]], also q213/q214) and the q216 pipeline
+    * composition, so the rewrite leg cannot drift between the one-shot
+    * check and the composed check. Callers prepend their own CTEs and
+    * append a read-out over `docg`.
     */
-  private val ExactSubstrDedupSql: String = {
+  private def exactSubstrRewriteCtes(rel: String): String = {
     val L = graft.operators.Curation.ExactSubstrL
-    s"""WITH p AS (
+    s"""p AS (
       |  SELECT source, doc_id,
       |    COALESCE(text, '') || CASE WHEN doc_id % 17 = 0
       |      THEN '${graft.operators.Curation.exactSubstrPlantSql}'
       |      ELSE '' END AS t
-      |  FROM documents),
+      |  FROM $rel),
       |tk AS (
       |  SELECT source, doc_id,
       |    list_filter(string_split(t, ' '), x -> x <> '') AS toks
@@ -634,7 +636,15 @@ object SparkEntry {
       |    COALESCE(st.n_spans, 0) AS n_spans,
       |    COALESCE(st.max_span, 0) AS max_span
       |  FROM tk LEFT JOIN rw ON rw.doc_id = tk.doc_id
-      |          LEFT JOIN st ON st.doc_id = tk.doc_id)
+      |          LEFT JOIN st ON st.doc_id = tk.doc_id)""".stripMargin
+  }
+
+  /** Shared q209/q213/q214 dedup-transform replay: the rewrite CTE
+    * chain over the raw documents table plus the per-source rollup
+    * carrying the md5 witnesses (see [[exactSubstrRewriteCtes]]).
+    */
+  private val ExactSubstrDedupSql: String =
+    s"""WITH ${exactSubstrRewriteCtes("documents")}
       |SELECT source,
       |  COUNT(*) AS n_docs,
       |  CAST(SUM(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_modified,
@@ -646,7 +656,6 @@ object SparkEntry {
       |  CAST(COUNT(DISTINCT md5(rewritten)) AS BIGINT) AS n_distinct_texts,
       |  MAX(md5(rewritten)) AS sig_max
       |FROM docg GROUP BY 1 ORDER BY 1""".stripMargin
-  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -5070,6 +5079,29 @@ object SparkEntry {
     "q209_exact_substr_dedup" -> ExactSubstrDedupSql,
     "q213_exact_substr_inc_dedup" -> ExactSubstrDedupSql,
     "q214_exact_substr_dedup_rolled" -> ExactSubstrDedupSql,
+    // q216 stitches the existing legs (the q97 composition pattern):
+    // q68's gate CTE -> the q209 rewrite chain (exactSubstrRewriteCtes,
+    // shared VERBATIM with the one-shot oracle) over the gated corpus
+    // -> q68's ROW_NUMBER quota over (md5(rewritten), doc_id) -> the
+    // budget rollup with q209's md5 witnesses
+    "q216_curation_rewrite_pipeline" ->
+      s"""WITH t0 AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |g AS (SELECT source, doc_id, text FROM t0 WHERE n_tok BETWEEN 10 AND 80),
+        |${exactSubstrRewriteCtes("g")},
+        |rk AS (
+        |  SELECT source, doc_id, rewritten, n_toks - n_removed AS n_ret,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(rewritten), doc_id) AS rk
+        |  FROM docg)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_ret) AS BIGINT) AS sum_tokens,
+        |  CAST(COUNT(DISTINCT md5(rewritten)) AS BIGINT) AS n_distinct_texts,
+        |  MAX(md5(rewritten)) AS sig_max
+        |FROM rk WHERE rk <= ${graft.operators.Curation.QuotaPerSource}
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Genuine PNG header parse (q215): BOTH engines construct the
     // identical planted blob from the parquet table (shared
     // hex/lpad/unhex construction), then PARSE it independently —

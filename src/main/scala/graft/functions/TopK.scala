@@ -162,3 +162,46 @@ class BottomKDistinct[IN](k: Int, extract: IN => Long)(
   def bufferEncoder: Encoder[Seq[Long]] = enc
   def outputEncoder: Encoder[Seq[Long]] = enc
 }
+
+/** Bounded bottom-k selection of `(key: String, id: Long, payload:
+  * Long)` rows ordered ascending by (key, id) — the fused
+  * quota-then-aggregate kernel under q216: per-source "keep the cap
+  * best (md5, doc_id) docs" where each kept row CARRIES its payload
+  * (retained-token count), so a downstream budget/witness rollup needs
+  * no join back to the (corpus-sized, possibly derived-by-three-scans)
+  * document frame. Same bounded O(k)-per-group insert and map-side
+  * partial merge as [[BottomKTriples]], string-keyed and
+  * payload-bearing.
+  */
+class BottomKKeyedDocs[IN](k: Int, extract: IN => (String, Long, Long))(
+    implicit enc: Encoder[Seq[(String, Long, Long)]])
+    extends Aggregator[IN, Seq[(String, Long, Long)], Seq[(String, Long, Long)]] {
+
+  private val ord = Ordering.Tuple2[String, Long]
+  private def key(x: (String, Long, Long)): (String, Long) = (x._1, x._2)
+
+  private def insert(buf: Seq[(String, Long, Long)],
+      x: (String, Long, Long)): Seq[(String, Long, Long)] = {
+    // buf is kept sorted ascending by (key, id) and bounded at k
+    if (buf.size >= k && ord.lt(key(buf.last), key(x))) buf
+    else {
+      val (before, after) = buf.span(e => ord.lt(key(e), key(x)))
+      val merged = before ++ (x +: after)
+      if (merged.size > k) merged.take(k) else merged
+    }
+  }
+
+  def zero: Seq[(String, Long, Long)] = Vector.empty
+
+  def reduce(buf: Seq[(String, Long, Long)], x: IN): Seq[(String, Long, Long)] =
+    insert(buf, extract(x))
+
+  def merge(a: Seq[(String, Long, Long)],
+      b: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] =
+    b.foldLeft(a)(insert)
+
+  def finish(buf: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] = buf
+
+  def bufferEncoder: Encoder[Seq[(String, Long, Long)]] = enc
+  def outputEncoder: Encoder[Seq[(String, Long, Long)]] = enc
+}

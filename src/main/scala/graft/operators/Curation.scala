@@ -2764,4 +2764,64 @@ object Curation {
     */
   def q214ExactSubstrDedupRolled(s: SparkSession, d: String): DataFrame =
     exactSubstrDedupOf(Tables.documents(s, d), hashKeys = true)
+
+  /** q216: the ExactSubstr TRANSFORM composed into the q68 curation
+    * pipeline as ONE Catalyst plan — quality gate → ExactSubstr rewrite
+    * → per-source quota → token budget + byte-exactness witnesses —
+    * proving the transform composes without re-scans (the r18 stretch).
+    * The composition hazard is real: the rewrite output is corpus-sized
+    * and derived by three corpus scans, so a q68-style quota (select
+    * doc_ids, then JOIN BACK for the payload) would re-derive the whole
+    * rewrite a second time — +3 corpus scans at 100 TB just to fetch
+    * what the first pass already had in hand. Instead quota + budget
+    * fuse into one bounded per-source aggregate
+    * ([[graft.functions.BottomKKeyedDocs]]): each kept (md5, doc_id)
+    * key CARRIES its retained-token payload through the map-side
+    * partial merge, so the rewrite stream is consumed exactly once and
+    * the whole pipeline pays exactly the transform's own 3 corpus
+    * scans (OnePassSpec pins 3.0×). Selection semantics are q68's
+    * quota verbatim — the cap smallest (md5(text), doc_id) per source,
+    * here over the REWRITTEN text — so the DuckDB oracle stitches the
+    * existing q68 and q209 legs (the q97 composition pattern): gate
+    * CTE → the q209 rewrite CTE chain → ROW_NUMBER quota → budget
+    * rollup with the q209 md5 witnesses.
+    */
+  def q216CurationRewritePipeline(s: SparkSession, d: String): DataFrame =
+    curationRewritePipelineOf(Tables.documents(s, d))
+
+  /** [[q216CurationRewritePipeline]] over any `(doc_id, source, text)`
+    * frame (OnePassSpec pins the 3-scan contract on a counted input).
+    */
+  private[graft] def curationRewritePipelineOf(docs0: DataFrame): DataFrame = {
+    val s = docs0.sparkSession
+    import s.implicits._
+    val docs = docs0
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("n_tok",
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long"))
+    // stage 1: quality gate (q68's Gopher-style length window, on the
+    // RAW text — the plant is the rewrite's internal fixture)
+    val gated = docs.filter(col("n_tok").between(10L, 80L))
+      .select(col("source"), col("doc_id"), col("text"))
+    // stage 2: the ExactSubstr dedup transform over the gated corpus
+    val (rw, release) = exactSubstrRewrite(gated)
+    // stages 3+4 fused: bounded per-source keeper set with payload
+    val keep = new graft.functions.BottomKKeyedDocs[(String, String, Long, Long)](
+      QuotaPerSource, x => (x._2, x._3, x._4))
+    val out = rw
+      .select(col("source"), md5(col("rewritten")).as("h"), col("doc_id"),
+        (col("n_toks") - col("n_removed")).as("n_ret"))
+      .as[(String, String, Long, Long)]
+      .groupByKey(_._1)
+      .agg(keep.toColumn.name("kept"))
+      .map { case (src, kept) =>
+        (src, kept.size.toLong, kept.map(_._3).sum,
+          kept.map(_._1).distinct.size.toLong, kept.map(_._1).max)
+      }
+      .toDF("source", "n_docs", "sum_tokens", "n_distinct_texts", "sig_max")
+      .orderBy(col("source"))
+    out.persist().count() // pin the bounded rollup, then release
+    release()
+    out
+  }
 }

@@ -88,6 +88,27 @@ class OnePassSpec extends SparkSpec {
     assert(accB.value == 3 * 100, s"batch B evaluated ${accB.value / 100.0}x, want 3.0x")
   }
 
+  test("q216 gate+rewrite+quota+budget pipeline reads the corpus exactly " +
+    "three times — the transform's own scans, with quota and budget FUSED " +
+    "into the rewrite consumption (no join-back re-derivation)") {
+    // the hazard this pins against: a q68-style quota (select doc_ids,
+    // join back for payload) consumes the rewrite output twice, and the
+    // rewrite re-derives at 3 corpus scans a pop -> 6.0x. The fused
+    // bounded aggregate must keep the whole composition at 3.0x.
+    // Fixture texts carry 12 tokens so the 10..80 gate passes them
+    // (countedDocs' 5-token texts would all gate out).
+    val acc = spark.sparkContext.longAccumulator("docRowScans216")
+    import spark.implicits._
+    val docs = spark.range(0L, 400L).as[Long].map { i =>
+      acc.add(1)
+      (s"s${i % 5}", i,
+        (0 until 12).map(j => s"tok${(i + j) % 9}").mkString(" "))
+    }.toDF("source", "doc_id", "text")
+    val out = Curation.curationRewritePipelineOf(docs)
+    assert(out.count() > 0)
+    assert(acc.value == 3 * 400, s"corpus evaluated ${acc.value / 400.0}x, want 3.0x")
+  }
+
   test("q212 incremental census reads EACH ingest batch exactly once") {
     // two separate batch inputs (the deployment shape — an ingest
     // batch is its own table, not a filter over the full corpus): the
