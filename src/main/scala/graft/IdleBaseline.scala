@@ -20,8 +20,10 @@ package graft
   */
 object IdleBaseline {
 
-  /** Above this load1, a "best-of" is co-tenant-contaminated on this
-    * host (32 hardware threads; the bench gate uses 2.5).
+  /** Above this AMBIENT load1 (sampled BEFORE the session spins up —
+    * mid-run samples include this tool's own 32 threads and cannot
+    * distinguish self from co-tenant), the whole table is suspect
+    * (the bench gate uses the same 2.5).
     */
   val MaxTrustedLoad = 2.5
 
@@ -34,6 +36,23 @@ object IdleBaseline {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val passes = if (args.length > 2) args(2).toInt else 3
     val out = if (args.length > 3) args(3) else "BASELINE_IDLE.json"
+    val ambient = load1() // BEFORE any Spark work: the honest idle signal
+    // co-tenant bursts on this host swing single sweeps by up to 50%,
+    // so the committed prior is the MIN over sessions: an existing
+    // table's per-query best folds into this run's (evidence of "this
+    // code CAN run this fast at this SF" only accumulates — stale
+    // entries are discarded wholesale when git_head changes a heavy,
+    // by regenerating from scratch after `rm` per the methodology)
+    val prior: Map[String, Double] =
+      if (!new java.io.File(out).exists()) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(out)), java.nio.charset.StandardCharsets.UTF_8)
+        """"(q[^"]+)": \{"best_sec": ([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    if (prior.nonEmpty)
+      println(s"[idle-baseline] folding min over ${prior.size} prior entries from $out")
     val cpus = GraftSession.envCpus()
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -48,12 +67,14 @@ object IdleBaseline {
         (System.nanoTime() - t0) / 1e9
       }
       val l1 = load1()
-      val best = times.drop(1).min
+      val best = math.min(times.drop(1).min, prior.getOrElse(name, Double.MaxValue))
       println(f"[idle-baseline] $name%-36s best-of-$passes $best%6.3f s  load1 $l0%.2f -> $l1%.2f")
-      val loaded = l0 > MaxTrustedLoad || l1 > MaxTrustedLoad
       val ps = times.drop(1).map(t => f"$t%.3f").mkString("[", ", ", "]")
+      // per-query samples are SELF-INCLUSIVE (this tool's own threads
+      // dominate them mid-run) — contamination indicators relative to
+      // neighbors, not ambient measurements
       s"""    "$name": {"best_sec": ${f"$best%.3f"}, "passes_sec": $ps, """ +
-        s""""load1_before": $l0, "load1_after": $l1, "loaded": $loaded}"""
+        s""""load1_self_inclusive_before": $l0, "load1_self_inclusive_after": $l1}"""
     }
     val body = entries.mkString(",\n")
     val json =
@@ -61,10 +82,12 @@ object IdleBaseline {
          |  "sf_dir": "$sfDir",
          |  "cpus": $cpus,
          |  "passes": $passes,
+         |  "load1_ambient_start": $ambient,
+         |  "ambient_loaded": ${ambient > MaxTrustedLoad},
          |  "max_trusted_load1": $MaxTrustedLoad,
          |  "generated_at": "${java.time.Instant.now()}",
          |  "git_head": "${sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD")).!!.trim}",
-         |  "methodology": "TimeQuery loop: warmup + best-of-N, catalog cache cleared per pass, one JVM, queries serialized; regenerate when a heavy's code changes",
+         |  "methodology": "TimeQuery loop: warmup + best-of-N, catalog cache cleared per pass, one JVM, queries serialized; best_sec is the MIN over sessions (re-running folds the existing file in, since co-tenant bursts swing single sweeps); ambient load sampled BEFORE the session (mid-run samples include the tool's own threads); after a heavy's code changes, rm the file and regenerate from scratch",
          |  "queries": {
          |$body
          |  }
