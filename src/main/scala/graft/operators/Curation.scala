@@ -2307,6 +2307,13 @@ object Curation {
       .select(col("source"), col("n_windows"), col("n_dup_windows"),
         col("dup_doc_mass"), col("max_docs"), col("top.win").as("top_win"))
       .orderBy(col("source"))
+    // per-source-sized (bounded) pin with deliberately LRU-only
+    // lifetime: a lazily RETURNED frame has no scope to unpersist in —
+    // the documented policy for such pins (see the Corpus.scala tf/df
+    // cache note) — so reclamation is cache eviction / clearCache; the
+    // harness clears per query, long-lived sessions evict. The
+    // vocabulary-sized input cache above is what must (and does) get
+    // an explicit release.
     out.persist().count()
     perSource.unpersist(blocking = false)
     out
