@@ -7,16 +7,19 @@ package graft
   * gives per-round minima under whatever co-tenant load the round
   * happened to get; this table gives future rounds (and judges) a
   * load-annotated reference to adjudicate regressions against without
-  * re-timing from scratch. Regenerate when a heavy's code changes:
+  * re-timing from scratch. Regenerate when a heavy's code changes
+  * (rm the file first, or pass just the changed heavy — untouched
+  * prior entries carry through unmodified):
   *
   *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.IdleBaseline <names,csv>"
   *
   * Methodology = the TimeQuery loop (warmup + best-of-N, cache cleared
   * between passes) run query-after-query in one JVM; streaming replays
   * carry their own exit hygiene (StateStore sweep), so a later query
-  * never pays an earlier one's providers. Entries whose load1 sample
-  * exceeded [[MaxTrustedLoad]] at either end are marked
-  * `"loaded": true` — present but not to be trusted as priors.
+  * never pays an earlier one's providers. Per-query load samples are
+  * SELF-INCLUSIVE (the tool's own 32 threads dominate them mid-run);
+  * the trust signal is the run-level `load1_ambient_start` /
+  * `ambient_loaded` pair, sampled BEFORE the session spins up.
   */
 object IdleBaseline {
 
@@ -34,29 +37,63 @@ object IdleBaseline {
     require(args.nonEmpty, "usage: IdleBaseline <names,csv> [sfDir] [passes] [out]")
     val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val passes = if (args.length > 2) args(2).toInt else 3
+    // validated BEFORE any work (the TimeQuery guard): a bad passes arg
+    // must fail with the usage line up front, not burn a warmup pass
+    // per query and then die on empty.min
+    val passes = (if (args.length > 2) args(2).toIntOption else Some(3))
+      .filter(_ >= 1)
+      .getOrElse(sys.error("passes must be a positive integer — " +
+        "usage: IdleBaseline <names,csv> [sfDir] [passes] [out]"))
     val out = if (args.length > 3) args(3) else "BASELINE_IDLE.json"
     val ambient = load1() // BEFORE any Spark work: the honest idle signal
+    val gitHead = sys.process.Process(
+      Seq("git", "rev-parse", "--short", "HEAD")).!!.trim
     // co-tenant bursts on this host swing single sweeps by up to 50%,
     // so the committed prior is the MIN over sessions: an existing
-    // table's per-query best folds into this run's (evidence of "this
-    // code CAN run this fast at this SF" only accumulates — stale
-    // entries are discarded wholesale when git_head changes a heavy,
-    // by regenerating from scratch after `rm` per the methodology)
-    val prior: Map[String, Double] =
-      if (!new java.io.File(out).exists()) Map.empty
+    // table's per-query best folds into this run's. The fold is
+    // CONTEXT-CHECKED — a prior from a different sf_dir or cpu count
+    // measures a different quantity and is ignored wholesale (a best
+    // from sf0.1 must never cap an sf10 table), and a git_head change
+    // prints a warning naming the stale risk so a forgotten rm is
+    // visible, not silent.
+    val (prior, priorEntries): (Map[String, Double], Map[String, String]) =
+      if (!new java.io.File(out).exists()) (Map.empty, Map.empty)
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(out)), java.nio.charset.StandardCharsets.UTF_8)
-        """"(q[^"]+)": \{"best_sec": ([0-9.]+)""".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        def field(k: String): Option[String] =
+          ("\"" + k + "\": \"?([^\",\n]+)\"?").r
+            .findFirstMatchIn(txt).map(_.group(1))
+        val sameContext = field("sf_dir").contains(sfDir) &&
+          field("cpus").contains(GraftSession.envCpus().toString)
+        if (!sameContext) {
+          println(s"[idle-baseline] existing $out is from a DIFFERENT context " +
+            s"(sf_dir ${field("sf_dir")}, cpus ${field("cpus")}) — ignored, " +
+            "regenerating from scratch")
+          (Map.empty, Map.empty)
+        } else {
+          if (!field("git_head").contains(gitHead))
+            println(s"[idle-baseline] WARNING: folding priors from git_head " +
+              s"${field("git_head").getOrElse("?")} into $gitHead — if a " +
+              "listed heavy's code changed, rm the file and regenerate")
+          // anchored to the 4-space per-entry indent: the 2-space outer
+          // "queries" key must NOT match (it once did, emitting a bogus
+          // nested entry that broke the JSON)
+          val entries = """(?m)^    "(q[^"]+)": (\{[^}]*\})""".r
+            .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
+          val bests = entries.flatMap { case (n, e) =>
+            """"best_sec": ([0-9.]+)""".r.findFirstMatchIn(e)
+              .map(m => n -> m.group(1).toDouble)
+          }
+          (bests, entries)
+        }
       }
     if (prior.nonEmpty)
       println(s"[idle-baseline] folding min over ${prior.size} prior entries from $out")
     val cpus = GraftSession.envCpus()
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    val entries = names.map { name =>
+    val measured = names.map { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query '$name'"))
       val l0 = load1()
@@ -73,10 +110,18 @@ object IdleBaseline {
       // per-query samples are SELF-INCLUSIVE (this tool's own threads
       // dominate them mid-run) — contamination indicators relative to
       // neighbors, not ambient measurements
-      s"""    "$name": {"best_sec": ${f"$best%.3f"}, "passes_sec": $ps, """ +
-        s""""load1_self_inclusive_before": $l0, "load1_self_inclusive_after": $l1}"""
-    }
-    val body = entries.mkString(",\n")
+      name -> (s"""{"best_sec": ${f"$best%.3f"}, "passes_sec": $ps, """ +
+        s""""load1_self_inclusive_before": $l0, "load1_self_inclusive_after": $l1}""")
+    }.toMap
+    // prior entries for queries NOT regenerated this run carry through
+    // verbatim — a subset regeneration must never delete the rest of
+    // the committed table
+    val carried = priorEntries -- measured.keys
+    if (carried.nonEmpty)
+      println(s"[idle-baseline] carrying ${carried.size} unregenerated prior entries through")
+    val body = (measured ++ carried).toSeq.sortBy(_._1)
+      .map { case (n, e) => s"""    "$n": $e""" }
+      .mkString(",\n")
     val json =
       s"""{
          |  "sf_dir": "$sfDir",
@@ -86,8 +131,8 @@ object IdleBaseline {
          |  "ambient_loaded": ${ambient > MaxTrustedLoad},
          |  "max_trusted_load1": $MaxTrustedLoad,
          |  "generated_at": "${java.time.Instant.now()}",
-         |  "git_head": "${sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD")).!!.trim}",
-         |  "methodology": "TimeQuery loop: warmup + best-of-N, catalog cache cleared per pass, one JVM, queries serialized; best_sec is the MIN over sessions (re-running folds the existing file in, since co-tenant bursts swing single sweeps); ambient load sampled BEFORE the session (mid-run samples include the tool's own threads); after a heavy's code changes, rm the file and regenerate from scratch",
+         |  "git_head": "$gitHead",
+         |  "methodology": "TimeQuery loop: warmup + best-of-N, catalog cache cleared per pass, one JVM, queries serialized; best_sec is the MIN over sessions (re-running folds the existing file in when sf_dir+cpus match, since co-tenant bursts swing single sweeps; unregenerated entries carry through); ambient load sampled BEFORE the session (mid-run samples include the tool's own threads); after a heavy's code changes, regenerate that heavy (or rm the file for a clean slate)",
          |  "queries": {
          |$body
          |  }
@@ -95,7 +140,7 @@ object IdleBaseline {
          |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"wrote $out (${names.length} queries)")
+    println(s"wrote $out (${measured.size} measured + ${carried.size} carried)")
     spark.stop()
   }
 }

@@ -2450,12 +2450,14 @@ object Curation {
     * L-token window cut (overlapping cuts merged into maximal spans).
     *
     * PRECONDITION: `doc_id` is the document identity and must be
-    * UNIQUE across the frame (the driver tables guarantee it) —
-    * occurrences are keyed by doc_id, so two rows sharing an id would
-    * have their cut sets merged. The rewrite walk clamps every cut to
-    * its own row's token range, so even a violated precondition
-    * degrades to a wrong-but-local rewrite instead of an
-    * ArrayIndexOutOfBounds that kills a 100 TB job mid-run.
+    * UNIQUE across the frame AND NON-NULL (the driver tables guarantee
+    * both) — occurrences are keyed by doc_id, so two rows sharing an
+    * id would have their cut sets merged, and a NULL id fails loudly
+    * in the occurrence stream's primitive-Long encoder. The rewrite
+    * walk clamps every cut to its own row's token range, so a violated
+    * UNIQUENESS precondition degrades to a wrong-but-local rewrite
+    * instead of an ArrayIndexOutOfBounds that kills a 100 TB job
+    * mid-run.
     *
     * Returns the frame UNMATERIALIZED plus a release thunk for the
     * one persisted intermediate (the duplicated-window frame): the
@@ -2711,8 +2713,16 @@ object Curation {
     */
   def q213ExactSubstrIncDedup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // null-safe split (the q212 discipline): a NULL doc_id must land in
-    // exactly one batch, not vanish from both %-predicates
+    // Split routing for NULL doc_id (the q212 coalesce discipline) with
+    // an honest caveat: doc_id is part of the rewrite's identity
+    // PRECONDITION (unique AND non-null — the occurrence encoder is
+    // primitive-Long, so a null id fails loudly in exactSubstrOcc,
+    // exactly as one-shot q209 does on the same corpus). The coalesce
+    // still earns its keep: WITHOUT it a null row vanishes from both
+    // %-predicates and incremental silently diverges from one-shot
+    // with no error at all; WITH it the row reaches the rewrite and
+    // fails the same way q209 would — violated preconditions crash in
+    // parity instead of corrupting quietly.
     val inNew = coalesce(col("doc_id") % 3 === 0, lit(true))
     exactSubstrDedupIncrementalOf(Seq(docs.filter(!inNew), docs.filter(inNew)))
   }

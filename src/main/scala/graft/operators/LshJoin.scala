@@ -168,11 +168,17 @@ object LshJoin {
       case other => throw new IllegalArgumentException(
         s"exactBucketPairsRouted: id column '$idCol' must be integral (widened to BIGINT), got $other")
     }
+    // persisted: THREE consumers (histogram, anti-join route, semi-join
+    // route) would otherwise each re-derive the upstream subtree — for
+    // semDedup that is the full embeddings scan + quantization, tripled.
+    // Narrow (id + bucket), spills under MEMORY_AND_DISK; LRU lifetime,
+    // the boundedBucketPairsWithStats policy (lazily returned frame has
+    // no unpersist scope)
     val withB = buckets.select(
       col(idCol).cast(LongType).as("id"), struct(bucketCols.map(col): _*).as("bucket"))
+      .persist()
     // tiny by construction (<= rows/cap buckets); persisted so the
-    // histogram subtree runs once for both routes — LRU lifetime, the
-    // boundedBucketPairsWithStats policy
+    // histogram subtree runs once for both routes
     val hot = withB.groupBy(col("bucket"))
       .agg(countDistinct(col("id")).as("n"))
       .filter(col("n") > cap)
