@@ -134,7 +134,20 @@ object TokenWindowKeys {
     * window start — the same position grain as the string-mode
     * occurrence stream.
     */
-  def keys(s: UTF8String, l: Int): ArrayData = {
+  def keys(s: UTF8String, l: Int): ArrayData = keys(s, l, 0L, false)
+
+  /** [[keys]] with the forced-collision test hooks (prod callers use
+    * the 2-arg form; the generated code calls this one with the
+    * literals baked in). `narrowMod > 0` squeezes the FIRST component
+    * into [0, narrowMod) so a spec can FORCE h1 collisions; `single`
+    * zeroes the second component, reproducing the defective one-key
+    * layout the width-2 struct exists to rule out. The same
+    * demonstration pattern as `exactSubstrKey`'s hooks: narrowed
+    * single-key mode demonstrably merges distinct windows, narrowed
+    * two-key mode still partitions positions exactly like the window
+    * strings — the second seed is load-bearing, not decorative.
+    */
+  def keys(s: UTF8String, l: Int, narrowMod: Long, single: Boolean): ArrayData = {
     import Fingerprints.{Mod, mulMod}
     val n = s.numBytes()
     var cap = 16
@@ -172,15 +185,19 @@ object TokenWindowKeys {
       h2 = (mulMod(h2, WinBase2) + t2(j)) % Mod
       j += 1
     }
+    def emit(pos: Int, a: Long, b: Long): GenericInternalRow =
+      new GenericInternalRow(Array[Any](pos,
+        if (narrowMod > 0L) a % narrowMod else a,
+        if (single) 0L else b))
     val out = new Array[Any](m)
-    out(0) = new GenericInternalRow(Array[Any](0, h1, h2))
+    out(0) = emit(0, h1, h2)
     var p = 1
     while (p < m) {
       h1 = (h1 + Mod - mulMod(t1(p - 1), pw1)) % Mod
       h1 = (mulMod(h1, WinBase1) + t1(p + l - 1)) % Mod
       h2 = (h2 + Mod - mulMod(t2(p - 1), pw2)) % Mod
       h2 = (mulMod(h2, WinBase2) + t2(p + l - 1)) % Mod
-      out(p) = new GenericInternalRow(Array[Any](p, h1, h2))
+      out(p) = emit(p, h1, h2)
       p += 1
     }
     new GenericArrayData(out)
@@ -203,13 +220,15 @@ object TokenWindowKeys {
   * stream inside whole-stage codegen, allocating nothing but the
   * result array.
   */
-case class TokenWindowKeys(child: Expression, l: Int) extends UnaryExpression {
+case class TokenWindowKeys(child: Expression, l: Int,
+    narrowMod: Long = 0L, single: Boolean = false) extends UnaryExpression {
   require(l >= 1, s"token_window_keys: window length must be >= 1, got $l")
   override def dataType: DataType = TokenWindowKeys.OutType
   override protected def nullSafeEval(input: Any): Any =
-    TokenWindowKeys.keys(input.asInstanceOf[UTF8String], l)
+    TokenWindowKeys.keys(input.asInstanceOf[UTF8String], l, narrowMod, single)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TokenWindowKeys.keys($c, $l)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenWindowKeys.keys($c, $l, ${narrowMod}L, $single)")
   override protected def withNewChildInternal(newChild: Expression): TokenWindowKeys =
     copy(child = newChild)
 }

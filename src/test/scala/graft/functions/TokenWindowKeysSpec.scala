@@ -88,6 +88,37 @@ class TokenWindowKeysSpec extends SparkSpec {
       "blank and sub-L texts must key to an EMPTY window set")
   }
 
+  test("FORCED collisions: a mod-2-narrowed SINGLE key demonstrably merges " +
+    "distinct windows; the same narrowing with the second seed present still " +
+    "partitions positions exactly like the window strings") {
+    import org.apache.spark.sql.graftshim.GraftColumns
+    def hooked(text: String, narrowMod: Long, single: Boolean): Seq[(Long, Long)] =
+      Seq(Tuple1(text)).toDF("t")
+        .select(explode(GraftColumns.ofExpr(TokenWindowKeys(
+          GraftColumns.exprOf(col("t")), L, narrowMod, single))).as("w"))
+        .select(col("w.h1"), col("w.h2"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    def classesOf[A](xs: Seq[A]): Seq[Seq[Int]] =
+      xs.zipWithIndex.groupBy(_._1).values.map(_.map(_._2).sorted).toSeq.sortBy(_.head)
+    val vocab = Vector("a", "b", "c")
+    val rnd = new scala.util.Random(5003)
+    var singleCorrupted = false
+    for (_ <- 1 to 30) {
+      val text = Seq.fill(2 * L + rnd.nextInt(4 * L))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val want = classesOf(gramsOf(text))
+      // narrowed single key: h1 in {0, 1}, h2 zeroed -> distinct windows
+      // collide as soon as a document has 3+ distinct windows
+      if (classesOf(hooked(text, 2L, single = true)) != want)
+        singleCorrupted = true
+      // same narrowing, second seed PRESENT: h2 rescues every time
+      assert(classesOf(hooked(text, 2L, single = false)) == want,
+        s"two-seed narrowed mode diverged from window strings on: $text")
+    }
+    assert(singleCorrupted,
+      "the single-key fixture never collided - the forcing is too weak to prove anything")
+  }
+
   test("rolling recurrence == direct per-window evaluation (the O(1) slide " +
     "introduces no drift over long documents)") {
     val vocab = Vector("p", "q", "r")
