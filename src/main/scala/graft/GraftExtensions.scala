@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomMightContain, FixedPointDot, FixedPointQuantize, LuhnValid, MinWindowFingerprint, PngDims, RollingFingerprint, SortedIntersectCount, TokenWindowKeys}
+import graft.functions.{BloomMightContain, FixedPointDot, FixedPointQuantize, JpegDims, LuhnValid, MinWindowFingerprint, PngDims, RollingFingerprint, SortedIntersectCount, TokenWindowKeys}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -63,6 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("png_dims",
         "png_dims(blob) - struct<width,height> from a PNG IHDR header, NULL if not well-formed PNG"),
       (es: Seq[Expression]) => PngDims(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("jpeg_dims"),
+      info("jpeg_dims",
+        "jpeg_dims(blob) - struct<width,height> from a JPEG SOF segment (variable-position marker walk), NULL if not well-formed JPEG"),
+      (es: Seq[Expression]) => JpegDims(es.head)))
     // the native as-of join: planner strategy for the custom logical
     // node, plus the filter-transposition rule (runs inside the
     // operator-optimization fixed-point batch, so stock pushdown rules

@@ -253,6 +253,7 @@ object SparkEntry {
     "q215_png_header" -> (Multimodal.q215PngHeader _),
     "q216_curation_rewrite_pipeline" ->
       (Curation.q216CurationRewritePipeline _),
+    "q217_jpeg_header" -> (Multimodal.q217JpegHeader _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -5139,6 +5140,60 @@ object SparkEntry {
         |  CASE WHEN w0 BETWEEN 1 AND 2147483647 AND h0 BETWEEN 1 AND 2147483647
         |    THEN h0 END AS height
         |FROM p ORDER BY doc_id""".stripMargin,
+    // Genuine JPEG header parse (q217): dimensions live at a VARIABLE
+    // position (after a doc_id-sized APP0 segment), so the oracle
+    // re-walks the marker chain with a RECURSIVE CTE over segment
+    // offsets — hop = o + 2 + BE16 length — capped at the parser's own
+    // 64 hops; construction is shared hex-string arithmetic, parsing
+    // is cross-engine independent (Spark byte walk vs SQL recursion).
+    // Malformed classes (%7=3 truncated mid-payload, %7=5 corrupted
+    // SOI) must null out on both engines.
+    "q217_jpeg_header" ->
+      """WITH RECURSIVE hx0 AS (
+        |  SELECT doc_id,
+        |    'FFD8' || 'FFE0' || lpad(hex(doc_id % 32 + 16), 4, '0')
+        |      || repeat('00', CAST(doc_id % 32 + 14 AS INTEGER))
+        |      || 'FFC0000B08' || lpad(hex(doc_id % 3000 + 1), 4, '0')
+        |      || lpad(hex(doc_id % 4000 + 1), 4, '0')
+        |      || '01112200' || 'FFD9' AS hx
+        |  FROM documents),
+        |hxm AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 3 THEN substr(hx, 1, 20)
+        |         WHEN doc_id % 7 = 5 THEN '00' || substr(hx, 3)
+        |         ELSE hx END AS hx
+        |  FROM hx0),
+        |i AS (SELECT doc_id, unhex(hx) AS img, hx FROM hxm),
+        |walk AS (
+        |  SELECT doc_id, hx, 2 AS o, 0 AS depth
+        |  FROM i WHERE substr(hx, 1, 4) = 'FFD8'
+        |  UNION ALL
+        |  SELECT doc_id, hx,
+        |    o + 2 + CAST('0x' || substr(hx, 2*o + 5, 4) AS INTEGER), depth + 1
+        |  FROM walk
+        |  WHERE depth + 1 < 64
+        |    AND 2*o + 8 <= length(hx)
+        |    AND substr(hx, 2*o + 1, 2) = 'FF'
+        |    AND substr(hx, 2*o + 3, 2) NOT IN
+        |      ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF',
+        |       'D0','D1','D2','D3','D4','D5','D6','D7','D8','D9')
+        |    AND CAST('0x' || substr(hx, 2*o + 5, 4) AS INTEGER) >= 2),
+        |sof AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(hx, 2*(o + 7) + 1, 4) AS BIGINT) AS w0,
+        |    CAST('0x' || substr(hx, 2*(o + 5) + 1, 4) AS BIGINT) AS h0
+        |  FROM walk
+        |  WHERE 2*o + 4 <= length(hx)
+        |    AND substr(hx, 2*o + 1, 2) = 'FF'
+        |    AND substr(hx, 2*o + 3, 2) IN
+        |      ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF')
+        |    AND 2*(o + 9) <= length(hx))
+        |SELECT d.doc_id, CAST(octet_length(i.img) AS BIGINT) AS n_bytes,
+        |  CASE WHEN s.w0 >= 1 AND s.h0 >= 1 THEN s.w0 END AS width,
+        |  CASE WHEN s.w0 >= 1 AND s.h0 >= 1 THEN s.h0 END AS height
+        |FROM documents d JOIN i ON i.doc_id = d.doc_id
+        |LEFT JOIN sof s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // Streaming ExactSubstr burst monitor (q211): the census is a pure
     // algebraic windowed COUNT, so the WHOLE stream query replays from
     // the batch table — arrival window = doc_id div 100 (1 doc/sec

@@ -261,5 +261,7 @@ object FingerprintFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(
       "png_dims", es => PngDims(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "jpeg_dims", es => JpegDims(es.head), "built-in")
   }
 }

@@ -57,6 +57,87 @@ object PngDims {
   }
 }
 
+/** `jpeg_dims(blob)`: genuine JPEG (JFIF/ISO 10918-1) header parse —
+  * unlike PNG's fixed offsets, JPEG dimensions live in a Start-Of-Frame
+  * segment at a VARIABLE position, so the parser must walk the marker
+  * segment chain: SOI (`FF D8`), then repeated `FF mm | len(2, BE,
+  * includes itself) | payload(len-2)` hops until an SOF marker
+  * (C0–C3, C5–C7, C9–CB, CD–CF — baseline, progressive, lossless,
+  * arithmetic variants; NOT C4/C8/CC which are DHT/JPG/DAC), whose
+  * payload is `precision(1) | height(2 BE) | width(2 BE) | ...`.
+  * Payload bytes are SKIPPED BY LENGTH, never scanned — an `FF D8`
+  * inside an APPn payload must not derail the walk (spec-pinned).
+  * Any violation — short blob, bad SOI, a non-FF where a marker must
+  * be, a standalone/illegal marker before SOF (D0–D9 incl. EOI),
+  * segment length < 2, a hop past the end, zero dimensions, or more
+  * than [[JpegDims.MaxHops]] segments — yields NULL, never a throw.
+  */
+object JpegDims {
+
+  /** Segment-hop cap: real files carry a handful of APPn/DQT/DHT
+    * segments before SOF; 64 hops of headroom, and past it the blob is
+    * declared malformed rather than letting a crafted length chain walk
+    * a 100 TB scan row forever. The DuckDB oracle's recursive walk caps
+    * at the same depth so both engines reject the same inputs.
+    */
+  final val MaxHops = 64
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+
+  private def isSof(m: Int): Boolean =
+    m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+
+  /** Null for any non-JPEG prefix; `(width, height)` row otherwise. */
+  def parse(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 4) return null
+    if ((bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8) return null
+    var o = 2
+    var hops = 0
+    while (hops < MaxHops) {
+      if (o + 4 > bytes.length) return null // marker + length must fit
+      if ((bytes(o) & 0xFF) != 0xFF) return null
+      val m = bytes(o + 1) & 0xFF
+      if (isSof(m)) {
+        if (o + 9 > bytes.length) return null // len(2)+prec(1)+h(2)+w(2)
+        val h = be16(bytes, o + 5).toLong
+        val w = be16(bytes, o + 7).toLong
+        if (w < 1L || h < 1L) return null
+        return new GenericInternalRow(Array[Any](w, h))
+      }
+      // standalone or structurally illegal before SOF: RST0-7, EOI, SOI
+      if (m >= 0xD0 && m <= 0xD9) return null
+      val len = be16(bytes, o + 2)
+      if (len < 2) return null
+      o += 2 + len
+      hops += 1
+    }
+    null
+  }
+}
+
+case class JpegDims(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+
+  override def dataType: DataType = PngDims.OutType
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    JpegDims.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.JpegDims.parse($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): JpegDims =
+    copy(child = newChild)
+}
+
 case class PngDims(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
 

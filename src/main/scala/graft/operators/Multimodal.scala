@@ -196,6 +196,50 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** q217: GENUINE JPEG header parse — the variable-position sibling of
+    * [[q215PngHeader]]: JPEG dimensions live in a Start-Of-Frame
+    * segment at a position that depends on every preceding segment's
+    * length field, so [[graft.functions.JpegDims]] WALKS the marker
+    * chain (SOI, then FF-marker/BE16-length hops, payloads skipped by
+    * length never scanned) instead of reading fixed offsets. The
+    * fixture plants, per document, a structurally real JPEG prefix
+    * with a VARIABLE-length APP0 segment (payload size derives from
+    * doc_id, so the SOF offset differs row to row — a fixed-offset
+    * "parser" cannot pass this oracle), an SOF0 with doc_id-derived
+    * dimensions, and an EOI. Construction happens in HEX-STRING space
+    * with the same hex/lpad/repeat arithmetic on both engines, then
+    * one unhex; the DuckDB oracle re-walks the chain independently
+    * with a RECURSIVE CTE over segment offsets (capped at the same 64
+    * hops as the parser). Malformed classes: %7=3 truncates inside the
+    * APP0 payload (the walk's next hop lands past the end), %7=5
+    * corrupts the SOI — NULL on both engines, certified by the driver
+    * hash every round.
+    */
+  def q217JpegHeader(s: SparkSession, d: String): DataFrame = {
+    val hx0 = concat(
+      lit("FFD8"), // SOI
+      lit("FFE0"), lpad(hex(col("doc_id") % 32 + 16), 4, "0"), // APP0, variable len
+      expr("repeat('00', int(doc_id % 32 + 14))"),             // APP0 payload
+      lit("FFC0000B08"), // SOF0, len 0x0B, precision 8
+      lpad(hex(col("doc_id") % 3000 + 1), 4, "0"),             // height
+      lpad(hex(col("doc_id") % 4000 + 1), 4, "0"),             // width
+      lit("01112200"),   // 1 component (id, sampling, quant table)
+      lit("FFD9"))       // EOI
+    val hx = when(col("doc_id") % 7 === 3, substring(hx0, 1, 20))
+      .when(col("doc_id") % 7 === 5,
+        concat(lit("00"), substring(hx0, 3, 1 << 30)))
+      .otherwise(hx0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), unhex(hx).as("img"))
+      .select(
+        col("doc_id"),
+        octet_length(col("img")).cast("long").as("n_bytes"),
+        call_function("jpeg_dims", col("img")).as("dims"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("dims.width").as("width"), col("dims.height").as("height"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Feature extraction into typed scalar/fixed-point columns. */
   def q46MultimodalFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
