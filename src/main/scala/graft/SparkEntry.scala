@@ -5153,6 +5153,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |    'FFD8' || 'FFE0' || lpad(hex(doc_id % 32 + 16), 4, '0')
         |      || repeat('00', CAST(doc_id % 32 + 14 AS INTEGER))
+        |      || CASE WHEN doc_id % 7 = 6 THEN 'FFFF' ELSE '' END
         |      || 'FFC0000B08' || lpad(hex(doc_id % 3000 + 1), 4, '0')
         |      || lpad(hex(doc_id % 4000 + 1), 4, '0')
         |      || '01112200' || 'FFD9' AS hx
@@ -5168,16 +5169,23 @@ object SparkEntry {
         |  SELECT doc_id, hx, 2 AS o, 0 AS depth
         |  FROM i WHERE substr(hx, 1, 4) = 'FFD8'
         |  UNION ALL
+        |  -- two hop kinds, mirroring the byte walk exactly: an FF fill
+        |  -- byte advances ONE byte (and spends a hop, so a pad flood
+        |  -- terminates at the same cap); a plain segment advances by
+        |  -- its BE16 length
         |  SELECT doc_id, hx,
-        |    o + 2 + CAST('0x' || substr(hx, 2*o + 5, 4) AS INTEGER), depth + 1
+        |    CASE WHEN substr(hx, 2*o + 3, 2) = 'FF' THEN o + 1
+        |         ELSE o + 2 + TRY_CAST('0x' || substr(hx, 2*o + 5, 4) AS INTEGER)
+        |    END, depth + 1
         |  FROM walk
         |  WHERE depth + 1 < 64
         |    AND 2*o + 8 <= length(hx)
         |    AND substr(hx, 2*o + 1, 2) = 'FF'
-        |    AND substr(hx, 2*o + 3, 2) NOT IN
-        |      ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF',
-        |       'D0','D1','D2','D3','D4','D5','D6','D7','D8','D9')
-        |    AND CAST('0x' || substr(hx, 2*o + 5, 4) AS INTEGER) >= 2),
+        |    AND (substr(hx, 2*o + 3, 2) = 'FF'
+        |      OR (substr(hx, 2*o + 3, 2) NOT IN
+        |        ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF',
+        |         'D0','D1','D2','D3','D4','D5','D6','D7','D8','D9')
+        |        AND COALESCE(TRY_CAST('0x' || substr(hx, 2*o + 5, 4) AS INTEGER), 0) >= 2))),
         |sof AS (
         |  SELECT doc_id,
         |    CAST('0x' || substr(hx, 2*(o + 7) + 1, 4) AS BIGINT) AS w0,

@@ -66,11 +66,15 @@ object PngDims {
   * arithmetic variants; NOT C4/C8/CC which are DHT/JPG/DAC), whose
   * payload is `precision(1) | height(2 BE) | width(2 BE) | ...`.
   * Payload bytes are SKIPPED BY LENGTH, never scanned — an `FF D8`
-  * inside an APPn payload must not derail the walk (spec-pinned).
-  * Any violation — short blob, bad SOI, a non-FF where a marker must
-  * be, a standalone/illegal marker before SOF (D0–D9 incl. EOI),
-  * segment length < 2, a hop past the end, zero dimensions, or more
-  * than [[JpegDims.MaxHops]] segments — yields NULL, never a throw.
+  * inside an APPn payload must not derail the walk (spec-pinned) —
+  * and FF FILL bytes before a marker (ISO 10918-1 B.1.1.2 allows any
+  * number) are consumed one per hop, so EXIF writers that pad with
+  * `FF FF FF E1 …` parse correctly. Any violation — short blob, bad
+  * SOI, a non-FF where a marker must be, a standalone/illegal marker
+  * before SOF (D0–D9 incl. EOI), segment length < 2, a hop past the
+  * end, zero dimensions, or more than [[JpegDims.MaxHops]] hops
+  * (segments AND fill bytes both spend hops, so a pad flood
+  * terminates) — yields NULL, never a throw.
   */
 object JpegDims {
 
@@ -98,19 +102,29 @@ object JpegDims {
       if (o + 4 > bytes.length) return null // marker + length must fit
       if ((bytes(o) & 0xFF) != 0xFF) return null
       val m = bytes(o + 1) & 0xFF
-      if (isSof(m)) {
+      if (m == 0xFF) {
+        // FF fill byte (ISO 10918-1 B.1.1.2): markers may be preceded
+        // by any number of FF pad bytes — advance ONE byte so the next
+        // iteration re-reads this FF as the marker prefix. Each fill
+        // byte spends a hop (mirrored exactly by the oracle walk), so
+        // a pad flood still terminates at the cap.
+        o += 1
+        hops += 1
+      } else if (isSof(m)) {
         if (o + 9 > bytes.length) return null // len(2)+prec(1)+h(2)+w(2)
         val h = be16(bytes, o + 5).toLong
         val w = be16(bytes, o + 7).toLong
         if (w < 1L || h < 1L) return null
         return new GenericInternalRow(Array[Any](w, h))
+      } else if (m >= 0xD0 && m <= 0xD9) {
+        // standalone or structurally illegal before SOF: RST0-7, EOI, SOI
+        return null
+      } else {
+        val len = be16(bytes, o + 2)
+        if (len < 2) return null
+        o += 2 + len
+        hops += 1
       }
-      // standalone or structurally illegal before SOF: RST0-7, EOI, SOI
-      if (m >= 0xD0 && m <= 0xD9) return null
-      val len = be16(bytes, o + 2)
-      if (len < 2) return null
-      o += 2 + len
-      hops += 1
     }
     null
   }

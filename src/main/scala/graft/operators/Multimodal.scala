@@ -220,6 +220,10 @@ object Multimodal {
       lit("FFD8"), // SOI
       lit("FFE0"), lpad(hex(col("doc_id") % 32 + 16), 4, "0"), // APP0, variable len
       expr("repeat('00', int(doc_id % 32 + 14))"),             // APP0 payload
+      // every 7th doc pads the SOF marker with two FF FILL bytes
+      // (ISO 10918-1 B.1.1.2) so the oracle's fill-hop arm is
+      // hash-exercised every round, not just spec-covered
+      when(col("doc_id") % 7 === 6, lit("FFFF")).otherwise(lit("")),
       lit("FFC0000B08"), // SOF0, len 0x0B, precision 8
       lpad(hex(col("doc_id") % 3000 + 1), 4, "0"),             // height
       lpad(hex(col("doc_id") % 4000 + 1), 4, "0"),             // width

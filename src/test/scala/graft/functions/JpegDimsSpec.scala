@@ -89,6 +89,27 @@ class JpegDimsSpec extends SparkSpec {
     assert(dimsOf(Array.empty[Byte]) == None, "empty")
   }
 
+  test("FF fill bytes before a marker (ISO 10918-1 B.1.1.2) are consumed, " +
+    "not misread as a marker: padded APPn and padded SOF both parse") {
+    val fill = Array(0xFF.toByte, 0xFF.toByte, 0xFF.toByte) // 3 pads: FF FF FF FF mm
+    val img1 = soi ++ fill ++ seg(0xE1, new Array[Byte](8)) ++ sof(0xC0, 10, 20)
+    assert(dimsOf(img1) == Some((10L, 20L)), "fill bytes before APP1")
+    val img2 = soi ++ seg(0xE0, new Array[Byte](5)) ++ fill ++ sof(0xC2, 30, 40)
+    assert(dimsOf(img2) == Some((30L, 40L)), "fill bytes before SOF2")
+  }
+
+  test("fill bytes spend hops: a pad flood terminates at the cap instead of " +
+    "walking forever") {
+    // N pad FFs before the marker code: the last pad doubles as the
+    // marker prefix, so the walk spends N-1 fill hops
+    val pads62 = Array.fill(62)(0xFF.toByte)
+    assert(dimsOf(soi ++ pads62 ++ Array(0xC0.toByte) ++ sof(0xC0, 3, 4).drop(2))
+      == Some((3L, 4L)), "61 fill hops then SOF must parse")
+    val pads66 = Array.fill(66)(0xFF.toByte)
+    assert(dimsOf(soi ++ pads66 ++ Array(0xC0.toByte) ++ sof(0xC0, 3, 4).drop(2))
+      == None, "65 fill hops must hit the cap")
+  }
+
   test("the 64-hop cap rejects a crafted endless segment chain; 63 hops of " +
     "real segments still reach the SOF") {
     val tiny = seg(0xE2, Array.empty[Byte]) // 4-byte segment, len = 2
