@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BloomMightContain, FixedPointDot, FixedPointQuantize, JpegDims, LuhnValid, MinWindowFingerprint, PngDims, RollingFingerprint, SortedIntersectCount, TokenWindowKeys}
+import graft.functions.{BloomMightContain, FixedPointDot, FixedPointQuantize, JpegDims, LuhnValid, MinWindowFingerprint, PgmStats, PngDims, RollingFingerprint, SortedIntersectCount, TokenWindowKeys}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -56,8 +56,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("token_window_keys"),
       info("token_window_keys",
         "token_window_keys(text, L) - every L-token window's two-seed rolling 128-bit fingerprint as array<struct<pos,h1,h2>>"),
-      (es: Seq[Expression]) => TokenWindowKeys(
-        es(0), es(1).eval().asInstanceOf[Number].intValue())))
+      (es: Seq[Expression]) => TokenWindowKeys.sqlBuilder(es)))
     e.injectFunction((
       FunctionIdentifier("png_dims"),
       info("png_dims",
@@ -68,6 +67,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("jpeg_dims",
         "jpeg_dims(blob) - struct<width,height> from a JPEG SOF segment (variable-position marker walk), NULL if not well-formed JPEG"),
       (es: Seq[Expression]) => JpegDims(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("pgm_stats"),
+      info("pgm_stats",
+        "pgm_stats(blob) - struct<width,height,maxval,px_sum,px_min,px_max,b0,b1,b2,b3> decoded from a binary PGM (P5) raster, NULL if not well-formed 8-bit PGM"),
+      (es: Seq[Expression]) => PgmStats(es.head)))
     // the native as-of join: planner strategy for the custom logical
     // node, plus the filter-transposition rule (runs inside the
     // operator-optimization fixed-point batch, so stock pushdown rules

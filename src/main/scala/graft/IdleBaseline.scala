@@ -33,8 +33,70 @@ object IdleBaseline {
   private def load1(): Double =
     scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
 
-  def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: IdleBaseline <names,csv> [sfDir] [passes] [out]")
+  /** Prior table parsed from an existing BASELINE_IDLE.json: per-query
+    * best seconds, raw entry JSON (for verbatim carry-through), and
+    * per-entry git_head provenance (entries written before the
+    * per-entry stamp existed fall back to the FILE-level head).
+    */
+  private[graft] case class Prior(
+      bests: Map[String, Double],
+      entries: Map[String, String],
+      heads: Map[String, String])
+
+  /** Parse an existing table, enforcing the context check: a prior from
+    * a different sf_dir or cpu count measures a different quantity and
+    * is ignored wholesale (a best from sf0.1 must never cap an sf10
+    * table). Returns None on context mismatch.
+    */
+  private[graft] def parsePrior(txt: String, sfDir: String, cpus: Int): Option[Prior] = {
+    def field(k: String): Option[String] =
+      ("\"" + k + "\": \"?([^\",\n]+)\"?").r
+        .findFirstMatchIn(txt).map(_.group(1))
+    val sameContext = field("sf_dir").contains(sfDir) &&
+      field("cpus").contains(cpus.toString)
+    if (!sameContext) None
+    else {
+      // anchored to the 4-space per-entry indent: the 2-space outer
+      // "queries" key must NOT match (it once did, emitting a bogus
+      // nested entry that broke the JSON)
+      val entries = """(?m)^    "(q[^"]+)": (\{[^}]*\})""".r
+        .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
+      val bests = entries.flatMap { case (n, e) =>
+        """"best_sec": ([0-9.]+)""".r.findFirstMatchIn(e)
+          .map(m => n -> m.group(1).toDouble)
+      }
+      val fileHead = field("git_head").getOrElse("?")
+      val heads = entries.map { case (n, e) =>
+        n -> """"git_head": "([^"]+)"""".r.findFirstMatchIn(e)
+          .map(_.group(1)).getOrElse(fileHead)
+      }
+      Some(Prior(bests, entries, heads))
+    }
+  }
+
+  /** The stale-fold guard (r19 advice #4): the prior best for a query
+    * being REGENERATED this run folds into the min only when its
+    * git_head provenance matches the current head (or --fold-stale
+    * overrides) — if the heavy's code legitimately got slower, folding
+    * the old min would keep an unreproducible number alive forever.
+    * Entries NOT regenerated this run carry through verbatim elsewhere,
+    * regardless of head.
+    */
+  private[graft] def foldablePrior(
+      prior: Prior, name: String, gitHead: String, foldStale: Boolean): Option[Double] =
+    prior.bests.get(name).filter { _ =>
+      foldStale || prior.heads.get(name).forall(_ == gitHead)
+    }
+
+  def main(rawArgs: Array[String]): Unit = {
+    // --fold-stale: explicitly allow folding prior minima recorded at a
+    // DIFFERENT git_head for the queries being regenerated (the default
+    // SKIPS those folds: if a heavy's code legitimately got slower, a
+    // stale faster prior would silently survive the min forever)
+    val foldStale = rawArgs.contains("--fold-stale")
+    val args = rawArgs.filterNot(_ == "--fold-stale")
+    require(args.nonEmpty,
+      "usage: IdleBaseline <names,csv> [sfDir] [passes] [out] [--fold-stale]")
     val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     // validated BEFORE any work (the TimeQuery guard): a bad passes arg
@@ -56,40 +118,19 @@ object IdleBaseline {
     // from sf0.1 must never cap an sf10 table), and a git_head change
     // prints a warning naming the stale risk so a forgotten rm is
     // visible, not silent.
-    val (prior, priorEntries): (Map[String, Double], Map[String, String]) =
-      if (!new java.io.File(out).exists()) (Map.empty, Map.empty)
+    val prior: Prior =
+      if (!new java.io.File(out).exists()) Prior(Map.empty, Map.empty, Map.empty)
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(out)), java.nio.charset.StandardCharsets.UTF_8)
-        def field(k: String): Option[String] =
-          ("\"" + k + "\": \"?([^\",\n]+)\"?").r
-            .findFirstMatchIn(txt).map(_.group(1))
-        val sameContext = field("sf_dir").contains(sfDir) &&
-          field("cpus").contains(GraftSession.envCpus().toString)
-        if (!sameContext) {
+        parsePrior(txt, sfDir, GraftSession.envCpus()).getOrElse {
           println(s"[idle-baseline] existing $out is from a DIFFERENT context " +
-            s"(sf_dir ${field("sf_dir")}, cpus ${field("cpus")}) — ignored, " +
-            "regenerating from scratch")
-          (Map.empty, Map.empty)
-        } else {
-          if (!field("git_head").contains(gitHead))
-            println(s"[idle-baseline] WARNING: folding priors from git_head " +
-              s"${field("git_head").getOrElse("?")} into $gitHead — if a " +
-              "listed heavy's code changed, rm the file and regenerate")
-          // anchored to the 4-space per-entry indent: the 2-space outer
-          // "queries" key must NOT match (it once did, emitting a bogus
-          // nested entry that broke the JSON)
-          val entries = """(?m)^    "(q[^"]+)": (\{[^}]*\})""".r
-            .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
-          val bests = entries.flatMap { case (n, e) =>
-            """"best_sec": ([0-9.]+)""".r.findFirstMatchIn(e)
-              .map(m => n -> m.group(1).toDouble)
-          }
-          (bests, entries)
+            "(sf_dir/cpus mismatch) — ignored, regenerating from scratch")
+          Prior(Map.empty, Map.empty, Map.empty)
         }
       }
-    if (prior.nonEmpty)
-      println(s"[idle-baseline] folding min over ${prior.size} prior entries from $out")
+    if (prior.bests.nonEmpty)
+      println(s"[idle-baseline] folding min over ${prior.bests.size} prior entries from $out")
     val cpus = GraftSession.envCpus()
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -104,19 +145,27 @@ object IdleBaseline {
         (System.nanoTime() - t0) / 1e9
       }
       val l1 = load1()
-      val best = math.min(times.drop(1).min, prior.getOrElse(name, Double.MaxValue))
+      val priorFoldable = foldablePrior(prior, name, gitHead, foldStale)
+      prior.bests.get(name).filterNot(_ => priorFoldable.nonEmpty).foreach { p =>
+        println(s"[idle-baseline] $name: prior best ${p}s is from git_head " +
+          s"${prior.heads(name)} != $gitHead — NOT folded (pass --fold-stale to override)")
+      }
+      val best = math.min(times.drop(1).min, priorFoldable.getOrElse(Double.MaxValue))
       println(f"[idle-baseline] $name%-36s best-of-$passes $best%6.3f s  load1 $l0%.2f -> $l1%.2f")
       val ps = times.drop(1).map(t => f"$t%.3f").mkString("[", ", ", "]")
       // per-query samples are SELF-INCLUSIVE (this tool's own threads
       // dominate them mid-run) — contamination indicators relative to
-      // neighbors, not ambient measurements
+      // neighbors, not ambient measurements. git_head stamps the entry
+      // so future folds can tell per-entry whether the code moved,
+      // which the file-level head cannot (r19 verdict #6).
       name -> (s"""{"best_sec": ${f"$best%.3f"}, "passes_sec": $ps, """ +
-        s""""load1_self_inclusive_before": $l0, "load1_self_inclusive_after": $l1}""")
+        s""""load1_self_inclusive_before": $l0, "load1_self_inclusive_after": $l1, """ +
+        s""""git_head": "$gitHead"}""")
     }.toMap
     // prior entries for queries NOT regenerated this run carry through
     // verbatim — a subset regeneration must never delete the rest of
     // the committed table
-    val carried = priorEntries -- measured.keys
+    val carried = prior.entries -- measured.keys
     if (carried.nonEmpty)
       println(s"[idle-baseline] carrying ${carried.size} unregenerated prior entries through")
     val body = (measured ++ carried).toSeq.sortBy(_._1)
@@ -132,7 +181,7 @@ object IdleBaseline {
          |  "max_trusted_load1": $MaxTrustedLoad,
          |  "generated_at": "${java.time.Instant.now()}",
          |  "git_head": "$gitHead",
-         |  "methodology": "TimeQuery loop: warmup + best-of-N, catalog cache cleared per pass, one JVM, queries serialized; best_sec is the MIN over sessions (re-running folds the existing file in when sf_dir+cpus match, since co-tenant bursts swing single sweeps; unregenerated entries carry through); ambient load sampled BEFORE the session (mid-run samples include the tool's own threads); after a heavy's code changes, regenerate that heavy (or rm the file for a clean slate)",
+         |  "methodology": "TimeQuery loop: warmup + best-of-N, catalog cache cleared per pass, one JVM, queries serialized; best_sec is the MIN over sessions (re-running folds the existing file in when sf_dir+cpus match, since co-tenant bursts swing single sweeps; unregenerated entries carry through verbatim); each entry is stamped with the git_head it was measured at, and a regenerated query's prior min is NOT folded when that stamp differs from the current head (--fold-stale overrides) — so a legitimately-slower heavy cannot keep an unreproducible faster number alive; ambient load sampled BEFORE the session (mid-run samples include the tool's own threads)",
          |  "queries": {
          |$body
          |  }

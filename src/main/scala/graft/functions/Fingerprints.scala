@@ -208,6 +208,29 @@ object TokenWindowKeys {
     import org.apache.spark.sql.graftshim.GraftColumns
     GraftColumns.ofExpr(TokenWindowKeys(GraftColumns.exprOf(text), l))
   }
+
+  /** SQL builder shared by the temp-function registration and the
+    * session-extension injection. L must be resolvable at PLAN time
+    * (the kernel specializes on it), so the builder validates instead
+    * of calling `eval()` blind: a non-foldable second argument used to
+    * throw Catalyst's opaque "Cannot evaluate expression" and a NULL
+    * literal NPE'd on the Number cast — both now raise a clean,
+    * named AnalysisException at analysis.
+    */
+  def sqlBuilder(es: Seq[Expression]): TokenWindowKeys = {
+    def bad(why: String): Nothing = throw new org.apache.spark.sql.AnalysisException(
+      "USER_RAISED_EXCEPTION",
+      Map("errorMessage" ->
+        s"token_window_keys: L must be a non-null integer literal ($why)"),
+      None)
+    if (es.length != 2) bad(s"got ${es.length} argument(s)")
+    if (!es(1).foldable) bad("got a non-foldable expression")
+    es(1).eval() match {
+      case null      => bad("got NULL")
+      case n: Number => TokenWindowKeys(es(0), n.intValue())
+      case other     => bad(s"got a ${other.getClass.getSimpleName}")
+    }
+  }
 }
 
 /** `token_window_keys(text, L)`: every L-token window's two-seed
@@ -256,12 +279,12 @@ object FingerprintFunctions {
     reg.createOrReplaceTempFunction(
       "sorted_intersect_count", es => SortedIntersectCount(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction(
-      "token_window_keys",
-      es => TokenWindowKeys(es(0), es(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
+      "token_window_keys", TokenWindowKeys.sqlBuilder, "built-in")
     reg.createOrReplaceTempFunction(
       "png_dims", es => PngDims(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "jpeg_dims", es => JpegDims(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "pgm_stats", es => PgmStats(es.head), "built-in")
   }
 }

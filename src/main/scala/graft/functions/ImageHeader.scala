@@ -69,7 +69,12 @@ object PngDims {
   * inside an APPn payload must not derail the walk (spec-pinned) —
   * and FF FILL bytes before a marker (ISO 10918-1 B.1.1.2 allows any
   * number) are consumed one per hop, so EXIF writers that pad with
-  * `FF FF FF E1 …` parse correctly. Any violation — short blob, bad
+  * `FF FF FF E1 …` parse correctly. TEM (`FF 01`) is STANDALONE per
+  * ISO 10918-1 Table B.1 — no length field, exactly like RSTn — so it
+  * advances two bytes and spends a hop rather than misreading the next
+  * bytes as a length. The SOF segment's own declared length must be
+  * >= 8 (covering precision + height + width + Nf) or the blob is
+  * malformed. Any violation — short blob, bad
   * SOI, a non-FF where a marker must be, a standalone/illegal marker
   * before SOF (D0–D9 incl. EOI), segment length < 2, a hop past the
   * end, zero dimensions, or more than [[JpegDims.MaxHops]] hops
@@ -112,12 +117,27 @@ object JpegDims {
         hops += 1
       } else if (isSof(m)) {
         if (o + 9 > bytes.length) return null // len(2)+prec(1)+h(2)+w(2)
+        // spec-strict: the SOF segment's own declared length must cover
+        // precision+height+width (2 len + 1 prec + 2 h + 2 w = 7, so
+        // len >= 8 once the mandatory Nf byte is counted) — otherwise
+        // the dims read here would be bytes belonging to the NEXT
+        // segment of a crafted blob, not frame dimensions
+        if (be16(bytes, o + 2) < 8) return null
         val h = be16(bytes, o + 5).toLong
         val w = be16(bytes, o + 7).toLong
         if (w < 1L || h < 1L) return null
         return new GenericInternalRow(Array[Any](w, h))
+      } else if (m == 0x01) {
+        // TEM (FF 01): STANDALONE per ISO 10918-1 Table B.1 — no length
+        // field follows, exactly like RSTn. Before this branch existed
+        // the byte after TEM was misread as a length high byte (the
+        // same fixture-domain blind spot class as the FF-fill gap:
+        // both engines agreed on the fixture, neither on the spec).
+        // Advance past the 2-byte marker and spend a hop.
+        o += 2
+        hops += 1
       } else if (m >= 0xD0 && m <= 0xD9) {
-        // standalone or structurally illegal before SOF: RST0-7, EOI, SOI
+        // standalone AND structurally illegal before SOF: RST0-7, EOI, SOI
         return null
       } else {
         val len = be16(bytes, o + 2)
@@ -149,6 +169,123 @@ case class JpegDims(child: Expression)
       |""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): JpegDims =
+    copy(child = newChild)
+}
+
+/** `pgm_stats(blob)`: the PIXEL-LEVEL rung of the multimodal ladder —
+  * q215/q217 stop at header bytes; this decodes an uncompressed raster
+  * PAYLOAD. Binary PGM ("P5", netpbm spec, public:
+  * https://netpbm.sourceforge.net/doc/pgm.html): the magic `P5`, then
+  * whitespace-separated ASCII decimals width, height, maxval — with
+  * `#`-to-end-of-line comments allowed between tokens — then EXACTLY
+  * one whitespace byte, then `width*height` raw bytes of row-major
+  * pixels (one byte per pixel for maxval < 256; the 2-byte-per-pixel
+  * maxval >= 256 form is out of scope and nulls). Output: the parsed
+  * dimensions plus REAL pixel statistics — sum, min, max, and a 4-bin
+  * luminance histogram (pixel >> 6) — all integers, so the DuckDB
+  * oracle's independent blob arithmetic is exactly comparable with no
+  * float drift. NULL, never a throw, for: bad magic, missing/garbled
+  * header tokens, maxval outside [1, 255], zero/negative dimensions,
+  * more than [[PgmStats.MaxPixels]] pixels (a crafted header must not
+  * make one scan row allocate/walk gigabytes), or a payload shorter
+  * than width*height.
+  */
+object PgmStats {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  val OutType: StructType = StructType(Seq(
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("maxval", LongType, nullable = false),
+    StructField("px_sum", LongType, nullable = false),
+    StructField("px_min", LongType, nullable = false),
+    StructField("px_max", LongType, nullable = false),
+    StructField("b0", LongType, nullable = false),
+    StructField("b1", LongType, nullable = false),
+    StructField("b2", LongType, nullable = false),
+    StructField("b3", LongType, nullable = false)))
+
+  /** Pixel-count cap: one row's decode must stay O(MB), not O(GB) —
+    * past it the blob is declared malformed (the JpegDims.MaxHops
+    * discipline applied to payload size).
+    */
+  final val MaxPixels: Long = 1L << 24
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0B || b == 0x0C
+
+  /** Null for anything that is not a well-formed 8-bit binary PGM. */
+  def parse(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.length < 7) return null // P5 + 3 tokens + ws
+    if (bytes(0) != 'P' || bytes(1) != '5') return null
+    var o = 2
+    // one whitespace-separated ASCII decimal, skipping '#' comments;
+    // -1 on malformed (no digits, EOF, or a value overflowing the cap)
+    def nextInt(): Long = {
+      var inComment = false
+      while (o < bytes.length &&
+        (inComment || isWs(bytes(o)) || bytes(o) == '#')) {
+        if (inComment) { if (bytes(o) == '\n') inComment = false }
+        else if (bytes(o) == '#') inComment = true
+        o += 1
+      }
+      if (o >= bytes.length || bytes(o) < '0' || bytes(o) > '9') return -1L
+      var v = 0L
+      while (o < bytes.length && bytes(o) >= '0' && bytes(o) <= '9') {
+        v = v * 10 + (bytes(o) - '0')
+        if (v > MaxPixels) return -1L // no header field needs more
+        o += 1
+      }
+      v
+    }
+    val w = nextInt()
+    val h = nextInt()
+    val maxval = nextInt()
+    if (w < 1 || h < 1 || maxval < 1 || maxval > 255) return null
+    if (w * h > MaxPixels) return null
+    // exactly ONE whitespace byte separates maxval from the raster
+    if (o >= bytes.length || !isWs(bytes(o))) return null
+    o += 1
+    val n = (w * h).toInt
+    if (o + n > bytes.length) return null // truncated payload
+    var sum = 0L
+    var min = 255L
+    var max = 0L
+    val bins = new Array[Long](4)
+    var i = 0
+    while (i < n) {
+      val px = (bytes(o + i) & 0xFF).toLong
+      sum += px
+      if (px < min) min = px
+      if (px > max) max = px
+      bins((px >> 6).toInt) += 1L
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      w, h, maxval, sum, min, max, bins(0), bins(1), bins(2), bins(3)))
+  }
+}
+
+case class PgmStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+
+  override def dataType: DataType = PgmStats.OutType
+
+  // nullable even over a non-null child: malformed bytes parse to null
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    PgmStats.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.PgmStats.parse($c);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): PgmStats =
     copy(child = newChild)
 }
 

@@ -161,7 +161,22 @@ object LshJoin {
     * broadcasts to both routes.
     */
   def exactBucketPairsRouted(
-      buckets: DataFrame, idCol: String, cap: Int, bucketCols: String*): DataFrame = {
+      buckets: DataFrame, idCol: String, cap: Int, bucketCols: String*): DataFrame =
+    exactBucketPairsRoutedReleasable(buckets, idCol, cap, bucketCols: _*)._1
+
+  /** [[exactBucketPairsRouted]] plus a RELEASE THUNK for the two
+    * persisted intermediates (the corpus-sized narrow bucket frame and
+    * the tiny hot-bucket list) — the [[graft.operators.Curation]]
+    * `exactSubstrDupOf` discipline applied here: the bare overload
+    * leaves both to LRU eviction, which is fine for one-shot driver
+    * queries but accumulates pinned entries across repeated semDedup
+    * calls in a long-lived session. Call the thunk AFTER the returned
+    * pair frame (or anything derived from it) is materialized —
+    * releasing earlier just re-derives the subtree.
+    */
+  def exactBucketPairsRoutedReleasable(
+      buckets: DataFrame, idCol: String, cap: Int, bucketCols: String*)
+      : (DataFrame, () => Unit) = {
     val s = buckets.sparkSession
     buckets.schema(idCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => ()
@@ -171,9 +186,9 @@ object LshJoin {
     // persisted: THREE consumers (histogram, anti-join route, semi-join
     // route) would otherwise each re-derive the upstream subtree — for
     // semDedup that is the full embeddings scan + quantization, tripled.
-    // Narrow (id + bucket), spills under MEMORY_AND_DISK; LRU lifetime,
-    // the boundedBucketPairsWithStats policy (lazily returned frame has
-    // no unpersist scope)
+    // Narrow (id + bucket), spills under MEMORY_AND_DISK; lifetime is
+    // the caller's via the returned release thunk (LRU if the caller
+    // came through the bare exactBucketPairsRouted overload)
     val withB = buckets.select(
       col(idCol).cast(LongType).as("id"), struct(bucketCols.map(col): _*).as("bucket"))
       .persist()
@@ -194,7 +209,8 @@ object LshJoin {
       .join(hotRows.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
-    smallPairs.unionByName(hotPairs)
+    (smallPairs.unionByName(hotPairs),
+      () => { withB.unpersist(blocking = false); hot.unpersist(blocking = false); () })
   }
 
   private def exactPairsCore(

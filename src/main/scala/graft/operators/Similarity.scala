@@ -187,9 +187,35 @@ object Similarity {
     */
   val SemDedupMaxBucket = 1024
 
-  def semDedup(emb: DataFrame,
-      signBits: Int = SemDedupSignBits,
-      threshold: Double = SemDedupThreshold): DataFrame = {
+  /** signBits as a COST KNOB derived from corpus size (the r19 stretch
+    * item): the smallest width at or above [[SemDedupSignBits]] whose
+    * EXPECTED bucket population (n / 2^bits, the uniform-sign estimate)
+    * stays at or under half the routing cap, so the fast collect_list
+    * route stays dominant as corpora grow — each added bit halves the
+    * expected population. Clamped to 32 bits and to the embedding
+    * dimensionality (a sign bit needs a dimension to read). Semantics
+    * note: signBits is part of semDedup's BLOCKING approximation —
+    * different widths compare different candidate pairs — so the
+    * driver's q89 binding pins the default explicitly; this derivation
+    * is for operators sizing a NEW corpus, and at the driver corpus's
+    * scale it returns exactly the default (SemDedupScaleSpec pins
+    * that). Route-share evidence at sf1/sf10 lives in NOTES_r20 §8
+    * (`runMain graft.SemDedupScale`).
+    */
+  def semDedupSignBitsFor(n: Long, dim: Int = 64): Int = {
+    val target = SemDedupMaxBucket / 2
+    val limit = math.min(32, dim)
+    var bits = SemDedupSignBits
+    while (bits < limit && (n >> bits) > target) bits += 1
+    bits
+  }
+
+  /** The sign-bucket stage of [[semDedup]], factored out so sizing
+    * tools can inspect bucket populations without running the pair
+    * generation: `(vec_id, q, nrm, bucket)` — fixed-point quantized
+    * vector, its self-dot, and the first-`signBits`-dims sign bucket.
+    */
+  private[graft] def semDedupBucketed(emb: DataFrame, signBits: Int): DataFrame = {
     val s = emb.sparkSession
     graft.functions.FingerprintFunctions.register(s)
     // try_element_at: vectors shorter than signBits contribute 0-bits
@@ -197,9 +223,27 @@ object Similarity {
     val bucket = (1 to signBits).map { i =>
       when(try_element_at(col("q"), lit(i)) >= 0L, lit(1L << (i - 1))).otherwise(lit(0L))
     }.reduce(_ + _)
-    val q = emb.select(col("vec_id"), quantized.as("q"))
+    emb.select(col("vec_id"), quantized.as("q"))
       .withColumn("nrm", dot(col("q"), col("q")))
       .withColumn("bucket", bucket)
+  }
+
+  def semDedup(emb: DataFrame,
+      signBits: Int = SemDedupSignBits,
+      threshold: Double = SemDedupThreshold): DataFrame =
+    semDedupReleasable(emb, signBits, threshold)._1
+
+  /** [[semDedup]] plus the release thunk for the routed pair
+    * generator's two persisted intermediates — long-lived sessions that
+    * call semDedup repeatedly should use this form and release after
+    * materializing the result, or the pinned (corpus-sized, narrow)
+    * bucket frames accumulate until LRU pressure. One-shot driver
+    * queries can keep the bare overload (JVM teardown releases).
+    */
+  def semDedupReleasable(emb: DataFrame,
+      signBits: Int = SemDedupSignBits,
+      threshold: Double = SemDedupThreshold): (DataFrame, () => Unit) = {
+    val q = semDedupBucketed(emb, signBits)
     // pair generation through the ROUTED exact generator (the r18
     // advice item): buckets <= the cap take the collect_list fan-out,
     // and a degenerate sign bucket (e.g. non-negative feature
@@ -212,7 +256,7 @@ object Similarity {
     // twice). Partition precondition (each vector has ONE sign
     // signature) pinned by SimilaritySpec, so no cross-bucket pair can
     // repeat and no pair-level dedup shuffle is needed
-    val pr = graft.operators.LshJoin.exactBucketPairsRouted(
+    val (pr, release) = graft.operators.LshJoin.exactBucketPairsRoutedReleasable(
       q.select(col("vec_id"), col("bucket")),
       "vec_id", SemDedupMaxBucket, "bucket")
     val pairs = pr
@@ -224,11 +268,12 @@ object Similarity {
       .withColumn("cosine", dot(col("qa"), col("qb")).cast("double") /
         sqrt(col("na").cast("double") * col("nb").cast("double")))
       .filter(col("cosine") >= threshold)
-    pairs
+    val out = pairs
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("b")).orderBy(col("a"))))
       .filter(col("rn") === 1)
       .select(col("b").as("dropped_id"), col("a").as("kept_id"), col("cosine"))
+    (out, release)
   }
 
   /** Driver binding: the embeddings table plus planted near-copies —

@@ -1879,7 +1879,7 @@ object EventStream {
         .as[Doc]
       val cells = src
         .flatMap { doc =>
-          if (doc.doc_id < 0L) Iterator.single((doc.ts, " wm"))
+          if (doc.doc_id < 0L) Iterator.single((doc.ts, " wm"))
           else {
             // the BATCH census's own tokenize/grams — the oracle
             // equality depends on the stream window rule staying

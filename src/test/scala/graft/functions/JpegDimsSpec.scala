@@ -110,6 +110,44 @@ class JpegDimsSpec extends SparkSpec {
       == None, "65 fill hops must hit the cap")
   }
 
+  test("TEM (FF 01) is STANDALONE per ISO 10918-1 Table B.1: no length " +
+    "field — the bytes after it are the NEXT marker, not a length") {
+    val tem = Array(0xFF.toByte, 0x01.toByte)
+    // TEM directly before SOF: were TEM misread as length-prefixed, the
+    // SOF's own FF C0 bytes would be eaten as a bogus length
+    val img1 = soi ++ seg(0xE0, new Array[Byte](6)) ++ tem ++ sof(0xC0, 50, 60)
+    assert(dimsOf(img1) == Some((50L, 60L)), "TEM before SOF")
+    // TEM between two plain segments
+    val img2 = soi ++ tem ++ seg(0xE1, new Array[Byte](3)) ++ sof(0xC2, 7, 8)
+    assert(dimsOf(img2) == Some((7L, 8L)), "TEM right after SOI")
+    // TEM spends a hop: 62 TEMs + APP0 + SOF = 64 hops -> cap
+    val tems62 = (1 to 62).flatMap(_ => tem).toArray
+    assert(dimsOf(soi ++ tems62 ++ sof(0xC0, 3, 4)) == Some((3L, 4L)),
+      "62 TEM hops then SOF must parse")
+    val tems64 = (1 to 64).flatMap(_ => tem).toArray
+    assert(dimsOf(soi ++ tems64 ++ sof(0xC0, 3, 4)) == None,
+      "64 TEM hops must hit the cap")
+  }
+
+  test("an SOF whose declared length is < 8 cannot cover precision+dims: " +
+    "the dims bytes would belong to the NEXT segment — must null out") {
+    val app = seg(0xE0, new Array[Byte](6))
+    // hand-build an SOF0 with len = 5 (too short) followed by plausible
+    // dimension-looking bytes that a lax parser would happily read
+    val shortSof = Array(0xFF.toByte, 0xC0.toByte, 0x00, 0x05,
+      8, 0x01, 0x2C, 0x01, 0x90).map(_.toByte)
+    assert(dimsOf(soi ++ app ++ shortSof ++ eoi) == None, "SOF len 5")
+    val lenTwoSof = Array(0xFF.toByte, 0xC0.toByte, 0x00, 0x02,
+      8, 0x01, 0x2C, 0x01, 0x90).map(_.toByte)
+    assert(dimsOf(soi ++ app ++ lenTwoSof ++ eoi) == None, "SOF len 2")
+    // len = 8 exactly (degenerate Nf=0 frame) still yields the dims —
+    // the guard is about not reading past the declared payload
+    val len8Sof = Array(0xFF.toByte, 0xC0.toByte, 0x00, 0x08,
+      8, 0x01, 0x2C, 0x01, 0x90).map(_.toByte)
+    assert(dimsOf(soi ++ app ++ len8Sof ++ eoi) == Some((400L, 300L)),
+      "SOF len 8 parses")
+  }
+
   test("the 64-hop cap rejects a crafted endless segment chain; 63 hops of " +
     "real segments still reach the SOF") {
     val tiny = seg(0xE2, Array.empty[Byte]) // 4-byte segment, len = 2

@@ -119,6 +119,31 @@ class TokenWindowKeysSpec extends SparkSpec {
       "the single-key fixture never collided - the forcing is too weak to prove anything")
   }
 
+  test("the SQL builder rejects a non-foldable, NULL, or non-integer L with " +
+    "a named AnalysisException, not an opaque eval error or an NPE") {
+    import org.apache.spark.sql.AnalysisException
+    def msgOf(sql: String): String =
+      intercept[AnalysisException] {
+        spark.sql(sql).collect()
+      }.getMessage
+    // non-foldable: a column reference as L
+    assert(msgOf("SELECT token_window_keys(t, n) FROM " +
+      "(SELECT 'a b c' AS t, 2 AS n)").contains("non-null integer literal"),
+      "column-ref L must name the contract")
+    // NULL literal
+    assert(msgOf("SELECT token_window_keys('a b c', NULL)")
+      .contains("non-null integer literal"), "NULL L must name the contract")
+    // non-integer literal
+    assert(msgOf("SELECT token_window_keys('a b c', 'two')")
+      .contains("non-null integer literal"), "string L must name the contract")
+    // wrong arity
+    assert(msgOf("SELECT token_window_keys('a b c')")
+      .contains("argument"), "1-arg call must fail cleanly")
+    // the happy path still works through the same builder
+    assert(spark.sql("SELECT size(token_window_keys('a b c d', 2)) AS n")
+      .head().getInt(0) == 3)
+  }
+
   test("rolling recurrence == direct per-window evaluation (the O(1) slide " +
     "introduces no drift over long documents)") {
     val vocab = Vector("p", "q", "r")

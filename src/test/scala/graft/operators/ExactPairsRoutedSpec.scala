@@ -65,4 +65,21 @@ class ExactPairsRoutedSpec extends SparkSpec {
       assert(routed == brute(rows), s"boundary n=$n diverged")
     }
   }
+
+  test("the releasable overload's thunk unpersists BOTH pinned intermediates " +
+    "(repeated calls in a long-lived session must not accumulate cache)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val rows = (1L to 40L).map(i => i -> (i % 4))
+    val (pr, release) = LshJoin.exactBucketPairsRoutedReleasable(
+      rows.toDF("id", "bucket"), "id", 8, "bucket")
+    val got = pairsOf(pr) // materializes -> both persists are live
+    assert(got == brute(rows))
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.size == 2,
+      s"expected exactly the bucket frame + hot list pinned, got ${during.size}")
+    release()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"release thunk left ${after.size} RDD(s) pinned")
+  }
 }

@@ -91,4 +91,25 @@ class SemDedupSpec extends SparkSpec {
         r.getAs[Double]("cosine") > 0.999
     })
   }
+
+  test("semDedupSignBitsFor: the cost-knob derivation holds expected bucket " +
+    "population at cap/2, returns the default at driver-corpus scale, and " +
+    "clamps to 32 bits and the embedding dimensionality") {
+    import Similarity.{semDedupSignBitsFor, SemDedupSignBits}
+    // driver corpus (500 + 15 planted): derived == default, so q89's
+    // hash cannot move if a caller switches to the derivation
+    assert(semDedupSignBitsFor(515L) == SemDedupSignBits)
+    assert(semDedupSignBitsFor(0L) == SemDedupSignBits)
+    // each added bit halves the expected population: 500k vectors at
+    // 10 bits sit at ~488 <= 512, at 9 bits ~976 > 512
+    assert(semDedupSignBitsFor(500000L) == 10)
+    assert(semDedupSignBitsFor(500000000L) == 20)
+    // monotone in n
+    val widths = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L)
+      .map(semDedupSignBitsFor(_))
+    assert(widths == widths.sorted)
+    // clamps: 32 bits absolute, and never wider than the dimensionality
+    assert(semDedupSignBitsFor(Long.MaxValue) == 32)
+    assert(semDedupSignBitsFor(Long.MaxValue, dim = 16) == 16)
+  }
 }
