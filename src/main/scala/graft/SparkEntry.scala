@@ -254,6 +254,9 @@ object SparkEntry {
     "q216_curation_rewrite_pipeline" ->
       (Curation.q216CurationRewritePipeline _),
     "q217_jpeg_header" -> (Multimodal.q217JpegHeader _),
+    "q218_pgm_pixel_stats" -> (Multimodal.q218PgmPixelStats _),
+    "q219_exact_substr_upsert_ingest" ->
+      (Curation.q219ExactSubstrUpsertIngest _),
   )
 
   /** q114/q118 shared BPE rounds: word-freq dict, char segmentation in
@@ -5080,6 +5083,16 @@ object SparkEntry {
     "q209_exact_substr_dedup" -> ExactSubstrDedupSql,
     "q213_exact_substr_inc_dedup" -> ExactSubstrDedupSql,
     "q214_exact_substr_dedup_rolled" -> ExactSubstrDedupSql,
+    // q219 extends the q213 proof THROUGH STORAGE (the q200 pattern
+    // applied to the transform): three disjoint doc_id % 3 batches
+    // arrive one at a time, each merge-maintains the occurrence state
+    // and delta-repairs the UpsertSink table (arriving docs plus only
+    // the docs whose windows' duplication status or keeper CHANGED);
+    // the rollup over the final materialized versioned-parquet state
+    // must hash-match the SAME one-shot q209 oracle — the standing
+    // proof that the operational ingest loop converges to the
+    // one-shot transform.
+    "q219_exact_substr_upsert_ingest" -> ExactSubstrDedupSql,
     // q216 stitches the existing legs (the q97 composition pattern):
     // q68's gate CTE -> the q209 rewrite chain (exactSubstrRewriteCtes,
     // shared VERBATIM with the one-shot oracle) over the gated corpus
@@ -5154,6 +5167,7 @@ object SparkEntry {
         |    'FFD8' || 'FFE0' || lpad(hex(doc_id % 32 + 16), 4, '0')
         |      || repeat('00', CAST(doc_id % 32 + 14 AS INTEGER))
         |      || CASE WHEN doc_id % 7 = 6 THEN 'FFFF' ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 1 THEN 'FF01' ELSE '' END
         |      || 'FFC0000B08' || lpad(hex(doc_id % 3000 + 1), 4, '0')
         |      || lpad(hex(doc_id % 4000 + 1), 4, '0')
         |      || '01112200' || 'FFD9' AS hx
@@ -5169,24 +5183,30 @@ object SparkEntry {
         |  SELECT doc_id, hx, 2 AS o, 0 AS depth
         |  FROM i WHERE substr(hx, 1, 4) = 'FFD8'
         |  UNION ALL
-        |  -- two hop kinds, mirroring the byte walk exactly: an FF fill
+        |  -- three hop kinds, mirroring the byte walk exactly: an FF fill
         |  -- byte advances ONE byte (and spends a hop, so a pad flood
-        |  -- terminates at the same cap); a plain segment advances by
-        |  -- its BE16 length
+        |  -- terminates at the same cap); a standalone TEM (FF 01, ISO
+        |  -- 10918-1 Table B.1: no length field) advances TWO bytes; a
+        |  -- plain segment advances by its BE16 length
         |  SELECT doc_id, hx,
         |    CASE WHEN substr(hx, 2*o + 3, 2) = 'FF' THEN o + 1
+        |         WHEN substr(hx, 2*o + 3, 2) = '01' THEN o + 2
         |         ELSE o + 2 + TRY_CAST('0x' || substr(hx, 2*o + 5, 4) AS INTEGER)
         |    END, depth + 1
         |  FROM walk
         |  WHERE depth + 1 < 64
         |    AND 2*o + 8 <= length(hx)
         |    AND substr(hx, 2*o + 1, 2) = 'FF'
-        |    AND (substr(hx, 2*o + 3, 2) = 'FF'
+        |    AND (substr(hx, 2*o + 3, 2) IN ('FF', '01')
         |      OR (substr(hx, 2*o + 3, 2) NOT IN
         |        ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF',
         |         'D0','D1','D2','D3','D4','D5','D6','D7','D8','D9')
         |        AND COALESCE(TRY_CAST('0x' || substr(hx, 2*o + 5, 4) AS INTEGER), 0) >= 2))),
         |sof AS (
+        |  -- the SOF's own declared length must cover precision+dims
+        |  -- (>= 8), mirroring the parser's spec-strict guard — dims
+        |  -- read past a shorter declared payload would be bytes of the
+        |  -- NEXT segment
         |  SELECT doc_id,
         |    CAST('0x' || substr(hx, 2*(o + 7) + 1, 4) AS BIGINT) AS w0,
         |    CAST('0x' || substr(hx, 2*(o + 5) + 1, 4) AS BIGINT) AS h0
@@ -5195,12 +5215,75 @@ object SparkEntry {
         |    AND substr(hx, 2*o + 1, 2) = 'FF'
         |    AND substr(hx, 2*o + 3, 2) IN
         |      ('C0','C1','C2','C3','C5','C6','C7','C9','CA','CB','CD','CE','CF')
-        |    AND 2*(o + 9) <= length(hx))
+        |    AND 2*(o + 9) <= length(hx)
+        |    AND COALESCE(TRY_CAST('0x' || substr(hx, 2*(o + 2) + 1, 4) AS INTEGER), 0) >= 8)
         |SELECT d.doc_id, CAST(octet_length(i.img) AS BIGINT) AS n_bytes,
         |  CASE WHEN s.w0 >= 1 AND s.h0 >= 1 THEN s.w0 END AS width,
         |  CASE WHEN s.w0 >= 1 AND s.h0 >= 1 THEN s.h0 END AS height
         |FROM documents d JOIN i ON i.doc_id = d.doc_id
         |LEFT JOIN sof s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // PIXEL-LEVEL raster decode (q218): both engines construct the
+    // identical binary-PGM blob in hex-string space (header ASCII +
+    // formula pixels), then DERIVE THE STATISTICS INDEPENDENTLY —
+    // Spark with the native PgmStats byte walk (magic, token scan
+    // incl. '#' comments, one raster pass), DuckDB by re-checking the
+    // magic + payload coverage from the BLOB and re-aggregating
+    // sum/min/max and the 4-bin histogram from the blob's own pixel
+    // bytes via hex-slice arithmetic. All-integer stats -> exact hash.
+    // Malformed classes (%9=4 truncated raster, %9=7 corrupted magic)
+    // must null out on both engines.
+    "q218_pgm_pixel_stats" ->
+      """WITH b AS (
+        |  SELECT doc_id, doc_id % 15 + 2 AS w, doc_id % 5 + 2 AS h,
+        |    (doc_id % 15 + 2) * (doc_id % 5 + 2) AS n,
+        |    'P5' || chr(10)
+        |      || CASE WHEN doc_id % 9 = 2
+        |           THEN '# synthetic luminance tile' || chr(10) ELSE '' END
+        |      || CAST(doc_id % 15 + 2 AS VARCHAR) || ' '
+        |      || CAST(doc_id % 5 + 2 AS VARCHAR) || chr(10) || '255' || chr(10)
+        |      AS hdr
+        |  FROM documents),
+        |hx0 AS (
+        |  SELECT doc_id, w, h, n, length(hdr) AS hl,
+        |    hex(encode(hdr)) || array_to_string(list_transform(
+        |      generate_series(0, CAST(n - 1 AS BIGINT)),
+        |      i -> lpad(hex((doc_id * 31 + i * 7) % 256), 2, '0')), '') AS hx
+        |  FROM b),
+        |hxm AS (
+        |  SELECT doc_id, w, h, n, hl,
+        |    CASE WHEN doc_id % 9 = 4 THEN substr(hx, 1, length(hx) - 6)
+        |         WHEN doc_id % 9 = 7 THEN '00' || substr(hx, 3)
+        |         ELSE hx END AS hx
+        |  FROM hx0),
+        |i AS (SELECT doc_id, w, h, n, hl, unhex(hx) AS img, hx FROM hxm),
+        |p AS (
+        |  SELECT doc_id, CAST(octet_length(img) AS BIGINT) AS n_bytes,
+        |    w, h, n, hl, hx,
+        |    (substr(hx, 1, 4) = '5035'
+        |      AND octet_length(img) >= hl + n
+        |      AND n <= 16777216) AS ok
+        |  FROM i),
+        |px AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(0, CAST(n - 1 AS BIGINT)),
+        |      i -> CAST('0x' || substr(hx, 2*(hl + i) + 1, 2) AS BIGINT))) AS v
+        |  FROM p WHERE ok),
+        |st AS (
+        |  SELECT doc_id, CAST(SUM(v) AS BIGINT) AS px_sum,
+        |    MIN(v) AS px_min, MAX(v) AS px_max,
+        |    CAST(SUM(CASE WHEN v // 64 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+        |    CAST(SUM(CASE WHEN v // 64 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+        |    CAST(SUM(CASE WHEN v // 64 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+        |    CAST(SUM(CASE WHEN v // 64 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id, p.n_bytes,
+        |  CASE WHEN p.ok THEN p.w END AS width,
+        |  CASE WHEN p.ok THEN p.h END AS height,
+        |  st.px_sum AS px_sum, st.px_min AS px_min, st.px_max AS px_max,
+        |  st.b0 AS b0, st.b1 AS b1, st.b2 AS b2, st.b3 AS b3
+        |FROM documents d JOIN p ON p.doc_id = d.doc_id
+        |LEFT JOIN st ON st.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     // Streaming ExactSubstr burst monitor (q211): the census is a pure
     // algebraic windowed COUNT, so the WHOLE stream query replays from

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.streaming.UpsertSink
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -2502,7 +2503,7 @@ object Curation {
     * ExactSubstr rewrite-side consumer: text with the %17 plant
     * appended, null text blanked.
     */
-  private def exactSubstrPlanted(docs: DataFrame): DataFrame =
+  private[graft] def exactSubstrPlanted(docs: DataFrame): DataFrame =
     docs.select(col("source"), col("doc_id"),
       concat(coalesce(col("text"), lit("")),
         when(col("doc_id") % 17 === 0, lit(ExactSubstrPlant))
@@ -2583,30 +2584,88 @@ object Curation {
     */
   private[graft] final val ExactSubstrBloomFpp = 0.01
 
+  /** Byte budget of the census-apply Bloom's bit array. The probe is an
+    * OPTIMIZATION (the exact join removes its false positives), but the
+    * filter itself is aggregated onto the driver and broadcast to every
+    * executor — at fpp 0.01 that is ~9.6 bits per duplicated window,
+    * and a 100 TB corpus's duplicated vocabulary can reach 10¹⁰–10¹¹
+    * keys → a 12–120 GB driver-resident bit array (the r19 verdict's
+    * one sizing hazard in the family). Above this budget the bit array
+    * is CLAMPED and the fpp degrades (still a valid prune: probe never
+    * drops true members); past [[ExactSubstrBloomSkipFpp]] the degraded
+    * filter would pass most non-duplicated occurrences anyway, so the
+    * probe is SKIPPED and the exchange takes the full occurrence
+    * stream — correct, just unpruned. Either decision is surfaced on
+    * stderr, and ExactSubstrBloomCapSpec pins hash-equality of the
+    * rewrite through both degraded and skipped probes.
+    */
+  private[graft] final val ExactSubstrBloomMaxBytes: Long = 64L << 20
+
+  /** Estimated degraded fpp above which the clamped Bloom is not worth
+    * broadcasting: it would admit most of the occurrence stream, so the
+    * probe is skipped entirely (decision logged).
+    */
+  private[graft] final val ExactSubstrBloomSkipFpp = 0.5
+
+  /** Expected fpp of a Bloom filter holding `n` keys in `bits` bits
+    * with the optimal hash count for that geometry: p ≈ 0.6185^(m/n).
+    */
+  private[graft] def bloomExpectedFpp(n: Long, bits: Long): Double =
+    math.pow(0.5, bits.toDouble / n.toDouble * math.log(2.0))
+
   /** Duplicated-window frame `(k, kd, kp)` from a merged occurrence
     * state, persisted + eagerly materialized, paired with the Bloom
     * membership summary of its keys that [[exactSubstrCuts]] probes
     * below the census-apply join. The filter is built distributed over
     * the (already persisted, duplicated-vocabulary-sized) frame and
     * ships as a broadcast HANDLE (the q54 discipline — a plan literal
-    * would ride in every task binary). Returns the release thunk for
-    * the one persisted intermediate.
+    * would ride in every task binary); its bit array is bounded by
+    * [[ExactSubstrBloomMaxBytes]] and it is None when even the clamped
+    * geometry can't prune ([[ExactSubstrBloomSkipFpp]]). Returns the
+    * release thunk for the one persisted intermediate.
     */
-  private def exactSubstrDupOf(state: DataFrame)
+  private[graft] def exactSubstrDupOf(
+      state: DataFrame,
+      maxBloomBytes: Long = ExactSubstrBloomMaxBytes)
       : (DataFrame,
-         org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+         Option[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]],
          () => Unit) = {
     val s = state.sparkSession
     val dup = state.where(col("nd") >= 2L)
       .select(col("k"), col("keep.doc_id").as("kd"), col("keep.pos").as("kp"))
       .persist()
     val nDup = dup.count() // materialize before anything probes it
-    val bloom =
+    // optimal bit count for the target fpp: m = -n ln p / (ln 2)²
+    val optBits =
+      if (nDup == 0) 1L
+      else math.ceil(-nDup.toDouble * math.log(ExactSubstrBloomFpp) /
+        (math.log(2.0) * math.log(2.0))).toLong
+    val capBits = maxBloomBytes * 8L
+    val bcast =
       if (nDup == 0)
-        org.apache.spark.util.sketch.BloomFilter.create(1, ExactSubstrBloomFpp)
-      else dup.select(xxhash64(col("k")).as("kh"))
-        .stat.bloomFilter("kh", nDup, ExactSubstrBloomFpp)
-    val bcast = s.sparkContext.broadcast(bloom)
+        Some(s.sparkContext.broadcast(
+          org.apache.spark.util.sketch.BloomFilter.create(1, ExactSubstrBloomFpp)))
+      else if (optBits <= capBits)
+        Some(s.sparkContext.broadcast(
+          dup.select(xxhash64(col("k")).as("kh"))
+            .stat.bloomFilter("kh", nDup, ExactSubstrBloomFpp)))
+      else if (bloomExpectedFpp(nDup, capBits) <= ExactSubstrBloomSkipFpp) {
+        System.err.println(
+          f"[graft] exactSubstr bloom CLAMPED to $maxBloomBytes%d bytes: " +
+          f"$nDup%d duplicated windows want ${(optBits + 7) / 8}%d bytes at " +
+          f"fpp $ExactSubstrBloomFpp%.3f; degraded fpp ~" +
+          f"${bloomExpectedFpp(nDup, capBits)}%.3f (prune still valid)")
+        Some(s.sparkContext.broadcast(
+          dup.select(xxhash64(col("k")).as("kh"))
+            .stat.bloomFilter("kh", nDup, capBits)))
+      } else {
+        System.err.println(
+          f"[graft] exactSubstr bloom SKIPPED: $nDup%d duplicated windows at " +
+          f"the $maxBloomBytes%d-byte budget would degrade to fpp ~" +
+          f"${bloomExpectedFpp(nDup, capBits)}%.3f > $ExactSubstrBloomSkipFpp%.2f " +
+          "— census apply runs unpruned (correct, one full occurrence exchange)")
+        None
+      }
     (dup, bcast, () => { dup.unpersist(blocking = false); () })
   }
 
@@ -2622,65 +2681,93 @@ object Curation {
     * dropped by the join (the r18 verdict's single biggest open 100 TB
     * cost in the family); with it, non-duplicated occurrences never
     * reach the exchange, and the probe's false positives (bounded by
-    * [[ExactSubstrBloomFpp]]) are removed by the exact join that
-    * follows. HeavyPlanSpec pins the probe's below-the-join position.
+    * [[ExactSubstrBloomFpp]], degrading toward
+    * [[ExactSubstrBloomSkipFpp]] when the bit array hits its byte
+    * budget) are removed by the exact join that follows. `bloom =
+    * None` (an over-budget duplicated vocabulary) runs the same plan
+    * unpruned — identical output, one full occurrence exchange.
+    * HeavyPlanSpec pins the probe's below-the-join position.
     */
-  private def exactSubstrCuts(
+  private[graft] def exactSubstrCuts(
       planted: DataFrame, dup: DataFrame,
-      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
-      hashKeys: Boolean): DataFrame =
-    exactSubstrOcc(planted, hashKeys)
-      .filter(graft.functions.BloomMightContainBc.column(xxhash64(col("k")), bloom))
+      bloom: Option[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]],
+      hashKeys: Boolean): DataFrame = {
+    val occ = exactSubstrOcc(planted, hashKeys)
+    bloom.fold(occ) { bc =>
+      occ.filter(graft.functions.BloomMightContainBc.column(xxhash64(col("k")), bc))
+    }
       .join(dup, Seq("k"))
       .where(!(col("doc_id") === col("kd") && col("pos") === col("kp")))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("cuts"))
+  }
 
-  /** The rewrite walk: planted docs left-joined with their cut
-    * positions (co-partitioned shuffle on doc_id), covered tokens
-    * dropped in one linear pass per document.
+  /** One document's rewrite walk: covered tokens dropped in a single
+    * linear pass. `(rewritten, n_toks, n_removed, n_spans, max_span)`.
+    * p <= toks.length - L by construction when doc_id is unique; the
+    * min() clamp keeps a violated precondition local.
     */
-  private def exactSubstrApplyCuts(
-      planted: DataFrame, cuts: DataFrame): DataFrame = {
+  private def exactSubstrWalk(t: String, cutStarts: Option[Seq[Int]])
+      : (String, Long, Long, Long, Long) = {
+    val L = ExactSubstrL
+    val toks = tokenize(t)
+    val covered = new Array[Boolean](toks.length)
+    for (p <- cutStarts.getOrElse(Seq.empty);
+         j <- math.max(p, 0) until math.min(p + L, toks.length))
+      covered(j) = true
+    var removed = 0; var spans = 0; var maxSpan = 0; var run = 0
+    var i = 0
+    while (i < covered.length) {
+      if (covered(i)) {
+        removed += 1; run += 1
+        if (run == 1) spans += 1
+        if (run > maxSpan) maxSpan = run
+      } else run = 0
+      i += 1
+    }
+    val kept = new StringBuilder
+    i = 0
+    while (i < toks.length) {
+      if (!covered(i)) {
+        if (kept.nonEmpty) kept.append(' ')
+        kept.append(toks(i))
+      }
+      i += 1
+    }
+    (kept.toString, toks.length.toLong, removed.toLong,
+      spans.toLong, maxSpan.toLong)
+  }
+
+  /** The rewrite walk over a frame: planted docs left-joined with
+    * their cut positions (co-partitioned shuffle on doc_id), each
+    * document rewritten by [[exactSubstrWalk]]. `carryOriginal = true`
+    * additionally emits the planted original as `t` — the upsert-ingest
+    * sink ([[q219ExactSubstrUpsertIngest]]) stores it so later
+    * delta-repairs can re-rewrite a standing document from source
+    * without a second corpus-side join.
+    */
+  private[graft] def exactSubstrApplyCuts(
+      planted: DataFrame, cuts: DataFrame,
+      carryOriginal: Boolean = false): DataFrame = {
     val s = planted.sparkSession
     import s.implicits._
-    val L = ExactSubstrL
-    val rw = planted.join(cuts, Seq("doc_id"), "left")
+    val base = planted.join(cuts, Seq("doc_id"), "left")
       .select(col("source"), col("doc_id"), col("t"), col("cuts"))
       .as[(String, Long, String, Option[Seq[Int]])]
-      .map { case (src, id, t, cutStarts) =>
-        val toks = tokenize(t)
-        val covered = new Array[Boolean](toks.length)
-        // p <= toks.length - L by construction when doc_id is unique;
-        // the min() clamp keeps a violated precondition local
-        for (p <- cutStarts.getOrElse(Seq.empty);
-             j <- math.max(p, 0) until math.min(p + L, toks.length))
-          covered(j) = true
-        var removed = 0; var spans = 0; var maxSpan = 0; var run = 0
-        var i = 0
-        while (i < covered.length) {
-          if (covered(i)) {
-            removed += 1; run += 1
-            if (run == 1) spans += 1
-            if (run > maxSpan) maxSpan = run
-          } else run = 0
-          i += 1
+    if (carryOriginal)
+      base.map { case (src, id, t, cutStarts) =>
+          val (rw, nt, nr, ns, ms) = exactSubstrWalk(t, cutStarts)
+          (src, id, t, rw, nt, nr, ns, ms)
         }
-        val kept = new StringBuilder
-        i = 0
-        while (i < toks.length) {
-          if (!covered(i)) {
-            if (kept.nonEmpty) kept.append(' ')
-            kept.append(toks(i))
-          }
-          i += 1
+        .toDF("source", "doc_id", "t", "rewritten", "n_toks", "n_removed",
+          "n_spans", "max_span")
+    else
+      base.map { case (src, id, t, cutStarts) =>
+          val (rw, nt, nr, ns, ms) = exactSubstrWalk(t, cutStarts)
+          (src, id, rw, nt, nr, ns, ms)
         }
-        (src, id, kept.toString, toks.length.toLong, removed.toLong,
-          spans.toLong, maxSpan.toLong)
-      }
-      .toDF("source", "doc_id", "rewritten", "n_toks", "n_removed",
-        "n_spans", "max_span")
-    rw
+        .toDF("source", "doc_id", "rewritten", "n_toks", "n_removed",
+          "n_spans", "max_span")
   }
 
   /** q213: the INCREMENTAL ExactSubstr dedup transform — the
@@ -2766,6 +2853,129 @@ object Curation {
       exactSubstrApplyCuts(planted, exactSubstrCuts(planted, dup, bloom, hashKeys))
     }.reduce(_.unionByName(_))
     (rw, release)
+  }
+
+  /** q219: the OPERATIONAL ingest loop — [[q213ExactSubstrIncDedup]]'s
+    * maintain-then-rewrite composed with the
+    * [[graft.streaming.UpsertSink]] versioned-parquet table (the r19
+    * verdict item #4, the q200 through-storage pattern applied to the
+    * TRANSFORM). Three document-disjoint batches arrive one at a time;
+    * per arrival the loop (1) merges the batch's occurrence state into
+    * the standing state (itself committed through storage, the q212
+    * discipline), (2) computes the CHANGED window set — windows that
+    * crossed into duplication or whose keeper moved earlier — and
+    * (3) rewrites exactly the arriving docs plus the standing docs
+    * holding an occurrence of a changed window (a DELTA-REPAIR: one
+    * occurrence pass over the sink's stored originals, semi-joined on
+    * the changed set, never a full re-rewrite), upserting the results
+    * at the batch's version. Why delta-repair converges to one-shot:
+    * `nd` is additive (duplication status never reverts) and `keep` is
+    * a running min, so a standing document's cut verdict for a window
+    * can only change when that window enters the changed set — at
+    * which point the document is re-rewritten against the new state;
+    * its LAST version therefore reflects every window's FINAL
+    * (nd >= 2, keeper) verdict, which is precisely the one-shot rule.
+    * The driver hash-match against the SAME q209 oracle (plus
+    * ExactSubstrUpsertSpec's keeper-move and future-duplication
+    * fixtures, and its delta pin — an untouched doc keeps its original
+    * version) is the standing proof. Scale shape per arriving batch:
+    * one occurrence pass over the batch (state), one over the sink's
+    * originals pruned to changed windows (at 100 TB the changed set is
+    * batch-bounded and Bloom-able — here it broadcasts through the
+    * semi join), one cuts pass over the repair set, one state commit
+    * and one sink merge (both state-sized, not history-sized).
+    */
+  def q219ExactSubstrUpsertIngest(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // NULL doc_id routed into batch 0 (the q213 coalesce discipline):
+    // the row reaches the rewrite and fails in parity with one-shot
+    // q209 instead of silently vanishing from every %-predicate
+    val lane = coalesce(pmod(col("doc_id"), lit(3L)), lit(0L))
+    exactSubstrUpsertReplay((0L to 2L).map(i => docs.filter(lane === i)))
+  }
+
+  /** The batch-sequential upsert-ingest replay under [[q219ExactSubstrUpsertIngest]],
+    * factored out so specs can drive adversarial batch splits. Returns
+    * the q209 rollup over the FINAL materialized sink state,
+    * collect-and-recreated (the q200 lineage-severing discipline — the
+    * temp store is deleted on exit, so no lazy frame may still read
+    * through it). `keepStore` hands the sink/state directory to specs
+    * that inspect version provenance; they own deletion.
+    */
+  private[graft] def exactSubstrUpsertReplay(
+      batches: Seq[DataFrame], hashKeys: Boolean = false,
+      keepStore: Option[java.io.File] = None): DataFrame = {
+    require(batches.nonEmpty, "exactSubstrUpsertReplay needs at least one batch")
+    val s = batches.head.sparkSession
+    val store = keepStore.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_substr_upsert").toFile)
+    try {
+      val sinkDir = new java.io.File(store, "sink").toString
+      var prevState: Option[DataFrame] = None
+      batches.zipWithIndex.foreach { case (batch, v) =>
+        val merged = prevState match {
+          case Some(p) => exactSubstrOccMerge(
+            Seq(p, exactSubstrOccState(batch, hashKeys)))
+          case None => exactSubstrOccState(batch, hashKeys)
+        }
+        // the standing state goes THROUGH STORAGE per arrival (q212's
+        // committed-artifact discipline): the next batch reads a
+        // severed snapshot, not a lineage growing across arrivals
+        val statePath = new java.io.File(store, s"state_v$v").toString
+        merged.write.mode("overwrite").parquet(statePath)
+        val mergedR = s.read.parquet(statePath)
+        // changed windows: newly duplicated, or duplicated with a
+        // keeper that moved (a later batch can carry an earlier
+        // (doc_id, pos) under interleaved id lanes)
+        val changed = prevState match {
+          case None => mergedR.where(col("nd") >= 2L).select(col("k"))
+          case Some(p) =>
+            mergedR.where(col("nd") >= 2L)
+              .join(p.select(col("k"), col("nd").as("ond"),
+                col("keep").as("okeep")), Seq("k"), "left")
+              .where(col("ond").isNull || col("ond") < 2L ||
+                !(col("okeep") === col("keep")))
+              .select(col("k"))
+        }
+        // delta-repair set: standing docs holding an occurrence of a
+        // changed window — ONE occurrence pass over the sink originals
+        val planted = exactSubstrPlanted(batch)
+        val toRewrite = UpsertSink.readState(s, sinkDir) match {
+          case Some(st) =>
+            val orig = st.select(col("source"), col("doc_id"), col("t"))
+            val hit = exactSubstrOcc(orig, hashKeys)
+              .join(broadcast(changed), Seq("k"), "left_semi")
+              .select(col("doc_id")).distinct()
+            orig.join(hit, Seq("doc_id"), "left_semi").unionByName(planted)
+          case None => planted
+        }
+        val (dup, bloom, release) = exactSubstrDupOf(mergedR)
+        val up = exactSubstrApplyCuts(toRewrite,
+            exactSubstrCuts(toRewrite, dup, bloom, hashKeys),
+            carryOriginal = true)
+          .withColumn("v", lit(v.toLong))
+        UpsertSink.merge(s, sinkDir, up, "doc_id", "v")
+        release()
+        prevState = Some(mergedR)
+      }
+      val fin = UpsertSink.readState(s, sinkDir).getOrElse(
+        sys.error("upsert replay committed no sink state"))
+      val out = exactSubstrDedupRollup(fin)
+      // O(|sources|) rows: collect-and-recreate severs the lineage from
+      // the store entirely (the q200 rule — a cached frame would
+      // recompute through the deleted path on eviction)
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      if (keepStore.isEmpty) {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(store)
+      }
+    }
   }
 
   /** q214: the ExactSubstr dedup transform in its hashed (100 TB)

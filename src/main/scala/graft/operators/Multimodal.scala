@@ -213,7 +213,9 @@ object Multimodal {
     * hops as the parser). Malformed classes: %7=3 truncates inside the
     * APP0 payload (the walk's next hop lands past the end), %7=5
     * corrupts the SOI — NULL on both engines, certified by the driver
-    * hash every round.
+    * hash every round. Spec-rule classes planted per the FF-fill
+    * playbook: %7=6 pads SOF with FF fill bytes (B.1.1.2), %7=1
+    * precedes SOF with a standalone TEM marker (Table B.1).
     */
   def q217JpegHeader(s: SparkSession, d: String): DataFrame = {
     val hx0 = concat(
@@ -224,6 +226,11 @@ object Multimodal {
       // (ISO 10918-1 B.1.1.2) so the oracle's fill-hop arm is
       // hash-exercised every round, not just spec-covered
       when(col("doc_id") % 7 === 6, lit("FFFF")).otherwise(lit("")),
+      // %7=1 plants a standalone TEM marker (FF 01, ISO 10918-1
+      // Table B.1: no length field) before SOF so the parser's and
+      // oracle's standalone-hop arms are hash-exercised every round
+      // — the fixture-plant playbook from the FF-fill finding
+      when(col("doc_id") % 7 === 1, lit("FF01")).otherwise(lit("")),
       lit("FFC0000B08"), // SOF0, len 0x0B, precision 8
       lpad(hex(col("doc_id") % 3000 + 1), 4, "0"),             // height
       lpad(hex(col("doc_id") % 4000 + 1), 4, "0"),             // width
@@ -241,6 +248,59 @@ object Multimodal {
         call_function("jpeg_dims", col("img")).as("dims"))
       .select(col("doc_id"), col("n_bytes"),
         col("dims.width").as("width"), col("dims.height").as("height"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q218: PIXEL-LEVEL multimodal decode — the rung q215/q217 stop
+    * short of (they read header bytes; this reads the PAYLOAD). The
+    * fixture plants a binary PGM (`P5`, netpbm spec) per document:
+    * an ASCII header with doc_id-derived dimensions — every 9th doc
+    * additionally carries a `#` comment line, so the parser's
+    * comment-skip arm is hash-exercised, and width spans 1–2 digits so
+    * the raster offset is variable — followed by `width*height` raw
+    * pixel bytes from the shared formula `(doc_id*31 + 7i) mod 256`.
+    * Construction happens in hex-string space identically on both
+    * engines; PARSING is cross-engine independent — Spark decodes with
+    * the native [[graft.functions.PgmStats]] codegen expression (magic
+    * walk, token scan, one pass over the raster), DuckDB re-checks the
+    * magic bytes and payload length from the BLOB and re-aggregates
+    * sum/min/max and the 4-bin histogram from the blob's own pixel
+    * bytes by hex-slice arithmetic. All statistics are integers, so
+    * the hash compare is exact. Malformed classes: %9=4 truncates
+    * 3 bytes out of the raster (payload shorter than width*height),
+    * %9=7 corrupts the magic — NULL on both engines every round. At
+    * 100 TB this stays one codegen projection per scan row: no
+    * shuffle, no UDF boxing, no driver involvement, decode cost
+    * bounded by [[graft.functions.PgmStats.MaxPixels]].
+    */
+  def q218PgmPixelStats(s: SparkSession, d: String): DataFrame = {
+    val w = col("doc_id") % 15 + 2 // 2..16: width crosses the 1->2 digit line
+    val h = col("doc_id") % 5 + 2  // 2..6
+    val n = w * h                  // 4..96 pixels
+    val headerHex = hex(encode(concat(
+      lit("P5\n"),
+      when(col("doc_id") % 9 === 2, lit("# synthetic luminance tile\n"))
+        .otherwise(lit("")),
+      w.cast("string"), lit(" "), h.cast("string"), lit("\n255\n")), "UTF-8"))
+    val pixelsHex = array_join(transform(sequence(lit(0L), n - 1),
+      i => lpad(hex((col("doc_id") * 31 + i * 7) % 256), 2, "0")), "")
+    val hx0 = concat(headerHex, pixelsHex)
+    val hx = when(col("doc_id") % 9 === 4,
+        hx0.substr(lit(1), length(hx0) - 6)) // 3 raster bytes cut off the end
+      .when(col("doc_id") % 9 === 7,
+        concat(lit("00"), substring(hx0, 3, 1 << 30))) // corrupted magic
+      .otherwise(hx0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), unhex(hx).as("img"))
+      .select(col("doc_id"),
+        octet_length(col("img")).cast("long").as("n_bytes"),
+        call_function("pgm_stats", col("img")).as("st"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("st.width").as("width"), col("st.height").as("height"),
+        col("st.px_sum").as("px_sum"), col("st.px_min").as("px_min"),
+        col("st.px_max").as("px_max"),
+        col("st.b0").as("b0"), col("st.b1").as("b1"),
+        col("st.b2").as("b2"), col("st.b3").as("b3"))
       .orderBy(col("doc_id"))
   }
 
