@@ -2740,34 +2740,21 @@ object Curation {
 
   /** The rewrite walk over a frame: planted docs left-joined with
     * their cut positions (co-partitioned shuffle on doc_id), each
-    * document rewritten by [[exactSubstrWalk]]. `carryOriginal = true`
-    * additionally emits the planted original as `t` — the upsert-ingest
-    * sink ([[q219ExactSubstrUpsertIngest]]) stores it so later
-    * delta-repairs can re-rewrite a standing document from source
-    * without a second corpus-side join.
+    * document rewritten by [[exactSubstrWalk]].
     */
   private[graft] def exactSubstrApplyCuts(
-      planted: DataFrame, cuts: DataFrame,
-      carryOriginal: Boolean = false): DataFrame = {
+      planted: DataFrame, cuts: DataFrame): DataFrame = {
     val s = planted.sparkSession
     import s.implicits._
-    val base = planted.join(cuts, Seq("doc_id"), "left")
+    planted.join(cuts, Seq("doc_id"), "left")
       .select(col("source"), col("doc_id"), col("t"), col("cuts"))
       .as[(String, Long, String, Option[Seq[Int]])]
-    if (carryOriginal)
-      base.map { case (src, id, t, cutStarts) =>
-          val (rw, nt, nr, ns, ms) = exactSubstrWalk(t, cutStarts)
-          (src, id, t, rw, nt, nr, ns, ms)
-        }
-        .toDF("source", "doc_id", "t", "rewritten", "n_toks", "n_removed",
-          "n_spans", "max_span")
-    else
-      base.map { case (src, id, t, cutStarts) =>
-          val (rw, nt, nr, ns, ms) = exactSubstrWalk(t, cutStarts)
-          (src, id, rw, nt, nr, ns, ms)
-        }
-        .toDF("source", "doc_id", "rewritten", "n_toks", "n_removed",
-          "n_spans", "max_span")
+      .map { case (src, id, t, cutStarts) =>
+        val (rw, nt, nr, ns, ms) = exactSubstrWalk(t, cutStarts)
+        (src, id, rw, nt, nr, ns, ms)
+      }
+      .toDF("source", "doc_id", "rewritten", "n_toks", "n_removed",
+        "n_spans", "max_span")
   }
 
   /** q213: the INCREMENTAL ExactSubstr dedup transform — the
@@ -2861,29 +2848,41 @@ object Curation {
     * verdict item #4, the q200 through-storage pattern applied to the
     * TRANSFORM). Three document-disjoint batches arrive one at a time;
     * per arrival the loop (1) merges the batch's occurrence state into
-    * the standing state (itself committed through storage, the q212
-    * discipline), (2) computes the CHANGED window set — windows that
-    * crossed into duplication or whose keeper moved earlier — and
-    * (3) rewrites exactly the arriving docs plus the standing docs
-    * holding an occurrence of a changed window (a DELTA-REPAIR: one
-    * occurrence pass over the sink's stored originals, semi-joined on
-    * the changed set, never a full re-rewrite), upserting the results
-    * at the batch's version. Why delta-repair converges to one-shot:
-    * `nd` is additive (duplication status never reverts) and `keep` is
-    * a running min, so a standing document's cut verdict for a window
-    * can only change when that window enters the changed set — at
-    * which point the document is re-rewritten against the new state;
-    * its LAST version therefore reflects every window's FINAL
-    * (nd >= 2, keeper) verdict, which is precisely the one-shot rule.
+    * the standing state via a CO-PARTITIONED full outer join — both
+    * sides cached aggregates hash-partitioned on the window key, so
+    * state maintenance moves O(batch), never O(vocabulary) — (2)
+    * derives the CHANGED window set from the BATCH's own keys (nd is
+    * additive and keep a running min, so only windows the batch
+    * touched can change verdict: crossed into duplication, or keeper
+    * moved earlier), and (3) rewrites exactly the arriving docs plus
+    * the standing docs holding an occurrence of a changed window (a
+    * DELTA-REPAIR: one occurrence pass over the raw originals store,
+    * semi-joined on the broadcast changed set, never a full
+    * re-rewrite), upserting the results at the batch's version. The
+    * storage legs are the production pair: an append-only RAW
+    * originals store partitioned by arrival (the bronze layer repairs
+    * re-read), and the UpsertSink versioned rewrite table (the silver
+    * layer queries read). Why delta-repair converges to one-shot:
+    * a standing document's cut verdict for a window can only change
+    * when that window enters the changed set — at which point the
+    * document is re-rewritten against the new state; its LAST version
+    * therefore reflects every window's FINAL (nd >= 2, keeper)
+    * verdict, which is precisely the one-shot rule.
     * The driver hash-match against the SAME q209 oracle (plus
     * ExactSubstrUpsertSpec's keeper-move and future-duplication
     * fixtures, and its delta pin — an untouched doc keeps its original
     * version) is the standing proof. Scale shape per arriving batch:
-    * one occurrence pass over the batch (state), one over the sink's
+    * one occurrence pass over the batch (state), one over the raw
     * originals pruned to changed windows (at 100 TB the changed set is
     * batch-bounded and Bloom-able — here it broadcasts through the
-    * semi join), one cuts pass over the repair set, one state commit
-    * and one sink merge (both state-sized, not history-sized).
+    * semi join), one cuts pass over the repair set, one no-shuffle
+    * raw append and one sink merge (state-sized, not history-sized).
+    * A QUIET batch — empty changed set: no new duplication, no keeper
+    * move — skips the standing-corpus occurrence scan entirely (the
+    * changed set is batch-bounded, so the emptiness check is one cheap
+    * count; paying a corpus pass just to drop every row in the semi
+    * join would be the exact anti-pattern the Bloom-pruned census
+    * apply exists to avoid).
     */
   def q219ExactSubstrUpsertIngest(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -2891,7 +2890,13 @@ object Curation {
     // the row reaches the rewrite and fails in parity with one-shot
     // q209 instead of silently vanishing from every %-predicate
     val lane = coalesce(pmod(col("doc_id"), lit(3L)), lit(0L))
-    exactSubstrUpsertReplay((0L to 2L).map(i => docs.filter(lane === i)))
+    // hashed rolling-key mode against the STRING-mode oracle — the
+    // q214 proof discipline extended through storage: the driver hash
+    // now certifies the 128-bit key path end-to-end through the raw
+    // store, the repairs, and the versioned sink (and the codegen key
+    // stream is the faster occ pass for this 4-occ-pass replay)
+    exactSubstrUpsertReplay((0L to 2L).map(i => docs.filter(lane === i)),
+      hashKeys = true)
   }
 
   /** The batch-sequential upsert-ingest replay under [[q219ExactSubstrUpsertIngest]],
@@ -2911,53 +2916,95 @@ object Curation {
       java.nio.file.Files.createTempDirectory("graft_substr_upsert").toFile)
     try {
       val sinkDir = new java.io.File(store, "sink").toString
+      // append-only RAW originals store, partitioned by arrival batch —
+      // the bronze layer a real ingest lands anyway. Repairs re-read
+      // affected originals from here (pruned to b < v), so the SINK
+      // versions carry only the rewrite outputs: the first draft
+      // threaded the original text through every sink version, which
+      // doubled the bytes the upsert window shuffled and rewrote per
+      // batch — the single biggest cost in the 14 s first-bench number.
+      val rawDir = new java.io.File(store, "raw").toString
       var prevState: Option[DataFrame] = None
       batches.zipWithIndex.foreach { case (batch, v) =>
+        val isLast = v == batches.size - 1
+        // per-batch occurrence state: 1/|batches| of the vocabulary,
+        // persisted (two consumers: the standing-state merge and the
+        // changed-set join)
+        val bState = exactSubstrOccState(batch, hashKeys).persist()
+        // standing state merge as a CO-PARTITIONED full outer join:
+        // both sides are cached aggregates hash-partitioned on k, so
+        // the merge moves NO corpus-sized data (the 100 TB shape —
+        // state maintenance costs O(batch), not O(vocabulary); the
+        // first draft's union+groupBy re-shuffled the whole standing
+        // vocabulary every arrival). nd adds; keep is the running min
+        // (least() skips the null side of an outer match).
         val merged = prevState match {
-          case Some(p) => exactSubstrOccMerge(
-            Seq(p, exactSubstrOccState(batch, hashKeys)))
-          case None => exactSubstrOccState(batch, hashKeys)
-        }
-        // the standing state goes THROUGH STORAGE per arrival (q212's
-        // committed-artifact discipline): the next batch reads a
-        // severed snapshot, not a lineage growing across arrivals
-        val statePath = new java.io.File(store, s"state_v$v").toString
-        merged.write.mode("overwrite").parquet(statePath)
-        val mergedR = s.read.parquet(statePath)
-        // changed windows: newly duplicated, or duplicated with a
-        // keeper that moved (a later batch can carry an earlier
-        // (doc_id, pos) under interleaved id lanes)
-        val changed = prevState match {
-          case None => mergedR.where(col("nd") >= 2L).select(col("k"))
           case Some(p) =>
-            mergedR.where(col("nd") >= 2L)
-              .join(p.select(col("k"), col("nd").as("ond"),
-                col("keep").as("okeep")), Seq("k"), "left")
-              .where(col("ond").isNull || col("ond") < 2L ||
-                !(col("okeep") === col("keep")))
-              .select(col("k"))
+            p.as("o").join(bState.as("b"), Seq("k"), "full_outer")
+              .select(col("k"),
+                (coalesce(col("o.nd"), lit(0L)) +
+                  coalesce(col("b.nd"), lit(0L))).as("nd"),
+                least(col("o.keep"), col("b.keep")).as("keep"))
+          case None => bState
+        }
+        // the LAST arrival's state has no future reader: leave it lazy
+        // (the dup build below materializes it exactly once)
+        val mergedP = if (isLast) merged else merged.persist()
+        // changed windows: only windows the BATCH touched can change
+        // verdict (nd is additive, keep a running min), so the changed
+        // set derives from the batch state joined against the standing
+        // state — batch-sized work, never a standing-vocabulary scan.
+        // Changed = crossed into duplication, or keeper moved earlier
+        // (a later batch can carry an earlier (doc_id, pos) under
+        // interleaved id lanes).
+        val changed = prevState match {
+          case None => bState.where(col("nd") >= 2L).select(col("k"))
+          case Some(p) => bState.as("b")
+            .join(p.select(col("k"), col("nd").as("ond"),
+              col("keep").as("okeep")), Seq("k"), "left")
+            .where((coalesce(col("ond"), lit(0L)) + col("b.nd")) >= 2L &&
+              (col("ond").isNull || col("ond") < 2L ||
+                least(col("okeep"), col("b.keep")) =!= col("okeep")))
+            .select(col("k"))
         }
         // delta-repair set: standing docs holding an occurrence of a
-        // changed window — ONE occurrence pass over the sink originals
+        // changed window — ONE occurrence pass over the raw originals,
+        // and NONE when the batch changed nothing (the changed set is
+        // batch-bounded, so counting it is cheap; a quiet batch — no
+        // new duplication, no keeper move — must not pay a standing-
+        // corpus scan just to drop every row in the semi join)
         val planted = exactSubstrPlanted(batch)
-        val toRewrite = UpsertSink.readState(s, sinkDir) match {
-          case Some(st) =>
-            val orig = st.select(col("source"), col("doc_id"), col("t"))
+        val changedC = changed.persist()
+        val nChanged = changedC.count()
+        val toRewrite =
+          if (v == 0 || nChanged == 0) planted
+          else {
+            // b < v guards double protection: the partition filter AND
+            // the fact that this read's file listing predates the
+            // current batch's append below
+            val orig = s.read.parquet(rawDir).where(col("b") < v)
+              .select(col("source"), col("doc_id"), col("t"))
             val hit = exactSubstrOcc(orig, hashKeys)
-              .join(broadcast(changed), Seq("k"), "left_semi")
+              .join(broadcast(changedC), Seq("k"), "left_semi")
               .select(col("doc_id")).distinct()
             orig.join(hit, Seq("doc_id"), "left_semi").unionByName(planted)
-          case None => planted
-        }
-        val (dup, bloom, release) = exactSubstrDupOf(mergedR)
+          }
+        val (dup, bloom, release) = exactSubstrDupOf(mergedP)
         val up = exactSubstrApplyCuts(toRewrite,
-            exactSubstrCuts(toRewrite, dup, bloom, hashKeys),
-            carryOriginal = true)
+            exactSubstrCuts(toRewrite, dup, bloom, hashKeys))
           .withColumn("v", lit(v.toLong))
+        // land the arriving originals in the raw store (append-only,
+        // no shuffle), then commit the rewrite version
+        planted.withColumn("b", lit(v.toLong))
+          .write.partitionBy("b").mode("append").parquet(rawDir)
         UpsertSink.merge(s, sinkDir, up, "doc_id", "v")
         release()
-        prevState = Some(mergedR)
+        changedC.unpersist(blocking = false)
+        bState.unpersist(blocking = false)
+        prevState.foreach(_.unpersist(blocking = false))
+        prevState = if (isLast) None else Some(mergedP)
       }
+      prevState.foreach(_.unpersist(blocking = false))
       val fin = UpsertSink.readState(s, sinkDir).getOrElse(
         sys.error("upsert replay committed no sink state"))
       val out = exactSubstrDedupRollup(fin)

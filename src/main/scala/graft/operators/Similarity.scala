@@ -198,7 +198,7 @@ object Similarity {
     * different widths compare different candidate pairs — so the
     * driver's q89 binding pins the default explicitly; this derivation
     * is for operators sizing a NEW corpus, and at the driver corpus's
-    * scale it returns exactly the default (SemDedupScaleSpec pins
+    * scale it returns exactly the default (SemDedupSpec pins
     * that). Route-share evidence at sf1/sf10 lives in NOTES_r20 §8
     * (`runMain graft.SemDedupScale`).
     */
