@@ -2899,6 +2899,35 @@ object Curation {
       hashKeys = true)
   }
 
+  /** Two-way standing-state merge for the upsert-ingest loop: a
+    * CO-PARTITIONED full outer join — both sides are cached aggregates
+    * hash-partitioned on `k`, so the merge moves NO corpus-sized data
+    * (the 100 TB shape: state maintenance costs O(batch), not
+    * O(vocabulary); a union+groupBy formulation re-shuffles the whole
+    * standing vocabulary every arrival). `nd` adds; `keep` is the
+    * running min (`least()` skips the null side of an outer match).
+    * HeavyPlanSpec pins the zero-exchange plan.
+    */
+  private[graft] def exactSubstrStateMerge2(
+      prev: DataFrame, bState: DataFrame): DataFrame =
+    prev.as("o").join(bState.as("b"), Seq("k"), "full_outer")
+      .select(col("k"),
+        (coalesce(col("o.nd"), lit(0L)) +
+          coalesce(col("b.nd"), lit(0L))).as("nd"),
+        least(col("o.keep"), col("b.keep")).as("keep"))
+
+  /** Standing docs needing repair: ids holding an occurrence of a
+    * changed window. The changed set broadcasts through the semi join,
+    * so the standing occurrence stream is filtered IN PLACE — no
+    * occurrence-side exchange; the only shuffle is the id distinct.
+    * HeavyPlanSpec pins that shape.
+    */
+  private[graft] def exactSubstrRepairIds(
+      orig: DataFrame, changed: DataFrame, hashKeys: Boolean): DataFrame =
+    exactSubstrOcc(orig, hashKeys)
+      .join(broadcast(changed), Seq("k"), "left_semi")
+      .select(col("doc_id")).distinct()
+
   /** The batch-sequential upsert-ingest replay under [[q219ExactSubstrUpsertIngest]],
     * factored out so specs can drive adversarial batch splits. Returns
     * the q209 rollup over the FINAL materialized sink state,
@@ -2931,20 +2960,11 @@ object Curation {
         // persisted (two consumers: the standing-state merge and the
         // changed-set join)
         val bState = exactSubstrOccState(batch, hashKeys).persist()
-        // standing state merge as a CO-PARTITIONED full outer join:
-        // both sides are cached aggregates hash-partitioned on k, so
-        // the merge moves NO corpus-sized data (the 100 TB shape —
-        // state maintenance costs O(batch), not O(vocabulary); the
-        // first draft's union+groupBy re-shuffled the whole standing
-        // vocabulary every arrival). nd adds; keep is the running min
-        // (least() skips the null side of an outer match).
+        // standing state merge as a CO-PARTITIONED full outer join
+        // ([[exactSubstrStateMerge2]]) — HeavyPlanSpec pins the
+        // zero-exchange shape
         val merged = prevState match {
-          case Some(p) =>
-            p.as("o").join(bState.as("b"), Seq("k"), "full_outer")
-              .select(col("k"),
-                (coalesce(col("o.nd"), lit(0L)) +
-                  coalesce(col("b.nd"), lit(0L))).as("nd"),
-                least(col("o.keep"), col("b.keep")).as("keep"))
+          case Some(p) => exactSubstrStateMerge2(p, bState)
           case None => bState
         }
         // the LAST arrival's state has no future reader: leave it lazy
@@ -2984,9 +3004,7 @@ object Curation {
             // current batch's append below
             val orig = s.read.parquet(rawDir).where(col("b") < v)
               .select(col("source"), col("doc_id"), col("t"))
-            val hit = exactSubstrOcc(orig, hashKeys)
-              .join(broadcast(changedC), Seq("k"), "left_semi")
-              .select(col("doc_id")).distinct()
+            val hit = exactSubstrRepairIds(orig, changedC, hashKeys)
             orig.join(hit, Seq("doc_id"), "left_semi").unionByName(planted)
           }
         val (dup, bloom, release) = exactSubstrDupOf(mergedP)

@@ -183,6 +183,55 @@ class HeavyPlanSpec extends SparkSpec {
     }
   }
 
+  test("q219 upsert-ingest state merge: the full outer join reuses BOTH " +
+    "cached aggregates' hash partitioning — zero exchanges, O(batch) " +
+    "movement (a union+groupBy formulation re-shuffles the vocabulary)") {
+    pinned {
+      import spark.implicits._
+      val span = (1 to Curation.ExactSubstrL).map(i => s"m$i").mkString(" ")
+      def state(rows: Seq[(String, Long, String)]) = {
+        val st = Curation.exactSubstrOccState(
+          rows.toDF("source", "doc_id", "text")).persist()
+        st.count()
+        st
+      }
+      val prev = state(Seq(("a", 1L, s"$span x1 x2")))
+      val bSt = state(Seq(("a", 2L, s"y1 y2 $span")))
+      val merged = Curation.exactSubstrStateMerge2(prev, bSt)
+      val s = shapeOf(merged)
+      assert(s.shuffles == 0,
+        s"state merge must move nothing — both sides are cached hash-partitioned aggregates; got $s")
+      assert(s.inMemScans == 2, s"both cached states must be read in place: $s")
+      // and it merges correctly: nd adds, keep is the running min
+      val m = merged.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getStruct(2).getLong(0)))).toMap
+      assert(m(span) == ((2L, 1L)), s"shared window must merge to nd=2 keeper doc 1: $m")
+      prev.unpersist(); bSt.unpersist()
+    }
+  }
+
+  test("q219 repair-id scan: the changed set BROADCASTS through the semi " +
+    "join so the standing occurrence stream is filtered in place — one " +
+    "broadcast, and the only shuffle is the id distinct") {
+    pinned {
+      import spark.implicits._
+      val span = (1 to Curation.ExactSubstrL).map(i => s"r$i").mkString(" ")
+      val orig = Seq(
+        ("a", 1L, s"$span z1 z2"),
+        ("a", 2L, (1 to 12).map(i => s"u$i").mkString(" ")))
+        .toDF("source", "doc_id", "t")
+      val changed = Seq(Tuple1(span)).toDF("k")
+      val hit = Curation.exactSubstrRepairIds(orig, changed, hashKeys = false)
+      val s = shapeOf(hit)
+      assert(s.broadcasts == 1,
+        s"the changed set must broadcast (the hint is load-bearing at 100 TB): $s")
+      assert(s.shuffles == 1,
+        s"only the id distinct may shuffle — an occurrence-side exchange means the semi join stopped broadcasting: $s")
+      assert(hit.collect().map(_.getLong(0)).toSeq == Seq(1L),
+        "only the doc holding the changed window is repaired")
+    }
+  }
+
   test("q137 stream outer attribution: BOTH sides watermarked and the join " +
     "stays left_outer (state eviction is what emits the null rows)") {
     import spark.implicits._
