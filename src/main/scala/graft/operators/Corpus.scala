@@ -256,7 +256,101 @@ object Corpus {
         col("a.lbl") === col("lp"))
       .select(col("a.p").as("p"), col("llbl").as("lbl"))
 
+  /** Driver-local graph-solve budget (rows, applied to the node AND the
+    * edge frame independently): below it, the iterative graph operators
+    * (CC, PageRank, HITS) collect the graph and solve in the driver in
+    * microseconds instead of paying 10-20 cluster jobs of fixed
+    * scheduling/shuffle overhead to fixpoint a bounded structure — the
+    * guide §1.2 rule that the distributed ALGORITHM is the first thing
+    * to optimize, applied as "don't distribute what fits in one hand".
+    * 4M rows ≈ 64 MB of (long, long) pairs — comfortably inside any
+    * production driver (the same order as a large broadcast side), and
+    * a graph that small costs more to schedule than to solve. Above the
+    * budget the existing distributed loops run UNCHANGED — they remain
+    * the audited 100 TB shape (HeavyPlanSpec pins their per-round
+    * plans) — so the gate is a scale-adaptive algorithm choice, the
+    * same class as a size-gated broadcast join, not a local-mode tune.
+    * The probe is a limit(budget+1) take, so an over-budget graph pays
+    * one truncated scan, never a full collect. At 100 TB this path
+    * still fires for DERIVED bounded graphs (q123's record-linkage
+    * match graph scales with the dirty BATCH, not the corpus) and
+    * correctly yields to the distributed loop for corpus-scale ones.
+    * SPARK_GRAFT_GRAPH_LOCAL_MAX overrides; 0 disables every local
+    * path (the A/B and scale-test knob).
+    */
+  private[graft] val GraphLocalMaxRows: Long =
+    sys.env.get("SPARK_GRAFT_GRAPH_LOCAL_MAX").flatMap(_.toLongOption)
+      .getOrElse(4L << 20)
+
+  /** Collect a 2-long-column frame if it fits `maxRows`, else None —
+    * the limit-guarded take behind every local graph solve.
+    */
+  private[graft] def takeBounded(
+      df: DataFrame, maxRows: Long): Option[Array[(Long, Long)]] = {
+    if (maxRows <= 0 || maxRows >= Int.MaxValue - 1) return None
+    val s = df.sparkSession
+    import s.implicits._
+    val rows = df.limit(maxRows.toInt + 1).as[(Long, Long)].collect()
+    if (rows.length > maxRows) None else Some(rows)
+  }
+
+  /** Driver-local connected components: union-find with min-NODE-id
+    * labels — exactly the fixpoint [[ccDistributed]]'s min-label
+    * propagation converges to, including the contract corner where an
+    * edge endpoint is absent from `nodes`: such an id conducts
+    * connectivity but never contributes its own id as a label and
+    * never emits an output row (in the distributed loop, labels are
+    * seeded from `nodes` only). None when the graph exceeds the
+    * budget; GraphLocalSpec pins local == distributed on random graphs
+    * including the bridge-node corner.
+    */
+  private[graft] def ccLocal(
+      nodes: DataFrame, edges: DataFrame, maxRows: Long): Option[DataFrame] =
+    takeBounded(nodes.select(col("p"), col("p")), maxRows).flatMap { ns =>
+      takeBounded(edges.select(col("src"), col("dst")), maxRows).map { es =>
+        val s = nodes.sparkSession
+        import s.implicits._
+        val idx = new java.util.HashMap[Long, Integer]()
+        val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+        def id(x: Long): Int = {
+          val got = idx.get(x)
+          if (got != null) got.intValue()
+          else {
+            val i = parent.length
+            idx.put(x, Integer.valueOf(i)); parent += i; i
+          }
+        }
+        def find(x0: Int): Int = {
+          var x = x0
+          while (parent(x) != x) {
+            parent(x) = parent(parent(x)); x = parent(x)
+          }
+          x
+        }
+        ns.foreach { case (p, _) => id(p): Unit }
+        es.foreach { case (a, b) =>
+          val ra = find(id(a)); val rb = find(id(b))
+          if (ra != rb) parent(ra) = rb
+        }
+        // component label = min id among the component's NODES
+        val minOf = new java.util.HashMap[Integer, java.lang.Long]()
+        ns.foreach { case (p, _) =>
+          minOf.merge(find(id(p)), java.lang.Long.valueOf(p),
+            (a, b) => if (a <= b) a else b): Unit
+        }
+        ns.iterator.map { case (p, _) =>
+          (p, minOf.get(Integer.valueOf(find(id(p)))).longValue())
+        }.toSeq.toDF("p", "lbl")
+      }
+    }
+
   private[graft] def connectedComponents(
+      nodes: DataFrame, edges: DataFrame,
+      localMax: Long = GraphLocalMaxRows): DataFrame =
+    ccLocal(nodes, edges, localMax)
+      .getOrElse(ccDistributed(nodes, edges))
+
+  private[graft] def ccDistributed(
       nodes: DataFrame, edges: DataFrame): DataFrame = {
     // the convergence invariant sums node ids — DECIMAL(38,0), not
     // BIGINT, so it cannot overflow at any realistic id range x corpus
@@ -361,9 +455,57 @@ object Corpus {
         (lit(base) + expr("(85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")).as("r"))
   }
 
+  /** Driver-local PageRank — the same integer dynamics as the
+    * distributed loop, replayed over collected edges: deg = per-src
+    * row count, contribution `r div deg` summed per dst (Long sums are
+    * order-independent), rank = base + (85·cs) div 100, nodes without
+    * contributions at base (the left-join coalesce), contributions to
+    * a dst outside `nodes` dropped (the left join FROM nodes). All
+    * values non-negative, so JVM `/` equals Catalyst's IntegralDivide
+    * and the result is bit-identical — GraphLocalSpec pins local ==
+    * distributed, and the q73 DuckDB hash stands as the driver-corpus
+    * proof. None over budget (see [[GraphLocalMaxRows]]).
+    */
+  private[graft] def pageRankLocal(
+      nodes: DataFrame, edges: DataFrame, iterations: Int,
+      maxRows: Long): Option[DataFrame] =
+    takeBounded(nodes.select(col("p"), col("p")), maxRows).flatMap { ns =>
+      takeBounded(edges.select(col("src"), col("dst")), maxRows).map { es =>
+        val s = nodes.sparkSession
+        import s.implicits._
+        val base = (15L * PrScale) / 100L
+        val deg = new java.util.HashMap[Long, Long]()
+        es.foreach { case (src, _) => deg.merge(src, 1L, _ + _): Unit }
+        var ranks = new java.util.HashMap[Long, Long]()
+        ns.foreach { case (p, _) => ranks.put(p, PrScale): Unit }
+        for (_ <- 1 to iterations) {
+          val cs = new java.util.HashMap[Long, Long]()
+          es.foreach { case (src, dst) =>
+            // srcs outside the rank frame contribute nothing (the join)
+            if (ranks.containsKey(src))
+              cs.merge(dst, ranks.get(src) / deg.get(src), _ + _): Unit
+          }
+          val next = new java.util.HashMap[Long, Long]()
+          ns.foreach { case (p, _) =>
+            next.put(p, base + (85L * cs.getOrDefault(p, 0L)) / 100L): Unit
+          }
+          ranks = next
+        }
+        ns.iterator.map { case (p, _) =>
+          (p, deg.getOrDefault(p, 0L), ranks.get(p).longValue())
+        }.toSeq.sortBy(_._1).toDF("p", "degree", "rank_fp")
+      }
+    }
+
   def pageRank(
       nodes: DataFrame, edges: DataFrame,
-      iterations: Int = PageRankIterations): DataFrame = {
+      iterations: Int = PageRankIterations,
+      localMax: Long = GraphLocalMaxRows): DataFrame =
+    pageRankLocal(nodes, edges, iterations, localMax)
+      .getOrElse(pageRankDistributed(nodes, edges, iterations))
+
+  private[graft] def pageRankDistributed(
+      nodes: DataFrame, edges: DataFrame, iterations: Int): DataFrame = {
     val base = (15L * PrScale) / 100L // (1 - d) * scale
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val e = edges.join(deg, "src")
@@ -456,7 +598,60 @@ object Corpus {
       .select(col("p"), expr(s"(ar * ${HitsScale}L) div m").as("a"))
   }
 
-  def hits(edges: DataFrame, iterations: Int = HitsIterations): DataFrame = {
+  /** Driver-local HITS — the distributed loop's integer dynamics over
+    * collected `(c, p)` edges: T authority updates interleaved with
+    * T−1 hub updates, each renormalized by `(x · HitsScale) div
+    * max(max_x, 1)`. Long sums are order-independent and every value
+    * non-negative, so JVM arithmetic is bit-identical to the Catalyst
+    * expressions; duplicate edge rows (none in q166's distinct feed)
+    * weight sums and in_degree exactly as the frame version. None over
+    * budget — GraphLocalSpec pins local == distributed.
+    */
+  private[graft] def hitsLocal(
+      edges: DataFrame, iterations: Int, maxRows: Long): Option[DataFrame] =
+    takeBounded(edges.select(col("c"), col("p")), maxRows).map { es =>
+      val s = edges.sparkSession
+      import s.implicits._
+      var h = new java.util.HashMap[Long, Long]()
+      es.foreach { case (c, _) => h.put(c, HitsScale): Unit }
+      var a = new java.util.HashMap[Long, Long]()
+      for (k <- 1 to iterations) {
+        val ar = new java.util.HashMap[Long, Long]()
+        es.foreach { case (c, p) =>
+          if (h.containsKey(c)) ar.merge(p, h.get(c), _ + _): Unit
+        }
+        var m = 1L
+        ar.values.forEach(v => if (v > m) m = v)
+        val anext = new java.util.HashMap[Long, Long]()
+        ar.forEach((p, v) => anext.put(p, v * HitsScale / m): Unit)
+        a = anext
+        if (k < iterations) {
+          val hr = new java.util.HashMap[Long, Long]()
+          es.foreach { case (c, p) =>
+            if (a.containsKey(p)) hr.merge(c, a.get(p), _ + _): Unit
+          }
+          var m2 = 1L
+          hr.values.forEach(v => if (v > m2) m2 = v)
+          val hnext = new java.util.HashMap[Long, Long]()
+          hr.forEach((c, v) => hnext.put(c, v * HitsScale / m2): Unit)
+          h = hnext
+        }
+      }
+      val deg = new java.util.HashMap[Long, Long]()
+      es.foreach { case (_, p) => deg.merge(p, 1L, _ + _): Unit }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      a.forEach((p, av) => out += ((p, deg.get(p).longValue(), av)): Unit)
+      out.sortBy(_._1).toSeq
+        .toDF("l_partkey", "in_degree", "auth_fp")
+    }
+
+  def hits(edges: DataFrame, iterations: Int = HitsIterations,
+      localMax: Long = GraphLocalMaxRows): DataFrame =
+    hitsLocal(edges, iterations, localMax)
+      .getOrElse(hitsDistributed(edges, iterations))
+
+  private[graft] def hitsDistributed(
+      edges: DataFrame, iterations: Int): DataFrame = {
     val e = edges.select(col("c"), col("p")).repartition(col("c")).persist()
     var h = e.select(col("c")).distinct()
       .select(col("c"), lit(HitsScale).as("h"))
