@@ -790,8 +790,10 @@ object Corpus {
     * @return `(v, core_degree)` for nodes surviving `rounds` peels,
     *         with degree in the surviving induced subgraph.
     */
-  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame =
-    kCoreLoop(edges, k, rounds, toFixpoint = false)
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+      localMax: Long = GraphLocalMaxRows): DataFrame =
+    kCoreLocal(edges, k, rounds, toFixpoint = false, localMax)
+      .getOrElse(kCoreLoop(edges, k, rounds, toFixpoint = false))
 
   /** Fixpoint k-core: [[kCorePeel]]'s loop run to convergence (alive
     * count unchanged -> stop), bounded by `maxRounds` as a runaway
@@ -802,8 +804,61 @@ object Corpus {
     * for cache-lifetime reasons doubles as the convergence test at no
     * extra cost.
     */
-  def kCoreFull(edges: DataFrame, k: Int, maxRounds: Int = 1000): DataFrame =
-    kCoreLoop(edges, k, maxRounds, toFixpoint = true)
+  def kCoreFull(edges: DataFrame, k: Int, maxRounds: Int = 1000,
+      localMax: Long = GraphLocalMaxRows): DataFrame =
+    kCoreLocal(edges, k, maxRounds, toFixpoint = true, localMax)
+      .getOrElse(kCoreLoop(edges, k, maxRounds, toFixpoint = true))
+
+  /** Driver-local k-core — [[kCoreLoop]]'s per-round dynamics replayed
+    * over collected edges (the [[ccLocal]] pattern, r20 optimization
+    * round): deg(v) counts edge ROWS whose dst survives (duplicate
+    * edges weight degree exactly as the frame groupBy count), alive'
+    * = {v ∈ alive : deg(v) >= k}, fixpoint mode stops when the alive
+    * COUNT is unchanged (peeling strictly shrinks, so count equality
+    * is set equality — the same test the loop uses), and the output
+    * re-derives (v, deg) over the final alive set exactly like the
+    * closing induced() pass — a surviving node with no surviving
+    * neighbor emits no row, and a node outside alive never does.
+    * None over budget ([[GraphLocalMaxRows]]); GraphLocalSpec pins
+    * local == distributed in both peel and fixpoint modes.
+    */
+  private[graft] def kCoreLocal(
+      edges: DataFrame, k: Int, rounds: Int, toFixpoint: Boolean,
+      maxRows: Long): Option[DataFrame] = {
+    require(k >= 1 && rounds >= 1)
+    takeBounded(edges.select(col("src"), col("dst")), maxRows).map { es =>
+      val s = edges.sparkSession
+      import s.implicits._
+      var alive = new java.util.HashSet[java.lang.Long]()
+      es.foreach { case (src, _) => alive.add(src): Unit }
+      def degrees(): java.util.HashMap[Long, Long] = {
+        val deg = new java.util.HashMap[Long, Long]()
+        es.foreach { case (src, dst) =>
+          if (alive.contains(dst)) deg.merge(src, 1L, _ + _): Unit
+        }
+        deg
+      }
+      var round = 0
+      var converged = false
+      while (round < rounds && !converged) {
+        round += 1
+        val prevN = alive.size
+        val deg = degrees()
+        val next = new java.util.HashSet[java.lang.Long]()
+        alive.forEach { v =>
+          if (deg.getOrDefault(v, 0L) >= k) next.add(v): Unit
+        }
+        alive = next
+        converged = toFixpoint && alive.size == prevN
+      }
+      val deg = degrees()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      deg.forEach { (v, dv) =>
+        if (alive.contains(v)) out += ((v, dv)): Unit
+      }
+      out.sortBy(_._1).toSeq.toDF("v", "core_degree")
+    }
+  }
 
   /** Degrees of the `alive`-induced subgraph: one edge-wide semi-join
     * (dst membership), then the src membership filter applies to the
@@ -825,7 +880,7 @@ object Corpus {
     */
   val MaxBroadcastAlive = 4000000L
 
-  private def kCoreLoop(
+  private[graft] def kCoreLoop(
       edges: DataFrame, k: Int, rounds: Int, toFixpoint: Boolean): DataFrame = {
     require(k >= 1 && rounds >= 1)
     val e = edges.select(col("src"), col("dst")).persist()
@@ -1607,7 +1662,51 @@ object Corpus {
     * @param edges symmetric `(src, dst)`, no self-loops.
     * @return `(v, lbl)` after exactly `rounds` synchronous updates.
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      localMax: Long = GraphLocalMaxRows): DataFrame =
+    lpaLocal(edges, rounds, localMax)
+      .getOrElse(lpaDistributed(edges, rounds))
+
+  /** Driver-local synchronous LPA — [[lpaDistributed]]'s per-round
+    * dynamics over collected edges: votes count edge ROWS per
+    * (src, neighbour label); the argmax breaks ties toward the
+    * SMALLEST label (the frame's max(struct(cnt, -lbl))); a node
+    * whose every neighbour left the label map drops exactly like the
+    * inner join (impossible on symmetric input, replicated anyway).
+    * None over budget; GraphLocalSpec pins local == distributed.
+    */
+  private[graft] def lpaLocal(
+      edges: DataFrame, rounds: Int, maxRows: Long): Option[DataFrame] = {
+    require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
+    takeBounded(edges.select(col("src"), col("dst")), maxRows).map { es =>
+      val s = edges.sparkSession
+      import s.implicits._
+      var labels = new java.util.HashMap[Long, Long]()
+      es.foreach { case (src, _) => labels.put(src, src): Unit }
+      for (_ <- 1 to rounds) {
+        val votes = new java.util.HashMap[(Long, Long), Long]()
+        es.foreach { case (src, dst) =>
+          if (labels.containsKey(dst))
+            votes.merge((src, labels.get(dst)), 1L, _ + _): Unit
+        }
+        val bestCnt = new java.util.HashMap[Long, Long]()
+        val bestLbl = new java.util.HashMap[Long, Long]()
+        votes.forEach { case ((src, lbl), cnt) =>
+          val bc = bestCnt.getOrDefault(src, -1L)
+          if (cnt > bc ||
+              (cnt == bc && lbl < bestLbl.get(src))) {
+            bestCnt.put(src, cnt); bestLbl.put(src, lbl): Unit
+          }
+        }
+        labels = bestLbl
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      labels.forEach((v, lbl) => out += ((v, lbl)): Unit)
+      out.sortBy(_._1).toSeq.toDF("v", "lbl")
+    }
+  }
+
+  private[graft] def lpaDistributed(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("dst")).persist()
@@ -1683,7 +1782,58 @@ object Corpus {
     * @return `(v, hop)` for every node within maxHops of a seed
     *         (seeds at hop 0).
     */
-  def bfsHops(seeds: DataFrame, edges: DataFrame, maxHops: Int): DataFrame = {
+  def bfsHops(seeds: DataFrame, edges: DataFrame, maxHops: Int,
+      localMax: Long = GraphLocalMaxRows): DataFrame =
+    bfsLocal(seeds, edges, maxHops, localMax)
+      .getOrElse(bfsDistributed(seeds, edges, maxHops))
+
+  /** Driver-local BFS — [[bfsDistributed]]'s frontier rounds over a
+    * collected adjacency: seed rows keep their MULTIPLICITY at hop 0
+    * (the union preserves duplicate seed rows), each later hop emits
+    * every newly reached node exactly once (the frame's distinct +
+    * anti-join), and the loop exits early on an empty frontier. None
+    * over budget; GraphLocalSpec pins local == distributed including
+    * the duplicate-seed corner.
+    */
+  private[graft] def bfsLocal(
+      seeds: DataFrame, edges: DataFrame, maxHops: Int,
+      maxRows: Long): Option[DataFrame] = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    takeBounded(seeds.select(col("v"), col("v")), maxRows).flatMap { ss =>
+      takeBounded(edges.select(col("src"), col("dst")), maxRows).map { es =>
+        val s = seeds.sparkSession
+        import s.implicits._
+        val adj = new java.util.HashMap[Long,
+          scala.collection.mutable.ArrayBuffer[Long]]()
+        es.foreach { case (src, dst) =>
+          adj.computeIfAbsent(src,
+            _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += dst
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val settled = new java.util.HashSet[java.lang.Long]()
+        ss.foreach { case (v, _) => out += ((v, 0L)); settled.add(v): Unit }
+        var frontier: Seq[Long] = ss.map(_._1).distinct
+        var hop = 0
+        while (hop < maxHops && frontier.nonEmpty) {
+          hop += 1
+          val nxtSet = new java.util.HashSet[java.lang.Long]()
+          val nxt = scala.collection.mutable.ArrayBuffer.empty[Long]
+          frontier.foreach { v =>
+            val ns = adj.get(v)
+            if (ns != null) ns.foreach { d =>
+              if (!settled.contains(d) && nxtSet.add(d)) nxt += d
+            }
+          }
+          nxt.foreach { d => settled.add(d); out += ((d, hop.toLong)): Unit }
+          frontier = nxt.toSeq
+        }
+        out.sortBy(identity).toSeq.toDF("v", "hop")
+      }
+    }
+  }
+
+  private[graft] def bfsDistributed(
+      seeds: DataFrame, edges: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.repartition(col("src")).persist()
     var dist = seeds.select(col("v"), lit(0L).as("hop")).localCheckpoint(true)

@@ -725,11 +725,12 @@ object Curation {
     * Pair COUNTS weight overlapping adjacencies per occurrence
     * (Sennrich's get_stats convention: "aaa" has two "a a" pairs).
     */
-  def bpeMerges(docs: DataFrame, merges: Int = BpeMerges): DataFrame = {
+  def bpeMerges(docs: DataFrame, merges: Int = BpeMerges,
+      localMax: Long = BpeLocalMaxWords): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     require(merges >= 1)
-    var dict = docs.select(col("text")).as[String]
+    val dict = docs.select(col("text")).as[String]
       .flatMap(t => t.split(" ").iterator
         .filter(w => w.nonEmpty && w.forall(c => c >= 'a' && c <= 'z')))
       .toDF("w")
@@ -738,6 +739,99 @@ object Curation {
       .map { case (w, f) => (" " + w.map(_.toString).mkString("  ") + " ", f) }
       .toDF("seq", "freq")
       .localCheckpoint(true) // materialize the dict; truncate corpus lineage
+    // The merge LOOP runs over the vocab-bounded dict, never the
+    // corpus — below [[BpeLocalMaxWords]] distinct words it solves in
+    // the driver (identical string dynamics, see [[bpeMergeRowsLocal]])
+    // instead of paying ~3 cluster jobs per round to fixpoint a frame
+    // the size of a large broadcast; over budget the distributed
+    // per-round loop runs unchanged as the at-scale shape.
+    val acc = bpeMergeRowsLocal(dict, merges, localMax)
+      .getOrElse(bpeMergeRowsDistributed(dict, merges))
+    acc.toDF("merge_rank", "pair", "cnt").orderBy(col("merge_rank"))
+  }
+
+  /** Driver-local BPE merge-loop budget: distinct [a-z]+ words the
+    * loop may collect (~60 B/word ⇒ the 1M default is ~60 MB in the
+    * driver, the broadcast-side order of magnitude). The corpus pass
+    * that BUILDS the dict is distributed either way; production-scale
+    * BPE trainers run the merge loop single-node over exactly this
+    * word-frequency dict (Sennrich's reference implementation
+    * included), so the local path is the production algorithm, not a
+    * local-mode tune. SPARK_GRAFT_BPE_LOCAL_MAX overrides; 0 disables.
+    */
+  private[graft] val BpeLocalMaxWords: Long =
+    sys.env.get("SPARK_GRAFT_BPE_LOCAL_MAX").flatMap(_.toLongOption)
+      .getOrElse(1L << 20)
+
+  /** Collect the (seq, freq) dict if it fits `maxRows`, else None —
+    * the limit-guarded probe behind the local merge loop (the
+    * Corpus.takeBounded pattern for a string-keyed frame).
+    */
+  private def bpeDictBounded(
+      dict: DataFrame, maxRows: Long): Option[Array[(String, Long)]] = {
+    if (maxRows <= 0 || maxRows >= Int.MaxValue - 1) return None
+    val s = dict.sparkSession
+    import s.implicits._
+    val rows = dict.limit(maxRows.toInt + 1).as[(String, Long)].collect()
+    if (rows.length > maxRows) None else Some(rows)
+  }
+
+  /** Driver-local BPE merge loop — [[bpeMergeRowsDistributed]]'s
+    * per-round dynamics over the collected dict: pair counts weight by
+    * word freq with per-occurrence adjacency (the get_stats
+    * convention), the argmax breaks ties toward the SMALLEST pair
+    * string (ASCII-only symbols, so Java and UTF8 binary order agree),
+    * and the rewrite is the same leftmost non-overlapping
+    * `" a  b "` → `" ab "` replace (java.lang.String.replace and
+    * Catalyst's StringReplace share that scan). None over budget;
+    * BpeSpec pins local == distributed including the tie and
+    * exhaustion corners.
+    */
+  private[graft] def bpeMergeRowsLocal(
+      dict: DataFrame, merges: Int,
+      maxRows: Long): Option[Seq[(Long, String, Long)]] =
+    bpeDictBounded(dict, maxRows).map { rows =>
+      var words = rows
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      var r = 0
+      var exhausted = false
+      while (r < merges && !exhausted) {
+        r += 1
+        val cnt = new java.util.HashMap[String, Long]()
+        words.foreach { case (seq, f) =>
+          val l = seq.trim.split("  ")
+          var i = 0
+          while (i < l.length - 1) {
+            cnt.merge(l(i) + " " + l(i + 1), f, _ + _); i += 1
+          }
+        }
+        if (cnt.isEmpty) exhausted = true // all words single-symbol
+        else {
+          var bp: String = null
+          var bc = Long.MinValue
+          cnt.forEach { (p, c) =>
+            if (c > bc || (c == bc && p < bp)) { bp = p; bc = c }
+          }
+          acc += ((r.toLong, bp, bc))
+          val Array(a, b) = bp.split(" ")
+          val from = s" $a  $b "
+          val to = s" $a$b "
+          words = words.map { case (seq, f) => (seq.replace(from, to), f) }
+        }
+      }
+      acc.toSeq
+    }
+
+  /** The distributed merge loop — unchanged at-scale shape: per round
+    * one flatMap+sum pair count (shuffle = one row per distinct pair),
+    * one 1-row collect (the argmax), one per-row merge rewrite,
+    * lineage-truncated per round (the kCore localCheckpoint pattern).
+    */
+  private[graft] def bpeMergeRowsDistributed(
+      dict0: DataFrame, merges: Int): Seq[(Long, String, Long)] = {
+    val s = dict0.sparkSession
+    import s.implicits._
+    var dict = dict0
     val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     var r = 0
     var exhausted = false
@@ -762,7 +856,7 @@ object Curation {
           .localCheckpoint(true) // per-round lineage truncation
       }
     }
-    acc.toSeq.toDF("merge_rank", "pair", "cnt").orderBy(col("merge_rank"))
+    acc.toSeq
   }
 
   /** Driver binding (q114): the BPE merge table over the corpus.

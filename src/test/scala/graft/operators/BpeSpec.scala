@@ -83,4 +83,22 @@ class BpeSpec extends SparkSpec {
     // Mixed99 is OOV -> 1. newest -> n ew es t -> with es t: n ew est (3)
     assert(got == Seq((1L, 3L, 1L + 3L + 1L), (2L, 2L, 3L + 3L)))
   }
+
+  test("driver-local merge loop == distributed loop (r20 gate): ties, " +
+    "overlap counting, exhaustion, and the over-budget fall-through") {
+    def both(rows: Seq[String], merges: Int): Unit = {
+      val local = Curation.bpeMerges(corpus(rows), merges).collect()
+        .map(_.toString).toSeq
+      val dist = Curation.bpeMerges(corpus(rows), merges, localMax = 0L)
+        .collect().map(_.toString).toSeq
+      assert(local == dist, s"rows=$rows merges=$merges")
+    }
+    val families = Seq(
+      Seq("low low low low low", "lower lower",
+        "newest newest newest newest newest newest", "widest widest widest"),
+      Seq("aaaa aaa", "abab abab baba"), // overlap counting + ties
+      Seq("a b c d e"),                  // exhausts immediately
+      Seq("zz zy yz", "yy zy"))
+    for (docs <- families; merges <- Seq(1, 5, 10)) both(docs, merges)
+  }
 }

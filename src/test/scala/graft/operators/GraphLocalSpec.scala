@@ -83,4 +83,55 @@ class GraphLocalSpec extends SparkSpec {
     assert(det(Corpus.connectedComponents(nodes, sym, localMax = 10L), "p") ==
       det(Corpus.connectedComponents(nodes, sym), "p"))
   }
+
+  test("kCoreLocal == kCoreLoop in peel AND fixpoint modes (incl. " +
+    "duplicate-edge weighting and the zero-surviving-neighbor drop)") {
+    import spark.implicits._
+    for (seed <- Seq(3L, 29L)) {
+      val (_, edges) = randomGraph(40, 70, seed)
+      // duplicate rows on purpose: degree counts edge ROWS
+      val sym = edges
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .union(edges.limit(5))
+      for ((rounds, fix) <- Seq((3, false), (1000, true))) {
+        val localOut = Corpus.kCoreLocal(sym, k = 2, rounds, fix, 1000000L)
+        assert(localOut.isDefined, "graph under budget must take the local path")
+        assert(det(localOut.get, "v") ==
+          det(Corpus.kCoreLoop(sym, 2, rounds, fix), "v"))
+      }
+    }
+    assert(Corpus.kCoreLocal(Seq((1L, 2L)).toDF("src", "dst"),
+      2, 3, toFixpoint = false, maxRows = 0L).isEmpty,
+      "budget 0 must disable the local path outright")
+  }
+
+  test("lpaLocal == lpaDistributed (vote counts, min-label tie-break)") {
+    for (seed <- Seq(7L, 41L)) {
+      val (_, edges) = randomGraph(36, 60, seed)
+      val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      for (rounds <- Seq(1, Corpus.Q124LpaRounds)) {
+        val localOut = Corpus.lpaLocal(sym, rounds, 1000000L)
+        assert(localOut.isDefined)
+        assert(det(localOut.get, "v") ==
+          det(Corpus.lpaDistributed(sym, rounds), "v"))
+      }
+    }
+  }
+
+  test("bfsLocal == bfsDistributed (multi-seed, early exit, " +
+    "duplicate-seed multiplicity at hop 0)") {
+    import spark.implicits._
+    for (seed <- Seq(11L, 53L)) {
+      val (_, edges) = randomGraph(48, 40, seed)
+      val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      // duplicate seed row 0 on purpose: hop-0 multiplicity must survive
+      val seeds = Seq(0L, 0L, 5L, 200L).toDF("v") // 200 isolated: stays hop 0
+      for (maxHops <- Seq(0, 2, 9)) {
+        val localOut = Corpus.bfsLocal(seeds, sym, maxHops, 1000000L)
+        assert(localOut.isDefined)
+        assert(det(localOut.get, "v", "hop") ==
+          det(Corpus.bfsDistributed(seeds, sym, maxHops), "v", "hop"))
+      }
+    }
+  }
 }
