@@ -2993,22 +2993,45 @@ object Curation {
       hashKeys = true)
   }
 
-  /** Two-way standing-state merge for the upsert-ingest loop: a
-    * CO-PARTITIONED full outer join — both sides are cached aggregates
-    * hash-partitioned on `k`, so the merge moves NO corpus-sized data
-    * (the 100 TB shape: state maintenance costs O(batch), not
-    * O(vocabulary); a union+groupBy formulation re-shuffles the whole
-    * standing vocabulary every arrival). `nd` adds; `keep` is the
-    * running min (`least()` skips the null side of an outer match).
+  /** Two-way standing-state merge + changed-window set for the
+    * upsert-ingest loop, derived from ONE co-partitioned full outer
+    * join — both sides are cached aggregates hash-partitioned on `k`,
+    * so the merge moves NO corpus-sized data (the 100 TB shape: state
+    * maintenance costs O(batch), not O(vocabulary); a union+groupBy
+    * formulation re-shuffles the whole standing vocabulary every
+    * arrival). The join output is PERSISTED and both consumers project
+    * from it: the r20 profile showed the first draft paying the
+    * prev⋈batch join TWICE per batch (once for the changed set, once
+    * for the merge) — fusing them halves the per-arrival state-join
+    * work and the cache footprint.
+    *
+    * Returns (cache handle to unpersist after the NEXT batch, merged
+    * state, changed windows). `nd` adds; `keep` is the running min
+    * (`least()` skips the null side of an outer match). Changed =
+    * batch-touched windows that crossed into duplication or whose
+    * keeper moved earlier — `bnd` non-null is exactly "the batch
+    * touched this window" (state rows never carry null nd).
     * HeavyPlanSpec pins the zero-exchange plan.
     */
-  private[graft] def exactSubstrStateMerge2(
-      prev: DataFrame, bState: DataFrame): DataFrame =
-    prev.as("o").join(bState.as("b"), Seq("k"), "full_outer")
+  private[graft] def exactSubstrStateMergeChanged(
+      prev: DataFrame, bState: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val m2 = prev.as("o").join(bState.as("b"), Seq("k"), "full_outer")
       .select(col("k"),
-        (coalesce(col("o.nd"), lit(0L)) +
-          coalesce(col("b.nd"), lit(0L))).as("nd"),
-        least(col("o.keep"), col("b.keep")).as("keep"))
+        col("o.nd").as("ond"), col("o.keep").as("okeep"),
+        col("b.nd").as("bnd"), col("b.keep").as("bkeep"))
+      .persist()
+    val merged = m2.select(col("k"),
+      (coalesce(col("ond"), lit(0L)) +
+        coalesce(col("bnd"), lit(0L))).as("nd"),
+      least(col("okeep"), col("bkeep")).as("keep"))
+    val changed = m2
+      .where(col("bnd").isNotNull &&
+        (coalesce(col("ond"), lit(0L)) + col("bnd")) >= 2L &&
+        (col("ond").isNull || col("ond") < 2L ||
+          least(col("okeep"), col("bkeep")) =!= col("okeep")))
+      .select(col("k"))
+    (m2, merged, changed)
+  }
 
   /** Standing docs needing repair: ids holding an occurrence of a
     * changed window. The changed set broadcasts through the semi join,
@@ -3035,6 +3058,13 @@ object Curation {
       keepStore: Option[java.io.File] = None): DataFrame = {
     require(batches.nonEmpty, "exactSubstrUpsertReplay needs at least one batch")
     val s = batches.head.sparkSession
+    // phase labels (guide §1.5): every action below runs under a
+    // description naming its batch + phase so the UI/JobProfile can
+    // attribute the replay's many small jobs
+    def phase[A](label: String)(body: => A): A = {
+      s.sparkContext.setJobDescription(label)
+      try body finally s.sparkContext.setJobDescription(null)
+    }
     val store = keepStore.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_substr_upsert").toFile)
     try {
@@ -3047,83 +3077,89 @@ object Curation {
       // doubled the bytes the upsert window shuffled and rewrote per
       // batch — the single biggest cost in the 14 s first-bench number.
       val rawDir = new java.io.File(store, "raw").toString
-      var prevState: Option[DataFrame] = None
+      var prevState: Option[DataFrame] = None // merged standing state (cache-backed projection)
+      var prevCache: Option[DataFrame] = None // the persisted frame backing prevState
       batches.zipWithIndex.foreach { case (batch, v) =>
         val isLast = v == batches.size - 1
         // per-batch occurrence state: 1/|batches| of the vocabulary,
-        // persisted (two consumers: the standing-state merge and the
-        // changed-set join)
+        // persisted (consumers: the fused state-merge join, and — at
+        // v=0, where it IS the standing state — the dup build and the
+        // next batch's merge)
         val bState = exactSubstrOccState(batch, hashKeys).persist()
-        // standing state merge as a CO-PARTITIONED full outer join
-        // ([[exactSubstrStateMerge2]]) — HeavyPlanSpec pins the
-        // zero-exchange shape
-        val merged = prevState match {
-          case Some(p) => exactSubstrStateMerge2(p, bState)
-          case None => bState
-        }
-        // the LAST arrival's state has no future reader: leave it lazy
-        // (the dup build below materializes it exactly once)
-        val mergedP = if (isLast) merged else merged.persist()
-        // changed windows: only windows the BATCH touched can change
-        // verdict (nd is additive, keep a running min), so the changed
-        // set derives from the batch state joined against the standing
-        // state — batch-sized work, never a standing-vocabulary scan.
-        // Changed = crossed into duplication, or keeper moved earlier
-        // (a later batch can carry an earlier (doc_id, pos) under
-        // interleaved id lanes).
-        val changed = prevState match {
-          case None => bState.where(col("nd") >= 2L).select(col("k"))
-          case Some(p) => bState.as("b")
-            .join(p.select(col("k"), col("nd").as("ond"),
-              col("keep").as("okeep")), Seq("k"), "left")
-            .where((coalesce(col("ond"), lit(0L)) + col("b.nd")) >= 2L &&
-              (col("ond").isNull || col("ond") < 2L ||
-                least(col("okeep"), col("b.keep")) =!= col("okeep")))
-            .select(col("k"))
+        // standing-state merge + changed-window set from ONE persisted
+        // co-partitioned full outer join ([[exactSubstrStateMergeChanged]]
+        // — HeavyPlanSpec pins the zero-exchange shape). Changed
+        // windows: only windows the BATCH touched can change verdict
+        // (nd is additive, keep a running min) — crossed into
+        // duplication, or keeper moved earlier (a later batch can
+        // carry an earlier (doc_id, pos) under interleaved id lanes).
+        // Batch 0 has no standing state: nothing can need repair, so
+        // the changed set (and its count job) is skipped outright —
+        // the r20 profile measured the first draft paying ~0.9 s
+        // counting a changed set v=0 never reads.
+        val (m2Opt, merged, changedOpt) = prevState match {
+          case Some(p) =>
+            val (m2, m, c) = exactSubstrStateMergeChanged(p, bState)
+            (Some(m2), m, Some(c))
+          case None => (None, bState, None)
         }
         // delta-repair set: standing docs holding an occurrence of a
         // changed window — ONE occurrence pass over the raw originals,
         // and NONE when the batch changed nothing (the changed set is
-        // batch-bounded, so counting it is cheap; a quiet batch — no
-        // new duplication, no keeper move — must not pay a standing-
-        // corpus scan just to drop every row in the semi join)
+        // batch-bounded and reads the fused join's cache, so counting
+        // it is cheap; a quiet batch — no new duplication, no keeper
+        // move — must not pay a standing-corpus scan just to drop
+        // every row in the semi join)
         val planted = exactSubstrPlanted(batch)
-        val changedC = changed.persist()
-        val nChanged = changedC.count()
-        val toRewrite =
-          if (v == 0 || nChanged == 0) planted
-          else {
-            // b < v guards double protection: the partition filter AND
-            // the fact that this read's file listing predates the
-            // current batch's append below
-            val orig = s.read.parquet(rawDir).where(col("b") < v)
-              .select(col("source"), col("doc_id"), col("t"))
-            val hit = exactSubstrRepairIds(orig, changedC, hashKeys)
-            orig.join(hit, Seq("doc_id"), "left_semi").unionByName(planted)
-          }
-        val (dup, bloom, release) = exactSubstrDupOf(mergedP)
+        val toRewrite = changedOpt match {
+          case None => planted // batch 0: nothing standing to repair
+          case Some(changed) =>
+            val nChanged = phase(s"q219 b$v: changed-set count")(changed.count())
+            if (nChanged == 0) planted
+            else {
+              // b < v guards double protection: the partition filter
+              // AND the fact that this read's file listing predates
+              // the current batch's append below
+              val orig = s.read.parquet(rawDir).where(col("b") < v)
+                .select(col("source"), col("doc_id"), col("t"))
+              val hit = exactSubstrRepairIds(orig, changed, hashKeys)
+              orig.join(hit, Seq("doc_id"), "left_semi").unionByName(planted)
+            }
+        }
+        val (dup, bloom, release) = phase(s"q219 b$v: dup+bloom build")(
+          exactSubstrDupOf(merged))
         val up = exactSubstrApplyCuts(toRewrite,
             exactSubstrCuts(toRewrite, dup, bloom, hashKeys))
           .withColumn("v", lit(v.toLong))
         // land the arriving originals in the raw store (append-only,
         // no shuffle), then commit the rewrite version
-        planted.withColumn("b", lit(v.toLong))
-          .write.partitionBy("b").mode("append").parquet(rawDir)
-        UpsertSink.merge(s, sinkDir, up, "doc_id", "v")
+        phase(s"q219 b$v: raw append")(
+          planted.withColumn("b", lit(v.toLong))
+            .write.partitionBy("b").mode("append").parquet(rawDir))
+        phase(s"q219 b$v: rewrite+sink merge")(
+          UpsertSink.merge(s, sinkDir, up, "doc_id", "v"))
         release()
-        changedC.unpersist(blocking = false)
-        bState.unpersist(blocking = false)
-        prevState.foreach(_.unpersist(blocking = false))
-        prevState = if (isLast) None else Some(mergedP)
+        // cache lifecycle: the fused join cache (or, at v=0, bState
+        // itself) backs prevState for ONE more batch; everything else
+        // from this batch is dead now. At v=0 bState must NOT be
+        // unpersisted here — the first draft did, and batch 1's merge
+        // silently recomputed batch 0's occurrence pass through an
+        // un-partitioned plan (the co-partitioning contract lost).
+        val carry = if (isLast) None else Some(m2Opt.getOrElse(bState))
+        if (m2Opt.isDefined || isLast) bState.unpersist(blocking = false)
+        m2Opt.filter(_ => isLast).foreach(_.unpersist(blocking = false))
+        prevCache.foreach(_.unpersist(blocking = false))
+        prevState = if (isLast) None else Some(merged)
+        prevCache = carry
       }
-      prevState.foreach(_.unpersist(blocking = false))
+      prevCache.foreach(_.unpersist(blocking = false))
       val fin = UpsertSink.readState(s, sinkDir).getOrElse(
         sys.error("upsert replay committed no sink state"))
       val out = exactSubstrDedupRollup(fin)
       // O(|sources|) rows: collect-and-recreate severs the lineage from
       // the store entirely (the q200 rule — a cached frame would
       // recompute through the deleted path on eviction)
-      val rows = out.collect()
+      val rows = phase("q219: final rollup")(out.collect())
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally {
       if (keepStore.isEmpty) {

@@ -197,16 +197,34 @@ class HeavyPlanSpec extends SparkSpec {
       }
       val prev = state(Seq(("a", 1L, s"$span x1 x2")))
       val bSt = state(Seq(("a", 2L, s"y1 y2 $span")))
-      val merged = Curation.exactSubstrStateMerge2(prev, bSt)
-      val s = shapeOf(merged)
-      assert(s.shuffles == 0,
-        s"state merge must move nothing — both sides are cached hash-partitioned aggregates; got $s")
-      assert(s.inMemScans == 2, s"both cached states must be read in place: $s")
+      val (m2, merged, changed) = Curation.exactSubstrStateMergeChanged(prev, bSt)
+      // m2 is itself persisted (the fusion's point), so descend into
+      // ITS cached plan to pin the join shape the cache pays for
+      val inner = m2.queryExecution.executedPlan.collectFirst {
+        case sc: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          sc.relation.cachedPlan
+      }.getOrElse(fail("fused state merge must be persisted"))
+      val innerShuffles = inner.collect { case e: ShuffleExchangeExec => e }.size
+      val innerScans = inner.collect {
+        case sc if sc.nodeName.contains("InMemoryTableScan") => sc }.size
+      assert(innerShuffles == 0,
+        s"state merge must move nothing — both sides are cached hash-partitioned aggregates; got $innerShuffles shuffles")
+      assert(innerScans == 2,
+        s"both cached states must be read in place: $innerScans in-mem scans")
       // and it merges correctly: nd adds, keep is the running min
       val m = merged.collect().map(r =>
         r.getString(0) -> ((r.getLong(1), r.getStruct(2).getLong(0)))).toMap
       assert(m(span) == ((2L, 1L)), s"shared window must merge to nd=2 keeper doc 1: $m")
-      prev.unpersist(); bSt.unpersist()
+      // the changed set projects from the SAME fused join cache (the
+      // r20 fusion: one prev⋈batch join per arrival, not two) and
+      // carries exactly the batch-touched windows whose verdict moved:
+      // the shared span crossed into duplication; y-windows stay nd=1
+      val ch = shapeOf(changed)
+      assert(ch.shuffles == 0 && ch.inMemScans >= 1,
+        s"changed set must read the fused join's cache in place: $ch")
+      assert(changed.collect().map(_.getString(0)).toSeq == Seq(span),
+        "only the newly-duplicated window may enter the changed set")
+      m2.unpersist(); prev.unpersist(); bSt.unpersist()
     }
   }
 
