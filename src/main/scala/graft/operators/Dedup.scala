@@ -617,8 +617,13 @@ object Dedup {
     */
   def clusterSafeSplitExact(
       documents: DataFrame, threshold: Double = DupJaccardThreshold): DataFrame = {
+    // persisted: the content hash feeds the rep collapse AND the split
+    // assignment below — without the cache the corpus is scanned (and
+    // md5'd) a third time just to re-derive a hash this frame already
+    // holds. Lifetime: LRU/clearCache (the library contract).
     val hashed = documents
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .persist()
     // persisted: feeds the representative semi-join, the node set and
     // the per-doc label attach — three consumers that would otherwise
     // each re-run the md5 + groupBy + join over the corpus. Lifetime:
@@ -646,9 +651,10 @@ object Dedup {
     val sizes = docLabels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
     // the cluster label IS a doc_id (min-label components over min-id
     // reps), so the split hashes the LABEL doc's content — stable under
-    // corpus growth exactly like the LSH form
-    val repHash = documents.select(col("doc_id").as("lbl"),
-      substring(md5(col("text").cast("binary")), 1, 1).as("rh"))
+    // corpus growth exactly like the LSH form. Reads the cached hash
+    // frame: same md5, one fewer corpus scan.
+    val repHash = hashed.select(col("doc_id").as("lbl"),
+      substring(col("h"), 1, 1).as("rh"))
     docLabels.join(sizes, "lbl").join(repHash, "lbl")
       .select(col("doc_id"), col("lbl").as("cluster_id"), col("cluster_size"),
         when(col("rh") <= "b", "train")

@@ -97,8 +97,14 @@ object Linkage {
     mseg.join(p, Seq("lm", "seg_i", "seg"))
       .select(col("pid"), col("mid"), col("pname"), col("mname"))
       .distinct()
-      .withColumn("dist", levenshtein(col("pname"), col("mname")))
-      .filter(col("dist") <= tau)
+      // thresholded levenshtein (Spark 3.5+) runs the banded O(tau·n)
+      // algorithm instead of the full O(n²) matrix and returns -1 past
+      // the bound — for every SURVIVING pair (true distance <= tau) the
+      // value is the exact distance, so results are unchanged while the
+      // verify CPU drops by ~len/(2·tau+1); the >= 0 guard is what
+      // keeps the -1 sentinel out (plain `<= tau` would admit it)
+      .withColumn("dist", levenshtein(col("pname"), col("mname"), tau))
+      .filter(col("dist") >= 0 && col("dist") <= tau)
   }
 
   /** Driver binding: link a deterministic "dirty batch" of customer
