@@ -66,14 +66,27 @@ object Linkage {
     import s.implicits._
     val parts = tau + 1
 
-    val mseg = master.select(col("mid"), col("mname")).as[(Long, String)]
-      .flatMap { case (id, nm) =>
-        val l = nm.length
-        if (l < parts) Seq((l, -1, "", id, nm))
-        else segBounds(l, parts).zipWithIndex.map {
-          case ((a, len), i) => (l, i, nm.substring(a, a + len), id, nm)
-        }
-      }.toDF("lm", "seg_i", "seg", "mid", "mname")
+    // The master side is the corpus-scale side: its segment fan-out is
+    // pure codegen (explode over a literal struct array) instead of a
+    // typed flatMap, so the scan→segment→join pipeline stays inside
+    // whole-stage codegen with no encoder round-trip per master row.
+    // Arithmetic matches [[segBounds]] exactly: `i*lm div parts` is
+    // floor division on non-negative ints, substr is 1-based where
+    // substring was 0-based. (Contract unchanged: names are non-null —
+    // the typed form would have NPE'd on a null.)
+    val segArr = (0 until parts).map { i =>
+      val a = s"CAST(($i * lm) div $parts AS INT)"
+      val b = s"CAST((${i + 1} * lm) div $parts AS INT)"
+      s"named_struct('seg_i', $i, 'seg', substr(mname, $a + 1, $b - $a))"
+    }.mkString("array(", ", ", ")")
+    val mseg = master
+      .select(col("mid"), col("mname"), length(col("mname")).as("lm"))
+      .select(col("lm"), col("mid"), col("mname"),
+        explode(expr(
+          s"CASE WHEN lm < $parts THEN array(named_struct('seg_i', -1, 'seg', '')) " +
+            s"ELSE $segArr END")).as("sx"))
+      .select(col("lm"), col("sx.seg_i").as("seg_i"), col("sx.seg").as("seg"),
+        col("mid"), col("mname"))
 
     val pseg = probes.select(col("pid"), col("pname")).as[(Long, String)]
       .flatMap { case (id, nm) =>
