@@ -3131,13 +3131,24 @@ object Curation {
         val up = exactSubstrApplyCuts(toRewrite,
             exactSubstrCuts(toRewrite, dup, bloom, hashKeys))
           .withColumn("v", lit(v.toLong))
-        // land the arriving originals in the raw store (append-only,
-        // no shuffle), then commit the rewrite version
-        phase(s"q219 b$v: raw append")(
-          planted.withColumn("b", lit(v.toLong))
-            .write.partitionBy("b").mode("append").parquet(rawDir))
-        phase(s"q219 b$v: rewrite+sink merge")(
+        // land the arriving originals in the raw store (append-only, no
+        // shuffle) CONCURRENTLY with the rewrite+sink merge (guide
+        // §2.6: independent output paths, independent jobs — the
+        // scheduler back-fills the merge's stage tails with the append'
+        // s write tasks). Safe to overlap: this batch's repair read was
+        // derived BEFORE the append (its file listing predates it) and
+        // filters b < v anyway; the NEXT batch's repair read — and the
+        // store handed to keepStore specs — happen after the join()
+        // below. Job descriptions are thread-local, so each side keeps
+        // its own label.
+        val appendDone = java.util.concurrent.CompletableFuture.runAsync { () =>
+          phase(s"q219 b$v: raw append")(
+            planted.withColumn("b", lit(v.toLong))
+              .write.partitionBy("b").mode("append").parquet(rawDir))
+        }
+        try phase(s"q219 b$v: rewrite+sink merge")(
           UpsertSink.merge(s, sinkDir, up, "doc_id", "v"))
+        finally appendDone.join()
         release()
         // cache lifecycle: the fused join cache (or, at v=0, bState
         // itself) backs prevState for ONE more batch; everything else
