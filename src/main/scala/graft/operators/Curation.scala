@@ -119,8 +119,9 @@ object Curation {
     // consumer (the collect OR the semi join) share one tokenization
     // pass
     val bgFrame = benchmark
-      .select(col("text")).as[String]
-      .flatMap(t => grams(tokenize(t), n))
+      .select(explode(graft.functions.TokenWindows.of(col("text"), n))
+        .as("value"))
+      .as[String]
       .distinct()
       .persist()
     // both gates run DISTRIBUTED over a LIMITed view: O(ceiling) rows
@@ -158,12 +159,9 @@ object Curation {
         .select(col("source"), coalesce(col("text"), lit("")).as("t"))
         .groupBy(col("source"), col("t")).agg(count(lit(1)).as("n_copies"))
         .withColumn("cid", md5(concat_ws("\u0000", col("source"), col("t"))))
-      val cg = byContent.select(col("cid"), col("t")).as[(String, String)]
-        .flatMap { case (cid, t) =>
-          val seen = scala.collection.mutable.HashSet.empty[String]
-          grams(tokenize(t), n).filter(seen.add).map(g => (cid, g))
-        }
-        .toDF("cid", "g")
+      val cg = byContent.select(col("cid"),
+        explode(graft.functions.TokenWindows.of(col("t"), n, distinct = true))
+          .as("g"))
       val hits = cg
         .join(bgFrame.toDF("g"), Seq("g"), "left_semi")
         .select(col("cid")).distinct()
@@ -496,9 +494,17 @@ object Curation {
   def spanDedupStats(docs: DataFrame, n: Int = SpanGram): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val g = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, t) => grams(tokenize(t), n).map(gr => (id, gr)) }
-      .toDF("doc_id", "g")
+    // the explicit isNotNull mirrors what the final left join's key
+    // constraint pushes into the per-doc branch anyway (doc_id is
+    // non-null by the documents contract — the former typed flatMap's
+    // primitive-Long encoder enforced the same thing by crashing): with
+    // the filter in BOTH branches their exchange subtrees stay
+    // canonically identical, which is what lets AQE plan the totals
+    // aggregate on a ReusedExchange instead of re-deriving the gram
+    // stream (CurationSpec pins it)
+    val g = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.functions.TokenWindows.of(col("text"), n)).as("g"))
       .select(col("doc_id"), md5(col("g").cast("binary")).as("gh"))
       .repartition(col("gh"))
     val perDocGram = g.groupBy(col("gh"), col("doc_id"))
@@ -556,12 +562,10 @@ object Curation {
   def spanCoverage(docs: DataFrame, n: Int = SpanGram): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val perDocGram = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, t) =>
-        grams(tokenize(t), n).zipWithIndex.map { case (gr, i) => (id, i.toLong, gr) }
-      }
-      .toDF("doc_id", "pos", "g")
-      .select(col("doc_id"), col("pos"), md5(col("g").cast("binary")).as("gh"))
+    val perDocGram = docs.select(col("doc_id"),
+        posexplode(graft.functions.TokenWindows.of(col("text"), n)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("col").cast("binary")).as("gh"))
       .repartition(col("gh"))
       .groupBy(col("gh"), col("doc_id"))
       .agg(count(lit(1)).as("k"), collect_list(col("pos")).as("ps"))
@@ -1764,21 +1768,17 @@ object Curation {
     import s.implicits._
     val isTrain =
       substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) < "8"
+    // per-doc dedup BEFORE the global distinct (distinct = true): the
+    // partial aggregate then sees each (doc, gram) once, not per
+    // occurrence
     val trainGrams = docs.filter(isTrain)
-      .select(col("text")).as[String]
-      .flatMap { t =>
-        // per-doc dedup BEFORE the global distinct: the partial
-        // aggregate then sees each (doc, gram) once, not per occurrence
-        val seen = scala.collection.mutable.HashSet.empty[String]
-        grams(tokenize(t), n).filter(seen.add)
-      }
+      .select(explode(graft.functions.TokenWindows.of(
+        col("text"), n, distinct = true)).as("g"))
       .distinct()
-      .toDF("g").withColumn("hit", lit(1L))
+      .withColumn("hit", lit(1L))
     val evalGrams = docs.filter(!isTrain)
-      .select(col("doc_id"), col("source"), col("text"))
-      .as[(Long, String, String)]
-      .flatMap { case (id, src, t) => grams(tokenize(t), n).map(g => (id, src, g)) }
-      .toDF("doc_id", "source", "g")
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.TokenWindows.of(col("text"), n)).as("g"))
       .groupBy(col("doc_id"), col("source"), col("g"))
       .agg(count(lit(1)).as("tf"))
     evalGrams.join(trainGrams, Seq("g"), "left")
@@ -2172,21 +2172,20 @@ object Curation {
       concat(coalesce(col("text"), lit("")),
         lit(" copyright "), col("source"),
         lit(" legal footer all rights reserved worldwide")).as("t"))
-    // per-doc DISTINCT grams via the q64 typed-flatMap idiom: the
-    // expression-tree form (slice inside a transform lambda) re-splits
-    // the text once per window position — O(tokens^2) per doc. Each
-    // doc also emits ONE marker row (a lone space — unproducible by
-    // joining non-empty tokens), so the per-source doc count rides the
-    // same pass instead of a second corpus scan — the corpus is read
-    // exactly once (OnePassSpec pins it with a scan-counting
-    // accumulator).
+    // per-doc DISTINCT grams via the native token_windows kernel
+    // (whole-stage codegen; a transform-lambda expression tree would
+    // re-split the text once per window — O(tokens^2) per doc — and a
+    // typed flatMap pays the encoder barrier). Each doc also emits ONE
+    // marker row (a lone space — unproducible by joining non-empty
+    // tokens), so the per-source doc count rides the same pass instead
+    // of a second corpus scan — the corpus is read exactly once
+    // (OnePassSpec pins it with a scan-counting accumulator).
     val docMarker = " "
-    val gramRows = planted.select(col("source"), col("t")).as[(String, String)]
-      .flatMap { case (src, t) =>
-        (grams(tokenize(t), 3).toSet.iterator ++ Iterator(docMarker))
-          .map((g: String) => (src, g))
-      }
-      .toDF("source", "gram")
+    val gramRows = planted.select(col("source"),
+      explode(concat(
+        graft.functions.TokenWindows.of(
+          coalesce(col("t"), lit("")), 3, distinct = true),
+        array(lit(docMarker)))).as("gram"))
     // eagerly cached: the doc-count split and the gram stats both read
     // this aggregate — uncached, each consumer re-derives the corpus
     val counts = gramRows.groupBy(col("source"), col("gram"))
@@ -2321,20 +2320,18 @@ object Curation {
     * occurrence-collapsed grain, planted per the %17 rule. Shared by
     * the single-batch census and the incremental state builder.
     */
-  private def exactSubstrWinRows(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
+  private def exactSubstrWinRows(docs: DataFrame): DataFrame =
+    // per-doc distinctness inside the native kernel (first-occurrence
+    // set — callers aggregate, so set CONTENTS are the contract), the
+    // whole stream in whole-stage codegen instead of the former
+    // corpus-scale Dataset.flatMap encoder barrier (guide §1.2 step 2)
     docs.select(col("source"),
         concat(coalesce(col("text"), lit("")),
           when(col("doc_id") % 17 === 0, lit(ExactSubstrPlant))
             .otherwise(lit(""))).as("t"))
-      .as[(String, String)]
-      .flatMap { case (src, t) =>
-        grams(tokenize(t), ExactSubstrL).toSet.iterator
-          .map((w: String) => (src, w))
-      }
-      .toDF("source", "win")
-  }
+      .select(col("source"),
+        explode(graft.functions.TokenWindows.of(
+          col("t"), ExactSubstrL, distinct = true)).as("win"))
 
   /** [[q208ExactSubstr]] over any `(source, doc_id, text)` frame.
     *
@@ -2628,22 +2625,17 @@ object Curation {
             .as("w"))
         .select(struct(col("w.h1").as("h1"), col("w.h2").as("h2")).as("k"),
           col("doc_id"), col("w.pos").as("pos"))
-    else {
-      val s = planted.sparkSession
-      import s.implicits._
-      val L = ExactSubstrL
-      planted.select(col("doc_id"), col("t")).as[(Long, String)]
-        .flatMap { case (id, t) =>
-          val toks = tokenize(t)
-          (0 to toks.length - L).iterator.map { i =>
-            val sb = new StringBuilder(toks(i))
-            var j = 1
-            while (j < L) { sb.append(' ').append(toks(i + j)); j += 1 }
-            (id, i, sb.toString)
-          }
-        }.toDF("doc_id", "pos", "win")
-        .select(col("win").as("k"), col("doc_id"), col("pos"))
-    }
+    else
+      // scan→project→generate inside whole-stage codegen: the former
+      // corpus-scale Dataset.flatMap built the same window strings but
+      // paid a deserialize→iterator→serialize encoder barrier per
+      // occurrence row (guide §1.2 step 2); the native kernel also
+      // emits every window as a zero-copy slice of ONE normalized
+      // buffer per doc. TokenWindowsSpec pins byte-equality with the
+      // old tokenize+join stream.
+      planted.select(col("doc_id"),
+          posexplode(graft.functions.TokenWindows.of(col("t"), ExactSubstrL)))
+        .select(col("col").as("k"), col("doc_id"), col("pos"))
 
   /** Per-window occurrence STATE of one document batch: `(k, nd,
     * keep)` — `nd` the batch's distinct-document count for the window,

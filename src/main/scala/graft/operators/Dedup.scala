@@ -810,16 +810,23 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     // compact per-doc sorted-distinct gram arrays (tokenize once,
-    // persisted; lifetime contract as in [[ngramScoredPairsOf]])
-    val docGrams = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text0) =>
-        val text = if (text0 == null) "" else text0
-        val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
-        (id, toks.sliding(3).filter(_.length == 3)
-          .map(g => gramHash64(g.mkString(" "))).toArray.distinct.sorted)
-      }.toDF("doc_id", "grams")
-      .filter(size(col("grams")) > 0) // gram-free docs match nothing
+    // persisted; lifetime contract as in [[ngramScoredPairsOf]]) —
+    // built by the native gram_hashes kernel inside whole-stage
+    // codegen (the former corpus-scale Dataset.map paid an encoder
+    // barrier and per-window string allocation; GramHashesSpec pins
+    // value-equality incl. the lower + \s+ tokenization)
+    // persist BEFORE the gram-free filter: a filter on the kernel's
+    // alias would be pushed below the projection and evaluate the
+    // kernel TWICE per row while the cache populates (the guide §4.4
+    // duplicate-evaluation trap, JVM-expression flavored — measured in
+    // the q88 plan as gramhashes in both Filter and Project); filtered
+    // on the CACHED column it is one size() probe per materialized row
+    val docGrams = docs.select(col("doc_id"),
+        graft.functions.GramHashes.of(
+          lower(coalesce(col("text"), lit(""))), 3,
+          distinct = true, sorted = true, wsSplit = true).as("grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(size(col("grams")) > 0) // gram-free docs match nothing
 
     val dfreq = docGrams.select(explode(col("grams")).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
@@ -1041,14 +1048,11 @@ object Dedup {
     // populated by the first consumer, reclaimed by LRU eviction /
     // clearCache (a lazily returned DataFrame has no scope to
     // unpersist in).
-    val docGrams = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, text0) =>
-        val text = if (text0 == null) "" else text0 // crash-free on null docs
-        val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
-        (id, toks.sliding(3).filter(_.length == 3)
-          .map(g => gramHash64(g.mkString(" "))).distinct.toArray)
-      }.toDF("doc_id", "grams")
+    val docGrams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.GramHashes.of(
+          lower(coalesce(col("text"), lit(""))), 3,
+          distinct = true, wsSplit = true).as("grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // drop ubiquitous grams (document frequency > MaxGramDf): per-doc

@@ -591,19 +591,15 @@ object TextOps {
     */
   def q144SourceGramOverlap(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // single-space split (wsSplit = false), the q126/q145 corpus
+    // convention and the oracle's string_split(…, ' ') — NOT \s+, so
+    // engine/oracle parity survives a corpus with tabs/newlines; the
+    // native kernel replaces the corpus-scale typed flatMap's encoder
+    // barrier (GramHashesSpec pins value-equality)
     val sg = Tables.documents(s, d)
-      .select(col("source"), col("text")).as[(String, String)]
-      .flatMap { case (src, text0) =>
-        val text = if (text0 == null) "" else text0
-        // single-space split, the q126/q145 corpus convention and the
-        // oracle's string_split(…, ' ') — NOT \s+, so engine/oracle
-        // parity survives a corpus with tabs/newlines
-        val toks = text.toLowerCase(java.util.Locale.ROOT)
-          .split(" ").filter(_.nonEmpty)
-        toks.sliding(3).filter(_.length == 3)
-          .map(g => (src, graft.operators.Dedup.gramHash64(g.mkString(" "))))
-      }
-      .toDF("source", "gram")
+      .select(col("source"),
+        explode(graft.functions.GramHashes.of(
+          lower(coalesce(col("text"), lit(""))), 3)).as("gram"))
       .distinct()
       .persist() // sizes + both self-join sides read this one exchange
     val sizes = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
