@@ -291,7 +291,17 @@ object Corpus {
     val s = df.sparkSession
     import s.implicits._
     val rows = df.limit(maxRows.toInt + 1).as[(Long, Long)].collect()
-    if (rows.length > maxRows) None else Some(rows)
+    // route line (stderr, the bloom-budget discipline): the scale
+    // canary's local-vs-distributed evidence reads off the run itself
+    if (rows.length > maxRows) {
+      System.err.println(
+        s"[graft] graph-local probe: > $maxRows rows — distributed path")
+      None
+    } else {
+      System.err.println(
+        s"[graft] graph-local probe: ${rows.length} rows <= $maxRows — local solve")
+      Some(rows)
+    }
   }
 
   /** Driver-local connected components: union-find with min-NODE-id

@@ -777,7 +777,16 @@ object Curation {
     val s = dict.sparkSession
     import s.implicits._
     val rows = dict.limit(maxRows.toInt + 1).as[(String, Long)].collect()
-    if (rows.length > maxRows) None else Some(rows)
+    // route line (stderr, the Corpus.takeBounded discipline)
+    if (rows.length > maxRows) {
+      System.err.println(
+        s"[graft] bpe-local probe: > $maxRows words — distributed merge loop")
+      None
+    } else {
+      System.err.println(
+        s"[graft] bpe-local probe: ${rows.length} words <= $maxRows — local merge loop")
+      Some(rows)
+    }
   }
 
   /** Driver-local BPE merge loop — [[bpeMergeRowsDistributed]]'s
